@@ -1,0 +1,151 @@
+"""Keyword dialect: metadata, ordering, message formatting.
+
+The reference evaluates keywords in schema-dict insertion order adjusted by a
+stable topological sort over declared ``depends_on`` edges
+(/root/reference/jschon/jsonschema.py:116-119,168-184). We reproduce that
+ordering contract here so violation rows come out in the reference's
+``output('basic')`` preorder.
+
+Instance-type gating mirrors Keyword.instance_types
+(/root/reference/jschon/vocabulary/__init__.py:128-139): a keyword is a no-op
+on instances whose JSON type it does not declare. We extend the JSON type
+lattice with ``binary`` and ``timestamp`` for Arrow-native columns: bounds
+keywords accept timestamps, and ``format`` accepts binary (decode checks).
+"""
+
+from __future__ import annotations
+
+import json
+
+ALL_TYPES = (
+    "null", "boolean", "number", "string", "array", "object",
+    "binary", "timestamp",
+)
+
+# keyword -> (instance_types, depends_on)
+# Sources: /root/reference/jschon/vocabulary/validation.py,
+# applicator.py, core.py, annotation.py, format.py (class attrs).
+KEYWORDS: dict[str, tuple[tuple, tuple]] = {
+    # core (static / identification)
+    "$schema": (ALL_TYPES, ()),
+    "$vocabulary": (ALL_TYPES, ()),
+    "$id": (ALL_TYPES, ()),
+    "$anchor": (ALL_TYPES, ()),
+    "$defs": (ALL_TYPES, ()),
+    "$comment": (ALL_TYPES, ()),
+    # applicators
+    "$ref": (ALL_TYPES, ()),
+    "allOf": (ALL_TYPES, ()),
+    "anyOf": (ALL_TYPES, ()),
+    "oneOf": (ALL_TYPES, ()),
+    "not": (ALL_TYPES, ()),
+    "if": (ALL_TYPES, ()),
+    "then": (ALL_TYPES, ("if",)),
+    "else": (ALL_TYPES, ("if",)),
+    "dependentSchemas": (("object",), ()),
+    "prefixItems": (("array",), ()),
+    "items": (("array",), ("prefixItems",)),
+    "contains": (("array",), ()),
+    "properties": (("object",), ()),
+    "patternProperties": (("object",), ()),
+    "additionalProperties": (("object",), ("properties", "patternProperties")),
+    "propertyNames": (("object",), ()),
+    "unevaluatedItems": (
+        ("array",),
+        ("prefixItems", "items", "contains", "if", "then", "else",
+         "allOf", "anyOf", "oneOf", "not", "$ref", "$dynamicRef"),
+    ),
+    "unevaluatedProperties": (
+        ("object",),
+        ("properties", "patternProperties", "additionalProperties",
+         "if", "then", "else", "dependentSchemas",
+         "allOf", "anyOf", "oneOf", "not", "$ref", "$dynamicRef"),
+    ),
+    # validation assertions
+    "type": (ALL_TYPES, ()),
+    "enum": (ALL_TYPES, ()),
+    "const": (ALL_TYPES, ()),
+    "multipleOf": (("number",), ()),
+    "maximum": (("number", "timestamp"), ()),
+    "exclusiveMaximum": (("number", "timestamp"), ()),
+    "minimum": (("number", "timestamp"), ()),
+    "exclusiveMinimum": (("number", "timestamp"), ()),
+    "maxLength": (("string",), ()),
+    "minLength": (("string",), ()),
+    "pattern": (("string",), ()),
+    "maxItems": (("array",), ()),
+    "minItems": (("array",), ()),
+    "uniqueItems": (("array",), ()),
+    "maxContains": (("array",), ("contains",)),
+    "minContains": (("array",), ("contains", "maxContains")),
+    "maxProperties": (("object",), ()),
+    "minProperties": (("object",), ()),
+    "required": (("object",), ()),
+    "dependentRequired": (("object",), ()),
+    # annotation-only
+    "title": (ALL_TYPES, ()),
+    "description": (ALL_TYPES, ()),
+    "default": (ALL_TYPES, ()),
+    "deprecated": (ALL_TYPES, ()),
+    "readOnly": (ALL_TYPES, ()),
+    "writeOnly": (ALL_TYPES, ()),
+    "examples": (ALL_TYPES, ()),
+    "contentMediaType": (("string", "binary"), ()),
+    "contentEncoding": (("string", "binary"), ()),
+    "contentSchema": (("string", "binary"), ("contentMediaType",)),
+    "format": (ALL_TYPES, ()),
+}
+
+# Keywords that never assert and never produce subresults we track.
+STATIC_KEYWORDS = frozenset(
+    {"$schema", "$vocabulary", "$id", "$anchor", "$defs", "$comment"}
+)
+
+ANNOTATION_KEYWORDS = frozenset(
+    {"title", "description", "default", "deprecated", "readOnly", "writeOnly",
+     "examples", "contentMediaType", "contentEncoding", "contentSchema"}
+)
+
+
+def keyword_order(keys) -> list[str]:
+    """Stable topological order of schema keys.
+
+    Semantics match JSONSchema._resolve_dependencies
+    (/root/reference/jschon/jsonschema.py:168-184): repeatedly emit the first
+    key (in original order) whose in-dialect dependencies have all been
+    emitted. Unknown keywords have no dependencies.
+    """
+    keys = list(keys)
+    keyset = set(keys)
+    emitted: set[str] = set()
+    pending = keys
+    out: list[str] = []
+    while pending:
+        for k in pending:
+            deps = KEYWORDS.get(k, ((), ()))[1]
+            if all(d not in keyset or d in emitted for d in deps):
+                out.append(k)
+                emitted.add(k)
+                pending = [p for p in pending if p != k]
+                break
+        else:  # cycle: emit remaining in original order
+            out.extend(pending)
+            break
+    return out
+
+
+def json_str(value) -> str:
+    """Format a value the way jschon interpolates it into error messages.
+
+    jschon formats ``{self.json}`` via JSON.__str__ -> json.dumps with
+    ensure_ascii=False (/root/reference/jschon/json.py:198-209,
+    utils.py:41-43).
+    """
+    return json.dumps(value, ensure_ascii=False, allow_nan=False)
+
+
+def tuplify(value):
+    """Mirror jschon.utils.tuplify (/root/reference/jschon/utils.py:25-28)."""
+    if isinstance(value, (list, tuple)):
+        return tuple(value)
+    return (value,)
