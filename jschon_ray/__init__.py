@@ -22,3 +22,24 @@ bench.py / test fixtures / the driver.
 """
 
 __version__ = "0.1.0"
+
+
+def register_for_pickle_by_value() -> None:
+    """Ship jschon_ray code to Ray workers by value (cloudpickle).
+
+    On a real cluster the package is installed on every node; in ad-hoc
+    sessions (driver-run entrypoints, notebooks) workers may not have the
+    repo on sys.path. Registering the package's modules for by-value
+    pickling makes map_batches callables self-contained — the compiled
+    plans they carry are small, so the overhead is negligible.
+    """
+    import sys
+
+    from ray import cloudpickle
+
+    for name, mod in list(sys.modules.items()):
+        if name == __name__ or name.startswith(__name__ + "."):
+            try:
+                cloudpickle.register_pickle_by_value(mod)
+            except Exception:
+                pass

@@ -1,0 +1,185 @@
+"""The flagship validation pipeline and its dataset-scale check stages.
+
+Pipeline shape (SURVEY.md §3.4):
+
+    read (column-pruned, fragment-parallel)
+      -> map_batches(SpecValidator)          per-row constraint suite
+      -> [map_batches(ClipDecoder)]          opt-in decode/format checks
+      -> groupby(clip_id) uniqueness         the one required shuffle
+      -> broadcast semi-join vs codec dim    referential (NO shuffle)
+      -> verdicts / violations / summary
+
+Scale notes baked in:
+  * uniqueness shuffles ONLY the key column (select_columns first) — bytes
+    never enter a shuffle (SURVEY.md §7 hard part (e));
+  * the dimension table is broadcast via ray.put once and read per actor in
+    __init__, not re-shipped per batch;
+  * everything returns lazy Datasets; callers consume via write/iter.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+
+def default_concurrency():
+    """Actor-pool size for stateful stages: autoscale up to the CPU count
+    (Ray requires explicit ``concurrency`` for callable classes)."""
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    return (1, max(2, ncpu))
+
+from ..stages.validate import SpecValidator, ViolationExploder
+from .specs import CLIP_SPEC
+
+
+def validate_dataset(ds, spec, *, keep_columns=None, batch_size=16 * 1024,
+                     concurrency=None, formats_factory=None):
+    """Append valid/violations to every row of `ds` (lazy)."""
+    return ds.map_batches(
+        SpecValidator,
+        fn_constructor_kwargs=dict(spec=spec, keep_columns=keep_columns,
+                                   formats_factory=formats_factory),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or default_concurrency(),
+    )
+
+
+def explode_violations(ds, key_cols=("clip_id",)):
+    """violations list<struct> -> one row per violation (lazy)."""
+    return ds.map_batches(
+        functools.partial(_explode_batch, key_cols=list(key_cols)),
+        batch_format="pyarrow",
+    )
+
+
+def _explode_batch(batch, key_cols):
+    return ViolationExploder(key_cols)(batch)
+
+
+def uniqueness_violations(ds, key="clip_id"):
+    """Keys appearing more than once — the `uniqueItems` analogue lifted
+    across rows (/root/reference/jschon/vocabulary/validation.py:163-177).
+
+    Hash-partition shuffle on the key column only; Ray's groupby does
+    per-block partial aggregation before the exchange, so the shuffle
+    payload is one (key, partial_count) row per distinct key per block.
+    Output columns: (key, n_rows).
+    """
+    counts = ds.select_columns([key]).groupby(key).count()
+
+    def keep_dupes(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["count()"], 1))
+        return t.rename_columns([key, "n_rows"])
+
+    return counts.map_batches(keep_dupes, batch_format="pyarrow")
+
+
+class BroadcastMembershipCheck:
+    """Semi-join membership mask against a broadcast key set.
+
+    The `$ref` analogue mandated by the north star
+    (/root/reference/jschon/vocabulary/core.py:82-103 -> referential
+    integrity): the small dimension side is put in the object store ONCE
+    (ray.put on the driver) and materialized per actor in __init__.
+    Emits rows whose `column` value is NOT in the dimension key set.
+    """
+
+    def __init__(self, column, values_ref, key_cols):
+        self.column = column
+        vals = ray.get(values_ref) if isinstance(
+            values_ref, ray.ObjectRef) else values_ref
+        self.value_set = pa.array(sorted(vals))
+        self.key_cols = list(key_cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.column]
+        present = pc.is_valid(col)
+        member = pc.is_in(col, value_set=self.value_set)
+        bad = pc.and_(present, pc.invert(pc.fill_null(member, False)))
+        out = batch.filter(bad)
+        return out.select(self.key_cols + [self.column])
+
+
+def referential_violations(ds, column, dim_values, key_cols=("clip_id",)):
+    """Rows whose `column` is absent from `dim_values` (broadcast anti-join).
+
+    `dim_values`: an iterable of keys, or a ray.ObjectRef to one (put once,
+    reused across stages)."""
+    values_ref = dim_values if isinstance(dim_values, ray.ObjectRef) \
+        else ray.put(frozenset(dim_values))
+    return ds.map_batches(
+        BroadcastMembershipCheck,
+        fn_constructor_kwargs=dict(column=column, values_ref=values_ref,
+                                   key_cols=list(key_cols)),
+        batch_format="pyarrow",
+        concurrency=default_concurrency(),
+    )
+
+
+def summarize_verdicts(ds):
+    """Tiny driver-side summary: counts by validity (safe to materialize)."""
+    agg = ds.map_batches(
+        lambda t: pa.table({
+            "n": [t.num_rows],
+            "n_valid": [int(pc.sum(t["valid"]).as_py() or 0)],
+            "n_violations": [int(pc.sum(
+                pc.list_value_length(t["violations"])).as_py() or 0)],
+        }),
+        batch_format="pyarrow",
+    )
+    tot = {"n": 0, "n_valid": 0, "n_violations": 0}
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        tot["n"] += int(pc.sum(b["n"]).as_py() or 0)
+        tot["n_valid"] += int(pc.sum(b["n_valid"]).as_py() or 0)
+        tot["n_violations"] += int(pc.sum(b["n_violations"]).as_py() or 0)
+    return tot
+
+
+def clip_validation_pipeline(clips_path, *, spec=None, decode=False,
+                             out_dir=None, batch_size=16 * 1024,
+                             concurrency=None):
+    """End-to-end flagship over a clips table (path or Dataset).
+
+    Returns dict of lazy Datasets: verdicts, violations, dupes, referential
+    — plus writes partitioned parquet when out_dir is given.
+    """
+    from ..sources.clips import codecs_dim_table
+    from ..sources.io import read_table, write_table
+
+    ds = clips_path if not isinstance(clips_path, str) \
+        else read_table(clips_path)
+    spec = spec or CLIP_SPEC
+
+    checked = validate_dataset(ds, spec, batch_size=batch_size,
+                               concurrency=concurrency)
+    if decode:
+        from ..stages.decode import ClipDecoder
+        checked = checked.map_batches(
+            ClipDecoder, batch_format="pyarrow", batch_size=256,
+            concurrency=concurrency or default_concurrency())
+        verdicts = checked
+    else:
+        # bytes never travel further than the validators
+        verdicts = checked.drop_columns(["bytes"])
+
+    violations = explode_violations(verdicts, key_cols=("clip_id",))
+    dupes = uniqueness_violations(ds, key="clip_id")
+    dim = codecs_dim_table()
+    refv = referential_violations(ds.select_columns(["clip_id", "codec"]),
+                                  "codec", dim["codec"].to_pylist(),
+                                  key_cols=("clip_id",))
+    out = {"verdicts": verdicts, "violations": violations, "dupes": dupes,
+           "referential": refv}
+    if out_dir:
+        for name in ("verdicts", "violations", "dupes", "referential"):
+            write_table(out[name], f"{out_dir}/{name}")
+    return out

@@ -1,0 +1,184 @@
+"""Deterministic synthetic audio-clip table (BASELINE.json input_hint shape).
+
+Columns: (clip_id:string, bytes:binary, sr_hz:int32, dur_ms:int32,
+codec:string, transcript:string) — FIXTURES.md F1. Everything derives from
+(seed, row index): the PCM payload for a clip_id is reproducible from the
+clip_id alone, so decoded-PCM parity (SNR>=30dB) can re-synthesize the
+reference signal without storing ground truth.
+
+Controlled dirty-row rates exercise every check family:
+  * duplicate clip_id (~1%)            -> uniqueness shuffle
+  * out-of-range sr_hz (~10%)          -> bounds
+  * non-positive / huge dur_ms (~5%)   -> bounds
+  * invalid codec 'amr' (~5%)          -> enum + referential
+  * empty/null/overlong/bad transcript -> string checks
+  * truncated payload (~2%)            -> decode-consistency (format check)
+
+Codec payloads: 'pcm_s16le' is raw little-endian int16 frames; 'wav' is a
+RIFF/WAVE container (real, stdlib-parseable). 'flac'/'opus'/'mp3' are
+DETERMINISTIC FAKES — b'FAKE<codec>' magic + raw s16le PCM — because real
+codec libraries are not in this container; the decode stage documents this
+(stages/decode.py). The Ray-side plumbing (schema, batch sizing, actor
+signatures) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+CODECS = ["pcm_s16le", "wav", "flac", "opus", "mp3"]
+VALID_SR = [8000, 16000, 22050, 44100, 48000]
+
+CLIPS_SCHEMA = pa.schema([
+    ("clip_id", pa.string()),
+    ("bytes", pa.binary()),
+    ("sr_hz", pa.int32()),
+    ("dur_ms", pa.int32()),
+    ("codec", pa.string()),
+    ("transcript", pa.string()),
+])
+
+_WORDS = ("the quick brown fox jumps over lazy dog speech audio clip sample "
+          "hello world test data sound wave noise signal voice").split()
+
+
+def clip_seed(clip_id: str) -> int:
+    return int.from_bytes(hashlib.sha256(clip_id.encode()).digest()[:8], "big")
+
+
+def synth_pcm(clip_id: str, sr_hz: int, dur_ms: int) -> np.ndarray:
+    """Reference waveform for a clip: int16 sine + light noise, fully
+    determined by (clip_id, sr_hz, dur_ms)."""
+    h = clip_seed(clip_id)
+    n = max(0, int(sr_hz * dur_ms / 1000))
+    freq = 100.0 + (h % 1000)
+    t = np.arange(n, dtype=np.float64) / max(sr_hz, 1)
+    rng = np.random.default_rng(h & 0xFFFFFFFF)
+    sig = 0.5 * np.sin(2 * np.pi * freq * t) + 0.01 * rng.standard_normal(n)
+    return np.clip(sig * 32767, -32768, 32767).astype("<i2")
+
+
+def wav_bytes(pcm: np.ndarray, sr_hz: int) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header + mono s16le frames."""
+    data = pcm.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+    hdr += struct.pack("<IHHIIHH", 16, 1, 1, sr_hz, sr_hz * 2, 2, 16)
+    hdr += b"data" + struct.pack("<I", len(data))
+    return hdr + data
+
+
+def encode_clip(clip_id: str, sr_hz: int, dur_ms: int, codec: str) -> bytes:
+    pcm = synth_pcm(clip_id, sr_hz, dur_ms)
+    if codec == "pcm_s16le":
+        return pcm.tobytes()
+    if codec == "wav":
+        return wav_bytes(pcm, sr_hz)
+    # deterministic fake container for codecs absent from this sandbox
+    return b"FAKE" + codec.encode().ljust(8, b"\0") + pcm.tobytes()
+
+
+def generate_clips(n: int, seed: int = 42, *, dirty: bool = True,
+                   dur_range=(20, 400)) -> pa.Table:
+    """Build an n-row clips table. ``dirty=False`` gives an all-valid table
+    (baseline-profile generation for drift tests)."""
+    rng = np.random.default_rng(seed)
+    ids = [f"clip-{rng.integers(0, 2**48):012x}" for _ in range(n)]
+    if dirty and n > 1:
+        for i in rng.choice(n, max(1, n // 100), replace=False):
+            ids[int(i)] = ids[int(rng.integers(0, n))]
+
+    sr = rng.choice(VALID_SR, n).astype(np.int64)
+    if dirty:
+        bad = rng.random(n) < 0.10
+        sr[bad] = rng.choice([96000, 4000], bad.sum())
+    dur = rng.integers(dur_range[0], dur_range[1], n)
+    if dirty:
+        bad = rng.random(n) < 0.05
+        dur[bad] = rng.choice([0, -100, 900000], bad.sum())
+
+    codec_p = np.array([0.70, 0.10, 0.08, 0.07, 0.05])
+    codecs = rng.choice(CODECS, n, p=codec_p).astype(object)
+    if dirty:
+        bad = rng.random(n) < 0.05
+        codecs[bad] = "amr"
+
+    transcripts: list = []
+    for i in range(n):
+        r = rng.random()
+        if dirty and r < 0.02:
+            transcripts.append(None)
+        elif dirty and r < 0.04:
+            transcripts.append("")
+        elif dirty and r < 0.05:
+            transcripts.append("x" * 1200)
+        else:
+            k = int(rng.integers(2, 12))
+            transcripts.append(" ".join(
+                _WORDS[int(w)] for w in rng.integers(0, len(_WORDS), k)))
+
+    payloads = []
+    for i in range(n):
+        d = int(dur[i])
+        b = encode_clip(ids[i], int(sr[i]), max(d, 0) if d < 600000 else 200,
+                        str(codecs[i]))
+        if dirty and rng.random() < 0.02:
+            b = b[:max(1, len(b) // 3)]  # truncated payload
+        payloads.append(b)
+
+    return pa.table({
+        "clip_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(payloads, pa.binary()),
+        "sr_hz": pa.array(sr, pa.int32()),
+        "dur_ms": pa.array(dur, pa.int32()),
+        "codec": pa.array(list(codecs), pa.string()),
+        "transcript": pa.array(transcripts, pa.string()),
+    })
+
+
+def codecs_dim_table() -> pa.Table:
+    """FIXTURES.md F2 — broadcast side of the referential semi-join."""
+    return pa.table({
+        "codec": CODECS,
+        "container": ["raw", "wav", "flac", "ogg", "mp3"],
+        "lossless": [True, True, True, False, False],
+    })
+
+
+def write_clips_dataset(out_dir: str, n: int, seed: int = 42, *,
+                        num_shards: int = 8, dirty: bool = True) -> list:
+    """Write a sharded clips dataset (one parquet per shard — the unit of
+    checkpoint/resume lineage). Deterministic per (seed, shard)."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    per = n // num_shards
+    for s in range(num_shards):
+        rows = per + (n - per * num_shards if s == num_shards - 1 else 0)
+        t = generate_clips(rows, seed=seed * 1000 + s, dirty=dirty)
+        p = os.path.join(out_dir, f"part-{s:04d}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    return paths
+
+
+def clips_cache_dir(sf_dir: str, n: int | None = None, seed: int = 42) -> str:
+    """Deterministic per-sf_dir clips dataset under /tmp, built on demand.
+
+    The driver's testdata has no clips table; queries() synthesize one keyed
+    by sf_dir scale (sf0.01 -> 20k rows) so repeated calls reuse the cache.
+    """
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    if n is None:
+        n = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 100000}.get(tag, 2000)
+    out = f"/tmp/jschon_ray_clips/{tag}-n{n}-s{seed}"
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        write_clips_dataset(out, n, seed=seed)
+        with open(done, "w") as f:
+            f.write("ok")
+    return out
