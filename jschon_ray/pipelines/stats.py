@@ -1,0 +1,132 @@
+"""Dataset-scale statistics pipelines: profiles, drift, salted group stats.
+
+Shuffle strategy (SURVEY.md §4):
+  * profile build = map_batches partials (one serialized TableProfile blob
+    per block) -> driver merge of the tiny partials. No row ever shuffles.
+  * grouped stats = per-batch partial aggregation (pandas groupby inside the
+    block) -> groupby over (key, salt) partial rows -> driver de-salt. Hot
+    keys (70% pcm_s16le) therefore cost max `num_salts` shuffle rows per
+    block, not 70% of the dataset.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..state.profile import TableProfile
+from ..state.sketches import TDigest, hash_array
+
+
+def _profile_partial(batch: pa.Table, columns, hist_edges):
+    tp = TableProfile().add_table(batch, columns=columns,
+                                  hist_edges=hist_edges)
+    return pa.table({"profile": pa.array([tp.to_bytes()], pa.binary())})
+
+
+def profile_dataset(ds, columns=None, hist_edges=None) -> TableProfile:
+    """Build a TableProfile of `ds` (sketch partial per block, driver merge).
+
+    `hist_edges`: {column: np.ndarray} fixed bin edges (use the baseline
+    profile's quantiles so PSI compares like with like).
+    """
+    import functools
+
+    parts = ds.map_batches(
+        functools.partial(_profile_partial, columns=columns,
+                          hist_edges=hist_edges),
+        batch_format="pyarrow",
+    )
+    merged = TableProfile()
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for blob in b["profile"].to_pylist():
+            merged.merge(TableProfile.from_bytes(blob))
+    return merged
+
+
+def hist_edges_from_profile(profile: TableProfile, bins: int = 10) -> dict:
+    """Decile edges per numeric column — the PSI binning for drift checks."""
+    edges = {}
+    for name, cp in profile.columns.items():
+        if cp.tdigest is not None and cp.tdigest.count:
+            qs = np.linspace(0.0, 1.0, bins + 1)[1:-1]
+            e = np.unique([cp.tdigest.quantile(q) for q in qs])
+            if len(e):
+                edges[name] = e
+    return edges
+
+
+# ---------------------------------------------------------------------------
+# salted grouped statistics
+
+
+def _grouped_partial(batch: pa.Table, key: str, value: str, num_salts: int):
+    df = batch.select([key, value]).to_pandas()
+    df = df.dropna(subset=[key])
+    if not len(df):
+        return pa.table({key: pa.array([], batch.schema.field(key).type),
+                         "salt": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "n_null": pa.array([], pa.int64()),
+                         "sum": pa.array([], pa.float64()),
+                         "min": pa.array([], pa.float64()),
+                         "max": pa.array([], pa.float64()),
+                         "tdigest": pa.array([], pa.binary())})
+    # salt spreads each hot key's partials over `num_salts` reducers
+    df["salt"] = (hash_array(df.index.to_numpy()) % num_salts).astype(np.int64)
+    rows = []
+    for (k, s), g in df.groupby([key, "salt"], sort=False):
+        v = pd.to_numeric(g[value], errors="coerce").to_numpy(np.float64)
+        ok = v[~np.isnan(v)]
+        td = TDigest().add_batch(ok)
+        rows.append((k, int(s), len(g), int(np.isnan(v).sum()),
+                     float(ok.sum()) if len(ok) else 0.0,
+                     float(ok.min()) if len(ok) else np.nan,
+                     float(ok.max()) if len(ok) else np.nan,
+                     td.to_bytes()))
+    cols = list(zip(*rows))
+    return pa.table({key: pa.array(cols[0]),
+                     "salt": pa.array(cols[1], pa.int64()),
+                     "n": pa.array(cols[2], pa.int64()),
+                     "n_null": pa.array(cols[3], pa.int64()),
+                     "sum": pa.array(cols[4], pa.float64()),
+                     "min": pa.array(cols[5], pa.float64()),
+                     "max": pa.array(cols[6], pa.float64()),
+                     "tdigest": pa.array(cols[7], pa.binary())})
+
+
+def _merge_salted(df: pd.DataFrame) -> pd.DataFrame:
+    td = TDigest()
+    for blob in df["tdigest"]:
+        td.merge(TDigest.from_bytes(blob))
+    key_col = df.columns[0]
+    return pd.DataFrame({
+        key_col: [df[key_col].iloc[0]],
+        "n": [int(df["n"].sum())],
+        "n_null": [int(df["n_null"].sum())],
+        "mean": [float(df["sum"].sum() / max(1, df["n"].sum() -
+                                             df["n_null"].sum()))],
+        "min": [float(np.nanmin(df["min"].to_numpy()))],
+        "max": [float(np.nanmax(df["max"].to_numpy()))],
+        "p50": [td.quantile(0.5)],
+        "p99": [td.quantile(0.99)],
+    })
+
+
+def grouped_stats(ds, key: str, value: str, num_salts: int = 16):
+    """Per-key stats (count/mean/min/max/p50/p99) with skew-safe salting.
+
+    Stage 1 (map_batches): per-block partial aggregates keyed (key, salt) —
+    the only rows that shuffle. Stage 2: groupby(key).map_groups merges the
+    partials and their t-digests. Returns a lazy Dataset.
+    """
+    import functools
+
+    parts = ds.map_batches(
+        functools.partial(_grouped_partial, key=key, value=value,
+                          num_salts=num_salts),
+        batch_format="pyarrow",
+    )
+    return parts.groupby(key).map_groups(_merge_salted,
+                                         batch_format="pandas")
