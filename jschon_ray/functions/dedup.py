@@ -1,0 +1,288 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Shuffle shapes (ray_guide "Aggregation at scale"):
+  * exact: content-hash column in map_batches -> groupby(hash) -> first.
+    Only (hash, id) columns shuffle, never payloads.
+  * MinHash-LSH: shingle->minhash per batch (vectorized reduceat) ->
+    explode to (band, band_hash, id) rows -> groupby bands -> candidate
+    pairs -> exact-Jaccard verify. Partitioning assumption: band buckets
+    fit a group (hot buckets capped at `max_bucket`).
+  * SimHash: 64-bit signature per doc; near-dup = signature XOR popcount
+    <= hamming threshold within LSH buckets of the signature's bands.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..state.sketches import hash_array
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def add_content_hash(batch: pa.Table, col: str, out: str = "content_hash",
+                     normalize: bool = False) -> pa.Table:
+    vals = batch[col]
+    if normalize:
+        vals = pc.utf8_lower(pc.utf8_trim_whitespace(vals))
+    h = hash_array(vals.to_pandas()).astype(np.int64)
+    return batch.append_column(out, pa.array(h))
+
+
+def exact_dedup(ds, id_col: str, content_col: str, *, normalize=False):
+    """Keep the min-id row key per distinct content value. Returns a lazy
+    Dataset of (id_col,). The uniqueItems analogue across a table
+    (/root/reference/jschon/vocabulary/validation.py:163-177)."""
+    import functools
+
+    hashed = ds.select_columns([id_col, content_col]).map_batches(
+        functools.partial(add_content_hash, col=content_col,
+                          normalize=normalize),
+        batch_format="pyarrow",
+    ).select_columns([id_col, "content_hash"])
+    kept = hashed.groupby("content_hash").min(id_col)
+    return kept.select_columns([f"min({id_col})"]) \
+        .rename_columns([id_col])
+
+
+def duplicate_groups(ds, id_col: str, key_expr_batch):
+    """Groups with >1 member under a derived key.
+
+    key_expr_batch(batch) -> pa.Table with [id_col, 'dup_key'].
+    Returns (dup_key group stats): group_id = min id, n = member count.
+    """
+    from ray.data.aggregate import Count, Min
+
+    keyed = ds.map_batches(key_expr_batch, batch_format="pyarrow")
+    agg = keyed.groupby("dup_key").aggregate(
+        Min(id_col, alias_name="group_id"), Count(alias_name="n"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n"], 1))
+        return t.select(["group_id", "n"])
+
+    return agg.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash (vectorized)
+
+
+def _word_shingles(text: str, k: int) -> list:
+    if not text:
+        return []
+    w = text.split()
+    if len(w) < k:
+        return [" ".join(w)] if w else []
+    return [" ".join(w[i:i + k]) for i in range(len(w) - k + 1)]
+
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+class MinHasher:
+    """Vectorized minhash: P permutations over 64-bit shingle hashes.
+
+    Per batch: flatten all docs' shingle hashes, one multiply-add per
+    permutation, segmented min via np.minimum.reduceat — no per-doc loop.
+    """
+
+    def __init__(self, num_perm: int = 64, seed: int = 1234):
+        rng = np.random.default_rng(seed)
+        self.num_perm = num_perm
+        self.a = rng.integers(1, 2**61 - 1, num_perm, dtype=np.int64) \
+            .astype(np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, 2**61 - 1, num_perm, dtype=np.int64) \
+            .astype(np.uint64)
+
+    def signatures(self, shingle_lists: list) -> np.ndarray:
+        """[-> (n_docs, num_perm) uint64; empty docs get all-max sentinel."""
+        n = len(shingle_lists)
+        sig = np.full((n, self.num_perm), np.iinfo(np.uint64).max, np.uint64)
+        lens = np.array([len(s) for s in shingle_lists])
+        nonempty = np.nonzero(lens > 0)[0]
+        if not len(nonempty):
+            return sig
+        flat = hash_array([s for sl in shingle_lists for s in sl])
+        offsets = np.concatenate([[0], np.cumsum(lens[nonempty])[:-1]])
+        for p in range(self.num_perm):
+            v = (flat * self.a[p] + self.b[p]) & _MERSENNE
+            sig[nonempty, p] = np.minimum.reduceat(v, offsets)
+        return sig
+
+
+def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) int64 bucket hashes, rows = num_perm/bands values."""
+    n, p = sig.shape
+    r = p // bands
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    out = np.empty((n, bands), np.uint64)
+    for b in range(bands):
+        acc = np.zeros(n, np.uint64)
+        for j in range(r):
+            acc = (acc ^ sig[:, b * r + j]) * mix
+        out[:, b] = acc
+    return out.astype(np.int64)
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+def minhash_lsh_pairs(ds, id_col: str, text_col: str, *,
+                      threshold: float = 0.5, shingle_k: int = 3,
+                      num_perm: int = 64, bands: int = 16,
+                      max_bucket: int = 50):
+    """Near-duplicate pairs via MinHash-LSH + exact-Jaccard verification.
+
+    Returns a pandas DataFrame (id_a, id_b, jaccard) with id_a < id_b,
+    sorted. Candidate generation is fully distributed; verification
+    re-reads only candidate docs (broadcast id set) — bounded by the
+    candidate count, which LSH keeps small.
+    """
+    import functools
+
+    hasher = MinHasher(num_perm)
+
+    def emit_bands(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sh = [_word_shingles(t, shingle_k) for t in texts]
+        sig = hasher.signatures(sh)
+        bh = band_hashes(sig, bands)
+        n = len(ids)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, bands)),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
+            "bucket": pa.array(bh.reshape(-1)),
+        })
+
+    banded = ds.select_columns([id_col, text_col]).map_batches(
+        emit_bands, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy())[:max_bucket]
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    cand = banded.groupby(["band", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pandas").to_pandas()
+    if not len(cand):
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    cand = cand.drop_duplicates().reset_index(drop=True)
+
+    # verification: collect shingle sets for candidate ids only
+    cand_ids = set(cand["id_a"]) | set(cand["id_b"])
+    shingle_sets = {}
+    sub = ds.select_columns([id_col, text_col]).map_batches(
+        functools.partial(_filter_ids, id_col=id_col,
+                          wanted=sorted(cand_ids)),
+        batch_format="pyarrow")
+    for b in sub.iter_batches(batch_format="pyarrow"):
+        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            shingle_sets[i] = set(_word_shingles(t, shingle_k))
+    jac = [jaccard(shingle_sets.get(a, set()), shingle_sets.get(b, set()))
+           for a, b in zip(cand["id_a"], cand["id_b"])]
+    cand["jaccard"] = jac
+    out = cand[cand["jaccard"] >= threshold]
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _filter_ids(batch: pa.Table, id_col, wanted):
+    mask = pc.is_in(batch[id_col], value_set=pa.array(wanted))
+    return batch.filter(mask)
+
+
+# ---------------------------------------------------------------------------
+# simhash
+
+
+def simhash_signatures(texts: list) -> np.ndarray:
+    """64-bit SimHash per text (token-hash bit voting), vectorized via
+    per-bit segmented sums."""
+    toks = [t.split() if t else [] for t in texts]
+    lens = np.array([len(t) for t in toks])
+    n = len(texts)
+    sig = np.zeros(n, np.uint64)
+    nonempty = np.nonzero(lens > 0)[0]
+    if not len(nonempty):
+        return sig
+    flat = hash_array([w for ts in toks for w in ts])
+    offsets = np.concatenate([[0], np.cumsum(lens[nonempty])[:-1]])
+    votes = np.zeros((len(nonempty), 64), np.int64)
+    for b in range(64):
+        bit = ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2 - 1
+        votes[:, b] = np.add.reduceat(bit, offsets)
+    bits = (votes > 0).astype(np.uint64)
+    val = np.zeros(len(nonempty), np.uint64)
+    for b in range(64):
+        val |= bits[:, b] << np.uint64(b)
+    sig[nonempty] = val
+    return sig
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = a ^ b
+    cnt = np.zeros(len(x) if x.ndim else 1, np.int64)
+    x = np.atleast_1d(x).copy()
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return cnt
+
+
+def simhash_pairs(ds, id_col: str, text_col: str, *, max_hamming: int = 3,
+                  bands: int = 4):
+    """Near-dup pairs by SimHash: band the 64-bit signature into `bands`
+    16-bit chunks (two equal chunks guarantee candidates for hamming<=3),
+    groupby chunk buckets, verify exact hamming distance."""
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sig = simhash_signatures(batch[text_col].to_pylist())
+        width = 64 // bands
+        rows_id, rows_band, rows_bucket, rows_sig = [], [], [], []
+        for b in range(bands):
+            chunk = (sig >> np.uint64(b * width)) & np.uint64((1 << width) - 1)
+            rows_id.append(ids)
+            rows_band.append(np.full(len(ids), b, np.int64))
+            rows_bucket.append(chunk.astype(np.int64))
+            rows_sig.append(sig.astype(np.int64))
+        return pa.table({
+            id_col: pa.array(np.concatenate(rows_id)),
+            "band": pa.array(np.concatenate(rows_band)),
+            "bucket": pa.array(np.concatenate(rows_bucket)),
+            "sig": pa.array(np.concatenate(rows_sig)),
+        })
+
+    banded = ds.select_columns([id_col, text_col]).map_batches(
+        emit, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col)
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        ids = g[id_col].to_numpy()
+        sigs = g["sig"].to_numpy().astype(np.uint64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        hd = hamming64(sigs[ia], sigs[ib])
+        return pd.DataFrame({"id_a": np.minimum(ids[ia], ids[ib]),
+                             "id_b": np.maximum(ids[ia], ids[ib]),
+                             "hamming": hd})
+
+    pairs = banded.groupby(["band", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pandas").to_pandas()
+    if not len(pairs):
+        return pairs
+    pairs = pairs[pairs["hamming"] <= max_hamming]
+    return pairs.drop_duplicates(["id_a", "id_b"]) \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)

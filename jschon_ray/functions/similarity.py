@@ -1,0 +1,199 @@
+"""Similarity search over embedding columns (list<float>).
+
+* Brute-force cosine top-k: numpy matmul per batch against a broadcast,
+  L2-normalized query matrix (ray.put once); per-batch partial top-k ->
+  tiny groupby(query) final merge. The baseline ANN path.
+* LSH-bucketed variant: random-hyperplane signatures bucket both sides;
+  matmul only within buckets — the scale path when the query set is large.
+* All-pairs near-dup: signature-bucketed candidate generation + exact
+  cosine verify (embedding analogue of MinHash-LSH).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    import pyarrow.compute as pc
+    flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class TopKScorer:
+    """map_batches actor: per-batch cosine top-k against broadcast queries."""
+
+    def __init__(self, queries_ref, id_col, emb_col, k, round_decimals):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) \
+            else queries_ref
+        self.qids = q["ids"]
+        self.qmat = _normalize(np.asarray(q["matrix"], np.float64))
+        self.id_col = id_col
+        self.emb_col = emb_col
+        self.k = k
+        self.round = round_decimals
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_embedding_matrix(batch, self.emb_col))
+        sims = m @ self.qmat.T                      # (n_rows, n_queries)
+        if self.round is not None:
+            sims = np.round(sims, self.round)
+        k = min(self.k, len(ids))
+        part = np.argpartition(-sims, k - 1, axis=0)[:k]  # per query
+        qn = sims.shape[1]
+        rows_q, rows_n, rows_s = [], [], []
+        for qi in range(qn):
+            sel = part[:, qi]
+            rows_q.append(np.full(k, self.qids[qi]))
+            rows_n.append(ids[sel])
+            rows_s.append(sims[sel, qi])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(rows_q)),
+            "neighbor_id": pa.array(np.concatenate(rows_n)),
+            "sim": pa.array(np.concatenate(rows_s)),
+        })
+
+
+def ann_topk(ds, queries: dict, *, id_col="vec_id", emb_col="embedding",
+             k=5, round_decimals=6):
+    """Exact cosine top-k of each query over the dataset.
+
+    `queries`: {"ids": array, "matrix": (nq, dim) array}. Per-batch partial
+    top-k (k rows per query per block) -> groupby(query_id) final top-k.
+    Deterministic tie-break: (-sim, neighbor_id), with sims rounded so
+    ranking agrees with external engines (the DuckDB oracle) at 1e-6.
+    Returns a lazy Dataset (query_id, neighbor_id, rank).
+    """
+    qref = ray.put(queries)
+    parts = ds.map_batches(
+        TopKScorer,
+        fn_constructor_kwargs=dict(queries_ref=qref, id_col=id_col,
+                                   emb_col=emb_col, k=k,
+                                   round_decimals=round_decimals),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return parts.groupby("query_id").map_groups(final_topk,
+                                                batch_format="pandas")
+
+
+def embedding_neardup_exact(ds, *, id_col="vec_id", emb_col="embedding",
+                            threshold=0.5, round_decimals=6):
+    """Exact all-pairs cosine near-duplicates (baseline path).
+
+    The whole (small-side) matrix is broadcast once via ray.put; each batch
+    computes its rows' sims against it — O(n·dim) per row, embarrassingly
+    parallel, no shuffle. Use the LSH-banded variant below when n is too
+    large to broadcast. Returns pandas (id_a, id_b, sim), id_a < id_b.
+    """
+    full = {"ids": [], "mat": []}
+    for b in ds.select_columns([id_col, emb_col]) \
+            .iter_batches(batch_format="pyarrow"):
+        full["ids"].append(b[id_col].to_numpy(zero_copy_only=False))
+        full["mat"].append(_embedding_matrix(b, emb_col))
+    all_ids = np.concatenate(full["ids"])
+    all_mat = _normalize(np.concatenate(full["mat"]))
+    ref = ray.put({"ids": all_ids, "mat": all_mat})
+
+    def score(batch: pa.Table) -> pa.Table:
+        other = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_embedding_matrix(batch, emb_col))
+        sims = np.round(m @ other["mat"].T, round_decimals)
+        rows_a, rows_b, rows_s = [], [], []
+        for i in range(len(ids)):
+            mask = (sims[i] >= threshold) & (other["ids"] > ids[i])
+            rows_a.append(np.full(mask.sum(), ids[i]))
+            rows_b.append(other["ids"][mask])
+            rows_s.append(sims[i][mask])
+        return pa.table({"id_a": pa.array(np.concatenate(rows_a))
+                         if rows_a else pa.array([], pa.int64()),
+                         "id_b": pa.array(np.concatenate(rows_b))
+                         if rows_b else pa.array([], pa.int64()),
+                         "sim": pa.array(np.concatenate(rows_s))
+                         if rows_s else pa.array([], pa.float64())})
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def embedding_neardup_pairs(ds, *, id_col="vec_id", emb_col="embedding",
+                            threshold=0.95, bands=8, planes_per_band=6,
+                            seed=5, max_bucket=200):
+    """All-pairs cosine near-duplicates via banded random-hyperplane LSH.
+
+    `bands` signatures of `planes_per_band` sign bits each (OR-amplified:
+    a pair is a candidate if ANY band bucket matches); exact cosine
+    verified within buckets. Approximate — recall depends on
+    bands/planes_per_band vs threshold. Returns pandas (id_a, id_b, sim)
+    with id_a < id_b.
+    """
+    def emit(batch: pa.Table, planes) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_embedding_matrix(batch, emb_col))
+        tabs = []
+        for band in range(bands):
+            p = planes[band]
+            bits = (m @ p.T) > 0
+            bucket = np.zeros(len(ids), np.int64)
+            for b in range(bits.shape[1]):
+                bucket |= bits[:, b].astype(np.int64) << b
+            tabs.append(pa.table({
+                id_col: batch[id_col],
+                "band": pa.array(np.full(len(ids), band, np.int64)),
+                "bucket": pa.array(bucket),
+                emb_col: batch[emb_col]}))
+        return pa.concat_tables(tabs)
+
+    import functools
+    first = ds.take_batch(1, batch_format="pyarrow")
+    dim = len(first[emb_col][0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bands, planes_per_band, dim))
+
+    bucketed = ds.map_batches(functools.partial(emit, planes=planes),
+                              batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).head(max_bucket)
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        ids = g[id_col].to_numpy()
+        m = _normalize(np.stack(g[emb_col].to_numpy()))
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        s = sims[ia, ib]
+        keep = s >= threshold
+        return pd.DataFrame({"id_a": np.minimum(ids[ia][keep], ids[ib][keep]),
+                             "id_b": np.maximum(ids[ia][keep], ids[ib][keep]),
+                             "sim": s[keep]})
+
+    pairs = bucketed.groupby(["band", "bucket"]).map_groups(
+        verify, batch_format="pandas").to_pandas()
+    if not len(pairs):
+        return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+    return pairs.drop_duplicates(["id_a", "id_b"]) \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -1,0 +1,709 @@
+"""Driver-contract query registry: Ray pipelines + DuckDB oracle SQL.
+
+Every implemented operator family from SURVEY.md §2 gets a `queries()`
+entry over the driver testdata tables; SQL-expressible ones carry a DuckDB
+oracle with IDENTICAL column names and value semantics (the driver compares
+row counts, schemas, and order-insensitive value hashes at sf0.01).
+
+Non-SQL-expressible entries (sketches, LSH, drift, the clips flagship) are
+registered without an oracle -> the driver records a rows-only check.
+
+Determinism notes:
+  * float aggregates whose summation order varies (sums/avgs) are rounded
+    to 4 decimals on BOTH sides;
+  * ratio columns divide the same two exact integers on both sides — no
+    rounding needed;
+  * cosine similarities are computed in float64 and rounded to 1e-6 on both
+    sides before ranking/thresholding.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.text import LANG_MARKERS
+from ..sources.io import read_table, table_path
+
+# ---------------------------------------------------------------------------
+# per-row validation specs used by the validate_* queries
+
+ORDERS_SPEC = {
+    "$id": "https://jschon-ray.dev/specs/orders",
+    "type": "object",
+    "required": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    "properties": {
+        "o_orderkey": {"type": "integer", "exclusiveMinimum": 0},
+        "o_custkey": {"type": "integer", "exclusiveMinimum": 0},
+        "o_orderstatus": {"enum": ["O", "F", "P"]},
+        "o_totalprice": {"exclusiveMinimum": 0, "maximum": 300000},
+        "o_orderpriority": {"pattern": "^[1-5]-"},
+    },
+}
+
+# SQL mirror of ORDERS_SPEC, with jschon presence semantics (a null column
+# value = absent property: subschema not applied, required fails)
+_ORDERS_VALID_SQL = """(
+    o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+    AND o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+    AND (o_orderkey IS NULL OR o_orderkey > 0)
+    AND (o_custkey IS NULL OR o_custkey > 0)
+    AND (o_orderstatus IS NULL OR o_orderstatus IN ('O','F','P'))
+    AND (o_totalprice IS NULL OR (o_totalprice > 0 AND o_totalprice <= 300000))
+    AND (o_orderpriority IS NULL OR regexp_matches(o_orderpriority, '^[1-5]-'))
+)"""
+
+LINEITEM_SPEC = {
+    "$id": "https://jschon-ray.dev/specs/lineitem",
+    "type": "object",
+    "required": ["l_orderkey", "l_linenumber", "l_quantity"],
+    "properties": {
+        "l_quantity": {"type": "integer", "minimum": 1, "maximum": 50},
+        "l_discount": {"minimum": 0, "maximum": 0.1, "multipleOf": 0.01},
+        "l_returnflag": {"enum": ["A", "N", "R"]},
+        "l_linestatus": {"enum": ["O", "F"]},
+    },
+}
+
+# multipleOf 0.01 in Decimal semantics == shortest-repr has <=2 decimals
+_LINEITEM_VALID_SQL = """(
+    l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+    AND l_quantity IS NOT NULL
+    AND (l_quantity IS NULL OR (l_quantity = floor(l_quantity)
+         AND l_quantity >= 1 AND l_quantity <= 50))
+    AND (l_discount IS NULL OR (l_discount >= 0 AND l_discount <= 0.1
+         AND regexp_matches(CAST(l_discount AS VARCHAR),
+                            '^-?[0-9]+(\\.[0-9]{1,2})?$')))
+    AND (l_returnflag IS NULL OR l_returnflag IN ('A','N','R'))
+    AND (l_linestatus IS NULL OR l_linestatus IN ('O','F'))
+)"""
+
+
+def _valid_flag_query(sf_dir, table, spec, key_cols):
+    from .validate import validate_dataset
+
+    ds = read_table(table_path(sf_dir, table))
+    checked = validate_dataset(ds, spec)
+    cols = list(key_cols) + ["valid"]
+    return checked.select_columns(cols)
+
+
+def q_validate_orders(sf_dir):
+    return _valid_flag_query(sf_dir, "orders", ORDERS_SPEC, ["o_orderkey"])
+
+
+def q_validate_lineitem(sf_dir):
+    return _valid_flag_query(sf_dir, "lineitem", LINEITEM_SPEC,
+                             ["l_orderkey", "l_linenumber"])
+
+
+def q_orders_violation_counts(sf_dir):
+    """Violation rows per keywordLocation — exercises basic-output shape."""
+    from .validate import explode_violations, validate_dataset
+
+    ds = read_table(table_path(sf_dir, "orders"))
+    checked = validate_dataset(ds, ORDERS_SPEC)
+    ex = explode_violations(checked, key_cols=("o_orderkey",))
+    counts = ex.groupby("keywordLocation").count()
+    return counts.map_batches(
+        lambda t: t.rename_columns(["keywordLocation", "n"]),
+        batch_format="pyarrow")
+
+
+_ORDERS_VIOLATION_COUNTS_SQL = """
+WITH o AS (SELECT * FROM orders), c AS (
+  SELECT '/required' AS keywordLocation, count(*) AS n FROM o
+    WHERE o_orderkey IS NULL OR o_custkey IS NULL OR o_orderstatus IS NULL
+       OR o_totalprice IS NULL
+  UNION ALL
+  SELECT '/properties', count(*) FROM o WHERE
+        (o_orderkey IS NOT NULL AND NOT o_orderkey > 0)
+     OR (o_custkey IS NOT NULL AND NOT o_custkey > 0)
+     OR (o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P'))
+     OR (o_totalprice IS NOT NULL
+         AND NOT (o_totalprice > 0 AND o_totalprice <= 300000))
+     OR (o_orderpriority IS NOT NULL
+         AND NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+  UNION ALL
+  SELECT '/properties/o_orderkey/exclusiveMinimum', count(*) FROM o
+    WHERE o_orderkey IS NOT NULL AND NOT o_orderkey > 0
+  UNION ALL
+  SELECT '/properties/o_custkey/exclusiveMinimum', count(*) FROM o
+    WHERE o_custkey IS NOT NULL AND NOT o_custkey > 0
+  UNION ALL
+  SELECT '/properties/o_orderstatus/enum', count(*) FROM o
+    WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P')
+  UNION ALL
+  SELECT '/properties/o_totalprice/exclusiveMinimum', count(*) FROM o
+    WHERE o_totalprice IS NOT NULL AND NOT o_totalprice > 0
+  UNION ALL
+  SELECT '/properties/o_totalprice/maximum', count(*) FROM o
+    WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+      AND NOT o_totalprice <= 300000
+  UNION ALL
+  SELECT '/properties/o_orderpriority/pattern', count(*) FROM o
+    WHERE o_orderpriority IS NOT NULL
+      AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+) SELECT keywordLocation, n FROM c WHERE n > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational / aggregate operators
+
+
+def q_q1_pricing_summary(sf_dir):
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice", "l_discount"])
+
+    def add_disc(t: pa.Table) -> pa.Table:
+        return t.append_column("disc_price", pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])))
+
+    agg = ds.map_batches(add_disc, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]) \
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                   Sum("l_extendedprice", alias_name="sum_base_price"),
+                   Sum("disc_price", alias_name="sum_disc_price"),
+                   Mean("l_quantity", alias_name="avg_qty"),
+                   Count(alias_name="count_order"))
+
+    def round4(t: pa.Table) -> pa.Table:
+        for col in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"):
+            t = t.set_column(t.schema.get_field_index(col), col,
+                             pc.round(t[col], 4))
+        return t
+
+    return agg.map_batches(round4, batch_format="pyarrow")
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(sf_dir):
+    ds = read_table(table_path(sf_dir, "orders"),
+                    columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(10)
+
+
+_TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_customers_per_region(sf_dir):
+    """Broadcast-join chain customer -> nation -> region, count per region.
+
+    The nation/region dimension maps are tiny: resolved driver-side into one
+    nationkey->r_name dict captured by the batch closure (cloudpickled once
+    per task, the broadcast pattern at this size)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(table_path(sf_dir, "nation"))
+    region = pq.read_table(table_path(sf_dir, "region"))
+    rmap = dict(zip(region["r_regionkey"].to_pylist(),
+                    region["r_name"].to_pylist()))
+    nmap = {nk: rmap[rk] for nk, rk in zip(nation["n_nationkey"].to_pylist(),
+                                           nation["n_regionkey"].to_pylist())}
+
+    ds = read_table(table_path(sf_dir, "customer"), columns=["c_nationkey"])
+
+    def add_region(t: pa.Table) -> pa.Table:
+        keys = list(nmap.keys())
+        idx = pc.index_in(t["c_nationkey"].cast(pa.int64()),
+                          value_set=pa.array(keys, pa.int64()))
+        names = pa.array([nmap[k] for k in keys], pa.string())
+        return pa.table({"r_name": pc.take(names, idx)})
+
+    counts = ds.map_batches(add_region, batch_format="pyarrow") \
+        .groupby("r_name").count()
+    return counts.map_batches(
+        lambda t: t.rename_columns(["r_name", "n_customers"]),
+        batch_format="pyarrow")
+
+
+_CUSTOMERS_PER_REGION_SQL = """
+SELECT r.r_name, count(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+def q_referential_lineitem_orders(sf_dir):
+    """Anti-join count via broadcast key set (SURVEY §2.9 referential)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .validate import referential_violations
+
+    keys = pq.read_table(table_path(sf_dir, "orders"),
+                         columns=["o_orderkey"])["o_orderkey"].to_pylist()
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_linenumber"])
+    bad = referential_violations(ds, "l_orderkey", keys,
+                                 key_cols=("l_linenumber",))
+    n = bad.count()
+    return pd.DataFrame({"n_orphans": pd.Series([n], dtype="int64")})
+
+
+_REFERENTIAL_SQL = """
+SELECT count(*) AS n_orphans FROM lineitem
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+"""
+
+
+def q_events_by_type(sf_dir):
+    from ray.data.aggregate import Count, Mean
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["event_type", "user_id", "value"])
+    base = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"), Mean("value", alias_name="avg_value"))
+    users = ds.select_columns(["event_type", "user_id"]) \
+        .groupby(["event_type", "user_id"]).count() \
+        .groupby("event_type").count()
+    bdf = base.to_pandas()
+    udf = users.to_pandas().rename(columns={"count()": "n_users"})
+    out = bdf.merge(udf, on="event_type")
+    out["avg_value"] = out["avg_value"].round(4)
+    out["n_users"] = out["n_users"].astype("int64")
+    return out[["event_type", "n", "n_users", "avg_value"]]
+
+
+_EVENTS_SQL = """
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+def _ensure_columns(df: pd.DataFrame, schema: dict) -> pd.DataFrame:
+    """Empty Ray Datasets lose their schema through to_pandas(); pin it."""
+    if len(df.columns):
+        return df
+    return pd.DataFrame({c: pd.Series([], dtype=t)
+                         for c, t in schema.items()})
+
+
+def q_uniqueness_orders(sf_dir):
+    from .validate import uniqueness_violations
+
+    ds = read_table(table_path(sf_dir, "orders"), columns=["o_orderkey"])
+    df = uniqueness_violations(ds, key="o_orderkey").to_pandas()
+    return _ensure_columns(df, {"o_orderkey": "int64", "n_rows": "int64"})
+
+
+_UNIQUENESS_ORDERS_SQL = """
+SELECT o_orderkey, count(*) AS n_rows FROM orders
+GROUP BY o_orderkey HAVING count(*) > 1
+"""
+
+
+def q_profile_lineitem(sf_dir):
+    """Exact profile counters via the mergeable-sketch pipeline (the sketch
+    fields — quantiles/HLL — are covered by rows-only queries below)."""
+    from .stats import profile_dataset
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = read_table(table_path(sf_dir, "lineitem"), columns=cols)
+    prof = profile_dataset(ds, columns=cols)
+    rows = [{"column": c,
+             "n": prof.columns[c].count,
+             "nulls": prof.columns[c].nulls,
+             "min": prof.columns[c].vmin,
+             "max": prof.columns[c].vmax} for c in cols]
+    df = pd.DataFrame(rows)
+    df["n"] = df["n"].astype("int64")
+    df["nulls"] = df["nulls"].astype("int64")
+    return df
+
+
+_PROFILE_LINEITEM_SQL = """
+SELECT 'l_quantity' AS "column", count(*) AS n,
+       count(*) - count(l_quantity) AS nulls,
+       min(l_quantity) AS min, max(l_quantity) AS max FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+       min(l_extendedprice), max(l_extendedprice) FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*), count(*) - count(l_discount),
+       min(l_discount), max(l_discount) FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents: dedup + text analysis
+
+
+def q_dedup_docs_exact(sf_dir):
+    from ..functions.dedup import exact_dedup
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    return exact_dedup(ds, "doc_id", "text")
+
+
+_DEDUP_DOCS_SQL = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def q_dup_groups_prefix24(sf_dir):
+    from ..functions.dedup import duplicate_groups
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+
+    def key24(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "dup_key": pc.utf8_slice_codeunits(t["text"], 0, 24),
+        })
+
+    df = duplicate_groups(ds, "doc_id", key24).to_pandas()
+    return _ensure_columns(df, {"group_id": "int64", "n": "int64"})
+
+
+_DUP_GROUPS_SQL = """
+SELECT min(doc_id) AS group_id, count(*) AS n FROM documents
+GROUP BY substr(text, 1, 24) HAVING count(*) > 1
+"""
+
+
+def q_token_count_docs(sf_dir):
+    from ..functions.text import token_count_batch
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_tokens"])
+
+
+_TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\s+'),
+                       x -> x <> '')) AS n_tokens
+FROM documents
+"""
+
+
+def q_quality_docs(sf_dir):
+    from ..functions.text import quality_batch
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    return ds.map_batches(quality_batch, batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_tokens", "alpha_ratio", "digit_ratio",
+                         "avg_token_len"])
+
+
+_QUALITY_SQL = r"""
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+    AS n_tokens,
+  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+    / CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END AS alpha_ratio,
+  length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+    / CASE WHEN length(text) > 0 THEN length(text) ELSE 1 END AS digit_ratio,
+  CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) > 0
+       THEN length(regexp_replace(text, '\s', '', 'g')) * 1.0
+            / len(list_filter(regexp_split_to_array(text, '\s+'),
+                              x -> x <> ''))
+       ELSE 0.0 END AS avg_token_len
+FROM documents
+"""
+
+
+def q_lang_id_docs(sf_dir):
+    from ..functions.text import lang_id_batch
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    return ds.map_batches(lang_id_batch, batch_format="pyarrow") \
+        .select_columns(["doc_id", "lang_pred"])
+
+
+def _lang_id_sql():
+    scores = {lang: f"len(regexp_extract_all(text, '{rx}'))"
+              for lang, rx in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    case = "CASE WHEN " + " + ".join(scores.values()) + " = 0 THEN 'unknown'"
+    for i, lang in enumerate(langs):
+        conds = [f"{scores[lang]} >= {scores[other]}"
+                 for other in langs[i + 1:]]
+        prior = [f"{scores[lang]} > {scores[other]}" for other in langs[:i]]
+        allc = prior + conds
+        case += f" WHEN {' AND '.join(allc) if allc else 'TRUE'} " \
+                f"THEN '{lang}'"
+    case += " END"
+    return f"SELECT doc_id, {case} AS lang_pred FROM documents"
+
+
+def q_fingerprint_docs(sf_dir):
+    from ..functions.text import fingerprint_md5_batch
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_md5_batch, batch_format="pyarrow") \
+        .select_columns(["doc_id", "fingerprint"])
+
+
+_FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+
+
+def q_ann_topk(sf_dir):
+    import pyarrow.parquet as pq
+
+    from ..functions.similarity import _embedding_matrix, ann_topk
+
+    qt = pq.read_table(table_path(sf_dir, "embeddings"),
+                       filters=[("vec_id", "<", 10)])
+    queries = {"ids": qt["vec_id"].to_numpy(zero_copy_only=False),
+               "matrix": _embedding_matrix(qt, "embedding")}
+    ds = read_table(table_path(sf_dir, "embeddings"))
+    out = ann_topk(ds, queries, k=5)
+    df = out.to_pandas()
+    df["rank"] = df["rank"].astype("int64")
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+_ANN_TOPK_SQL = """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY round(list_cosine_similarity(
+                CAST(q.embedding AS DOUBLE[]),
+                CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id)
+           AS BIGINT) AS rank
+  FROM embeddings q, embeddings c WHERE q.vec_id < 10
+) WHERE rank <= 5
+"""
+
+
+def q_embedding_neardup(sf_dir):
+    from ..functions.similarity import embedding_neardup_exact
+
+    ds = read_table(table_path(sf_dir, "embeddings"))
+    out = embedding_neardup_exact(ds, threshold=0.45)
+    out = out[["id_a", "id_b"]].astype("int64")
+    return out.reset_index(drop=True)
+
+
+_EMBEDDING_NEARDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only entries (non-SQL-expressible: sketches, LSH, drift, clips)
+
+
+def q_clips_validation(sf_dir):
+    """Flagship constraint suite over the synthesized clips table."""
+    from ..sources.clips import clips_cache_dir
+    from .validate import clip_validation_pipeline, summarize_verdicts
+
+    d = clips_cache_dir(sf_dir)
+    out = clip_validation_pipeline(d)
+    s = summarize_verdicts(out["verdicts"])
+    s["n_dupe_keys"] = out["dupes"].count()
+    s["n_referential"] = out["referential"].count()
+    return pd.DataFrame([s])
+
+
+def q_clips_violations(sf_dir):
+    from ..sources.clips import clips_cache_dir
+    from .validate import clip_validation_pipeline
+
+    d = clips_cache_dir(sf_dir)
+    out = clip_validation_pipeline(d)
+    counts = out["violations"].groupby("keywordLocation").count()
+    return counts.map_batches(
+        lambda t: t.rename_columns(["keywordLocation", "n"]),
+        batch_format="pyarrow")
+
+
+def q_clips_decode(sf_dir):
+    from ..sources.clips import clips_cache_dir
+    from .validate import clip_validation_pipeline
+
+    d = clips_cache_dir(sf_dir)
+    out = clip_validation_pipeline(d, decode=True)
+    df = out["verdicts"].select_columns(
+        ["clip_id", "valid", "decode_ok"]).to_pandas()
+    agg = df.groupby(["valid", "decode_ok"]).size().reset_index(name="n")
+    return agg.sort_values(["valid", "decode_ok"]).reset_index(drop=True)
+
+
+def q_grouped_stats_codec(sf_dir):
+    from ..sources.clips import clips_cache_dir
+    from .stats import grouped_stats
+
+    ds = read_table(clips_cache_dir(sf_dir), columns=["codec", "dur_ms"])
+    return grouped_stats(ds, "codec", "dur_ms")
+
+
+def q_profile_sketches_lineitem(sf_dir):
+    from .stats import profile_dataset
+
+    cols = ["l_quantity", "l_extendedprice"]
+    ds = read_table(table_path(sf_dir, "lineitem"), columns=cols)
+    prof = profile_dataset(ds, columns=cols)
+    return prof.stats_table()
+
+
+def q_drift_lineitem_halves(sf_dir):
+    """Drift between two halves of lineitem (should NOT drift) plus a
+    scaled copy (SHOULD drift) — returns the verdict rows."""
+    from ..state.profile import drift_report
+    from .stats import hist_edges_from_profile, profile_dataset
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_quantity"])
+
+    def half(t: pa.Table, rem: int) -> pa.Table:
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(keys % 2 == rem))
+
+    a = ds.map_batches(functools.partial(half, rem=0), batch_format="pyarrow")
+    b = ds.map_batches(functools.partial(half, rem=1), batch_format="pyarrow")
+    pa_ = profile_dataset(a, columns=["l_quantity"])
+    edges = hist_edges_from_profile(pa_)
+    pa_ = profile_dataset(a, columns=["l_quantity"], hist_edges=edges)
+    pb = profile_dataset(b, columns=["l_quantity"], hist_edges=edges)
+
+    def scale(t: pa.Table) -> pa.Table:
+        return pa.table({"l_quantity": pc.multiply(t["l_quantity"], 3.0)})
+
+    pc_ = profile_dataset(b.map_batches(scale, batch_format="pyarrow"),
+                          columns=["l_quantity"], hist_edges=edges)
+    rows = []
+    for tag, rep in (("same", drift_report(pa_, pb)),
+                     ("scaled", drift_report(pa_, pc_))):
+        for r in rep:
+            rows.append({"case": tag, "column": r["column"],
+                         "drifted": r["drifted"]})
+    return pd.DataFrame(rows)
+
+
+def q_minhash_docs(sf_dir):
+    from ..functions.dedup import minhash_lsh_pairs
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    out = minhash_lsh_pairs(ds, "doc_id", "text", threshold=0.2)
+    return out[["id_a", "id_b"]]
+
+
+def q_simhash_docs(sf_dir):
+    from ..functions.dedup import simhash_pairs
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    out = simhash_pairs(ds, "doc_id", "text", max_hamming=8)
+    return out[["id_a", "id_b"]] if len(out) else \
+        pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                      "id_b": pd.Series([], dtype="int64")})
+
+
+def q_embedding_neardup_lsh(sf_dir):
+    from ..functions.similarity import embedding_neardup_pairs
+
+    ds = read_table(table_path(sf_dir, "embeddings"))
+    out = embedding_neardup_pairs(ds, threshold=0.45, bands=8,
+                                  planes_per_band=4)
+    return out[["id_a", "id_b"]] if len(out) else \
+        pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                      "id_b": pd.Series([], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+
+
+def build_queries() -> dict:
+    return {
+        # relational / aggregates
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "top_orders": q_top_orders,
+        "customers_per_region": q_customers_per_region,
+        "referential_lineitem_orders": q_referential_lineitem_orders,
+        "events_by_type": q_events_by_type,
+        "uniqueness_orders": q_uniqueness_orders,
+        "profile_lineitem": q_profile_lineitem,
+        # per-row validation engine
+        "validate_orders": q_validate_orders,
+        "validate_lineitem": q_validate_lineitem,
+        "orders_violation_counts": q_orders_violation_counts,
+        # documents
+        "dedup_docs_exact": q_dedup_docs_exact,
+        "dup_groups_prefix24": q_dup_groups_prefix24,
+        "token_count_docs": q_token_count_docs,
+        "quality_docs": q_quality_docs,
+        "lang_id_docs": q_lang_id_docs,
+        "fingerprint_docs": q_fingerprint_docs,
+        # embeddings
+        "ann_topk": q_ann_topk,
+        "embedding_neardup": q_embedding_neardup,
+        # rows-only (no SQL equivalent)
+        "clips_validation": q_clips_validation,
+        "clips_violation_counts": q_clips_violations,
+        "clips_decode": q_clips_decode,
+        "grouped_stats_codec": q_grouped_stats_codec,
+        "profile_sketches_lineitem": q_profile_sketches_lineitem,
+        "drift_lineitem": q_drift_lineitem_halves,
+        "minhash_lsh_docs": q_minhash_docs,
+        "simhash_docs": q_simhash_docs,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    }
+
+
+def build_oracles() -> dict:
+    sql = {
+        "q1_pricing_summary": _Q1_SQL,
+        "top_orders": _TOP_ORDERS_SQL,
+        "customers_per_region": _CUSTOMERS_PER_REGION_SQL,
+        "referential_lineitem_orders": _REFERENTIAL_SQL,
+        "events_by_type": _EVENTS_SQL,
+        "uniqueness_orders": _UNIQUENESS_ORDERS_SQL,
+        "profile_lineitem": _PROFILE_LINEITEM_SQL,
+        "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
+                           "FROM orders",
+        "validate_lineitem": "SELECT l_orderkey, l_linenumber, "
+                             f"{_LINEITEM_VALID_SQL} AS valid FROM lineitem",
+        "orders_violation_counts": _ORDERS_VIOLATION_COUNTS_SQL,
+        "dedup_docs_exact": _DEDUP_DOCS_SQL,
+        "dup_groups_prefix24": _DUP_GROUPS_SQL,
+        "token_count_docs": _TOKEN_COUNT_SQL,
+        "quality_docs": _QUALITY_SQL,
+        "lang_id_docs": _lang_id_sql(),
+        "fingerprint_docs": _FINGERPRINT_SQL,
+        "ann_topk": _ANN_TOPK_SQL,
+        "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
+    }
+    return sql

@@ -1,0 +1,123 @@
+"""Dedup + similarity functions against synthetic near-duplicates."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def near_dup_docs():
+    """30 base docs + 5 near-duplicates (one word changed) + 2 exact dups."""
+    rng = np.random.default_rng(3)
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    texts = [" ".join(rng.choice(vocab, 30)) for _ in range(30)]
+    near_pairs = []
+    for i in range(5):
+        w = texts[i].split()
+        w[7] = "CHANGED"
+        texts.append(" ".join(w))
+        near_pairs.append((i, 30 + i))
+    texts.append(texts[10])  # exact dup of 10
+    texts.append(texts[11])
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts)}), near_pairs
+
+
+def test_minhash_lsh_finds_neardups(ray_session):
+    import ray.data as rd
+    from jschon_ray.functions.dedup import minhash_lsh_pairs
+
+    t, near_pairs = near_dup_docs()
+    out = minhash_lsh_pairs(rd.from_arrow(t), "doc_id", "text",
+                            threshold=0.5)
+    got = set(zip(out["id_a"].astype(int), out["id_b"].astype(int)))
+    for pair in near_pairs:
+        assert pair in got, f"missed near-dup {pair}"
+    assert (10, 35) in got and (11, 36) in got  # exact dups
+    # no false positives among unrelated docs (jaccard verified)
+    assert all(j >= 0.5 for j in out["jaccard"])
+
+
+def test_simhash_finds_neardups(ray_session):
+    import ray.data as rd
+    from jschon_ray.functions.dedup import simhash_pairs, simhash_signatures
+
+    t, near_pairs = near_dup_docs()
+    sig = simhash_signatures(t["text"].to_pylist())
+    assert sig[10] == sig[35]  # exact dup -> same signature
+    out = simhash_pairs(rd.from_arrow(t), "doc_id", "text", max_hamming=6)
+    got = set(zip(out["id_a"].astype(int), out["id_b"].astype(int)))
+    assert (10, 35) in got
+    hit = sum(1 for p in near_pairs if p in got)
+    assert hit >= 3  # simhash recall on 1-word edits
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+    from jschon_ray.functions.dedup import exact_dedup
+
+    t, _ = near_dup_docs()
+    kept = exact_dedup(rd.from_arrow(t), "doc_id", "text").to_pandas()
+    n_distinct = len(set(t["text"].to_pylist()))
+    assert len(kept) == n_distinct
+    assert 35 not in set(kept["doc_id"])  # dup of 10 dropped
+    assert 10 in set(kept["doc_id"])
+
+
+def embeddings_with_dups(n=200, dim=32):
+    rng = np.random.default_rng(7)
+    m = rng.standard_normal((n, dim))
+    m[50] = m[10] + 0.01 * rng.standard_normal(dim)  # near-dup pair (10, 50)
+    m[60] = m[20]                                    # exact dup (20, 60)
+    return pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([row.astype(np.float32) for row in m],
+                              pa.list_(pa.float32())),
+    })
+
+
+def test_ann_topk_self_neighbor(ray_session):
+    import ray.data as rd
+    from jschon_ray.functions.similarity import _embedding_matrix, ann_topk
+
+    t = embeddings_with_dups()
+    q = {"ids": np.array([10, 20]),
+         "matrix": _embedding_matrix(t.slice(10, 1), "embedding")}
+    q["matrix"] = np.vstack([q["matrix"],
+                             _embedding_matrix(t.slice(20, 1), "embedding")])
+    out = ann_topk(rd.from_arrow(t), q, k=3).to_pandas()
+    top10 = out[out.query_id == 10].sort_values("rank")
+    assert top10.iloc[0]["neighbor_id"] == 10      # self first
+    assert top10.iloc[1]["neighbor_id"] == 50      # near-dup second
+    top20 = out[out.query_id == 20].sort_values("rank")
+    assert set(top20.head(2)["neighbor_id"]) == {20, 60}
+
+
+def test_embedding_neardup_exact_and_lsh(ray_session):
+    import ray.data as rd
+    from jschon_ray.functions.similarity import (
+        embedding_neardup_exact,
+        embedding_neardup_pairs,
+    )
+
+    t = embeddings_with_dups()
+    exact = embedding_neardup_exact(rd.from_arrow(t), threshold=0.99)
+    pairs = set(zip(exact["id_a"].astype(int), exact["id_b"].astype(int)))
+    assert (10, 50) in pairs and (20, 60) in pairs
+
+    lsh = embedding_neardup_pairs(rd.from_arrow(t), threshold=0.99,
+                                  bands=8, planes_per_band=4)
+    lp = set(zip(lsh["id_a"].astype(int), lsh["id_b"].astype(int)))
+    assert (10, 50) in lp and (20, 60) in lp  # OR-amplified recall
+
+
+def test_rolling_fingerprints():
+    from jschon_ray.functions.text import rolling_fingerprints
+
+    a = rolling_fingerprints("the quick brown fox jumps over the lazy dog " * 5)
+    b = rolling_fingerprints("the quick brown fox jumps over the lazy dog " * 5)
+    assert a == b and len(a) > 0
+    c = rolling_fingerprints("completely different content here " * 5)
+    overlap = len(set(a) & set(c)) / max(1, len(set(a)))
+    assert overlap < 0.2

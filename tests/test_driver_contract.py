@@ -1,0 +1,112 @@
+"""Replicates the driver's correctness gate locally at sf0.001:
+run every queries() entry AND its oracle_sql() through DuckDB over the same
+parquet views, then compare row count + schema + order-insensitive values.
+"""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import importlib
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as m
+    importlib.reload(m)
+    return m
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def to_pandas(res):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def compare(name, ours: pd.DataFrame, oracle: pd.DataFrame):
+    a, b = normalize(ours), normalize(oracle)
+    assert list(a.columns) == list(b.columns), \
+        f"{name} columns: {list(a.columns)} vs {list(b.columns)}"
+    assert len(a) == len(b), f"{name} rows: {len(a)} vs {len(b)}"
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if a[c].dtype.kind == "f":
+            import numpy as np
+            assert np.allclose(av.astype(float), bv.astype(float),
+                               rtol=0, atol=1e-9, equal_nan=True), \
+                f"{name}.{c} float mismatch"
+        else:
+            assert (av == bv).all(), f"{name}.{c} value mismatch"
+
+
+def oracle_names(entry_mod):
+    return sorted(entry_mod.oracle_sql().keys())
+
+
+def test_all_queries_have_unique_names(entry_mod):
+    qs = entry_mod.queries()
+    os_ = entry_mod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 25
+
+
+@pytest.mark.parametrize("name", [
+    "q1_pricing_summary", "top_orders", "customers_per_region",
+    "referential_lineitem_orders", "events_by_type", "uniqueness_orders",
+    "profile_lineitem", "validate_orders", "validate_lineitem",
+    "orders_violation_counts", "dedup_docs_exact", "dup_groups_prefix24",
+    "token_count_docs", "quality_docs", "lang_id_docs", "fingerprint_docs",
+    "ann_topk", "embedding_neardup",
+])
+def test_query_matches_oracle(entry_mod, con, name):
+    qs = entry_mod.queries()
+    sql = entry_mod.oracle_sql()[name]
+    ours = to_pandas(qs[name](SF_DIR))
+    oracle = con.execute(sql).df()
+    compare(name, ours, oracle)
+
+
+@pytest.mark.parametrize("name", [
+    "clips_validation", "clips_violation_counts", "grouped_stats_codec",
+    "profile_sketches_lineitem", "drift_lineitem", "minhash_lsh_docs",
+    "simhash_docs", "embedding_neardup_lsh",
+])
+def test_rows_only_queries_run(entry_mod, name):
+    out = to_pandas(entry_mod.queries()[name](SF_DIR))
+    assert out is not None
+    assert len(out.columns) > 0
+
+
+def test_entry_smoke(entry_mod):
+    out = to_pandas(entry_mod.entry())
+    assert len(out) >= 1
+    assert out["n"].iloc[0] > 0
