@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Headline benchmark: one JSON line for the driver (BENCH_r{N}.json).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) at num_cpus=$RAY_GRAFT_CPUS (default 32) and print
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "clips_per_sec": ...}
+
+--scaling: run the same workload twice in FRESH processes at num_cpus=8 and
+32 on identical input and print both throughputs + scaling efficiency
+(sandbox evidence for the north rule's N vs 4N cluster criterion — one
+physical box, so this evidences scheduler-level scaling shape).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_benchmarks() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import jschon_ray
+
+    jschon_ray.register_for_pickle_by_value()
+
+    from jschon_ray.pipelines import queries as Q
+    from jschon_ray.pipelines.validate import (
+        clip_validation_pipeline,
+        summarize_verdicts,
+    )
+    from jschon_ray.sources.clips import clips_cache_dir
+
+    # ---- inputs (clips synthesized once per sf, cached under /tmp) -------
+    clips_dir = clips_cache_dir(SF_DIR)
+
+    # warm the OS page cache so we measure compute + shuffle, not first read
+    import glob
+
+    for path in glob.glob(os.path.join(SF_DIR, "*.parquet")) + \
+            glob.glob(os.path.join(clips_dir, "*.parquet")):
+        with open(path, "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # 1. flagship: full constraint suite + uniqueness + referential on clips.
+    # NB: measured — overlapping these executions with driver threads makes
+    # them contend for the same CPU slots and is ~3x SLOWER than serial.
+    def flagship():
+        out = clip_validation_pipeline(clips_dir)
+        s = summarize_verdicts(out["verdicts"])
+        s["dupes"] = out["dupes"].count()
+        s["ref"] = out["referential"].count()
+        return s
+
+    s = timed("clips_validation", flagship)
+    extras["clips_rows"] = s["n"]
+    extras["clips_per_sec"] = round(s["n"] / timings["clips_validation"], 1)
+
+    # 2. vectorized per-row suite over the biggest table
+    def vlineitem():
+        return Q.q_validate_lineitem(SF_DIR).count()
+
+    n_li = timed("validate_lineitem", vlineitem)
+    extras["lineitem_rows"] = n_li
+    extras["lineitem_rows_per_sec"] = round(n_li /
+                                            timings["validate_lineitem"], 1)
+
+    # 3. grouped aggregate (shuffle) + top-k sort
+    timed("q1_pricing_summary",
+          lambda: Q.q_q1_pricing_summary(SF_DIR).to_pandas())
+    timed("top_orders", lambda: Q.q_top_orders(SF_DIR).to_pandas())
+
+    # 4. sketch profile (mergeable partials)
+    timed("profile_sketches", lambda: Q.q_profile_sketches_lineitem(SF_DIR))
+
+    # 5. dedup + similarity
+    timed("dedup_docs_exact",
+          lambda: Q.q_dedup_docs_exact(SF_DIR).to_pandas())
+    timed("ann_topk", lambda: Q.q_ann_topk(SF_DIR))
+
+    # 6. decode stage (bytes-heavy actor pool; bounded batches)
+    def decode():
+        from jschon_ray.sources.io import read_table
+        from jschon_ray.stages.decode import ClipDecoder
+
+        ds = read_table(clips_dir, columns=["clip_id", "bytes", "sr_hz",
+                                            "dur_ms", "codec"])
+        return ds.map_batches(ClipDecoder, batch_format="pyarrow",
+                              batch_size=1024,
+                              concurrency=(1, NUM_CPUS)).count()
+
+    n_dec = timed("clips_decode", decode)
+    extras["decode_clips_per_sec"] = round(n_dec / timings["clips_decode"], 1)
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline_pipelines_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }
+
+
+def run_scaling():
+    """Same workload at 8 and 32 CPUs in fresh interpreters."""
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(
+                                 os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    print(json.dumps({
+        "metric": "scaling_efficiency_8_to_32",
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "clips_per_sec_8": lo.get("clips_per_sec"),
+        "clips_per_sec_32": hi.get("clips_per_sec"),
+        "scaling_efficiency": round(eff, 3),
+        "queries_8": lo["queries"], "queries_32": hi["queries"],
+        "sf": SF_DIR,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        result = run_benchmarks()
+        print(json.dumps(result))
+        import ray
+
+        ray.shutdown()

@@ -42,7 +42,22 @@ from .specs import CLIP_SPEC
 
 def validate_dataset(ds, spec, *, keep_columns=None, batch_size=16 * 1024,
                      concurrency=None, formats_factory=None):
-    """Append valid/violations to every row of `ds` (lazy)."""
+    """Append valid/violations to every row of `ds` (lazy).
+
+    Default path is a STATELESS task function (fuses with the upstream
+    read: payload columns never hop through the object store between read
+    and validate; the compiled plan is cached per worker process). Pass
+    `formats_factory` (stateful format validators) to switch to the actor
+    pool, which holds that state per actor."""
+    if formats_factory is None:
+        from ..stages.validate import validate_batch_fn
+
+        return ds.map_batches(
+            functools.partial(validate_batch_fn, spec=spec,
+                              keep_columns=keep_columns),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return ds.map_batches(
         SpecValidator,
         fn_constructor_kwargs=dict(spec=spec, keep_columns=keep_columns,
@@ -88,8 +103,9 @@ class BroadcastMembershipCheck:
 
     The `$ref` analogue mandated by the north star
     (/root/reference/jschon/vocabulary/core.py:82-103 -> referential
-    integrity): the small dimension side is put in the object store ONCE
-    (ray.put on the driver) and materialized per actor in __init__.
+    integrity). For key sets beyond the closure-capture sweet spot the set
+    is put in the object store ONCE (ray.put on the driver) and
+    materialized per actor in __init__ — never re-shipped per batch.
     Emits rows whose `column` value is NOT in the dimension key set.
     """
 
@@ -97,7 +113,8 @@ class BroadcastMembershipCheck:
         self.column = column
         vals = ray.get(values_ref) if isinstance(
             values_ref, ray.ObjectRef) else values_ref
-        self.value_set = pa.array(sorted(vals))
+        self.value_set = vals if isinstance(vals, pa.Array) \
+            else pa.array(sorted(vals))
         self.key_cols = list(key_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -109,11 +126,23 @@ class BroadcastMembershipCheck:
         return out.select(self.key_cols + [self.column])
 
 
+# below this size the key set rides the (cheap, one-time) task closure;
+# above it, ray.put + per-actor fetch avoids re-shipping per task
+_BROADCAST_CLOSURE_LIMIT = 100_000
+
+
 def referential_violations(ds, column, dim_values, key_cols=("clip_id",)):
     """Rows whose `column` is absent from `dim_values` (broadcast anti-join).
 
     `dim_values`: an iterable of keys, or a ray.ObjectRef to one (put once,
-    reused across stages)."""
+    reused across stages). Small sets run as stateless tasks (no actor-pool
+    spin-up latency); large sets use an actor pool reading one object-store
+    copy."""
+    if not isinstance(dim_values, ray.ObjectRef) \
+            and len(dim_values) <= _BROADCAST_CLOSURE_LIMIT:
+        check = BroadcastMembershipCheck(column, frozenset(dim_values),
+                                         list(key_cols))
+        return ds.map_batches(check.__call__, batch_format="pyarrow")
     values_ref = dim_values if isinstance(dim_values, ray.ObjectRef) \
         else ray.put(frozenset(dim_values))
     return ds.map_batches(
@@ -155,27 +184,37 @@ def clip_validation_pipeline(clips_path, *, spec=None, decode=False,
     from ..sources.clips import codecs_dim_table
     from ..sources.io import read_table, write_table
 
-    ds = clips_path if not isinstance(clips_path, str) \
-        else read_table(clips_path)
+    is_path = isinstance(clips_path, str)
+    ds = read_table(clips_path) if is_path else clips_path
     spec = spec or CLIP_SPEC
 
-    checked = validate_dataset(ds, spec, batch_size=batch_size,
-                               concurrency=concurrency)
     if decode:
+        checked = validate_dataset(ds, spec, batch_size=batch_size,
+                                   concurrency=concurrency)
         from ..stages.decode import ClipDecoder
         checked = checked.map_batches(
-            ClipDecoder, batch_format="pyarrow", batch_size=256,
+            ClipDecoder, batch_format="pyarrow", batch_size=1024,
             concurrency=concurrency or default_concurrency())
         verdicts = checked
     else:
-        # bytes never travel further than the validators
-        verdicts = checked.drop_columns(["bytes"])
+        # bytes are dropped INSIDE the fused read->validate task: the
+        # payload column never enters the object store
+        keep = [c for c in (ds.schema().names) if c != "bytes"]
+        verdicts = validate_dataset(ds, spec, batch_size=batch_size,
+                                    concurrency=concurrency,
+                                    keep_columns=keep)
 
     violations = explode_violations(verdicts, key_cols=("clip_id",))
-    dupes = uniqueness_violations(ds, key="clip_id")
+    # dupes/referential never need the (heavy) bytes column: re-read with
+    # column pruning at the parquet reader when we own the read
+    key_ds = read_table(clips_path, columns=["clip_id"]) if is_path \
+        else ds.select_columns(["clip_id"])
+    ref_ds = read_table(clips_path, columns=["clip_id", "codec"]) if is_path \
+        else ds.select_columns(["clip_id", "codec"])
+    dupes = uniqueness_violations(key_ds, key="clip_id")
     dim = codecs_dim_table()
-    refv = referential_violations(ds.select_columns(["clip_id", "codec"]),
-                                  "codec", dim["codec"].to_pylist(),
+    refv = referential_violations(ref_ds, "codec",
+                                  dim["codec"].to_pylist(),
                                   key_cols=("clip_id",))
     out = {"verdicts": verdicts, "violations": violations, "dupes": dupes,
            "referential": refv}

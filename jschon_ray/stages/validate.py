@@ -45,6 +45,29 @@ class SpecValidator:
         return out
 
 
+# Per-worker-process compiled-plan cache for the STATELESS validator path.
+# A plain function fuses with the parquet read into one task (no object-store
+# hop for heavy payload columns between read and validate); the cache gives
+# the same compile-once-per-worker behaviour as the actor pool.
+_PLAN_CACHE: dict = {}
+
+
+def validate_batch_fn(batch: pa.Table, *, spec, keep_columns=None) -> pa.Table:
+    import json
+
+    key = (json.dumps(spec, sort_keys=True, default=str)[:512],
+           tuple(batch.schema.names),
+           tuple(str(f.type) for f in batch.schema))
+    plan = _PLAN_CACHE.get(key)
+    if plan is None:
+        plan = _PLAN_CACHE[key] = compile_spec(spec, batch.schema,
+                                               catalog=SpecCatalog())
+    out = plan.check_batch(batch)
+    if keep_columns is not None:
+        out = out.select(list(keep_columns) + ["valid", "violations"])
+    return out
+
+
 class ViolationExploder:
     """Flatten per-row violation lists into one row per violation.
 
