@@ -40,15 +40,24 @@ from ..stages.validate import SpecValidator, ViolationExploder
 from .specs import CLIP_SPEC
 
 
-def validate_dataset(ds, spec, *, keep_columns=None, batch_size=16 * 1024,
-                     concurrency=None, formats_factory=None):
+def validate_dataset(ds, spec, *, keep_columns=None, batch_size=4096,
+                     concurrency=None, formats_factory=None,
+                     check_spec=True):
     """Append valid/violations to every row of `ds` (lazy).
+
+    ``check_spec``: validate the spec against the vspec metaschema once,
+    driver-side, before compiling (the reference's metaschema step,
+    /root/reference/jschon/catalog/__init__.py:191-238).
 
     Default path is a STATELESS task function (fuses with the upstream
     read: payload columns never hop through the object store between read
     and validate; the compiled plan is cached per worker process). Pass
     `formats_factory` (stateful format validators) to switch to the actor
     pool, which holds that state per actor."""
+    if check_spec and isinstance(spec, dict):
+        from ..vspec.metaschema import validate_spec
+
+        validate_spec(spec)
     if formats_factory is None:
         from ..stages.validate import validate_batch_fn
 
@@ -174,7 +183,7 @@ def summarize_verdicts(ds):
 
 
 def clip_validation_pipeline(clips_path, *, spec=None, decode=False,
-                             out_dir=None, batch_size=16 * 1024,
+                             out_dir=None, batch_size=4096,
                              concurrency=None):
     """End-to-end flagship over a clips table (path or Dataset).
 

@@ -161,7 +161,9 @@ def write_clips_dataset(out_dir: str, n: int, seed: int = 42, *,
         rows = per + (n - per * num_shards if s == num_shards - 1 else 0)
         t = generate_clips(rows, seed=seed * 1000 + s, dirty=dirty)
         p = os.path.join(out_dir, f"part-{s:04d}.parquet")
-        pq.write_table(t, p)
+        # audio payloads are incompressible; NONE skips codec CPU on read
+        # (scale note: never re-compress compressed/opaque media columns)
+        pq.write_table(t, p, compression="NONE")
         paths.append(p)
     return paths
 
@@ -175,10 +177,13 @@ def clips_cache_dir(sf_dir: str, n: int | None = None, seed: int = 42) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     if n is None:
         n = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 100000}.get(tag, 2000)
-    out = f"/tmp/jschon_ray_clips/{tag}-n{n}-s{seed}"
+    # shard count sets the read/validate parallelism floor: ~3k rows/shard,
+    # capped so tiny scales don't fragment
+    shards = max(8, min(64, n // 3000))
+    out = f"/tmp/jschon_ray_clips/{tag}-n{n}-s{seed}-p{shards}-u1"
     done = os.path.join(out, "_DONE")
     if not os.path.exists(done):
-        write_clips_dataset(out, n, seed=seed)
+        write_clips_dataset(out, n, seed=seed, num_shards=shards)
         with open(done, "w") as f:
             f.write("ok")
     return out

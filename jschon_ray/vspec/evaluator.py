@@ -1716,6 +1716,12 @@ class Compiler:
             raise Unvectorizable(key)
         if key == "$dynamicAnchor":
             return None
+        from .extensions import get_plugin
+        plugin = get_plugin(key)
+        if plugin is not None:
+            if plugin.compile_vec is None:
+                raise Unvectorizable(f"plugin keyword {key!r} (row-eval only)")
+            return plugin.compile_vec(site, kval, self)
         # unknown / annotation-only keywords: no assertion, no entries
         return None
 

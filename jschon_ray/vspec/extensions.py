@@ -1,0 +1,68 @@
+"""Custom-keyword plugin registry — the user-extension surface.
+
+Mirrors the reference's extension model (subclass Keyword, declare
+key/instance_types/depends_on, implement evaluate — SURVEY.md §2.8,
+/root/reference/examples/custom_keyword.py:25-49) re-shaped for the batch
+engine: a plugin registers
+
+  * ``row_eval(ctx)``      — per-row semantics (oracle + fallback path);
+  * ``compile_vec(site, kval, compiler)`` (optional) — returns a compiled
+    ``CKw`` whose ``evaluate`` runs vectorized over Arrow batches; omit it
+    and the subschema containing the keyword runs through the per-row
+    fallback with identical semantics.
+
+Registration is process-global (like the reference's catalog registries);
+compiled plans embed the handlers, so Ray workers receive them via the
+plan's (by-value) pickle without needing to re-register.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from . import dialect
+
+
+@dataclass
+class KeywordPlugin:
+    key: str
+    instance_types: tuple
+    depends_on: tuple
+    row_eval: callable       # fn(RowCtx) -> None
+    compile_vec: callable | None = None
+
+
+@dataclass
+class RowCtx:
+    """What a per-row keyword implementation sees (Result-API analogue)."""
+
+    evaluator: object       # RowEvaluator (for subschema recursion)
+    schema: dict            # containing schema object
+    kval: object            # the keyword's value
+    instance: object        # plain-Python instance
+    ipath: str
+    node: object            # RNode — fail()/annotation/asserting
+    parent: object          # parent RNode — sibling lookups
+    base: str
+    sptr: str
+
+
+_plugins: dict[str, KeywordPlugin] = {}
+
+
+def register_keyword(key: str, *, instance_types=dialect.ALL_TYPES,
+                     depends_on=(), row_eval, compile_vec=None) -> None:
+    plugin = KeywordPlugin(key, tuple(instance_types), tuple(depends_on),
+                           row_eval, compile_vec)
+    _plugins[key] = plugin
+    # feeds type gating + the stable toposort (dialect.keyword_order)
+    dialect.KEYWORDS[key] = (plugin.instance_types, plugin.depends_on)
+
+
+def unregister_keyword(key: str) -> None:
+    _plugins.pop(key, None)
+    dialect.KEYWORDS.pop(key, None)
+
+
+def get_plugin(key: str) -> KeywordPlugin | None:
+    return _plugins.get(key)

@@ -238,6 +238,12 @@ class RowEvaluator:
         m = getattr(self, "_kw_" + re.sub(r"[^A-Za-z]", "_", key), None)
         if m is not None:
             m(schema, kval, instance, ipath, node, parent, base, sptr)
+            return
+        from .extensions import RowCtx, get_plugin
+        plugin = get_plugin(key)
+        if plugin is not None:
+            plugin.row_eval(RowCtx(self, schema, kval, instance, ipath,
+                                   node, parent, base, sptr))
         else:
             # unknown or annotation-only keywords degrade to annotations
             # (/root/reference/jschon/vocabulary/__init__.py:100-107,162-165)
