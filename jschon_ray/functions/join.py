@@ -1,0 +1,83 @@
+"""Partitioned hash join for two large Datasets.
+
+The portable bucketed pattern (ray_guide "Joins and lookups"): add
+``bucket = hash(key) % B`` to both sides, tag the side, union, then
+``groupby(bucket).map_groups`` joins each co-grouped bucket with a pandas
+merge. Broadcast joins (pipelines/validate.referential_violations) stay the
+right tool when one side is small; this is for fact×fact.
+
+Skew note: a hot key lands in one bucket; cap with more buckets or by
+salting the *probe* side and replicating the build side per salt — we keep
+B configurable and document the assumption that a single bucket's rows fit
+one worker's memory.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..state.sketches import hash_array
+
+
+def _tag_batch(batch: pa.Table, key: str, side: int, num_buckets: int,
+               all_cols: list) -> pa.Table:
+    keys = batch[key]
+    bucket = (hash_array(keys.to_pandas()) % num_buckets).astype(np.int64)
+    cols = {"__bucket": pa.array(bucket),
+            "__side": pa.array(np.full(batch.num_rows, side, np.int8))}
+    for name, typ in all_cols:
+        if name in batch.column_names:
+            cols[name] = batch[name].cast(typ) \
+                if batch.schema.field(name).type != typ else batch[name]
+        else:
+            cols[name] = pa.nulls(batch.num_rows, typ)
+    return pa.table(cols)
+
+
+def hash_join(left, right, *, on: str, how: str = "inner",
+              num_buckets: int = 32, suffixes=("", "_r")):
+    """Join two Datasets on one key column. Returns a lazy Dataset.
+
+    how: 'inner' | 'left'. Column collisions get `suffixes` applied to the
+    right side (the join key stays unsuffixed).
+    """
+    lsch = left.schema()
+    rsch = right.schema()
+    lcols = list(zip(lsch.names, lsch.types))
+    rname_map = {}
+    rcols = []
+    for n, t in zip(rsch.names, rsch.types):
+        if n == on:
+            continue
+        out = n if n not in lsch.names else n + suffixes[1]
+        rname_map[n] = out
+        rcols.append((out, t))
+    all_cols = [(on, lsch.types[lsch.names.index(on)])] \
+        + [(n, t) for n, t in lcols if n != on] + rcols
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(
+            [rname_map.get(c, c) for c in batch.column_names])
+        return _tag_batch(batch, on, 1, num_buckets, all_cols)
+
+    tagged = left.map_batches(
+        functools.partial(_tag_batch, key=on, side=0,
+                          num_buckets=num_buckets, all_cols=all_cols),
+        batch_format="pyarrow",
+    ).union(right.map_batches(tag_right, batch_format="pyarrow"))
+
+    lnames = [on] + [n for n, _ in lcols if n != on]
+    rnames = [n for n, _ in rcols]
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == 0][lnames]
+        r = g[g["__side"] == 1][[on] + rnames]
+        out = l.merge(r, on=on, how=how)
+        return out
+
+    return tagged.groupby("__bucket").map_groups(join_bucket,
+                                                 batch_format="pandas")

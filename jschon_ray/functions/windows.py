@@ -1,0 +1,64 @@
+"""Event-time windows over stream-shaped tables (ray_guide pattern).
+
+Ray Data is a batch engine; windows are expressed as vectorized bucket
+columns (tumbling) or per-key sorted-group passes (session windows in
+``groupby(key).map_groups``). Ordering assumption: within one key's group,
+rows are sorted by (ts, tie_breaker) before windowing — deterministic for
+any input partitioning.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def add_tumbling_window(batch: pa.Table, *, ts_col: str = "ts",
+                        unit: str = "hour",
+                        out: str = "window_start") -> pa.Table:
+    """Vectorized tumbling bucket: floor the timestamp to the unit
+    (matches SQL date_trunc semantics)."""
+    return batch.append_column(out, pc.floor_temporal(batch[ts_col],
+                                                      unit=unit))
+
+
+def tumbling_agg(ds, *, key_cols=("event_type",), ts_col="ts",
+                 value_col="value", unit="hour"):
+    """count + mean(value) per (key, window) — one vectorized bucket column
+    then a pre-aggregated groupby shuffle."""
+    from ray.data.aggregate import Count, Mean
+
+    bucketed = ds.map_batches(
+        functools.partial(add_tumbling_window, ts_col=ts_col, unit=unit),
+        batch_format="pyarrow",
+    )
+    return bucketed.groupby(list(key_cols) + ["window_start"]).aggregate(
+        Count(alias_name="n"), Mean(value_col, alias_name="avg_value"))
+
+
+def session_counts(ds, *, key_col="user_id", ts_col="ts",
+                   tie_col="event_id", gap_minutes=30):
+    """Sessions per key: a new session starts when the gap since the
+    previous event (ordered by (ts, tie)) exceeds `gap_minutes`.
+
+    groupby(key).map_groups with a sorted pandas pass — the per-key state
+    never leaves one group task. Returns (key, n_events, n_sessions).
+    """
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, tie_col])
+        ts = pd.to_datetime(g[ts_col])
+        new_session = ts.diff().isna() | (ts.diff() > gap)
+        return pd.DataFrame({
+            key_col: [g[key_col].iloc[0]],
+            "n_events": [len(g)],
+            "n_sessions": [int(new_session.sum())],
+        })
+
+    return ds.select_columns([key_col, ts_col, tie_col]) \
+        .groupby(key_col).map_groups(per_key, batch_format="pandas")

@@ -84,12 +84,20 @@ _LINEITEM_VALID_SQL = """(
 
 
 def _valid_flag_query(sf_dir, table, spec, key_cols):
+    """Prune at the read: only columns the spec (or keys) actually touch
+    leave storage (SURVEY 'prune at the read')."""
+    import pyarrow.parquet as pq
+
+    from ..vspec.evaluator import _columns_used
     from .validate import validate_dataset
 
-    ds = read_table(table_path(sf_dir, table))
+    path = table_path(sf_dir, table)
+    schema = pq.ParquetFile(path).schema_arrow
+    cols = sorted(set(_columns_used(spec, schema)) | set(key_cols),
+                  key=schema.names.index)
+    ds = read_table(path, columns=cols)
     checked = validate_dataset(ds, spec)
-    cols = list(key_cols) + ["valid"]
-    return checked.select_columns(cols)
+    return checked.select_columns(list(key_cols) + ["valid"])
 
 
 def q_validate_orders(sf_dir):
@@ -346,6 +354,89 @@ SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
 UNION ALL
 SELECT 'l_discount', count(*), count(*) - count(l_discount),
        min(l_discount), max(l_discount) FROM lineitem
+"""
+
+
+def q_orders_by_segment(sf_dir):
+    """Fact x dimension-ish hash join (both sides as Datasets): orders x
+    customer on o_custkey, then segment rollup. Exercises the partitioned
+    bucketed join (functions/join.py)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.join import hash_join
+
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_custkey", "o_totalprice"])
+    cust = read_table(table_path(sf_dir, "customer"),
+                      columns=["c_custkey", "c_mktsegment"])
+
+    def rekey(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["o_custkey", "c_mktsegment"])
+
+    cust = cust.map_batches(rekey, batch_format="pyarrow")
+    joined = hash_join(orders, cust, on="o_custkey", how="inner")
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="sum_price"))
+
+    def round4(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("sum_price")
+        return t.set_column(i, "sum_price", pc.round(t["sum_price"], 4))
+
+    return agg.map_batches(round4, batch_format="pyarrow")
+
+
+_ORDERS_BY_SEGMENT_SQL = """
+SELECT c.c_mktsegment, count(*) AS n_orders,
+       round(sum(o.o_totalprice), 4) AS sum_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_events_tumbling_hour(sf_dir):
+    from ..functions.windows import tumbling_agg
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["event_type", "ts", "value"])
+    agg = tumbling_agg(ds, key_cols=("event_type",), unit="hour")
+
+    def round4(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("avg_value")
+        t = t.set_column(i, "avg_value", pc.round(t["avg_value"], 4))
+        j = t.schema.get_field_index("window_start")
+        return t.set_column(j, "window_start",
+                            t["window_start"].cast(pa.timestamp("us")))
+
+    return agg.map_batches(round4, batch_format="pyarrow")
+
+
+_EVENTS_TUMBLING_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def q_events_sessions(sf_dir):
+    from ..functions.windows import session_counts
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["user_id", "ts", "event_id"])
+    return session_counts(ds, gap_minutes=30)
+
+
+_EVENTS_SESSIONS_SQL = """
+SELECT user_id, count(*) AS n_events,
+       sum(CASE WHEN prev_ts IS NULL
+                 OR ts - prev_ts > INTERVAL 30 MINUTE
+            THEN 1 ELSE 0 END) AS n_sessions
+FROM (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events)
+GROUP BY user_id
 """
 
 
@@ -656,6 +747,9 @@ def build_queries() -> dict:
         "events_by_type": q_events_by_type,
         "uniqueness_orders": q_uniqueness_orders,
         "profile_lineitem": q_profile_lineitem,
+        "orders_by_segment": q_orders_by_segment,
+        "events_tumbling_hour": q_events_tumbling_hour,
+        "events_sessions": q_events_sessions,
         # per-row validation engine
         "validate_orders": q_validate_orders,
         "validate_lineitem": q_validate_lineitem,
@@ -692,6 +786,9 @@ def build_oracles() -> dict:
         "events_by_type": _EVENTS_SQL,
         "uniqueness_orders": _UNIQUENESS_ORDERS_SQL,
         "profile_lineitem": _PROFILE_LINEITEM_SQL,
+        "orders_by_segment": _ORDERS_BY_SEGMENT_SQL,
+        "events_tumbling_hour": _EVENTS_TUMBLING_SQL,
+        "events_sessions": _EVENTS_SESSIONS_SQL,
         "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
                            "FROM orders",
         "validate_lineitem": "SELECT l_orderkey, l_linenumber, "

@@ -110,3 +110,14 @@ def test_entry_smoke(entry_mod):
     out = to_pandas(entry_mod.entry())
     assert len(out) >= 1
     assert out["n"].iloc[0] > 0
+
+
+@pytest.mark.parametrize("name", [
+    "orders_by_segment", "events_tumbling_hour", "events_sessions",
+])
+def test_new_query_matches_oracle(entry_mod, con, name):
+    qs = entry_mod.queries()
+    sql = entry_mod.oracle_sql()[name]
+    ours = to_pandas(qs[name](SF_DIR))
+    oracle = con.execute(sql).df()
+    compare(name, ours, oracle)
