@@ -28,16 +28,17 @@ def add_tumbling_window(batch: pa.Table, *, ts_col: str = "ts",
 
 def tumbling_agg(ds, *, key_cols=("event_type",), ts_col="ts",
                  value_col="value", unit="hour"):
-    """count + mean(value) per (key, window) — one vectorized bucket column
-    then a pre-aggregated groupby shuffle."""
-    from ray.data.aggregate import Count, Mean
+    """count + sum + mean(value) per (key, window) — one vectorized bucket
+    column then a pre-aggregated groupby shuffle."""
+    from ray.data.aggregate import Count, Mean, Sum
 
     bucketed = ds.map_batches(
         functools.partial(add_tumbling_window, ts_col=ts_col, unit=unit),
         batch_format="pyarrow",
     )
     return bucketed.groupby(list(key_cols) + ["window_start"]).aggregate(
-        Count(alias_name="n"), Mean(value_col, alias_name="avg_value"))
+        Count(alias_name="n"), Sum(value_col, alias_name="sum_value"),
+        Mean(value_col, alias_name="avg_value"))
 
 
 def session_counts(ds, *, key_col="user_id", ts_col="ts",

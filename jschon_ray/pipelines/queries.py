@@ -279,26 +279,28 @@ WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
 
 
 def q_events_by_type(sf_dir):
-    from ray.data.aggregate import Count, Mean
+    from ray.data.aggregate import Count, Sum
 
     ds = read_table(table_path(sf_dir, "events"),
                     columns=["event_type", "user_id", "value"])
     base = ds.groupby("event_type").aggregate(
-        Count(alias_name="n"), Mean("value", alias_name="avg_value"))
+        Count(alias_name="n"), Sum("value", alias_name="sum_value"))
     users = ds.select_columns(["event_type", "user_id"]) \
         .groupby(["event_type", "user_id"]).count() \
         .groupby("event_type").count()
     bdf = base.to_pandas()
     udf = users.to_pandas().rename(columns={"count()": "n_users"})
     out = bdf.merge(udf, on="event_type")
-    out["avg_value"] = out["avg_value"].round(4)
+    # 2-decimal values → integer cents: bit-deterministic vs the oracle
+    # regardless of float summation order.
+    out["sum_value_e2"] = (out["sum_value"] * 100.0).round().astype("int64")
     out["n_users"] = out["n_users"].astype("int64")
-    return out[["event_type", "n", "n_users", "avg_value"]]
+    return out[["event_type", "n", "n_users", "sum_value_e2"]]
 
 
 _EVENTS_SQL = """
 SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
-       round(avg(value), 4) AS avg_value
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_e2
 FROM events GROUP BY event_type
 """
 
@@ -401,19 +403,24 @@ def q_events_tumbling_hour(sf_dir):
                     columns=["event_type", "ts", "value"])
     agg = tumbling_agg(ds, key_cols=("event_type",), unit="hour")
 
-    def round4(t: pa.Table) -> pa.Table:
-        i = t.schema.get_field_index("avg_value")
-        t = t.set_column(i, "avg_value", pc.round(t["avg_value"], 4))
+    def finalize(t: pa.Table) -> pa.Table:
+        # `value` carries exactly 2 decimals; emit the window sum as an
+        # integer of cents so the result is bit-deterministic regardless
+        # of float summation order (ray block order vs duckdb scan order).
+        cents = pc.round(pc.multiply(t["sum_value"], 100.0)).cast(pa.int64())
+        t = t.append_column("sum_value_e2", cents)
         j = t.schema.get_field_index("window_start")
-        return t.set_column(j, "window_start",
-                            t["window_start"].cast(pa.timestamp("us")))
+        t = t.set_column(j, "window_start",
+                         t["window_start"].cast(pa.timestamp("us")))
+        return t.select(["event_type", "window_start", "n", "sum_value_e2"])
 
-    return agg.map_batches(round4, batch_format="pyarrow")
+    return agg.map_batches(finalize, batch_format="pyarrow")
 
 
 _EVENTS_TUMBLING_SQL = """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
-       count(*) AS n, round(avg(value), 4) AS avg_value
+       count(*) AS n,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_e2
 FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
@@ -428,9 +435,9 @@ def q_events_sessions(sf_dir):
 
 _EVENTS_SESSIONS_SQL = """
 SELECT user_id, count(*) AS n_events,
-       sum(CASE WHEN prev_ts IS NULL
+       CAST(sum(CASE WHEN prev_ts IS NULL
                  OR ts - prev_ts > INTERVAL 30 MINUTE
-            THEN 1 ELSE 0 END) AS n_sessions
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM (
   SELECT user_id, ts,
          lag(ts) OVER (PARTITION BY user_id
