@@ -55,6 +55,12 @@ class SpecCatalog:
             res["doc"] = node
         if "$anchor" in node and isinstance(node["$anchor"], str):
             res["anchors"][node["$anchor"]] = ptr
+        # $dynamicAnchor also registers a plain fragment alias
+        # (/root/reference/jschon/vocabulary/core.py:172-184 calls the same
+        # catalog.add_schema as $anchor); its *dynamic* behavior lives in
+        # the $dynamicRef evaluation, which re-checks the resolved node.
+        if "$dynamicAnchor" in node and isinstance(node["$dynamicAnchor"], str):
+            res["anchors"][node["$dynamicAnchor"]] = ptr
         for key, val in node.items():
             if key in ("enum", "const", "default", "examples"):
                 continue  # data, not schemas
@@ -89,3 +95,18 @@ class SpecCatalog:
         if ptr is None:
             raise SpecError(f"unknown anchor {frag!r} in {target_base!r}")
         return jptr.evaluate(ptr, res["doc"]), target_base, ptr
+
+    def try_resolve_anchor(self, base: str, name: str):
+        """Resolve ``base#name`` if registered, else None (no raise).
+
+        Used by the $dynamicRef dynamic-scope walk
+        (/root/reference/jschon/vocabulary/core.py:148-166), where lookup
+        failures along the scope chain are silently skipped.
+        """
+        res = self._resources.get(base)
+        if res is None or res["doc"] is None:
+            return None
+        ptr = res["anchors"].get(name)
+        if ptr is None:
+            return None
+        return jptr.evaluate(ptr, res["doc"]), base, ptr

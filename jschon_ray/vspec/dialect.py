@@ -33,8 +33,10 @@ KEYWORDS: dict[str, tuple[tuple, tuple]] = {
     "$anchor": (ALL_TYPES, ()),
     "$defs": (ALL_TYPES, ()),
     "$comment": (ALL_TYPES, ()),
+    "$dynamicAnchor": (ALL_TYPES, ()),
     # applicators
     "$ref": (ALL_TYPES, ()),
+    "$dynamicRef": (ALL_TYPES, ()),
     "allOf": (ALL_TYPES, ()),
     "anyOf": (ALL_TYPES, ()),
     "oneOf": (ALL_TYPES, ()),
@@ -98,7 +100,8 @@ KEYWORDS: dict[str, tuple[tuple, tuple]] = {
 
 # Keywords that never assert and never produce subresults we track.
 STATIC_KEYWORDS = frozenset(
-    {"$schema", "$vocabulary", "$id", "$anchor", "$defs", "$comment"}
+    {"$schema", "$vocabulary", "$id", "$anchor", "$dynamicAnchor", "$defs",
+     "$comment"}
 )
 
 ANNOTATION_KEYWORDS = frozenset(

@@ -316,12 +316,17 @@ class Site:
     """Compile-time context for one schema node."""
 
     __slots__ = ("jt", "dtype", "kloc", "base", "sptr", "seq",
-                 "elem_nulls_are_values", "_table_schema", "_table_cols")
+                 "elem_nulls_are_values", "_table_schema", "_table_cols",
+                 "absloc_override")
 
     def __init__(self, jt, dtype, kloc, base, sptr, seq,
                  elem_nulls_are_values=False):
         self._table_schema = None
         self._table_cols = None
+        # set by _compile_ref when the target is a resource root: the
+        # refschema's canonical URI is fragmentless there (jschon prints
+        # "base", not "base#"); never inherited by child sites.
+        self.absloc_override = None
         self.jt = jt              # static jtype of the instance cells
         self.dtype = dtype        # arrow dtype (None for table)
         self.kloc = kloc          # keywordLocation prefix
@@ -347,6 +352,8 @@ class Site:
 
     @property
     def absloc(self):
+        if self.absloc_override is not None:
+            return self.absloc_override
         if self.base is None:
             return "None"
         return self.base + "#" + jptr.uri_fragment(self.sptr)
@@ -393,11 +400,19 @@ class FallbackCS(CSchema):
     """
 
     def __init__(self, spec, site: Site, evaluator: RowEvaluator,
-                 emit_root_error=True):
+                 emit_root_error=True, scope=()):
         self.spec = spec
         self.site = site
         self.ev = evaluator
         self.emit_root_error = emit_root_error
+        # synthetic ancestry carrying the outer resource bases (root-first)
+        # so $dynamicRef inside the fallback subtree sees the full dynamic
+        # scope, not just the subtree (core.py:148-166).
+        from .row_oracle import RNode
+        chain = None
+        for b in scope:
+            chain = RNode(base=b, parent=chain)
+        self._parent_chain = chain
 
     def evaluate(self, inst: Instances) -> SchemaOut:
         from .row_oracle import RNode
@@ -415,7 +430,9 @@ class FallbackCS(CSchema):
             if isinstance(v, (dict, list)):
                 v = strip_absent(v)
             node = RNode(path=self.site.kloc, ipath="", base=self.site.base,
-                         sptr=self.site.sptr)
+                         sptr=self.site.sptr, parent=self._parent_chain)
+            if self.site.absloc_override is not None:
+                node._abs_override = self.site.absloc_override
             self.ev.eval_schema(self.spec, v, "", node,
                                 self.site.base, self.site.sptr)
             if not node.passed:
@@ -1599,6 +1616,12 @@ class Compiler:
         self.formats = formats or {}
         self.rowev = RowEvaluator(self.catalog, self.formats)
         self._ref_stack: list = []
+        # resource bases entered along the compile path, root-first: the
+        # *static* dynamic scope. Because specs are static per run, the
+        # runtime Result-ancestry walk of $dynamicRef
+        # (/root/reference/jschon/vocabulary/core.py:148-166) is fully
+        # determined at compile time by this chain.
+        self._scope: list[str] = []
 
     # -- schema ----------------------------------------------------------
     def compile_schema(self, spec, site: Site,
@@ -1606,8 +1629,12 @@ class Compiler:
         try:
             return self._compile_vec(spec, site, suppress_root_error)
         except Unvectorizable:
+            scope = list(self._scope)
+            if site.base is not None and (not scope or scope[-1] != site.base):
+                scope.append(site.base)
             return FallbackCS(spec, site, self.rowev,
-                              emit_root_error=not suppress_root_error)
+                              emit_root_error=not suppress_root_error,
+                              scope=scope)
 
     def _compile_vec(self, spec, site: Site, suppress_root_error=False) -> CSchema:
         if isinstance(spec, bool):
@@ -1626,22 +1653,30 @@ class Compiler:
         if site.jt == "unknown":
             raise Unvectorizable(f"unsupported arrow type at {site.kloc}")
 
-        kws: list[CKw] = []
-        counter = 0
-        order = keyword_order(spec.keys())
-        for key in order:
-            if key in STATIC_KEYWORDS:
-                continue
-            instance_types = KEYWORDS.get(key, (ALL_JT, ()))[0]
-            if site.jt not in instance_types and not (
-                    site.elem_nulls_are_values and key in ("type", "enum",
-                                                           "const")):
-                continue
-            ksite = site.child(key, site.seq + (counter,))
-            kw = self.compile_keyword(key, spec[key], spec, ksite)
-            counter += 1
-            if kw is not None:
-                kws.append(kw)
+        pushed = base is not None and (not self._scope
+                                       or self._scope[-1] != base)
+        if pushed:
+            self._scope.append(base)
+        try:
+            kws: list[CKw] = []
+            counter = 0
+            order = keyword_order(spec.keys())
+            for key in order:
+                if key in STATIC_KEYWORDS:
+                    continue
+                instance_types = KEYWORDS.get(key, (ALL_JT, ()))[0]
+                if site.jt not in instance_types and not (
+                        site.elem_nulls_are_values and key in ("type", "enum",
+                                                               "const")):
+                    continue
+                ksite = site.child(key, site.seq + (counter,))
+                kw = self.compile_keyword(key, spec[key], spec, ksite)
+                counter += 1
+                if kw is not None:
+                    kws.append(kw)
+        finally:
+            if pushed:
+                self._scope.pop()
         return ObjCS(kws, site)
 
     # -- keywords ---------------------------------------------------------
@@ -1711,7 +1746,7 @@ class Compiler:
             sub = self.compile_schema(kval, elem_site, suppress_root_error=True)
             return ContainsCKw(site, sub)
         if key == "$ref" or key == "$dynamicRef":
-            return self._compile_ref(kval, site)
+            return self._compile_ref(kval, site, dynamic=key == "$dynamicRef")
         if key in ("unevaluatedItems", "unevaluatedProperties"):
             raise Unvectorizable(key)
         if key == "$dynamicAnchor":
@@ -1829,8 +1864,24 @@ class Compiler:
             subs.append(self.compile_schema(sub, esite))
         return PrefixItemsCKw(site, subs)
 
-    def _compile_ref(self, kval, site: Site):
+    def _compile_ref(self, kval, site: Site, dynamic=False):
         target, tbase, tptr = self.catalog.resolve(kval, site.base or "")
+        if dynamic:
+            # $dynamicRef: when the initial target carries a matching
+            # $dynamicAnchor, re-resolve against the static scope chain,
+            # outermost (root-most) base winning — compile-time image of
+            # the runtime ancestry walk (core.py:148-166). The leaf of the
+            # chain is site.base (pushed by the enclosing _compile_vec).
+            frag = kval.split("#", 1)[1] if "#" in kval else None
+            if frag is not None and not frag.startswith("/") \
+                    and isinstance(target, dict) \
+                    and target.get("$dynamicAnchor") == frag:
+                for b in self._scope:  # root-first: first match wins
+                    found = self.catalog.try_resolve_anchor(b, frag)
+                    if found is not None and isinstance(found[0], dict) \
+                            and found[0].get("$dynamicAnchor") == frag:
+                        target, tbase, tptr = found
+                        break
         ckey = (id(target), site.jt)
         if ckey in self._ref_stack:
             raise Unvectorizable("cyclic $ref")
@@ -1838,6 +1889,8 @@ class Compiler:
         try:
             tsite = Site(site.jt, site.dtype, site.kloc, tbase, tptr,
                          site.seq, site.elem_nulls_are_values)
+            if tptr == "":
+                tsite.absloc_override = tbase
             if site.dtype is None:
                 tsite._table_schema = site._table_schema
                 tsite._table_cols = site._table_cols

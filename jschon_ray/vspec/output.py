@@ -94,6 +94,47 @@ def detailed(root: RNode) -> dict:
     }
 
 
+@output_formatter("hierarchical")
+def hierarchical(root: RNode) -> dict:
+    """Draft-next schema-node-grouped format
+    (/root/reference/jschon/output.py:129-165): one output object per
+    (sub)schema node; keyword results fold into that node's
+    annotations/errors maps; non-schema nodes pass their descendants
+    through."""
+
+    def visit(node: RNode):
+        if node.is_schema:
+            valid = node.valid
+            output = {
+                "valid": valid,
+                "evaluationPath": node.path,
+                "schemaLocation": str(node.absolute_uri),
+                "instanceLocation": node.ipath,
+            }
+            details = []
+            annotations = {}
+            errors = {}
+            for child in node.children.values():
+                details += [out for out in visit(child)
+                            if child.valid == valid]
+                if valid and child.annotation is not None:
+                    annotations[child.key] = child.annotation
+                elif not valid and child.error is not None:
+                    errors[child.key] = child.error
+            if details:
+                output["details"] = details
+            if valid and annotations:
+                output["annotations"] = annotations
+            elif not valid and errors:
+                output["errors"] = errors
+            yield output
+        else:
+            for child in node.children.values():
+                yield from visit(child)
+
+    return next(visit(root))
+
+
 @output_formatter("verbose")
 def verbose(root: RNode) -> dict:
     def visit(node: RNode):

@@ -102,14 +102,16 @@ class RNode:
 
     __slots__ = ("key", "path", "ipath", "base", "sptr", "children",
                  "annotation", "error", "valid", "asserting", "discarded",
-                 "_abs_override")
+                 "_abs_override", "parent", "is_schema")
 
-    def __init__(self, key=None, path="", ipath="", base=None, sptr=""):
+    def __init__(self, key=None, path="", ipath="", base=None, sptr="",
+                 parent=None):
         self.key = key
         self.path = path          # keywordLocation (dynamic)
         self.ipath = ipath        # instanceLocation
         self.base = base          # resource base URI of owning schema
         self.sptr = sptr          # pointer from resource root to this node
+        self.parent = parent      # dynamic-scope chain (jschon Result.parent)
         self.children: dict[tuple, RNode] = {}
         self.annotation = None
         self.error = None
@@ -117,6 +119,12 @@ class RNode:
         self.asserting = True
         self.discarded = False
         self._abs_override = None
+        # True when this node's schema location is a (sub)schema — set by
+        # eval_schema; keyword-value nodes ($ref strings, keyword arrays)
+        # stay False. Drives the 'hierarchical' output formatter, which
+        # mirrors `isinstance(node.schema_node, JSONSchema)`
+        # (/root/reference/jschon/output.py:131).
+        self.is_schema = False
 
     # -- jschon Result API analogues ------------------------------------
     def child(self, key: str, ipath: str, base=None, sptr=None) -> "RNode":
@@ -126,6 +134,7 @@ class RNode:
             ipath=ipath,
             base=base if base is not None else self.base,
             sptr=sptr if sptr is not None else jptr.join(self.sptr, key),
+            parent=self,
         )
         self.children[(key, ipath)] = c
         return c
@@ -200,6 +209,7 @@ class RowEvaluator:
                     base, sptr) -> None:
         """Evaluate ``schema`` at ``node`` (jschon JSONSchema.evaluate,
         /root/reference/jschon/jsonschema.py:191-220)."""
+        node.is_schema = True
         if schema is True:
             return
         if schema is False:
@@ -212,6 +222,10 @@ class RowEvaluator:
             from urllib.parse import urldefrag, urljoin
             base = urldefrag(urljoin(base or schema["$id"], schema["$id"])).url
             sptr = ""
+            # embedded resource root: this node's identity (and its place in
+            # the dynamic scope, core.py:152) is the new base
+            node.base = base
+            node.sptr = ""
 
         itype = jtype(instance)
         for key in keyword_order(schema.keys()):
@@ -251,17 +265,45 @@ class RowEvaluator:
             node.asserting = False
 
     # ---- core ----------------------------------------------------------
+    @staticmethod
+    def _ref_override(tbase, tptr):
+        """absoluteKeywordLocation of a by-reference target: the refschema's
+        canonical URI — fragmentless for a resource root
+        (/root/reference/jschon/jsonschema.py:505-512 via refschema())."""
+        return tbase if tptr == "" else tbase + "#" + jptr.uri_fragment(tptr)
+
     def _kw__ref(self, schema, kval, instance, ipath, node, parent, base, sptr):
         target, tbase, tptr = self.catalog.resolve(kval, base or "")
-        node._abs_override = tbase + "#" + jptr.uri_fragment(tptr)
+        node._abs_override = self._ref_override(tbase, tptr)
         self.eval_schema(target, instance, ipath, node, tbase, tptr)
+        node.is_schema = False  # schema node here is the ref string
 
     def _kw__dynamicRef(self, schema, kval, instance, ipath, node, parent,
                         base, sptr):
-        # Static treatment: our specs are static per run; $dynamicRef resolves
-        # like $ref to its initial target (documented deviation;
-        # /root/reference/jschon/vocabulary/core.py:121-169).
-        self._kw__ref(schema, kval, instance, ipath, node, parent, base, sptr)
+        """Late-bound reference (/root/reference/jschon/vocabulary/core.py:
+        121-169): when the initial target carries a matching $dynamicAnchor,
+        re-resolve the fragment against every resource base on the dynamic
+        scope (this node's ancestry), outermost match winning."""
+        target, tbase, tptr = self.catalog.resolve(kval, base or "")
+        frag = kval.split("#", 1)[1] if "#" in kval else None
+        dynamic = (frag is not None and not frag.startswith("/")
+                   and isinstance(target, dict)
+                   and target.get("$dynamicAnchor") == frag)
+        if dynamic:
+            checked = set()
+            t = node
+            while t is not None:  # leaf -> root; later finds override
+                b = t.base
+                if b is not None and b not in checked:
+                    checked.add(b)
+                    found = self.catalog.try_resolve_anchor(b, frag)
+                    if found is not None and isinstance(found[0], dict) \
+                            and found[0].get("$dynamicAnchor") == frag:
+                        target, tbase, tptr = found
+                t = t.parent
+        node._abs_override = self._ref_override(tbase, tptr)
+        self.eval_schema(target, instance, ipath, node, tbase, tptr)
+        node.is_schema = False
 
     # ---- validation: generic -------------------------------------------
     def _kw_type(self, schema, kval, instance, ipath, node, *_):
