@@ -72,12 +72,16 @@ def hash_join(left, right, *, on: str, how: str = "inner",
 
     lnames = [on] + [n for n, _ in lcols if n != on]
     rnames = [n for n, _ in rcols]
+    join_type = {"inner": "inner", "left": "left outer"}[how]
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == 0][lnames]
-        r = g[g["__side"] == 1][[on] + rnames]
-        out = l.merge(r, on=on, how=how)
-        return out
+    def join_bucket(g: pa.Table) -> pa.Table:
+        # arrow-native per-bucket join: typed nulls never widen int64 ->
+        # float64 the way a pandas merge would
+        import pyarrow.compute as pc
+        lmask = pc.equal(g["__side"], 0)
+        l = g.filter(lmask).select(lnames)
+        r = g.filter(pc.invert(lmask)).select([on] + rnames)
+        return l.join(r, keys=on, join_type=join_type)
 
     return tagged.groupby("__bucket").map_groups(join_bucket,
-                                                 batch_format="pandas")
+                                                 batch_format="pyarrow")

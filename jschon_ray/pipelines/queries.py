@@ -165,39 +165,47 @@ WITH o AS (SELECT * FROM orders), c AS (
 
 
 def q_q1_pricing_summary(sf_dir):
-    from ray.data.aggregate import Count, Mean, Sum
+    """TPC-H-Q1-style rollup in exact integer arithmetic: money columns
+    carry exactly 2 decimals, so scaling to cents BEFORE the sum makes the
+    shuffle-order-independent result bit-deterministic (float sums differ
+    by ulps between any two summation orders)."""
+    from ray.data.aggregate import Count, Sum
 
     ds = read_table(table_path(sf_dir, "lineitem"),
                     columns=["l_returnflag", "l_linestatus", "l_quantity",
                              "l_extendedprice", "l_discount"])
 
-    def add_disc(t: pa.Table) -> pa.Table:
-        return t.append_column("disc_price", pc.multiply(
-            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])))
+    def to_exact(t: pa.Table) -> pa.Table:
+        qty = pc.round(t["l_quantity"]).cast(pa.int64())
+        ep_e2 = pc.round(
+            pc.multiply(t["l_extendedprice"], 100.0)).cast(pa.int64())
+        disc_e2 = pc.round(pc.multiply(
+            pc.subtract(pa.scalar(1.0), t["l_discount"]), 100.0)) \
+            .cast(pa.int64())
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": qty,
+            "ep_e2": ep_e2,
+            "disc_price_e4": pc.multiply(ep_e2, disc_e2),
+        })
 
-    agg = ds.map_batches(add_disc, batch_format="pyarrow") \
+    return ds.map_batches(to_exact, batch_format="pyarrow") \
         .groupby(["l_returnflag", "l_linestatus"]) \
-        .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                   Sum("l_extendedprice", alias_name="sum_base_price"),
-                   Sum("disc_price", alias_name="sum_disc_price"),
-                   Mean("l_quantity", alias_name="avg_qty"),
+        .aggregate(Sum("qty", alias_name="sum_qty"),
+                   Sum("ep_e2", alias_name="sum_base_price_e2"),
+                   Sum("disc_price_e4", alias_name="sum_disc_price_e4"),
                    Count(alias_name="count_order"))
-
-    def round4(t: pa.Table) -> pa.Table:
-        for col in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"):
-            t = t.set_column(t.schema.get_field_index(col), col,
-                             pc.round(t[col], 4))
-        return t
-
-    return agg.map_batches(round4, batch_format="pyarrow")
 
 
 _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4) AS sum_qty,
-       round(sum(l_extendedprice), 4) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-       round(avg(l_quantity), 4) AS avg_qty,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_base_price_e2,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS sum_disc_price_e4,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -372,25 +380,39 @@ def q_orders_by_segment(sf_dir):
     cust = read_table(table_path(sf_dir, "customer"),
                       columns=["c_custkey", "c_mktsegment"])
 
+    def to_cents(t: pa.Table) -> pa.Table:
+        # exact integer cents: sum is deterministic under any block order
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "price_e2": pc.round(
+                pc.multiply(t["o_totalprice"], 100.0)).cast(pa.int64()),
+        })
+
     def rekey(t: pa.Table) -> pa.Table:
         return t.rename_columns(["o_custkey", "c_mktsegment"])
 
+    orders = orders.map_batches(to_cents, batch_format="pyarrow")
     cust = cust.map_batches(rekey, batch_format="pyarrow")
     joined = hash_join(orders, cust, on="o_custkey", how="inner")
     agg = joined.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"),
-        Sum("o_totalprice", alias_name="sum_price"))
+        Sum("price_e2", alias_name="sum_price_e2"))
 
-    def round4(t: pa.Table) -> pa.Table:
-        i = t.schema.get_field_index("sum_price")
-        return t.set_column(i, "sum_price", pc.round(t["sum_price"], 4))
+    def cast_int(t: pa.Table) -> pa.Table:
+        col = t["sum_price_e2"]
+        if col.type != pa.int64():  # guard against float widening upstream
+            i = t.schema.get_field_index("sum_price_e2")
+            t = t.set_column(i, "sum_price_e2",
+                             pc.round(col).cast(pa.int64()))
+        return t
 
-    return agg.map_batches(round4, batch_format="pyarrow")
+    return agg.map_batches(cast_int, batch_format="pyarrow")
 
 
 _ORDERS_BY_SEGMENT_SQL = """
 SELECT c.c_mktsegment, count(*) AS n_orders,
-       round(sum(o.o_totalprice), 4) AS sum_price
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_e2
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """

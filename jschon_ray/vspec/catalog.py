@@ -96,6 +96,11 @@ class SpecCatalog:
             raise SpecError(f"unknown anchor {frag!r} in {target_base!r}")
         return jptr.evaluate(ptr, res["doc"]), target_base, ptr
 
+    def resource_root(self, base: str):
+        """Root schema document of a registered resource, or None."""
+        res = self._resources.get(base)
+        return None if res is None else res["doc"]
+
     def try_resolve_anchor(self, base: str, name: str):
         """Resolve ``base#name`` if registered, else None (no raise).
 

@@ -104,13 +104,55 @@ STATIC_KEYWORDS = frozenset(
      "$comment"}
 )
 
+# --- 2019-09 dialect (/root/reference/jschon/vocabulary/legacy.py,
+# catalog/_2019_09.py): array-form items, additionalItems,
+# $recursiveRef/$recursiveAnchor; no prefixItems/$dynamicRef/$dynamicAnchor.
+KEYWORDS_2019: dict[str, tuple[tuple, tuple]] = {
+    **{k: v for k, v in KEYWORDS.items()
+       if k not in ("prefixItems", "$dynamicRef", "$dynamicAnchor")},
+    "items": (("array",), ()),
+    "additionalItems": (("array",), ("items",)),
+    "$recursiveRef": (ALL_TYPES, ()),
+    "$recursiveAnchor": (ALL_TYPES, ()),
+    "unevaluatedItems": (
+        ("array",),
+        ("items", "additionalItems", "if", "then", "else",
+         "allOf", "anyOf", "oneOf", "not", "$ref", "$recursiveRef"),
+    ),
+    "unevaluatedProperties": (
+        ("object",),
+        ("properties", "patternProperties", "additionalProperties",
+         "if", "then", "else", "dependentSchemas",
+         "allOf", "anyOf", "oneOf", "not", "$ref", "$recursiveRef"),
+    ),
+}
+
+STATIC_KEYWORDS_2019 = frozenset(
+    {"$schema", "$vocabulary", "$id", "$anchor", "$recursiveAnchor", "$defs",
+     "$comment"}
+)
+
+
+def infer_dialect(schema_uri: str | None) -> str:
+    """Dialect from a ``$schema`` URI (jschon keys keyword classes off the
+    metaschema, /root/reference/jschon/jsonschema.py:110-114)."""
+    if schema_uri and "2019-09" in schema_uri:
+        return "2019-09"
+    return "2020-12"
+
+
+def dialect_tables(dialect: str) -> tuple[dict, frozenset]:
+    if dialect == "2019-09":
+        return KEYWORDS_2019, STATIC_KEYWORDS_2019
+    return KEYWORDS, STATIC_KEYWORDS
+
 ANNOTATION_KEYWORDS = frozenset(
     {"title", "description", "default", "deprecated", "readOnly", "writeOnly",
      "examples", "contentMediaType", "contentEncoding", "contentSchema"}
 )
 
 
-def keyword_order(keys) -> list[str]:
+def keyword_order(keys, dialect: str = "2020-12") -> list[str]:
     """Stable topological order of schema keys.
 
     Semantics match JSONSchema._resolve_dependencies
@@ -118,6 +160,7 @@ def keyword_order(keys) -> list[str]:
     key (in original order) whose in-dialect dependencies have all been
     emitted. Unknown keywords have no dependencies.
     """
+    table = dialect_tables(dialect)[0]
     keys = list(keys)
     keyset = set(keys)
     emitted: set[str] = set()
@@ -125,7 +168,7 @@ def keyword_order(keys) -> list[str]:
     out: list[str] = []
     while pending:
         for k in pending:
-            deps = KEYWORDS.get(k, ((), ()))[1]
+            deps = table.get(k, ((), ()))[1]
             if all(d not in keyset or d in emitted for d in deps):
                 out.append(k)
                 emitted.add(k)

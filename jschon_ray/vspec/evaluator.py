@@ -42,7 +42,15 @@ import pyarrow.compute as pc
 
 from . import pointer as jptr
 from .catalog import SpecCatalog, SpecError
-from .dialect import KEYWORDS, STATIC_KEYWORDS, json_str, keyword_order, tuplify
+from .dialect import (
+    KEYWORDS,
+    STATIC_KEYWORDS,
+    dialect_tables,
+    infer_dialect,
+    json_str,
+    keyword_order,
+    tuplify,
+)
 from .row_oracle import RowEvaluator, jtype as py_jtype
 
 
@@ -400,11 +408,13 @@ class FallbackCS(CSchema):
     """
 
     def __init__(self, spec, site: Site, evaluator: RowEvaluator,
-                 emit_root_error=True, scope=()):
+                 emit_root_error=True, scope=(), dialect="2020-12"):
         self.spec = spec
         self.site = site
         self.ev = evaluator
         self.emit_root_error = emit_root_error
+        self.dialect = dialect  # dialect at the compile point (the subtree
+        # may carry no $schema of its own)
         # synthetic ancestry carrying the outer resource bases (root-first)
         # so $dynamicRef inside the fallback subtree sees the full dynamic
         # scope, not just the subtree (core.py:148-166).
@@ -423,6 +433,8 @@ class FallbackCS(CSchema):
         cells = np.nonzero(inst.present)[0] if not inst.present.all() \
             else np.arange(n)
         null_vals = inst.nulls_as_values()
+        prev_dialect = self.ev.dialect
+        self.ev.dialect = self.dialect
         for i in cells:
             v = values[i]
             if v is None and not null_vals[i]:
@@ -450,6 +462,7 @@ class FallbackCS(CSchema):
                 entries.append(Entry(
                     [self.site.seq, (int(i), order)], kloc, absloc, loc,
                     mask, err if isinstance(err, str) else json_str(err)))
+        self.ev.dialect = prev_dialect
         return SchemaOut(valid, entries)
 
 
@@ -990,10 +1003,13 @@ class ItemsCKw(CKw):
     all selected elements."""
     key = "items"
 
-    def __init__(self, site, kval_cs, n_prefix):
+    def __init__(self, site, kval_cs, n_prefix, emit_index_error=True):
         super().__init__(site)
         self.sub = kval_cs
         self.n_prefix = n_prefix
+        # 2019-09 schema-form items fails without an index-list error of its
+        # own (/root/reference/jschon/vocabulary/legacy.py:66-73)
+        self.emit_index_error = emit_index_error
 
     def evaluate(self, inst, siblings):
         app = _applicable(inst)
@@ -1005,7 +1021,7 @@ class ItemsCKw(CKw):
         valid |= ~app
         entries = [e.lift(par, [self.seq, intra]) for e in out.entries]
         fails = ~valid
-        if fails.any():
+        if fails.any() and self.emit_index_error:
             bad = ~out.valid
             bad_par, bad_intra = par[bad], intra[bad]
 
@@ -1015,6 +1031,27 @@ class ItemsCKw(CKw):
                     idx.setdefault(int(p), []).append(int(i))
                 return [idx.get(int(r), []) for r in cells]
             entries.insert(0, self.entry(fails, inst.loc, mk))
+        return KwOut(valid, entries=entries)
+
+
+class AdditionalItems2019CKw(ItemsCKw):
+    """2019-09 ``additionalItems`` — discarded per row unless the positional
+    ``items`` sibling passed with an integer annotation
+    (/root/reference/jschon/vocabulary/legacy.py:96-112)."""
+    key = "additionalItems"
+
+    def evaluate(self, inst, siblings):
+        items_out = siblings.get("items")
+        if items_out is None:
+            return KwOut(np.ones(inst.n, bool), asserting=False)
+        out = super().evaluate(inst, siblings)
+        active = items_out.valid
+        valid = out.valid | ~active
+        entries = []
+        for e in out.entries:
+            e.and_mask(active)
+            if e.mask.any():
+                entries.append(e)
         return KwOut(valid, entries=entries)
 
 
@@ -1622,6 +1659,8 @@ class Compiler:
         # (/root/reference/jschon/vocabulary/core.py:148-166) is fully
         # determined at compile time by this chain.
         self._scope: list[str] = []
+        # active dialect; switched per resource subtree by $schema
+        self.dialect = "2020-12"
 
     # -- schema ----------------------------------------------------------
     def compile_schema(self, spec, site: Site,
@@ -1634,7 +1673,7 @@ class Compiler:
                 scope.append(site.base)
             return FallbackCS(spec, site, self.rowev,
                               emit_root_error=not suppress_root_error,
-                              scope=scope)
+                              scope=scope, dialect=self.dialect)
 
     def _compile_vec(self, spec, site: Site, suppress_root_error=False) -> CSchema:
         if isinstance(spec, bool):
@@ -1657,14 +1696,18 @@ class Compiler:
                                        or self._scope[-1] != base)
         if pushed:
             self._scope.append(base)
+        prev_dialect = self.dialect
+        if "$schema" in spec and isinstance(spec["$schema"], str):
+            self.dialect = infer_dialect(spec["$schema"])
         try:
+            kwtable, static = dialect_tables(self.dialect)
             kws: list[CKw] = []
             counter = 0
-            order = keyword_order(spec.keys())
+            order = keyword_order(spec.keys(), self.dialect)
             for key in order:
-                if key in STATIC_KEYWORDS:
+                if key in static:
                     continue
-                instance_types = KEYWORDS.get(key, (ALL_JT, ()))[0]
+                instance_types = kwtable.get(key, (ALL_JT, ()))[0]
                 if site.jt not in instance_types and not (
                         site.elem_nulls_are_values and key in ("type", "enum",
                                                                "const")):
@@ -1675,12 +1718,16 @@ class Compiler:
                 if kw is not None:
                     kws.append(kw)
         finally:
+            self.dialect = prev_dialect
             if pushed:
                 self._scope.pop()
         return ObjCS(kws, site)
 
     # -- keywords ---------------------------------------------------------
     def compile_keyword(self, key, kval, schema, site: Site) -> CKw | None:
+        if key not in dialect_tables(self.dialect)[0]:
+            # out-of-dialect keyword: plugin or annotation-only
+            return self._compile_unknown(key, kval, site)
         jt = site.jt
         simple = {
             "type": TypeCKw, "enum": EnumCKw, "const": ConstCKw,
@@ -1737,10 +1784,46 @@ class Compiler:
         if key == "prefixItems":
             return self._compile_prefix_items(kval, site)
         if key == "items":
+            if self.dialect == "2019-09":
+                # legacy forms (/root/reference/jschon/vocabulary/legacy.py:
+                # 57-87): array form == positional; schema form applies to
+                # every element with no index-list error of its own; boolean
+                # form applies to the whole array (row fallback).
+                if isinstance(kval, bool):
+                    raise Unvectorizable("2019-09 boolean-form items")
+                if isinstance(kval, list):
+                    ckw = self._compile_prefix_items(kval, site)
+                    ckw.key = "items"  # sibling lookups key off kw.key
+                    return ckw
+                elem_site = self._elem_site(site, site.seq, into_node=True)
+                sub = self.compile_schema(kval, elem_site,
+                                          suppress_root_error=True)
+                return ItemsCKw(site, sub, 0, emit_index_error=False)
             n_prefix = len(schema.get("prefixItems", []))
             elem_site = self._elem_site(site, site.seq, into_node=True)
             sub = self.compile_schema(kval, elem_site, suppress_root_error=True)
             return ItemsCKw(site, sub, n_prefix)
+        if key == "additionalItems":  # reached only in the 2019-09 dialect
+            items_val = schema.get("items")
+            if not isinstance(items_val, list):
+                return None  # discarded unless items is positional
+            elem_site = self._elem_site(site, site.seq, into_node=True)
+            sub = self.compile_schema(kval, elem_site,
+                                      suppress_root_error=True)
+            return AdditionalItems2019CKw(site, sub, len(items_val))
+        if key == "$recursiveRef":  # 2019-09 only
+            if kval != "#":
+                raise SpecError('"$recursiveRef" may only take the value "#"')
+            target, tbase, tptr = self.catalog.resolve("#", site.base or "")
+            if isinstance(target, dict) \
+                    and target.get("$recursiveAnchor") is True:
+                for b in self._scope:  # root-first: outermost anchor wins
+                    hit = self.catalog.resource_root(b)
+                    if isinstance(hit, dict) \
+                            and hit.get("$recursiveAnchor") is True:
+                        target, tbase, tptr = hit, b, ""
+                        break
+            return self._compile_resolved_ref(target, tbase, tptr, site)
         if key == "contains":
             elem_site = self._elem_site(site, site.seq, into_node=True)
             sub = self.compile_schema(kval, elem_site, suppress_root_error=True)
@@ -1751,14 +1834,7 @@ class Compiler:
             raise Unvectorizable(key)
         if key == "$dynamicAnchor":
             return None
-        from .extensions import get_plugin
-        plugin = get_plugin(key)
-        if plugin is not None:
-            if plugin.compile_vec is None:
-                raise Unvectorizable(f"plugin keyword {key!r} (row-eval only)")
-            return plugin.compile_vec(site, kval, self)
-        # unknown / annotation-only keywords: no assertion, no entries
-        return None
+        return self._compile_unknown(key, kval, site)
 
     # -- helpers ----------------------------------------------------------
     def _cols(self, site: Site):
@@ -1882,6 +1958,9 @@ class Compiler:
                             and found[0].get("$dynamicAnchor") == frag:
                         target, tbase, tptr = found
                         break
+        return self._compile_resolved_ref(target, tbase, tptr, site)
+
+    def _compile_resolved_ref(self, target, tbase, tptr, site: Site):
         ckey = (id(target), site.jt)
         if ckey in self._ref_stack:
             raise Unvectorizable("cyclic $ref")
@@ -1898,6 +1977,16 @@ class Compiler:
         finally:
             self._ref_stack.pop()
         return RefCKw(site, sub)
+
+    def _compile_unknown(self, key, kval, site: Site):
+        from .extensions import get_plugin
+        plugin = get_plugin(key)
+        if plugin is not None:
+            if plugin.compile_vec is None:
+                raise Unvectorizable(f"plugin keyword {key!r} (row-eval only)")
+            return plugin.compile_vec(site, kval, self)
+        # unknown / annotation-only keywords: no assertion, no entries
+        return None
 
 
 ALL_JT = ("null", "boolean", "number", "string", "array", "object",

@@ -33,6 +33,8 @@ from .dialect import (
     ANNOTATION_KEYWORDS,
     KEYWORDS,
     STATIC_KEYWORDS,
+    dialect_tables,
+    infer_dialect,
     json_str,
     keyword_order,
     tuplify,
@@ -102,7 +104,7 @@ class RNode:
 
     __slots__ = ("key", "path", "ipath", "base", "sptr", "children",
                  "annotation", "error", "valid", "asserting", "discarded",
-                 "_abs_override", "parent", "is_schema")
+                 "_abs_override", "parent", "is_schema", "schema_doc")
 
     def __init__(self, key=None, path="", ipath="", base=None, sptr="",
                  parent=None):
@@ -125,6 +127,9 @@ class RNode:
         # mirrors `isinstance(node.schema_node, JSONSchema)`
         # (/root/reference/jschon/output.py:131).
         self.is_schema = False
+        # the schema dict evaluated at this node (jschon Result.schema) —
+        # consulted by the $recursiveRef ancestry walk (legacy.py:38-46)
+        self.schema_doc = None
 
     # -- jschon Result API analogues ------------------------------------
     def child(self, key: str, ipath: str, base=None, sptr=None) -> "RNode":
@@ -187,6 +192,10 @@ class RowEvaluator:
         # formats: {attr: (validator_fn, instance_types)} — assertion enabled
         self.formats = formats or {}
         self._pattern_cache: dict[str, re.Pattern] = {}
+        # active dialect; switched per resource subtree by a $schema member
+        # (jschon keys keyword classes off the metaschema,
+        # /root/reference/jschon/jsonschema.py:110-114)
+        self.dialect = "2020-12"
 
     def _rx(self, pattern: str) -> re.Pattern:
         rx = self._pattern_cache.get(pattern)
@@ -210,6 +219,7 @@ class RowEvaluator:
         """Evaluate ``schema`` at ``node`` (jschon JSONSchema.evaluate,
         /root/reference/jschon/jsonschema.py:191-220)."""
         node.is_schema = True
+        node.schema_doc = schema
         if schema is True:
             return
         if schema is False:
@@ -227,29 +237,43 @@ class RowEvaluator:
             node.base = base
             node.sptr = ""
 
-        itype = jtype(instance)
-        for key in keyword_order(schema.keys()):
-            if key in STATIC_KEYWORDS:
-                continue
-            instance_types = KEYWORDS.get(key, (("null", "boolean", "number",
-                                                 "string", "array", "object",
-                                                 "binary", "timestamp"), ()))[0]
-            if itype not in instance_types:
-                continue
-            sub = node.child(key, ipath, base=base, sptr=jptr.join(sptr, key))
-            self.eval_keyword(key, schema, schema[key], instance, ipath, sub,
-                              node, base, jptr.join(sptr, key))
-            if sub.discarded:
-                del node.children[(key, ipath)]
+        prev_dialect = self.dialect
+        if "$schema" in schema and isinstance(schema["$schema"], str):
+            self.dialect = infer_dialect(schema["$schema"])
+        try:
+            kwtable, static = dialect_tables(self.dialect)
+            itype = jtype(instance)
+            for key in keyword_order(schema.keys(), self.dialect):
+                if key in static:
+                    continue
+                instance_types = kwtable.get(
+                    key, (("null", "boolean", "number", "string", "array",
+                           "object", "binary", "timestamp"), ()))[0]
+                if itype not in instance_types:
+                    continue
+                sub = node.child(key, ipath, base=base,
+                                 sptr=jptr.join(sptr, key))
+                sub.schema_doc = schema
+                self.eval_keyword(key, schema, schema[key], instance, ipath,
+                                  sub, node, base, jptr.join(sptr, key))
+                if sub.discarded:
+                    del node.children[(key, ipath)]
 
-        if any(not c.passed for c in node.children.values()
-               if c.ipath == ipath):
-            node.fail()
+            if any(not c.passed for c in node.children.values()
+                   if c.ipath == ipath):
+                node.fail()
+        finally:
+            self.dialect = prev_dialect
 
     # -- keyword dispatch ------------------------------------------------
     def eval_keyword(self, key, schema, kval, instance, ipath, node: RNode,
                      parent: RNode, base, sptr) -> None:
-        m = getattr(self, "_kw_" + re.sub(r"[^A-Za-z]", "_", key), None)
+        # keywords outside the active dialect degrade to annotations, as if
+        # the metaschema supplied no class for them (jschon
+        # vocabulary/__init__.py:100-107)
+        in_dialect = key in dialect_tables(self.dialect)[0]
+        m = getattr(self, "_kw_" + re.sub(r"[^A-Za-z]", "_", key), None) \
+            if in_dialect else None
         if m is not None:
             m(schema, kval, instance, ipath, node, parent, base, sptr)
             return
@@ -546,6 +570,9 @@ class RowEvaluator:
             node.annotation = annotation
 
     def _kw_items(self, schema, kval, instance, ipath, node, parent, base, sptr):
+        if self.dialect == "2019-09":
+            return self._kw_items_2019(schema, kval, instance, ipath, node,
+                                       parent, base, sptr)
         prefix = parent.children.get(("prefixItems", ipath))
         start_index = len(schema.get("prefixItems", [])) if prefix else 0
         annotation = None
@@ -553,6 +580,116 @@ class RowEvaluator:
         for index in range(start_index, len(instance)):
             item_path = jptr.join(ipath, index)
             self.eval_schema(kval, instance[index], item_path, node, base, sptr)
+            if node.valid:
+                annotation = True
+            else:
+                error.append(index)
+                node.pass_()
+        if error:
+            node.fail(error)
+        else:
+            node.annotation = annotation
+
+    def _kw_items_2019(self, schema, kval, instance, ipath, node, parent,
+                       base, sptr):
+        """2019-09 items: schema form applies to every element; array form
+        is positional (/root/reference/jschon/vocabulary/legacy.py:57-87)."""
+        if len(instance) == 0:
+            return
+        if isinstance(kval, bool):
+            self.eval_schema(kval, instance, ipath, node, base, sptr)
+        elif isinstance(kval, dict):
+            for index in range(len(instance)):
+                item_path = jptr.join(ipath, index)
+                self.eval_schema(kval, instance[index], item_path, node,
+                                 base, sptr)
+            if node.passed:
+                node.annotation = True
+        else:  # array form
+            annotation = None
+            error = []
+            for index, item in enumerate(instance[:len(kval)]):
+                annotation = index
+                item_path = jptr.join(ipath, index)
+                sub = node.child(str(index), item_path, base=base,
+                                 sptr=jptr.join(sptr, index))
+                self.eval_schema(kval[index], item, item_path, sub, base,
+                                 jptr.join(sptr, index))
+                if not sub.passed:
+                    error.append(index)
+            if error:
+                node.fail(error)
+            else:
+                node.annotation = annotation
+
+    def _kw_additionalItems(self, schema, kval, instance, ipath, node,
+                            parent, base, sptr):
+        """2019-09 only: items past the positional `items` array
+        (/root/reference/jschon/vocabulary/legacy.py:90-112). Active only
+        when the sibling items annotation is an int."""
+        items = parent.children.get(("items", ipath))
+        if items is not None and type(items.annotation) is int:
+            annotation = None
+            error = []
+            for index in range(items.annotation + 1, len(instance)):
+                item_path = jptr.join(ipath, index)
+                self.eval_schema(kval, instance[index], item_path, node,
+                                 base, sptr)
+                if node.valid:
+                    annotation = True
+                else:
+                    error.append(index)
+                    node.pass_()
+            if error:
+                node.fail(error)
+            else:
+                node.annotation = annotation
+        else:
+            node.discarded = True
+
+    def _kw__recursiveRef(self, schema, kval, instance, ipath, node, parent,
+                          base, sptr):
+        """2019-09 $recursiveRef "#": resolves to the current resource root,
+        rebound to the outermost ancestor resource whose root sets
+        $recursiveAnchor true (/root/reference/jschon/vocabulary/legacy.py:
+        17-49)."""
+        if kval != "#":
+            raise SpecError('"$recursiveRef" may only take the value "#"')
+        target, tbase, tptr = self.catalog.resolve("#", base or "")
+        if isinstance(target, dict) and target.get("$recursiveAnchor") is True:
+            t = node
+            while t is not None:  # leaf -> root; later finds override
+                sd = t.schema_doc
+                if t.is_schema and isinstance(sd, dict) \
+                        and sd.get("$recursiveAnchor") is True:
+                    target, tbase, tptr = sd, t.base, t.sptr
+                t = t.parent
+        node._abs_override = self._ref_override(tbase, tptr)
+        self.eval_schema(target, instance, ipath, node, tbase, tptr)
+        node.is_schema = False
+
+    def _kw_unevaluatedItems_2019(self, schema, kval, instance, ipath, node,
+                                  parent, base, sptr):
+        """2019-09 unevaluatedItems: covered by items/additionalItems
+        annotations only — no prefixItems, no contains carve-out
+        (/root/reference/jschon/vocabulary/legacy.py:115-166)."""
+        last = -1
+        for ann in parent.collect_annotations(ipath, "items"):
+            if ann is True:
+                node.discarded = True
+                return
+            if type(ann) is int and ann > last:
+                last = ann
+        for key in ("additionalItems", "unevaluatedItems"):
+            for ann in parent.collect_annotations(ipath, key):
+                if ann is True:
+                    node.discarded = True
+                    return
+        annotation, error = None, []
+        for index in range(last + 1, len(instance)):
+            item_path = jptr.join(ipath, index)
+            self.eval_schema(kval, instance[index], item_path, node, base,
+                             sptr)
             if node.valid:
                 annotation = True
             else:
@@ -663,6 +800,10 @@ class RowEvaluator:
     def _kw_unevaluatedItems(self, schema, kval, instance, ipath, node,
                              parent, base, sptr):
         # /root/reference/jschon/vocabulary/applicator.py:190-245
+        if self.dialect == "2019-09":
+            return self._kw_unevaluatedItems_2019(schema, kval, instance,
+                                                  ipath, node, parent, base,
+                                                  sptr)
         last = -1
         for ann in parent.collect_annotations(ipath, "prefixItems"):
             if ann is True:

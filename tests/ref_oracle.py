@@ -138,53 +138,69 @@ def _install_rfc3986_shim():
 _CACHE = {}
 
 
-def load_reference():
-    """Return dict(catalog=, JSON=, JSONSchema=, URI=) or None."""
-    if "handle" in _CACHE:
-        return _CACHE["handle"]
+def _patch_local_source(jcat):
+    """Serve minimal metaschema docs for the absent submodule files,
+    draft-appropriate per the source's base_dir."""
+    if getattr(jcat.LocalSource, "_graft_patched", False):
+        return
+    orig_call = jcat.LocalSource.__call__
+
+    def patched(self, relative_path):
+        try:
+            return orig_call(self, relative_path)
+        except Exception:
+            if "2019-09" in str(self.base_dir):
+                uri = "https://json-schema.org/draft/2019-09/" + relative_path
+                return {
+                    "$schema": "https://json-schema.org/draft/2019-09/schema",
+                    "$id": uri,
+                    "$recursiveAnchor": True,
+                }
+            uri = "https://json-schema.org/draft/2020-12/" + relative_path
+            return {
+                "$schema": "https://json-schema.org/draft/2020-12/schema",
+                "$id": uri,
+                "$dynamicAnchor": "meta",
+            }
+
+    jcat.LocalSource.__call__ = patched
+    jcat.LocalSource._graft_patched = True
+
+
+def load_reference(draft: str = "2020-12"):
+    """Return dict(catalog=, JSON=, JSONSchema=, URI=, meta=) or None."""
+    if draft in _CACHE:
+        return _CACHE[draft]
     try:
         _install_rfc3986_shim()
         if "/root/reference" not in sys.path:
             sys.path.insert(0, "/root/reference")
         import jschon.catalog as jcat
 
-        # serve minimal metaschema docs for the absent submodule files
-        orig_call = jcat.LocalSource.__call__
-
-        def patched(self, relative_path):
-            try:
-                return orig_call(self, relative_path)
-            except Exception:
-                uri = "https://json-schema.org/draft/2020-12/" + relative_path
-                return {
-                    "$schema": "https://json-schema.org/draft/2020-12/schema",
-                    "$id": uri,
-                    "$dynamicAnchor": "meta",
-                }
-
-        jcat.LocalSource.__call__ = patched
+        _patch_local_source(jcat)
 
         from jschon import JSON, JSONSchema, URI, create_catalog
 
-        catalog = create_catalog("2020-12", name="ref-oracle")
+        catalog = create_catalog(draft, name=f"ref-oracle-{draft}")
         handle = {"catalog": catalog, "JSON": JSON, "JSONSchema": JSONSchema,
-                  "URI": URI}
+                  "URI": URI,
+                  "meta": f"https://json-schema.org/draft/{draft}/schema"}
     except Exception as e:  # pragma: no cover
         import traceback
         traceback.print_exc()
         handle = None
-    _CACHE["handle"] = handle
+    _CACHE[draft] = handle
     return handle
 
 
 _META = "https://json-schema.org/draft/2020-12/schema"
 
 
-def evaluate_with_reference(spec: dict, instance, handle=None):
-    """Run the reference evaluator; returns its output('basic') dict."""
+def evaluate_with_reference(spec: dict, instance, handle=None, fmt="basic"):
+    """Run the reference evaluator; returns its output(fmt) dict."""
     handle = handle or load_reference()
     schema = handle["JSONSchema"](
         dict(spec), catalog=handle["catalog"],
-        metaschema_uri=handle["URI"](_META))
+        metaschema_uri=handle["URI"](handle.get("meta", _META)))
     result = schema.evaluate(handle["JSON"](instance))
-    return result.output("basic")
+    return result.output(fmt)
