@@ -74,3 +74,88 @@ def evaluate(pointer: str, doc):
         else:
             raise KeyError(f"cannot index {type(node).__name__} with {tok!r}")
     return node
+
+
+# ---------------------------------------------------------------------------
+# Relative JSON Pointer (draft-bhutton-relative-json-pointer)
+
+
+class RelativePointerError(ValueError):
+    pass
+
+
+_REL_RE = None
+
+
+def _rel_re():
+    global _REL_RE
+    if _REL_RE is None:
+        import re
+        _REL_RE = re.compile(
+            r"(?P<up>0|[1-9][0-9]*)"
+            r"(?P<over>(\+|-)[1-9][0-9]*)?"
+            r"(?P<ref>#|(/([^~/]|(~[01]))*)*)$")
+    return _REL_RE
+
+
+class RelativeJSONPointer:
+    """Relative JSON Pointer over plain documents.
+
+    The reference evaluates via parent back-links on its JSON node tree
+    (/root/reference/jschon/jsonpointer.py:276-392); here the starting
+    location is an explicit pointer string, so ancestry is just prefix
+    arithmetic — no node objects needed.
+    """
+
+    __slots__ = ("up", "over", "index", "path")
+
+    def __init__(self, value: str):
+        m = _rel_re().fullmatch(value)
+        if m is None:
+            raise RelativePointerError(
+                f"'{value}' is not a valid relative JSON pointer")
+        up, over, ref = m.group("up", "over", "ref")
+        self.up = int(up)
+        self.over = int(over) if over else 0
+        self.index = ref == "#"
+        self.path = "" if self.index else ref
+
+    def __str__(self):
+        over = "" if not self.over else (
+            f"+{self.over}" if self.over > 0 else str(self.over))
+        return f"{self.up}{over}{'#' if self.index else self.path}"
+
+    def evaluate(self, doc, start: str):
+        """Resolve against ``doc`` from the node addressed by ``start``.
+
+        Returns the referenced value, or (for ``#``) the index/name of the
+        referenced node within its parent. Raises RelativePointerError on
+        out-of-scope navigation, mirroring the reference's evaluate
+        (/root/reference/jschon/jsonpointer.py:358-392).
+        """
+        toks = tokens(start)
+        if self.up > len(toks):
+            raise RelativePointerError("Up too many levels")
+        toks = toks[:len(toks) - self.up]
+        if self.over:
+            if not toks:
+                raise RelativePointerError(
+                    "No containing node for index adjustment")
+            parent = evaluate(join("", *toks[:-1]), doc)
+            if not isinstance(parent, list):
+                raise RelativePointerError(
+                    "Index adjustment not valid for type "
+                    f"{type(parent).__name__}")
+            adjusted = int(toks[-1]) + self.over
+            if adjusted < 0 or adjusted >= len(parent):
+                raise RelativePointerError("Index adjustment out of range")
+            toks[-1] = str(adjusted)
+        if self.index:
+            if not toks:
+                raise RelativePointerError("No containing node")
+            parent = evaluate(join("", *toks[:-1]), doc)
+            return int(toks[-1]) if isinstance(parent, list) else toks[-1]
+        try:
+            return evaluate(join("", *toks) + self.path, doc)
+        except (KeyError, IndexError, ValueError) as e:
+            raise RelativePointerError(str(e)) from e
