@@ -77,6 +77,135 @@ def validate_dataset(ds, spec, *, keep_columns=None, batch_size=4096,
     )
 
 
+_ANNOT_ONLY = frozenset({
+    "title", "description", "default", "deprecated", "readOnly", "writeOnly",
+    "examples", "contentMediaType", "contentEncoding", "contentSchema",
+    "$comment",
+})
+
+
+def _only_presence_checks(sub) -> bool:
+    """True if a property subschema is guaranteed to pass for any non-null
+    binary cell: `{"type": "binary"}` plus annotations, or `true`."""
+    if sub is True:
+        return True
+    if not isinstance(sub, dict):
+        return False
+    for k, v in sub.items():
+        if k in _ANNOT_ONLY:
+            continue
+        if k == "type" and (v == "binary" or (isinstance(v, list)
+                                              and "binary" in v)):
+            continue
+        return False
+    return True
+
+
+def _stats_dischargeable(spec, col: str) -> bool:
+    """Can every check touching `col` be discharged by 'col is always
+    present with binary type' (provable from parquet row-group stats)?
+
+    Conservative deep walk: property-set-counting keywords, name checks,
+    regexes matching the column, or non-trivial subschemas on the column
+    all veto the discharge."""
+    import re as _re
+    ok = True
+
+    def walk(node):
+        nonlocal ok
+        if not ok:
+            return
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k in ("minProperties", "maxProperties", "propertyNames"):
+                    ok = False
+                elif k == "patternProperties" and isinstance(v, dict):
+                    for rx, sub in v.items():
+                        if _re.search(rx, col):
+                            ok = False
+                        walk(sub)
+                elif k == "dependentRequired" and isinstance(v, dict):
+                    if col in v or any(col in deps for deps in v.values()
+                                       if isinstance(deps, list)):
+                        ok = False
+                elif k == "dependentSchemas" and isinstance(v, dict):
+                    if col in v:
+                        ok = False
+                    for sub in v.values():
+                        walk(sub)
+                elif k == "properties" and isinstance(v, dict):
+                    sub = v.get(col)
+                    if sub is not None and not _only_presence_checks(sub):
+                        ok = False
+                    for name, s in v.items():
+                        if name != col:
+                            walk(s)
+                elif k in ("enum", "const", "default", "examples"):
+                    continue  # data values, not schemas
+                else:
+                    walk(v)
+        elif isinstance(node, list):
+            for x in node:
+                walk(x)
+
+    walk(spec)
+    return ok
+
+
+def _discharge_col(spec, col: str):
+    """Rewrite the spec as if `col` were proven always-present-and-binary:
+    drop it from every `required` list and from `properties`. Sound exactly
+    when the stats prove presence — `required` minus an always-present name
+    is equivalent, and missing-property error lists can never contain it."""
+    if isinstance(spec, dict):
+        out = {}
+        for k, v in spec.items():
+            if k == "required" and isinstance(v, list):
+                out[k] = [n for n in v if n != col]
+            elif k == "properties" and isinstance(v, dict):
+                out[k] = {n: _discharge_col(s, col)
+                          for n, s in v.items() if n != col}
+            elif k in ("enum", "const", "default", "examples"):
+                out[k] = v
+            else:
+                out[k] = _discharge_col(v, col)
+        return out
+    if isinstance(spec, list):
+        return [_discharge_col(x, col) for x in spec]
+    return spec
+
+
+def discharge_payload_checks(spec, files, col: str = "bytes"):
+    """Prune a heavy payload column from the read when parquet row-group
+    statistics prove its only checks (presence + binary type).
+
+    The 100 TB move: a verdict-only pass must not scan the audio payload
+    just to assert `required` — null counts in file metadata prove it per
+    row group. Returns (possibly rewritten spec, prunable: bool); any file
+    with missing stats or a null vetoes (exactness over speed).
+    """
+    if not _stats_dischargeable(spec, col):
+        return spec, False
+    import pyarrow.parquet as pq
+    for f in files:
+        try:
+            md = pq.read_metadata(f)
+        except Exception:
+            return spec, False
+        sch = md.schema.to_arrow_schema()
+        idx = sch.get_field_index(col)
+        if idx < 0:
+            return spec, False
+        import pyarrow as _pa
+        if sch.field(idx).type not in (_pa.binary(), _pa.large_binary()):
+            return spec, False
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or st.null_count is None or st.null_count > 0:
+                return spec, False
+    return _discharge_col(spec, col), True
+
+
 def explode_violations(ds, key_cols=("clip_id",)):
     """violations list<struct> -> one row per violation (lazy)."""
     return ds.map_batches(
@@ -194,10 +323,10 @@ def clip_validation_pipeline(clips_path, *, spec=None, decode=False,
     from ..sources.io import read_table, write_table
 
     is_path = isinstance(clips_path, str)
-    ds = read_table(clips_path) if is_path else clips_path
     spec = spec or CLIP_SPEC
 
     if decode:
+        ds = read_table(clips_path) if is_path else clips_path
         checked = validate_dataset(ds, spec, batch_size=batch_size,
                                    concurrency=concurrency)
         from ..stages.decode import ClipDecoder
@@ -206,9 +335,28 @@ def clip_validation_pipeline(clips_path, *, spec=None, decode=False,
             concurrency=concurrency or default_concurrency())
         verdicts = checked
     else:
-        # bytes are dropped INSIDE the fused read->validate task: the
-        # payload column never enters the object store
-        keep = [c for c in (ds.schema().names) if c != "bytes"]
+        # verdict-only runs should not scan the audio payload just to
+        # assert presence: when parquet row-group stats prove `bytes` is
+        # never null (and its only checks are presence + binary type), the
+        # checks are discharged from metadata and the column is pruned AT
+        # THE READ — at 100 TB that is the difference between scanning ~1%
+        # of the table and all of it. Otherwise `bytes` is read and dropped
+        # inside the fused read->validate task (never enters the object
+        # store).
+        pruned = False
+        if is_path:
+            import pyarrow.parquet as pq
+
+            from ..sources.io import table_files
+            files = table_files(clips_path)
+            spec, pruned = discharge_payload_checks(spec, files, "bytes")
+            names = pq.read_schema(files[0]).names
+            keep = [c for c in names if c != "bytes"]
+            ds = read_table(clips_path, columns=keep) if pruned \
+                else read_table(clips_path)
+        else:
+            ds = clips_path
+            keep = [c for c in ds.schema().names if c != "bytes"]
         verdicts = validate_dataset(ds, spec, batch_size=batch_size,
                                     concurrency=concurrency,
                                     keep_columns=keep)

@@ -25,6 +25,13 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_files(path) -> list:
+    """Concrete parquet file paths behind a table path (file or dir)."""
+    if isinstance(path, str) and os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return [path] if isinstance(path, str) else list(path)
+
+
 def read_table(path, *, columns=None, filter=None, override_num_blocks=None):
     """Read a table (file, directory of parts, or list of paths) as a
     streaming ray.data.Dataset with column pruning + predicate pushdown."""
