@@ -98,6 +98,76 @@ def make_cases():
           "unevaluatedProperties": False}, t_mix),
         ({"properties": {"xs": {"items": False}}}, t_list),
         ({"properties": {"x": False}}, t_num),
+        # --- adversarial widening ---
+        # nested combinators: oneOf of allOf/if-then
+        ({"oneOf": [
+            {"allOf": [{"required": ["a"]},
+                       {"properties": {"a": {"minimum": 2}}}]},
+            {"if": {"required": ["b"]},
+             "then": {"properties": {"b": {"minLength": 3}}},
+             "else": {"required": ["c"]}},
+        ]}, t_mix),
+        # anyOf where both branches annotate; not-within-allOf
+        ({"allOf": [{"not": {"properties": {"a": {"const": 1}},
+                             "required": ["a"]}}],
+          "anyOf": [{"required": ["a"]}, {"required": ["b"]},
+                    {"required": ["a", "b"]}]}, t_mix),
+        # contains + minContains retro-pass + maxContains together
+        ({"properties": {"xs": {"contains": {"minimum": 3},
+                                "minContains": 0, "maxContains": 1}}},
+         t_list),
+        # unevaluatedItems after prefixItems + contains carve-out
+        ({"properties": {"xs": {"prefixItems": [{"type": "integer"}],
+                                "contains": {"minimum": 50},
+                                "minContains": 0,
+                                "unevaluatedItems": {"maximum": 4}}}},
+         t_list),
+        # unevaluatedProperties with if/then branch annotations
+        ({"if": {"required": ["a"]},
+          "then": {"properties": {"b": {"type": "string"}}},
+          "properties": {"a": True},
+          "unevaluatedProperties": {"type": "number"}}, t_mix),
+        # $ref chain through two $defs levels + $anchor
+        ({"$defs": {"lvl1": {"$anchor": "one", "$ref": "#/$defs/lvl2"},
+                    "lvl2": {"exclusiveMaximum": 50}},
+          "properties": {"x": {"$ref": "#one"}}}, t_num),
+        # enum deep equality: 1 vs 1.0 vs true, arrays
+        ({"properties": {"xs": {"enum": [[1, 2, 3], [], [1.0, 2.0, 3.0],
+                                         [True, 7]]}}}, t_list),
+        # const with object value (deep equality on struct column)
+        ({"properties": {"m": {"const": {"lang": "en", "n": 1.0}}}},
+         t_struct),
+        # multipleOf on small decimals (Decimal-exact path)
+        ({"properties": {"x": {"multipleOf": 0.25}}}, t_float),
+        ({"properties": {"x": {"multipleOf": 3}}}, t_num),
+        # pattern with unicode + anchors
+        ({"properties": {"s": {"pattern": "^[\\u3040-\\u30ff\\u4e00-\\u9fff]+$"}}},
+         t_str),
+        # patternProperties + additionalProperties complement interplay
+        ({"patternProperties": {"^[ac]$": {"type": ["number", "integer"]}},
+          "properties": {"b": {"type": "string"}},
+          "additionalProperties": False}, t_mix),
+        # propertyNames regex
+        ({"propertyNames": {"pattern": "^[a-b]$"}}, t_mix),
+        # dependentSchemas + unevaluatedProperties union of branches
+        ({"dependentSchemas": {"a": {"properties": {"c": True}}},
+          "properties": {"a": True, "b": True},
+          "unevaluatedProperties": False}, t_mix),
+        # nested struct: required/bounds inside an object column + not
+        ({"properties": {"m": {
+            "type": "object",
+            "required": ["lang", "n"],
+            "not": {"properties": {"n": {"exclusiveMinimum": 0}}},
+        }}}, t_struct),
+        # if without then/else (annotation only) + standalone else (no-op)
+        ({"if": {"required": ["a"]},
+          "properties": {"a": {"type": "integer"}}}, t_mix),
+        ({"else": {"required": ["zz"]}, "required": ["a"]}, t_mix),
+        # allOf duplicating the same check (two subresults, same ipath)
+        ({"allOf": [{"properties": {"a": {"minimum": 2}}},
+                    {"properties": {"a": {"minimum": 3}}}]}, t_mix),
+        # whole-row type mismatch: string-typed root over object rows
+        ({"type": "string"}, t_mix),
     ]
     return cases
 
