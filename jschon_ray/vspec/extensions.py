@@ -55,13 +55,17 @@ def register_keyword(key: str, *, instance_types=dialect.ALL_TYPES,
     plugin = KeywordPlugin(key, tuple(instance_types), tuple(depends_on),
                            row_eval, compile_vec)
     _plugins[key] = plugin
-    # feeds type gating + the stable toposort (dialect.keyword_order)
-    dialect.KEYWORDS[key] = (plugin.instance_types, plugin.depends_on)
+    # feeds type gating + the stable toposort (dialect.keyword_order),
+    # in every dialect's table
+    entry = (plugin.instance_types, plugin.depends_on)
+    dialect.KEYWORDS[key] = entry
+    dialect.KEYWORDS_2019[key] = entry
 
 
 def unregister_keyword(key: str) -> None:
     _plugins.pop(key, None)
     dialect.KEYWORDS.pop(key, None)
+    dialect.KEYWORDS_2019.pop(key, None)
 
 
 def get_plugin(key: str) -> KeywordPlugin | None:
