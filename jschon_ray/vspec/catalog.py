@@ -22,10 +22,79 @@ class SpecError(Exception):
     pass
 
 
+class LocalSource:
+    """Load spec documents from a directory by relative path.
+
+    The analogue of the reference's LocalSource
+    (/root/reference/jschon/catalog/__init__.py:35-55): callable with the
+    URI's path relative to the registered prefix."""
+
+    def __init__(self, base_dir: str, suffix: str = ""):
+        self.base_dir = base_dir
+        self.suffix = suffix
+
+    def __call__(self, relative_path: str):
+        import json
+        import os
+        path = os.path.join(self.base_dir, relative_path) + self.suffix
+        with open(path) as f:
+            return json.load(f)
+
+
 class SpecCatalog:
     def __init__(self):
         # base_uri (no fragment) -> {"doc": spec, "anchors": {name: ptr}}
         self._resources: dict[str, dict] = {}
+        # uri prefix -> callable(relative_path) -> spec dict ('' = default)
+        self._uri_sources: dict[str, object] = {}
+
+    def add_uri_source(self, base_uri: str | None, source) -> None:
+        """Register a source for lazily loading URI-identified specs.
+
+        Longest-prefix routing, `None` = default source — the reference's
+        add_uri_source/load_json contract
+        (/root/reference/jschon/catalog/__init__.py:102-164). `source` is
+        any callable taking the path relative to the prefix."""
+        if base_uri is None:
+            self._uri_sources[""] = source
+            return
+        if "#" in base_uri or not base_uri.endswith("/"):
+            raise SpecError('base_uri must be fragmentless and end with "/"')
+        self._uri_sources[base_uri] = source
+
+    def load_json(self, uri: str):
+        """Load the spec document for `uri` via the most specific source."""
+        candidates = sorted(
+            (p for p in self._uri_sources if uri.startswith(p)),
+            key=len, reverse=True)
+        if not candidates:
+            raise SpecError(f'no source is available for "{uri}"')
+        prefix = candidates[0]
+        try:
+            return self._uri_sources[prefix](uri[len(prefix):])
+        except SpecError:
+            raise
+        except Exception as e:
+            raise SpecError(f"failed to load {uri!r}: {e}") from e
+
+    def _load_resource(self, base: str) -> dict | None:
+        """Lazy-load + register an unknown resource through the sources."""
+        if not self._uri_sources:
+            return None
+        try:
+            doc = self.load_json(base)
+        except SpecError:
+            return None
+        self.register(doc, base)
+        res = self._resources.get(base)
+        if res is None or res["doc"] is None:
+            # the document declared its own $id: alias the requested URI
+            if isinstance(doc, dict) and isinstance(doc.get("$id"), str):
+                canonical = urldefrag(urljoin(base, doc["$id"])).url
+                res = self._resources.get(canonical)
+                if res is not None:
+                    self._resources[base] = res
+        return res
 
     def register(self, spec, uri: str | None = None) -> str:
         """Register a spec document (and any embedded ``$id`` resources).
@@ -81,6 +150,8 @@ class SpecCatalog:
         target_base, frag = urldefrag(target)
         frag = jptr.parse_uri_fragment(frag)
         res = self._resources.get(target_base)
+        if res is None or res["doc"] is None:
+            res = self._load_resource(target_base)
         if res is None or res["doc"] is None:
             raise SpecError(f"unknown spec resource: {target_base!r} (ref {ref!r})")
         if frag == "":
