@@ -26,6 +26,7 @@ from ..state.manifest import Manifest, shard_id_for
 from ..state.profile import TableProfile
 from .specs import CLIP_SPEC
 from .validate import (
+    discharge_payload_checks,
     explode_violations,
     referential_violations,
     summarize_verdicts,
@@ -61,9 +62,18 @@ def run_resumable_validation(clips_dir: str, out_dir: str, *, spec=None,
         xdir = os.path.join(out_dir, "violations", f"shard={sid}")
         for d in (vdir, xdir):
             shutil.rmtree(d, ignore_errors=True)
-        ds = read_table(path)
-        checked = validate_dataset(ds, spec)
-        verdicts = checked.drop_columns(["bytes"])
+        # per-shard stats discharge: shards whose metadata proves `bytes`
+        # non-null skip the payload scan entirely (per-file granularity —
+        # a dirty shard only costs itself)
+        sspec, pruned = discharge_payload_checks(spec, [path], "bytes")
+        if pruned:
+            import pyarrow.parquet as pq
+            cols = [c for c in pq.read_schema(path).names if c != "bytes"]
+            ds = read_table(path, columns=cols)
+            verdicts = validate_dataset(ds, sspec)
+        else:
+            ds = read_table(path)
+            verdicts = validate_dataset(ds, sspec).drop_columns(["bytes"])
         write_table(verdicts, vdir)
 
         # read back the (bytes-free) verdicts for the cheap derived outputs
