@@ -155,17 +155,24 @@ def write_clips_dataset(out_dir: str, n: int, seed: int = 42, *,
     """Write a sharded clips dataset (one parquet per shard — the unit of
     checkpoint/resume lineage). Deterministic per (seed, shard)."""
     os.makedirs(out_dir, exist_ok=True)
-    paths = []
     per = n // num_shards
-    for s in range(num_shards):
+
+    def build_shard(s: int) -> str:
         rows = per + (n - per * num_shards if s == num_shards - 1 else 0)
         t = generate_clips(rows, seed=seed * 1000 + s, dirty=dirty)
         p = os.path.join(out_dir, f"part-{s:04d}.parquet")
         # audio payloads are incompressible; NONE skips codec CPU on read
         # (scale note: never re-compress compressed/opaque media columns)
         pq.write_table(t, p, compression="NONE")
-        paths.append(p)
-    return paths
+        return p
+
+    # deterministic per (seed, shard) either way; fan out when a Ray
+    # session exists (never init one from library code)
+    import ray
+    if ray.is_initialized() and num_shards > 1:
+        remote_build = ray.remote(num_cpus=1)(build_shard)
+        return ray.get([remote_build.remote(s) for s in range(num_shards)])
+    return [build_shard(s) for s in range(num_shards)]
 
 
 def clips_cache_dir(sf_dir: str, n: int | None = None, seed: int = 42) -> str:
