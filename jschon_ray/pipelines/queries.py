@@ -644,6 +644,84 @@ WHERE a.vec_id < b.vec_id
 # rows-only entries (non-SQL-expressible: sketches, LSH, drift, clips)
 
 
+def _clips_checks_sql(sf_dir: str) -> str:
+    """Shared CTE: per-row failure flags mirroring CLIP_SPEC's keywords
+    (each check skips null cells, like instance-type gating skips absent
+    properties)."""
+    from ..sources.clips import CODECS, clips_cache_dir
+
+    path = clips_cache_dir(sf_dir)
+    codecs = ", ".join(f"'{c}'" for c in CODECS)
+    return f"""
+WITH clips AS (SELECT * FROM read_parquet('{path}/*.parquet')),
+checks AS (
+  SELECT clip_id, codec,
+    (clip_id IS NOT NULL
+     AND NOT regexp_matches(clip_id, '^clip-[0-9a-f]{{12}}$')) AS f_pat,
+    (sr_hz IS NOT NULL AND sr_hz < 8000) AS f_srmin,
+    (sr_hz IS NOT NULL AND sr_hz > 48000) AS f_srmax,
+    (sr_hz IS NOT NULL AND (sr_hz % 25) != 0) AS f_srmult,
+    (dur_ms IS NOT NULL AND dur_ms <= 0) AS f_durmin,
+    (dur_ms IS NOT NULL AND dur_ms > 600000) AS f_durmax,
+    (codec IS NOT NULL AND codec NOT IN ({codecs})) AS f_codec,
+    (transcript IS NOT NULL AND length(transcript) < 1) AS f_trmin,
+    (transcript IS NOT NULL AND length(transcript) > 1024) AS f_trmax,
+    (clip_id IS NULL OR bytes IS NULL OR sr_hz IS NULL
+     OR dur_ms IS NULL OR codec IS NULL) AS f_req
+  FROM clips),
+rowv AS (
+  SELECT *,
+    (f_pat OR f_srmin OR f_srmax OR f_srmult OR f_durmin OR f_durmax
+     OR f_codec OR f_trmin OR f_trmax) AS any_prop,
+    (CAST(f_pat AS INT) + CAST(f_srmin AS INT) + CAST(f_srmax AS INT)
+     + CAST(f_srmult AS INT) + CAST(f_durmin AS INT) + CAST(f_durmax AS INT)
+     + CAST(f_codec AS INT) + CAST(f_trmin AS INT) + CAST(f_trmax AS INT))
+        AS n_prop_fails
+  FROM checks)
+"""
+
+
+def _clips_validation_sql(sf_dir: str) -> str:
+    """DuckDB mirror of the flagship summary: row verdicts decompose into
+    one '/properties' error per failing row plus one error per failing
+    keyword (output('basic') structure), uniqueness = keys seen twice,
+    referential = codec not in the dimension set."""
+    return _clips_checks_sql(sf_dir) + """
+SELECT count(*) AS n,
+  CAST(sum(CASE WHEN NOT (any_prop OR f_req) THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_valid,
+  CAST(sum(n_prop_fails + CASE WHEN any_prop THEN 1 ELSE 0 END
+           + CASE WHEN f_req THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+  (SELECT count(*) FROM (SELECT clip_id FROM clips
+                         GROUP BY clip_id HAVING count(*) > 1))
+      AS n_dupe_keys,
+  CAST(sum(CASE WHEN f_codec THEN 1 ELSE 0 END) AS BIGINT) AS n_referential
+FROM rowv
+"""
+
+
+def _clips_violation_counts_sql(sf_dir: str) -> str:
+    parts = [
+        ("/properties", "any_prop"),
+        ("/properties/clip_id/pattern", "f_pat"),
+        ("/properties/sr_hz/minimum", "f_srmin"),
+        ("/properties/sr_hz/maximum", "f_srmax"),
+        ("/properties/sr_hz/multipleOf", "f_srmult"),
+        ("/properties/dur_ms/exclusiveMinimum", "f_durmin"),
+        ("/properties/dur_ms/maximum", "f_durmax"),
+        ("/properties/codec/enum", "f_codec"),
+        ("/properties/transcript/minLength", "f_trmin"),
+        ("/properties/transcript/maxLength", "f_trmax"),
+        ("/required", "f_req"),
+    ]
+    union = "\nUNION ALL ".join(
+        f"SELECT '{kl}' AS keywordLocation, CAST(sum(CASE WHEN {flag} "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n FROM rowv"
+        for kl, flag in parts)
+    return _clips_checks_sql(sf_dir) + \
+        f"SELECT keywordLocation, n FROM ({union}) WHERE n > 0"
+
+
 def q_clips_validation(sf_dir):
     """Flagship constraint suite over the synthesized clips table."""
     from ..sources.clips import clips_cache_dir
@@ -793,9 +871,10 @@ def build_queries() -> dict:
         # embeddings
         "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
-        # rows-only (no SQL equivalent)
+        # clips flagship (oracle-checked against the same /tmp cache)
         "clips_validation": q_clips_validation,
         "clips_violation_counts": q_clips_violations,
+        # rows-only (no SQL equivalent)
         "clips_decode": q_clips_decode,
         "grouped_stats_codec": q_grouped_stats_codec,
         "profile_sketches_lineitem": q_profile_sketches_lineitem,
@@ -831,5 +910,11 @@ def build_oracles() -> dict:
         "fingerprint_docs": _FINGERPRINT_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
+        # flagship clips oracles read the deterministic /tmp cache; the
+        # driver runs side-by-side correctness at sf0.01 (driver contract),
+        # which is the scale these strings are derived for
+        "clips_validation": _clips_validation_sql("/root/testdata/sf0.01"),
+        "clips_violation_counts":
+            _clips_violation_counts_sql("/root/testdata/sf0.01"),
     }
     return sql
