@@ -760,11 +760,33 @@ def q_clips_decode(sf_dir):
 
 
 def q_grouped_stats_codec(sf_dir):
+    """Salted grouped stats over the hot codec key; the oracle checks the
+    exact fields (n/n_null/mean/min/max — integer dur_ms sums are exact in
+    float64, so mean is bit-deterministic); the t-digest quantiles stay in
+    grouped_stats' full output and are unit-tested for accuracy."""
     from ..sources.clips import clips_cache_dir
     from .stats import grouped_stats
 
     ds = read_table(clips_cache_dir(sf_dir), columns=["codec", "dur_ms"])
-    return grouped_stats(ds, "codec", "dur_ms")
+    out = grouped_stats(ds, "codec", "dur_ms")
+    return out.map_batches(
+        lambda t: t.select(["codec", "n", "n_null", "mean", "min", "max"]),
+        batch_format="pyarrow")
+
+
+def _grouped_stats_codec_sql(sf_dir: str) -> str:
+    from ..sources.clips import clips_cache_dir
+
+    path = clips_cache_dir(sf_dir)
+    return f"""
+SELECT codec, count(*) AS n,
+  CAST(sum(CASE WHEN dur_ms IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  avg(dur_ms) AS mean,
+  CAST(min(dur_ms) AS DOUBLE) AS "min",
+  CAST(max(dur_ms) AS DOUBLE) AS "max"
+FROM read_parquet('{path}/*.parquet')
+WHERE codec IS NOT NULL GROUP BY codec
+"""
 
 
 def q_profile_sketches_lineitem(sf_dir):
@@ -916,5 +938,7 @@ def build_oracles() -> dict:
         "clips_validation": _clips_validation_sql("/root/testdata/sf0.01"),
         "clips_violation_counts":
             _clips_violation_counts_sql("/root/testdata/sf0.01"),
+        "grouped_stats_codec":
+            _grouped_stats_codec_sql("/root/testdata/sf0.01"),
     }
     return sql
