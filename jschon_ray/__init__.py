@@ -23,6 +23,39 @@ bench.py / test fixtures / the driver.
 
 __version__ = "0.1.0"
 
+__all__ = [
+    "SpecCatalog", "LocalSource", "compile_spec", "validate",
+    "validate_dataset", "register_for_pickle_by_value",
+]
+
+
+def __getattr__(name):
+    # lazy re-exports of the primary entry points (keeps bare import cheap)
+    if name in ("SpecCatalog", "LocalSource"):
+        from .vspec import catalog
+        return getattr(catalog, name)
+    if name == "compile_spec":
+        from .vspec.evaluator import compile_spec
+        return compile_spec
+    if name == "validate_dataset":
+        from .pipelines.validate import validate_dataset
+        return validate_dataset
+    raise AttributeError(name)
+
+
+def validate(spec, instance, *, format: str = "basic", catalog=None,
+             formats=None):
+    """Evaluate one instance against a declarative spec — the analogue of
+    the reference's ``schema.evaluate(JSON(x)).output(format)`` one-liner
+    (/root/reference/jschon/jsonschema.py:191-220, output.py). For
+    datasets, use :func:`validate_dataset` / the pipelines instead."""
+    from .vspec.catalog import SpecCatalog
+    from .vspec.output import create_output
+    from .vspec.row_oracle import RowEvaluator
+
+    ev = RowEvaluator(catalog or SpecCatalog(), formats)
+    return create_output(ev.evaluate(spec, instance), format)
+
 
 def register_for_pickle_by_value() -> None:
     """Ship jschon_ray code to Ray workers by value (cloudpickle).
