@@ -1259,6 +1259,53 @@ class AdditionalPropertiesCKw(CKw):
         return KwOut(valid, entries=entries)
 
 
+class UnevaluatedPropertiesCKw(CKw):
+    """``unevaluatedProperties`` vectorized for the branch-free shape
+    (/root/reference/jschon/vocabulary/applicator.py:346-390): when the
+    schema level carries no branch applicators, the evaluated-name set per
+    row is exactly (names matched by a sibling k) gated on that sibling's
+    per-row validity — annotations drop from failed subtrees, so a row
+    whose ``properties`` failed re-exposes ALL its names here (the same
+    behavior the row oracle and the reference exhibit)."""
+    key = "unevaluatedProperties"
+
+    def __init__(self, site, cols_subs, contributors):
+        super().__init__(site)
+        self.cols_subs = cols_subs          # [(colname, CSchema)] col order
+        self.contributors = contributors    # [(sibling_key, frozenset names)]
+
+    def evaluate(self, inst, siblings):
+        valid = np.ones(inst.n, bool)
+        entries = []
+        colfails = []
+        for j, (name, sub) in enumerate(self.cols_subs):
+            pres = inst.field_present(name)
+            evaluated = np.zeros(inst.n, bool)
+            for key, names in self.contributors:
+                if name in names and key in siblings:
+                    evaluated |= siblings[key].valid
+            target = pres & ~evaluated
+            if not target.any():
+                continue
+            ci = inst.child(name)
+            out = sub.evaluate(ci)
+            fail = ~out.valid & target
+            if fail.any():
+                valid &= ~fail
+                colfails.append((name, fail))
+            for e in out.entries:
+                e.and_mask(target)
+                if e.mask.any():
+                    entries.append(e.retag(self.seq + (j,)))
+        fails = ~valid
+        if fails.any():
+            def mk(cells, colfails=colfails):
+                return [json_str([n for n, f in colfails if f[r]])
+                        for r in cells]
+            entries.insert(0, self.entry(fails, inst.loc, mk))
+        return KwOut(valid, entries=entries)
+
+
 class PropertyNamesCKw(CKw):
     """``propertyNames`` — column names are static, so the subschema is
     evaluated once at compile time against each name
@@ -1830,7 +1877,9 @@ class Compiler:
             return ContainsCKw(site, sub)
         if key == "$ref" or key == "$dynamicRef":
             return self._compile_ref(kval, site, dynamic=key == "$dynamicRef")
-        if key in ("unevaluatedItems", "unevaluatedProperties"):
+        if key == "unevaluatedProperties":
+            return self._compile_unevaluated_properties(kval, schema, site)
+        if key == "unevaluatedItems":
             raise Unvectorizable(key)
         if key == "$dynamicAnchor":
             return None
@@ -1910,6 +1959,41 @@ class Compiler:
             cols_subs.append((name, self.compile_schema(
                 kval, csite, suppress_root_error=True)))
         return AdditionalPropertiesCKw(site, cols_subs)
+
+    def _compile_unevaluated_properties(self, kval, schema, site: Site):
+        """Vectorize the branch-free shape; anything that can move name
+        annotations across branches falls back to the per-row oracle."""
+        unsafe = {"allOf", "anyOf", "oneOf", "not", "if", "then", "else",
+                  "dependentSchemas", "$ref", "$dynamicRef", "$recursiveRef"}
+        if unsafe & set(schema.keys()):
+            raise Unvectorizable(
+                "unevaluatedProperties beside branch applicators")
+        from .extensions import get_plugin
+        if any(get_plugin(k) is not None for k in schema.keys()):
+            raise Unvectorizable(
+                "unevaluatedProperties beside plugin keywords")
+        cols = self._cols(site)
+        known = set(schema.get("properties", {}).keys())
+        rxs = [re.compile(rx) for rx in schema.get("patternProperties", {})]
+        prop_names = frozenset(c for c in cols if c in known)
+        pat_names = frozenset(c for c in cols
+                              if any(rx.search(c) for rx in rxs))
+        addl_names = frozenset(
+            c for c in cols if c not in prop_names and c not in pat_names
+        ) if "additionalProperties" in schema else frozenset()
+        contributors = [("properties", prop_names),
+                        ("patternProperties", pat_names),
+                        ("additionalProperties", addl_names)]
+        cols_subs = []
+        for name in cols:
+            # every column can be unevaluated on SOME row (a failed sibling
+            # drops its annotation), so all get a compiled subschema
+            dtype = self._child_dtype(site, name)
+            csite = Site(arrow_jtype(dtype), dtype, site.kloc, site.base,
+                         site.sptr, (), False)
+            cols_subs.append((name, self.compile_schema(
+                kval, csite, suppress_root_error=True)))
+        return UnevaluatedPropertiesCKw(site, cols_subs, contributors)
 
     def _compile_property_names(self, kval, site: Site):
         fail_names = []

@@ -168,6 +168,17 @@ def make_cases():
                     {"properties": {"a": {"minimum": 3}}}]}, t_mix),
         # whole-row type mismatch: string-typed root over object rows
         ({"type": "string"}, t_mix),
+        # vectorized unevaluatedProperties (branch-free shapes):
+        # a failing `properties` drops its annotation, re-exposing names
+        ({"properties": {"a": {"minimum": 2}},
+          "unevaluatedProperties": {"type": "string"}}, t_mix),
+        ({"properties": {"a": {"minimum": 2}, "b": {"minLength": 1}},
+          "patternProperties": {"^c$": {"maximum": 1}},
+          "unevaluatedProperties": False}, t_mix),
+        ({"patternProperties": {"^[ab]$": {"type": ["integer", "string"]}},
+          "additionalProperties": {"maximum": 1},
+          "unevaluatedProperties": {"exclusiveMinimum": 100}}, t_mix),
+        ({"unevaluatedProperties": {"type": ["integer", "string"]}}, t_mix),
     ]
     return cases
 
