@@ -1034,6 +1034,61 @@ class ItemsCKw(CKw):
         return KwOut(valid, entries=entries)
 
 
+class UnevaluatedItemsCKw(CKw):
+    """``unevaluatedItems`` vectorized for the branch-free, no-``contains``
+    shape (/root/reference/jschon/vocabulary/applicator.py:190-245):
+    coverage per row derives from the prefixItems/items siblings' static
+    extents gated on their per-row validity (annotations drop from failed
+    subtrees, re-exposing those elements here)."""
+    key = "unevaluatedItems"
+
+    def __init__(self, site, sub, n_prefix, has_prefix, has_items):
+        super().__init__(site)
+        self.sub = sub
+        self.n_prefix = n_prefix
+        self.has_prefix = has_prefix
+        self.has_items = has_items
+
+    def evaluate(self, inst, siblings):
+        app = _applicable(inst)
+        _, par_all, intra_all = inst.list_parts()
+        lengths = np.bincount(par_all, minlength=inst.n) \
+            if len(par_all) else np.zeros(inst.n, np.int64)
+        start = np.zeros(inst.n, np.int64)
+        covered = ~app
+        if self.has_prefix and "prefixItems" in siblings:
+            pv = siblings["prefixItems"].valid
+            start = np.where(pv, np.minimum(lengths, self.n_prefix), 0)
+            # a valid prefix covering the whole array discards this keyword
+            covered |= pv & (lengths <= self.n_prefix)
+        if self.has_items and "items" in siblings:
+            iv = siblings["items"].valid
+            # items annotates True (and so covers the rest) only when it
+            # actually evaluated at least one element and all passed
+            covered |= iv & (lengths > self.n_prefix)
+        active = app & ~covered
+        if not active.any():
+            return KwOut(np.ones(inst.n, bool))
+        sel = active[par_all] & (intra_all >= start[par_all])
+        ei, par, intra = inst.elements(sel)
+        out = self.sub.evaluate(ei)
+        valid = _segment_all(inst.n, par, out.valid)
+        valid |= ~active
+        entries = [e.lift(par, [self.seq, intra]) for e in out.entries]
+        fails = ~valid
+        if fails.any():
+            bad = ~out.valid
+            bad_par, bad_intra = par[bad], intra[bad]
+
+            def mk(cells, bad_par=bad_par, bad_intra=bad_intra):
+                idx = {}
+                for p, i in zip(bad_par, bad_intra):
+                    idx.setdefault(int(p), []).append(int(i))
+                return [idx.get(int(r), []) for r in cells]
+            entries.insert(0, self.entry(fails, inst.loc, mk))
+        return KwOut(valid, entries=entries)
+
+
 class AdditionalItems2019CKw(ItemsCKw):
     """2019-09 ``additionalItems`` — discarded per row unless the positional
     ``items`` sibling passed with an integer annotation
@@ -1880,7 +1935,7 @@ class Compiler:
         if key == "unevaluatedProperties":
             return self._compile_unevaluated_properties(kval, schema, site)
         if key == "unevaluatedItems":
-            raise Unvectorizable(key)
+            return self._compile_unevaluated_items(kval, schema, site)
         if key == "$dynamicAnchor":
             return None
         return self._compile_unknown(key, kval, site)
@@ -1994,6 +2049,24 @@ class Compiler:
             cols_subs.append((name, self.compile_schema(
                 kval, csite, suppress_root_error=True)))
         return UnevaluatedPropertiesCKw(site, cols_subs, contributors)
+
+    def _compile_unevaluated_items(self, kval, schema, site: Site):
+        """Vectorize the branch-free, no-contains shape (2020-12 dialect);
+        everything else keeps the per-row fallback."""
+        unsafe = {"contains", "allOf", "anyOf", "oneOf", "not", "if", "then",
+                  "else", "$ref", "$dynamicRef", "$recursiveRef",
+                  "additionalItems"}
+        if self.dialect != "2020-12" or unsafe & set(schema.keys()):
+            raise Unvectorizable("unevaluatedItems beside branch applicators")
+        from .extensions import get_plugin
+        if any(get_plugin(k) is not None for k in schema.keys()):
+            raise Unvectorizable("unevaluatedItems beside plugin keywords")
+        n_prefix = len(schema.get("prefixItems", []))
+        elem_site = self._elem_site(site, site.seq, into_node=True)
+        sub = self.compile_schema(kval, elem_site, suppress_root_error=True)
+        return UnevaluatedItemsCKw(site, sub, n_prefix,
+                                   "prefixItems" in schema,
+                                   "items" in schema)
 
     def _compile_property_names(self, kval, site: Site):
         fail_names = []

@@ -179,6 +179,18 @@ def make_cases():
           "additionalProperties": {"maximum": 1},
           "unevaluatedProperties": {"exclusiveMinimum": 100}}, t_mix),
         ({"unevaluatedProperties": {"type": ["integer", "string"]}}, t_mix),
+        # vectorized unevaluatedItems (branch-free, no contains)
+        ({"properties": {"xs": {"prefixItems": [{"maximum": 1}],
+                                "unevaluatedItems": {"maximum": 4}}}},
+         t_list),
+        ({"properties": {"xs": {"items": {"maximum": 10},
+                                "unevaluatedItems": False}}}, t_list),
+        ({"properties": {"xs": {"unevaluatedItems": {"type": "integer",
+                                                     "minimum": 0}}}},
+         t_list),
+        ({"properties": {"xs": {"prefixItems": [{"minimum": 100}],
+                                "items": {"maximum": 5},
+                                "unevaluatedItems": False}}}, t_list),
     ]
     return cases
 
