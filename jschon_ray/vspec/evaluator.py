@@ -2118,7 +2118,12 @@ class Compiler:
         return self._compile_resolved_ref(target, tbase, tptr, site)
 
     def _compile_resolved_ref(self, target, tbase, tptr, site: Site):
-        ckey = (id(target), site.jt)
+        # cycle key includes the concrete Arrow dtype: a recursive spec over
+        # a FINITE Arrow nesting unrolls to the data's static depth (each
+        # revisit sees a strictly smaller type; structural keywords no-op
+        # once the type bottoms out). Only a revisit at the SAME dtype is a
+        # true cycle the static plan can't express.
+        ckey = (id(target), str(site.dtype))
         if ckey in self._ref_stack:
             raise Unvectorizable("cyclic $ref")
         self._ref_stack.append(ckey)
