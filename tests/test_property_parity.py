@@ -75,6 +75,7 @@ list_checks = st.fixed_dictionaries({}, optional={
     "contains": st.fixed_dictionaries({"minimum": st.integers(-5, 5)}),
     "minContains": st.integers(0, 2),
     "maxContains": st.integers(0, 3),
+    "unevaluatedItems": st.one_of(st.booleans(), num_checks),
 })
 struct_checks = st.fixed_dictionaries({}, optional={
     "type": st.just("object"),
@@ -97,6 +98,10 @@ def specs(draw):
                         max_size=3, unique=True))
     if req:
         body["required"] = req
+    unev = draw(st.sampled_from([None, False,
+                                 {"type": ["integer", "string"]}]))
+    if unev is not None:
+        body["unevaluatedProperties"] = unev
     wrap = draw(st.sampled_from(["none", "allOf", "anyOf", "not", "ifthen"]))
     if wrap == "allOf":
         body = {"allOf": [body, {"required": draw(
