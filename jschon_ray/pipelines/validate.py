@@ -218,22 +218,73 @@ def _explode_batch(batch, key_cols):
     return ViolationExploder(key_cols)(batch)
 
 
-def uniqueness_violations(ds, key="clip_id"):
+def uniqueness_violations(ds, key="clip_id", *, hash_first=False):
     """Keys appearing more than once — the `uniqueItems` analogue lifted
     across rows (/root/reference/jschon/vocabulary/validation.py:163-177).
-
-    Hash-partition shuffle on the key column only; Ray's groupby does
-    per-block partial aggregation before the exchange, so the shuffle
-    payload is one (key, partial_count) row per distinct key per block.
     Output columns: (key, n_rows).
+
+    Default: ONE exact groupby shuffle on the key column — it streams at
+    any scale (per-block partial counts shuffle, nothing materializes on
+    the driver). ``hash_first=True`` switches to a two-phase plan that
+    shuffles only a 64-bit key hash and then exactly re-groups candidate
+    rows; measured faster when parallelism is scarce (serial string sort
+    dominates) but it collects the candidate-hash set on the driver, so it
+    assumes duplicates are a SMALL fraction — at 10^12 rows with ~1% dupes
+    that set no longer fits, which is why it is not the default.
     """
-    counts = ds.select_columns([key]).groupby(key).count()
+    keys = ds.select_columns([key])
+    if not hash_first:
+        counts = keys.groupby(key).count()
+
+        def keep_dupes(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.greater(t["count()"], 1))
+            return t.rename_columns([key, "n_rows"])
+
+        return counts.map_batches(keep_dupes, batch_format="pyarrow")
+
+    from ..state.sketches import hash_array
+
+    def to_hash(t: pa.Table) -> pa.Table:
+        h = hash_array(t[key].to_pandas()).astype(np.int64)
+        return pa.table({"h": h})
+
+    hcounts = keys.map_batches(to_hash, batch_format="pyarrow") \
+        .groupby("h").count()
+    cand = hcounts.map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], 1)).select(["h"]),
+        batch_format="pyarrow")
+    # candidate hashes ≈ (true dupe keys + ~0 collisions): small enough to
+    # collect and broadcast
+    cand_arr = np.sort(np.concatenate(
+        [b["h"].to_numpy(zero_copy_only=False)
+         for b in cand.iter_batches(batch_format="pyarrow")] or
+        [np.zeros(0, np.int64)]))
+    if not len(cand_arr):
+        import ray.data as rd
+        sch = ds.schema()
+        ktype = sch.types[sch.names.index(key)]
+        return rd.from_arrow(pa.table(
+            {key: pa.array([], ktype),
+             "n_rows": pa.array([], pa.int64())}))
+    if len(cand_arr) > 4_000_000:
+        # duplicate-heavy data: the candidate set is no longer "small";
+        # the direct exact shuffle is the better plan
+        return uniqueness_violations(ds, key, hash_first=False)
+
+    def keep_candidates(t: pa.Table, cand=cand_arr) -> pa.Table:
+        h = hash_array(t[key].to_pandas()).astype(np.int64)
+        idx = np.searchsorted(cand, h)
+        idx[idx == len(cand)] = 0
+        return t.filter(pa.array(cand[idx] == h))
+
+    exact = keys.map_batches(keep_candidates, batch_format="pyarrow") \
+        .groupby(key).count()
 
     def keep_dupes(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["count()"], 1))
         return t.rename_columns([key, "n_rows"])
 
-    return counts.map_batches(keep_dupes, batch_format="pyarrow")
+    return exact.map_batches(keep_dupes, batch_format="pyarrow")
 
 
 class BroadcastMembershipCheck:
