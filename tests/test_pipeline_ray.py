@@ -88,6 +88,19 @@ def test_uniqueness_on_unique_keys(ray_session, tmp_path):
     assert (len(d) == 0) == (len(set(ids)) == len(ids))
 
 
+def test_uniqueness_plans_agree(ray_session):
+    """The opt-in two-phase hashed plan must return exactly the direct
+    exact-shuffle result (dupes injected by the dirty generator)."""
+    import ray.data as rd
+    t = generate_clips(3000, seed=11)
+    direct = uniqueness_violations(rd.from_arrow(t), hash_first=False) \
+        .to_pandas().sort_values("clip_id").reset_index(drop=True)
+    hashed = uniqueness_violations(rd.from_arrow(t), hash_first=True) \
+        .to_pandas().sort_values("clip_id").reset_index(drop=True)
+    assert len(direct) > 0
+    assert direct.equals(hashed)
+
+
 def test_referential_broadcast(ray_session):
     import ray.data as rd
     t = generate_clips(500, seed=42)
