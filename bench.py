@@ -183,20 +183,30 @@ def run_scaling():
     subprocess.run([sys.executable, "-c", prep], check=True, cwd=repo)
 
     def run(ncpu: int) -> dict:
+        # OMP_NUM_THREADS also caps the DRIVER's arrow thread pool, so the
+        # "N cpus" leg cannot borrow extra host threads for driver-side
+        # kernels (ray already caps workers per task)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    RAY_GRAFT_BENCH="flagship",
                    GRAFT_CLIPS_N=str(scale_rows),
-                   GRAFT_SCALE_DECODE="0")
+                   GRAFT_SCALE_DECODE="0",
+                   OMP_NUM_THREADS=str(ncpu))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(
                                  os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
-    # shared host: take the best of `reps` runs per level to de-noise
-    lo = min((run(SCALE_LO) for _ in range(reps)), key=lambda r: r["value"])
-    hi = min((run(SCALE_HI) for _ in range(reps)), key=lambda r: r["value"])
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
+    # the sandbox host is elastic (its effective CPU allocation varies over
+    # minutes), so legs run INTERLEAVED and each takes its best of `reps` —
+    # interference can only slow a leg down, never speed it up
+    lo_runs, hi_runs = [], []
+    for _ in range(reps):
+        lo_runs.append(run(SCALE_LO))
+        hi_runs.append(run(SCALE_HI))
+    lo = min(lo_runs, key=lambda r: r["value"])
+    hi = min(hi_runs, key=lambda r: r["value"])
     ratio = SCALE_HI / SCALE_LO
     eff = (lo["value"] / hi["value"]) / ratio
     import os as _os
@@ -209,6 +219,9 @@ def run_scaling():
         "scaling_efficiency": round(eff, 3),
         "host_logical_cpus": len(_os.sched_getaffinity(0)),
         "scale_rows": int(os.environ.get("GRAFT_SCALE_ROWS", "1000000")),
+        "reps": reps,
+        f"all_sec_{SCALE_LO}": [r["value"] for r in lo_runs],
+        f"all_sec_{SCALE_HI}": [r["value"] for r in hi_runs],
         f"queries_{SCALE_LO}": lo["queries"],
         f"queries_{SCALE_HI}": hi["queries"],
         "sf": SF_DIR,
