@@ -109,6 +109,29 @@ VSPEC_METASCHEMA = {
 }
 
 
+VSPEC_METASCHEMA_2019_ID = "https://jschon-ray.dev/meta/2019-09"
+
+# 2019-09 dialect: array-form items, additionalItems, $recursiveRef/"
+# $recursiveAnchor; no prefixItems/$dynamicRef/$dynamicAnchor
+# (/root/reference/jschon/catalog/_2019_09.py keyword registration).
+_K2019 = {k: v for k, v in VSPEC_METASCHEMA["properties"].items()
+          if k not in ("prefixItems", "$dynamicRef", "$dynamicAnchor")}
+_K2019.update({
+    "items": {"anyOf": [{"$ref": "#"}, {"$ref": "#/$defs/schemaArray"}]},
+    "additionalItems": {"$ref": "#"},
+    "$recursiveRef": {"const": "#"},
+    "$recursiveAnchor": {"type": "boolean"},
+})
+
+VSPEC_METASCHEMA_2019 = {
+    "$id": VSPEC_METASCHEMA_2019_ID,
+    "$dynamicAnchor": "meta",
+    "type": ["object", "boolean"],
+    "properties": _K2019,
+    "$defs": VSPEC_METASCHEMA["$defs"],
+}
+
+
 class SpecValidationError(ValueError):
     def __init__(self, errors):
         self.errors = errors
@@ -119,13 +142,20 @@ class SpecValidationError(ValueError):
 
 
 def validate_spec(spec) -> None:
-    """Raise SpecValidationError unless ``spec`` conforms to the dialect."""
+    """Raise SpecValidationError unless ``spec`` conforms to its dialect's
+    metaschema (selected by the spec's own ``$schema``, like the
+    reference's per-metaschema keyword binding)."""
+    from .dialect import infer_dialect
     from .formats import enabled_formats
 
+    dialect = infer_dialect(spec.get("$schema")) \
+        if isinstance(spec, dict) else "2020-12"
+    meta = VSPEC_METASCHEMA_2019 if dialect == "2019-09" \
+        else VSPEC_METASCHEMA
     cat = SpecCatalog()
-    cat.register(VSPEC_METASCHEMA)
+    cat.register(meta)
     ev = RowEvaluator(cat, enabled_formats("regex"))
-    root = ev.evaluate(VSPEC_METASCHEMA, spec)
+    root = ev.evaluate(meta, spec)
     if not root.valid:
         raise SpecValidationError(output_basic(root)["errors"])
 
@@ -134,4 +164,5 @@ def check_self() -> bool:
     """The metaschema must validate against itself
     (/root/reference/jschon/catalog/__init__.py:233-237)."""
     validate_spec(VSPEC_METASCHEMA)
+    validate_spec(VSPEC_METASCHEMA_2019)
     return True
