@@ -417,11 +417,18 @@ class FallbackCS(CSchema):
         # may carry no $schema of its own)
         # synthetic ancestry carrying the outer resource bases (root-first)
         # so $dynamicRef inside the fallback subtree sees the full dynamic
-        # scope, not just the subtree (core.py:148-166).
+        # scope (core.py:148-166); each node also carries the resource's
+        # root document so the $recursiveRef walk (legacy.py:38-46) can
+        # inspect $recursiveAnchor on it.
         from .row_oracle import RNode
         chain = None
         for b in scope:
-            chain = RNode(base=b, parent=chain)
+            node = RNode(base=b, parent=chain)
+            doc = evaluator.catalog.resource_root(b)
+            if isinstance(doc, (dict, bool)):
+                node.schema_doc = doc
+                node.is_schema = True
+            chain = node
         self._parent_chain = chain
 
     def evaluate(self, inst: Instances) -> SchemaOut:

@@ -158,3 +158,98 @@ def test_recursive_ref_vectorized():
         ours = output_basic(ev.evaluate(STRICT19, row))
         assert bool(valid[i]) == ours["valid"], f"row {i}"
     assert bool(valid[0]) and not bool(valid[1])
+
+
+REC_INNER = {
+    "$id": "https://example.com/legacy/rec-inner",
+    "$schema": META19,
+    "$recursiveAnchor": True,
+    "type": "object",
+    "properties": {
+        "data": True,
+        "kids": {"type": "array",
+                 "items": {"$recursiveRef": "#",
+                           "unevaluatedProperties": False}},
+    },
+}
+
+REC_OUTER = {
+    "$id": "https://example.com/legacy/rec-outer",
+    "$schema": META19,
+    "$recursiveAnchor": True,
+    "$ref": "rec-inner",
+    "properties": {"extra": {"type": "integer"}},
+}
+
+
+def test_recursive_rebind_through_nested_fallback(ref19_docs):
+    """$recursiveRef inside a per-row FALLBACK subtree of an inner
+    resource must still re-bind to the OUTER resource's anchor via the
+    fallback's seeded scope chain: under outer binding a child's 'extra'
+    is evaluated by outer's properties (so not 'unevaluated'); under the
+    wrong inner binding it would fail unevaluatedProperties."""
+    ref19_docs["JSONSchema"](dict(REC_INNER), catalog=ref19_docs["catalog"],
+                             metaschema_uri=ref19_docs["URI"](META19))
+    cat = SpecCatalog()
+    cat.register(REC_INNER)
+    leaf = pa.struct([("data", pa.int64()), ("extra", pa.int64())])
+    table = pa.table({
+        "data": pa.array([1, 1], pa.int64()),
+        "kids": pa.array(
+            [[{"data": 4, "extra": 5}],       # valid ONLY with outer binding
+             [{"data": 4, "extra": None}]],
+            pa.list_(leaf)),
+    })
+    cs = compile_spec(REC_OUTER, table.schema, catalog=cat)
+    valid, viols = cs.evaluate_table(table)
+    ev = RowEvaluator(cat)
+    cat2 = SpecCatalog()
+    cat2.register(REC_INNER)
+    for i, raw in enumerate(table.to_pylist()):
+        row = strip_absent(raw)
+        expected = ref_eval(ref19_docs, REC_OUTER, row)
+        ours = output_basic(RowEvaluator(cat2).evaluate(REC_OUTER, row))
+        assert ours["valid"] == expected["valid"], (i, row)
+        assert bool(valid[i]) == expected["valid"], (i, row, viols[i])
+    assert [bool(v) for v in valid] == [True, True]
+
+
+def test_recursive_ref_inside_nested_fallback(ref19_docs):
+    """A $recursiveRef inside a per-row fallback subtree (forced by a
+    sibling unevaluatedProperties) must still see the ROOT resource's
+    $recursiveAnchor through the fallback's seeded scope chain."""
+    spec = {
+        "$id": "https://example.com/legacy/nested-rec",
+        "$schema": META19,
+        "$recursiveAnchor": True,
+        "type": "object",
+        "properties": {
+            "data": {"type": ["integer", "null"], "minimum": 0},
+            "kids": {
+                "type": "array",
+                "items": {"$recursiveRef": "#",
+                          "unevaluatedProperties": False},
+            },
+        },
+    }
+    leaf = pa.struct([("data", pa.int64()), ("oops", pa.int64())])
+    table = pa.table({
+        "data": pa.array([1, 2, 3], pa.int64()),
+        "kids": pa.array(
+            [[{"data": 4, "oops": None}],
+             [{"data": -1, "oops": None}],   # fails root's minimum via rec
+             [{"data": 4, "oops": 9}]],      # unevaluated 'oops'
+            pa.list_(leaf)),
+    })
+    cs = compile_spec(spec, table.schema, catalog=SpecCatalog())
+    valid, viols = cs.evaluate_table(table)
+    ev = RowEvaluator(SpecCatalog())
+    for i, raw in enumerate(table.to_pylist()):
+        row = strip_absent(raw)
+        expected = ref_eval(ref19_docs, spec, row)
+        ours = output_basic(ev.evaluate(spec, row))
+        assert ours["valid"] == expected["valid"], (i, row)
+        if not expected["valid"]:
+            assert ours["errors"] == expected["errors"], (i, row)
+        assert bool(valid[i]) == expected["valid"], (i, row, viols[i])
+    assert [bool(v) for v in valid] == [True, False, False]
