@@ -286,3 +286,94 @@ def simhash_pairs(ds, id_col: str, text_col: str, *, max_hamming: int = 3,
     pairs = pairs[pairs["hamming"] <= max_hamming]
     return pairs.drop_duplicates(["id_a", "id_b"]) \
         .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity join (inverted-index shuffle)
+
+
+def ngram_jaccard_pairs(ds, id_col: str, text_col: str, *,
+                        threshold: float = 0.5, shingle_k: int = 3,
+                        max_df: int | None = None):
+    """EXACT all-pairs n-gram Jaccard similarity join, fully distributed.
+
+    Unlike `minhash_lsh_pairs` (approximate candidates, then verify), this
+    computes exact |A ∩ B| via the classic inverted-index shuffle:
+
+      1. map_batches: per doc, distinct word-`shingle_k`-shingles hashed to
+         64-bit keys; emit posting rows (shingle, id, set_size).
+      2. groupby(shingle) -> all (id_a < id_b) pairs per posting list.
+         Since any pair with J >= threshold > 0 shares a shingle, no
+         qualifying pair is missed.
+      3. groupby(id_a, id_b) -> Count = |A ∩ B| (each doc's shingles are
+         distinct, so one co-occurrence row per shared shingle);
+         J = inter / (|A| + |B| - inter); filter >= threshold.
+
+    Scale notes: only (int64 key, id, int32 size) rows shuffle — never text.
+    Hot shingles (document-frequency df) emit O(df^2) pair rows; pass
+    `max_df` to drop shingles with df > max_df (prefix-filter style). With
+    max_df set the join is no longer exact for pairs whose ONLY shared
+    shingles are ultra-common — at web scale those are noise pairs anyway;
+    leave None for oracle-exact semantics. Shingle identity uses 64-bit
+    hashes (collision odds ~n_shingles^2 / 2^64 — negligible).
+
+    Seeds: reference `uniqueItems` pairwise deep-equality
+    (/root/reference/jschon/vocabulary/validation.py:163-177) lifted
+    across rows; tokenization matches `_word_shingles`.
+    """
+    from ray.data.aggregate import Count, Max
+
+    def emit_postings(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        p_sh, p_id, p_sz = [], [], []
+        for i, t in zip(ids, texts):
+            s = set(_word_shingles(t, shingle_k))
+            if not s:
+                continue
+            p_sh.append(hash_array(sorted(s)).view(np.int64))
+            p_id.append(np.full(len(s), i))
+            p_sz.append(np.full(len(s), len(s), np.int32))
+        if not p_sh:
+            return pa.table({"sh": pa.array([], pa.int64()),
+                             id_col: batch[id_col].slice(0, 0),
+                             "sz": pa.array([], pa.int32())})
+        return pa.table({"sh": pa.array(np.concatenate(p_sh)),
+                         id_col: pa.array(np.concatenate(p_id)),
+                         "sz": pa.array(np.concatenate(p_sz))})
+
+    postings = ds.select_columns([id_col, text_col]).map_batches(
+        emit_postings, batch_format="pyarrow")
+
+    def posting_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col)
+        if len(g) < 2 or (max_df is not None and len(g) > max_df):
+            return pd.DataFrame({"id_a": [], "id_b": [],
+                                 "sz_a": pd.Series([], dtype="int32"),
+                                 "sz_b": pd.Series([], dtype="int32")})
+        order = np.argsort(g[id_col].to_numpy(), kind="stable")
+        ids = g[id_col].to_numpy()[order]
+        szs = g["sz"].to_numpy()[order]
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib],
+                             "sz_a": szs[ia], "sz_b": szs[ib]})
+
+    copairs = postings.groupby("sh").map_groups(
+        posting_pairs, batch_format="pandas")
+    agg = copairs.groupby(["id_a", "id_b"]).aggregate(
+        Count(alias_name="inter"),
+        Max("sz_a", alias_name="sz_a"), Max("sz_b", alias_name="sz_b"))
+    out = agg.to_pandas()
+    if not len(out):
+        return pd.DataFrame({"id_a": [], "id_b": [],
+                             "inter": pd.Series([], dtype="int64"),
+                             "uni": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    inter = out["inter"].to_numpy().astype(np.int64)
+    uni = out["sz_a"].to_numpy().astype(np.int64) \
+        + out["sz_b"].to_numpy().astype(np.int64) - inter
+    out["uni"] = uni
+    out["jaccard"] = inter / uni
+    out = out[out["jaccard"] >= threshold]
+    return out[["id_a", "id_b", "inter", "uni", "jaccard"]] \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -506,6 +506,44 @@ GROUP BY substr(text, 1, 24) HAVING count(*) > 1
 """
 
 
+def q_ngram_jaccard_docs(sf_dir):
+    """Exact 3-gram Jaccard similarity join over documents (threshold 0.5).
+
+    The jaccard column divides the same two exact integers on both sides
+    (inter / uni) — IEEE-identical, no rounding needed.
+    """
+    from ..functions.dedup import ngram_jaccard_pairs
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    df = ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.5)
+    return _ensure_columns(df, {"id_a": "int64", "id_b": "int64",
+                                "inter": "int64", "uni": "int64",
+                                "jaccard": "float64"})
+
+
+_NGRAM_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct(CASE
+      WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+      ELSE [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]
+    END) AS s
+  FROM toks WHERE len(ws) > 0
+)
+SELECT id_a, id_b, inter, uni, inter / uni AS jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    len(list_intersect(a.s, b.s)) AS inter,
+    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+) WHERE inter / uni >= 0.5 ORDER BY id_a, id_b
+"""
+
+
 def q_token_count_docs(sf_dir):
     from ..functions.text import token_count_batch
 
@@ -886,6 +924,7 @@ def build_queries() -> dict:
         # documents
         "dedup_docs_exact": q_dedup_docs_exact,
         "dup_groups_prefix24": q_dup_groups_prefix24,
+        "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "token_count_docs": q_token_count_docs,
         "quality_docs": q_quality_docs,
         "lang_id_docs": q_lang_id_docs,
@@ -926,6 +965,7 @@ def build_oracles() -> dict:
         "orders_violation_counts": _ORDERS_VIOLATION_COUNTS_SQL,
         "dedup_docs_exact": _DEDUP_DOCS_SQL,
         "dup_groups_prefix24": _DUP_GROUPS_SQL,
+        "ngram_jaccard_docs": _NGRAM_JACCARD_SQL,
         "token_count_docs": _TOKEN_COUNT_SQL,
         "quality_docs": _QUALITY_SQL,
         "lang_id_docs": _lang_id_sql(),

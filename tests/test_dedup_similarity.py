@@ -121,3 +121,47 @@ def test_rolling_fingerprints():
     c = rolling_fingerprints("completely different content here " * 5)
     overlap = len(set(a) & set(c)) / max(1, len(set(a)))
     assert overlap < 0.2
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(ray_session):
+    """Distributed inverted-index join == brute-force all-pairs Jaccard."""
+    import ray.data as rd
+    from jschon_ray.functions.dedup import (_word_shingles, jaccard,
+                                            ngram_jaccard_pairs)
+
+    t, _ = near_dup_docs()
+    out = ngram_jaccard_pairs(rd.from_arrow(t), "doc_id", "text",
+                              threshold=0.4)
+    texts = t["text"].to_pylist()
+    sets = [set(_word_shingles(x, 3)) for x in texts]
+    expect = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            j = jaccard(sets[a], sets[b])
+            if j >= 0.4 and sets[a] & sets[b]:
+                expect[(a, b)] = j
+    got = {(int(a), int(b)): j for a, b, j in
+           zip(out["id_a"], out["id_b"], out["jaccard"])}
+    assert got == pytest.approx(expect)
+    # exact set algebra carried through the shuffle
+    for (a, b), row in zip(zip(out["id_a"], out["id_b"]),
+                           out[["inter", "uni"]].itertuples(index=False)):
+        assert row.inter == len(sets[a] & sets[b])
+        assert row.uni == len(sets[a] | sets[b])
+
+
+def test_ngram_jaccard_max_df_drops_hot_shingles(ray_session):
+    import ray.data as rd
+    from jschon_ray.functions.dedup import ngram_jaccard_pairs
+
+    # every doc shares the hot shingle; only 0/1 share a rare one too
+    texts = ["common hot shingle only " + str(i) for i in range(6)]
+    texts[1] = texts[0]
+    t = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "text": pa.array(texts)})
+    full = ngram_jaccard_pairs(rd.from_arrow(t), "doc_id", "text",
+                               threshold=0.05)
+    capped = ngram_jaccard_pairs(rd.from_arrow(t), "doc_id", "text",
+                                 threshold=0.05, max_df=3)
+    assert len(full) == 15          # all pairs share the hot prefix
+    assert len(capped) < len(full)  # hot postings dropped
