@@ -544,6 +544,35 @@ SELECT id_a, id_b, inter, uni, inter / uni AS jaccard FROM (
 """
 
 
+def q_media_image_features(sf_dir):
+    """Multimodal plumbing: synthetic raw images -> feature actor pool.
+
+    No parquet media table ships with the driver testdata, so the input
+    is synthesized deterministically (seeded) — rows-only check. Every
+    8th row is a compressed-format stub row exercising the
+    MediaCodecUnavailable path.
+    """
+    import ray.data as rd
+
+    from ..stages.media import image_features, synth_image_table
+
+    t = synth_image_table(2000, compressed_every=8)
+    out = image_features(rd.from_arrow(t), batch_size=128)
+    return out.select_columns(
+        ["img_id", "decode_ok", "px_mean", "px_std"])
+
+
+def q_media_frame_sample(sf_dir):
+    """Multimodal plumbing: rawvideo rows exploded to sampled frames."""
+    import ray.data as rd
+
+    from ..stages.media import sample_frames, synth_video_table
+
+    t = synth_video_table(200, frames=24)
+    out = sample_frames(rd.from_arrow(t), every_k=6)
+    return out.select_columns(["clip_id", "frame_idx", "width", "height"])
+
+
 def q_token_count_docs(sf_dir):
     from ..functions.text import token_count_batch
 
@@ -940,6 +969,8 @@ def build_queries() -> dict:
         "grouped_stats_codec": q_grouped_stats_codec,
         "profile_sketches_lineitem": q_profile_sketches_lineitem,
         "drift_lineitem": q_drift_lineitem_halves,
+        "media_image_features": q_media_image_features,
+        "media_frame_sample": q_media_frame_sample,
         "minhash_lsh_docs": q_minhash_docs,
         "simhash_docs": q_simhash_docs,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,

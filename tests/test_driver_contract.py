@@ -85,7 +85,7 @@ def test_all_queries_have_unique_names(entry_mod):
     "profile_lineitem", "validate_orders", "validate_lineitem",
     "orders_violation_counts", "dedup_docs_exact", "dup_groups_prefix24",
     "token_count_docs", "quality_docs", "lang_id_docs", "fingerprint_docs",
-    "ann_topk", "embedding_neardup",
+    "ann_topk", "embedding_neardup", "ngram_jaccard_docs",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()
@@ -99,6 +99,7 @@ def test_query_matches_oracle(entry_mod, con, name):
     "clips_validation", "clips_violation_counts", "grouped_stats_codec",
     "profile_sketches_lineitem", "drift_lineitem", "minhash_lsh_docs",
     "simhash_docs", "embedding_neardup_lsh",
+    "media_image_features", "media_frame_sample",
 ])
 def test_rows_only_queries_run(entry_mod, name):
     out = to_pandas(entry_mod.queries()[name](SF_DIR))
