@@ -544,6 +544,21 @@ SELECT id_a, id_b, inter, uni, inter / uni AS jaccard FROM (
 """
 
 
+def q_audio_features_clips(sf_dir):
+    """Framed-FFT spectral features over the synthesized clips table.
+
+    Rows-only check: FFT spectral shape is not SQL-expressible.
+    """
+    from ..sources.clips import clips_cache_dir
+    from ..stages.features import audio_features
+
+    ds = read_table(clips_cache_dir(sf_dir))
+    out = audio_features(ds, batch_size=512)
+    return out.select_columns(
+        ["clip_id", "feat_ok", "zcr", "energy_db", "spec_centroid_hz",
+         "spec_rolloff_hz"])
+
+
 def q_media_image_features(sf_dir):
     """Multimodal plumbing: synthetic raw images -> feature actor pool.
 
@@ -969,6 +984,7 @@ def build_queries() -> dict:
         "grouped_stats_codec": q_grouped_stats_codec,
         "profile_sketches_lineitem": q_profile_sketches_lineitem,
         "drift_lineitem": q_drift_lineitem_halves,
+        "audio_features_clips": q_audio_features_clips,
         "media_image_features": q_media_image_features,
         "media_frame_sample": q_media_frame_sample,
         "minhash_lsh_docs": q_minhash_docs,
