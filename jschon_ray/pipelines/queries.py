@@ -690,6 +690,25 @@ def q_ann_topk(sf_dir):
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_ann_topk_ivf(sf_dir):
+    """IVF scale path, probed exhaustively (nprobe == n_centroids) so the
+    result is bit-identical to the exact scan — shares the ANN oracle.
+    Pruned-probe recall is covered by tests/test_dedup_similarity.py."""
+    import pyarrow.parquet as pq
+
+    from ..functions.similarity import _embedding_matrix, ann_topk_ivf
+
+    qt = pq.read_table(table_path(sf_dir, "embeddings"),
+                       filters=[("vec_id", "<", 10)])
+    queries = {"ids": qt["vec_id"].to_numpy(zero_copy_only=False),
+               "matrix": _embedding_matrix(qt, "embedding")}
+    ds = read_table(table_path(sf_dir, "embeddings"))
+    out = ann_topk_ivf(ds, queries, k=5, n_centroids=12, nprobe=12)
+    df = out.to_pandas()
+    df["rank"] = df["rank"].astype("int64")
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 _ANN_TOPK_SQL = """
 SELECT query_id, neighbor_id, rank FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -975,6 +994,7 @@ def build_queries() -> dict:
         "fingerprint_docs": q_fingerprint_docs,
         # embeddings
         "ann_topk": q_ann_topk,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_neardup": q_embedding_neardup,
         # clips flagship (oracle-checked against the same /tmp cache)
         "clips_validation": q_clips_validation,
@@ -1018,6 +1038,7 @@ def build_oracles() -> dict:
         "lang_id_docs": _lang_id_sql(),
         "fingerprint_docs": _FINGERPRINT_SQL,
         "ann_topk": _ANN_TOPK_SQL,
+        "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         # flagship clips oracles read the deterministic /tmp cache; the
         # driver runs side-by-side correctness at sf0.01 (driver contract),

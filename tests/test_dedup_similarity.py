@@ -165,3 +165,47 @@ def test_ngram_jaccard_max_df_drops_hot_shingles(ray_session):
                                  threshold=0.05, max_df=3)
     assert len(full) == 15          # all pairs share the hot prefix
     assert len(capped) < len(full)  # hot postings dropped
+
+
+def test_ann_topk_ivf_exact_when_probing_all(ray_session):
+    """nprobe == n_centroids degenerates to the exact scan, bit-for-bit."""
+    import pandas as pd
+    import ray.data as rd
+    from jschon_ray.functions.similarity import (_embedding_matrix,
+                                                 ann_topk, ann_topk_ivf)
+
+    t = embeddings_with_dups()
+    q = {"ids": np.array([10, 20, 77]),
+         "matrix": np.vstack([_embedding_matrix(t.slice(i, 1), "embedding")
+                              for i in (10, 20, 77)])}
+    exact = ann_topk(rd.from_arrow(t), q, k=5).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    ivf = ann_topk_ivf(rd.from_arrow(t), q, k=5, n_centroids=8,
+                       nprobe=8).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(exact, ivf)
+
+
+def test_ann_topk_ivf_pruned_recall(ray_session):
+    """Pruned probing keeps high recall on clustered data and the probed
+    cell always contains the query's own (and near-dup) vectors."""
+    import ray.data as rd
+    from jschon_ray.functions.similarity import (_embedding_matrix,
+                                                 ann_topk, ann_topk_ivf)
+
+    t = embeddings_with_dups(n=300)
+    ids = [10, 20, 150]
+    q = {"ids": np.array(ids),
+         "matrix": np.vstack([_embedding_matrix(t.slice(i, 1), "embedding")
+                              for i in ids])}
+    exact = ann_topk(rd.from_arrow(t), q, k=5).to_pandas()
+    ivf = ann_topk_ivf(rd.from_arrow(t), q, k=5, n_centroids=10,
+                       nprobe=4).to_pandas()
+    # self + near-dup live in the query's own probed cell
+    got10 = ivf[ivf.query_id == 10].sort_values("rank")
+    assert got10.iloc[0]["neighbor_id"] == 10
+    assert 50 in set(got10["neighbor_id"])
+    recall = len(set(map(tuple, ivf[["query_id", "neighbor_id"]].values)) &
+                 set(map(tuple, exact[["query_id", "neighbor_id"]].values))) \
+        / len(exact)
+    assert recall >= 0.6, recall

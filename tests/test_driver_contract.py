@@ -86,6 +86,7 @@ def test_all_queries_have_unique_names(entry_mod):
     "orders_violation_counts", "dedup_docs_exact", "dup_groups_prefix24",
     "token_count_docs", "quality_docs", "lang_id_docs", "fingerprint_docs",
     "ann_topk", "embedding_neardup", "ngram_jaccard_docs",
+    "ann_topk_ivf",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()
