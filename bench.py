@@ -137,6 +137,15 @@ def run_benchmarks() -> dict:
     n_dec = timed("clips_decode", _decode_only(clips_dir))
     extras["decode_clips_per_sec"] = round(n_dec / timings["clips_decode"], 1)
 
+    # 7. audio feature extraction (decode + framed FFT, batched per block)
+    n_feat = timed("audio_features", _features_only(clips_dir))
+    extras["features_clips_per_sec"] = round(
+        n_feat / timings["audio_features"], 1)
+
+    # 8. exact n-gram Jaccard similarity join (inverted-index shuffle)
+    timed("ngram_jaccard_docs",
+          lambda: len(Q.q_ngram_jaccard_docs(SF_DIR)))
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "headline_pipelines_total",
@@ -161,6 +170,19 @@ def _decode_only(clips_dir):
                               concurrency=(1, NUM_CPUS)).count()
 
     return decode
+
+
+def _features_only(clips_dir):
+    def features():
+        from jschon_ray.sources.io import read_table
+        from jschon_ray.stages.features import audio_features
+
+        ds = read_table(clips_dir, columns=["clip_id", "bytes", "sr_hz",
+                                            "codec"])
+        return audio_features(ds, batch_size=512,
+                              concurrency=(1, NUM_CPUS)).count()
+
+    return features
 
 
 def run_scaling():

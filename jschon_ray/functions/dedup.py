@@ -294,23 +294,36 @@ def simhash_pairs(ds, id_col: str, text_col: str, *, max_hamming: int = 3,
 
 def ngram_jaccard_pairs(ds, id_col: str, text_col: str, *,
                         threshold: float = 0.5, shingle_k: int = 3,
-                        max_df: int | None = None):
+                        max_df: int | None = None, n_buckets: int = 64):
     """EXACT all-pairs n-gram Jaccard similarity join, fully distributed.
 
     Unlike `minhash_lsh_pairs` (approximate candidates, then verify), this
     computes exact |A ∩ B| via the classic inverted-index shuffle:
 
       1. map_batches: per doc, distinct word-`shingle_k`-shingles hashed to
-         64-bit keys; emit posting rows (shingle, id, set_size).
-      2. groupby(shingle) -> all (id_a < id_b) pairs per posting list.
+         64-bit keys; emit posting rows (shingle, id, set_size) tagged
+         with a coarse bucket = shingle % n_buckets.
+      2. groupby(bucket) — only `n_buckets` groups, so the per-group
+         Python overhead is O(n_buckets), not O(distinct shingles) — and
+         inside each bucket one vectorized pandas self-merge on the
+         shingle key yields co-occurrence rows; a groupby within the
+         bucket pre-aggregates them to per-pair partial counts.
          Since any pair with J >= threshold > 0 shares a shingle, no
          qualifying pair is missed.
-      3. groupby(id_a, id_b) -> Count = |A ∩ B| (each doc's shingles are
-         distinct, so one co-occurrence row per shared shingle);
-         J = inter / (|A| + |B| - inter); filter >= threshold.
+      3. the same coarse-bucket trick again for the final combine: each
+         partial-count row is tagged pair_bucket = mix(id_a, id_b) %
+         n_buckets; groupby(pair_bucket).map_groups sums partials and
+         applies the threshold with ONE vectorized pandas groupby per
+         bucket. (A naive groupby(id_a, id_b).aggregate() is correct but
+         pays per-group overhead on millions of candidate pairs —
+         measured 239s vs 2s at 1.1M pairs.) |A ∩ B| sums exactly
+         because shingles are distinct per doc and partitioned
+         disjointly by shingle bucket; J = inter / (|A| + |B| - inter).
 
-    Scale notes: only (int64 key, id, int32 size) rows shuffle — never text.
-    Hot shingles (document-frequency df) emit O(df^2) pair rows; pass
+    Scale notes: only (int64 key, id, int32 size) rows shuffle — never
+    text. Size `n_buckets` so one bucket's postings fit a worker
+    (postings/bucket ~ total_postings/n_buckets). Hot shingles
+    (document-frequency df) emit O(df^2) co-occurrence rows; pass
     `max_df` to drop shingles with df > max_df (prefix-filter style). With
     max_df set the join is no longer exact for pairs whose ONLY shared
     shingles are ultra-common — at web scale those are noise pairs anyway;
@@ -321,8 +334,6 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, *,
     (/root/reference/jschon/vocabulary/validation.py:163-177) lifted
     across rows; tokenization matches `_word_shingles`.
     """
-    from ray.data.aggregate import Count, Max
-
     def emit_postings(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -336,44 +347,65 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, *,
             p_sz.append(np.full(len(s), len(s), np.int32))
         if not p_sh:
             return pa.table({"sh": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
                              id_col: batch[id_col].slice(0, 0),
                              "sz": pa.array([], pa.int32())})
-        return pa.table({"sh": pa.array(np.concatenate(p_sh)),
+        sh = np.concatenate(p_sh)
+        return pa.table({"sh": pa.array(sh),
+                         "bucket": pa.array(
+                             (sh.view(np.uint64) % n_buckets)
+                             .view(np.int64)),
                          id_col: pa.array(np.concatenate(p_id)),
                          "sz": pa.array(np.concatenate(p_sz))})
 
     postings = ds.select_columns([id_col, text_col]).map_batches(
         emit_postings, batch_format="pyarrow")
 
-    def posting_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(id_col)
-        if len(g) < 2 or (max_df is not None and len(g) > max_df):
+    def bucket_copairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["sh", id_col])
+        if max_df is not None:
+            df_counts = g.groupby("sh")["sh"].transform("size")
+            g = g[df_counts <= max_df]
+        if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [],
+                                 "n": pd.Series([], dtype="int64"),
                                  "sz_a": pd.Series([], dtype="int32"),
-                                 "sz_b": pd.Series([], dtype="int32")})
-        order = np.argsort(g[id_col].to_numpy(), kind="stable")
-        ids = g[id_col].to_numpy()[order]
-        szs = g["sz"].to_numpy()[order]
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib],
-                             "sz_a": szs[ia], "sz_b": szs[ib]})
+                                 "sz_b": pd.Series([], dtype="int32"),
+                                 "pair_bucket": pd.Series([],
+                                                          dtype="int64")})
+        m = g.merge(g, on="sh", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        part = m.groupby([f"{id_col}_a", f"{id_col}_b"], sort=False) \
+            .agg(n=("sh", "size"), sz_a=("sz_a", "first"),
+                 sz_b=("sz_b", "first")).reset_index()
+        part = part.rename(columns={f"{id_col}_a": "id_a",
+                                    f"{id_col}_b": "id_b"})
+        pb = (hash_array(part["id_a"])
+              ^ (hash_array(part["id_b"]) * np.uint64(0x9E3779B97F4A7C15)))
+        part["pair_bucket"] = (pb % np.uint64(n_buckets)).view(np.int64)
+        return part
 
-    copairs = postings.groupby("sh").map_groups(
-        posting_pairs, batch_format="pandas")
-    agg = copairs.groupby(["id_a", "id_b"]).aggregate(
-        Count(alias_name="inter"),
-        Max("sz_a", alias_name="sz_a"), Max("sz_b", alias_name="sz_b"))
-    out = agg.to_pandas()
+    copairs = postings.groupby("bucket").map_groups(
+        bucket_copairs, batch_format="pandas")
+
+    def combine_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["id_a", "id_b"], sort=False).agg(
+            inter=("n", "sum"), sz_a=("sz_a", "first"),
+            sz_b=("sz_b", "first")).reset_index()
+        inter = agg["inter"].to_numpy().astype(np.int64)
+        uni = agg["sz_a"].to_numpy().astype(np.int64) \
+            + agg["sz_b"].to_numpy().astype(np.int64) - inter
+        agg["inter"] = inter
+        agg["uni"] = uni
+        agg["jaccard"] = inter / uni
+        agg = agg[agg["jaccard"] >= threshold]
+        return agg[["id_a", "id_b", "inter", "uni", "jaccard"]]
+
+    out = copairs.groupby("pair_bucket").map_groups(
+        combine_pairs, batch_format="pandas").to_pandas()
     if not len(out):
         return pd.DataFrame({"id_a": [], "id_b": [],
                              "inter": pd.Series([], dtype="int64"),
                              "uni": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
-    inter = out["inter"].to_numpy().astype(np.int64)
-    uni = out["sz_a"].to_numpy().astype(np.int64) \
-        + out["sz_b"].to_numpy().astype(np.int64) - inter
-    out["uni"] = uni
-    out["jaccard"] = inter / uni
-    out = out[out["jaccard"] >= threshold]
-    return out[["id_a", "id_b", "inter", "uni", "jaccard"]] \
-        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
