@@ -1,0 +1,291 @@
+"""Temporal / ordered-join operators Ray Data lacks natively.
+
+Three operators, each with the partitioning assumption it relies on stated
+explicitly (the "custom operators" rule — document what the shuffle key
+guarantees):
+
+* ``asof_join`` — for every left row (by, ts) attach the nearest right row
+  at-or-before (backward) / at-or-after (forward) its timestamp. Ray Data
+  has no cogroup, so both sides are schema-aligned, tagged, unioned, and
+  co-grouped with ONE ``groupby(by).map_groups`` shuffle; the per-group
+  merge is a vectorized ``np.searchsorted`` — no Python row loop.
+  Partitioning assumption: one `by` key's rows fit a single group task.
+  For huge keys pass ``tolerance`` + ``time_bucket`` to sub-partition each
+  key by coarse time bucket (right rows are replicated into the adjacent
+  bucket, so every in-tolerance match stays co-located — exact, not
+  approximate).
+
+* ``range_join_broadcast`` — join a large Dataset against a SMALL
+  driver-side interval table (value in [lo, hi)). The interval table is
+  broadcast in the task closure (tiny by contract); the probe is one
+  vectorized searchsorted per batch for non-overlapping intervals, a
+  per-interval mask fan-out otherwise. No shuffle at all.
+
+* ``top_k_per_group`` — SQL ``row_number() OVER (PARTITION BY g ORDER BY
+  v) <= k``. Top-k per group is a mergeable combiner, so every block is
+  pruned to ≤ k rows per group BEFORE the shuffle: the groupby moves at
+  most k·groups rows per block, never the fact table.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _ts_to_i8(values: pd.Series) -> np.ndarray:
+    """int64 view of a timestamp/numeric Series (datetimes in us, matching
+    Arrow `timestamp[us]`, so tolerances/buckets are microseconds)."""
+    arr = values.to_numpy()
+    if np.issubdtype(arr.dtype, np.datetime64):
+        return arr.astype("datetime64[us]").astype(np.int64)
+    return arr.astype(np.int64)
+
+
+def _to_us(value) -> int:
+    if isinstance(value, (int, np.integer)):
+        return int(value)
+    return int(pd.Timedelta(value).value // 1000)
+
+
+def _nullable(col: pd.Series) -> pd.Series:
+    """Lift to a null-capable dtype before masking (int stays int via
+    pandas' nullable Int64 instead of decaying to float)."""
+    if pd.api.types.is_integer_dtype(col.dtype):
+        return col.astype("Int64")
+    return col
+
+
+def _merge_asof_group(df: pd.DataFrame, *, on: str, left_cols, right_cols,
+                      direction: str, tolerance_us, how: str,
+                      right_tie) -> pd.DataFrame:
+    """Vectorized as-of merge of one co-grouped (left+right) frame.
+
+    `df` carries left columns, right columns (already under their output
+    names, with the right timestamp in `right_cols[0]`), and `__side`
+    (1=left, 0=right)."""
+    right_on = right_cols[0]
+    left = df[df["__side"] == 1]
+    right = df[df["__side"] == 0]
+    sort_keys = [right_on] + ([right_tie] if right_tie else [])
+    right = right.sort_values(sort_keys, kind="stable")
+
+    lt = _ts_to_i8(left[on])
+    order = np.argsort(lt, kind="stable")
+    lt_sorted = lt[order]
+    rt = _ts_to_i8(right[right_on]) if len(right) else np.zeros(0, np.int64)
+
+    if direction == "backward":
+        idx = np.searchsorted(rt, lt_sorted, side="right") - 1
+        valid = idx >= 0
+        if tolerance_us is not None and len(rt):
+            gap = lt_sorted - rt[np.clip(idx, 0, len(rt) - 1)]
+            valid &= gap <= tolerance_us
+    else:  # forward
+        idx = np.searchsorted(rt, lt_sorted, side="left")
+        valid = idx < len(rt)
+        if tolerance_us is not None and len(rt):
+            gap = rt[np.clip(idx, 0, len(rt) - 1)] - lt_sorted
+            valid &= gap <= tolerance_us
+
+    left_ordered = left.iloc[order].reset_index(drop=True)
+    out = {c: left_ordered[c] for c in left_cols}
+    vmask = pd.Series(valid)
+    safe = np.clip(idx, 0, max(len(rt) - 1, 0))
+    for c in right_cols:
+        if len(right):
+            col = _nullable(right[c].iloc[safe].reset_index(drop=True))
+            out[c] = col.where(vmask)
+        else:
+            out[c] = _nullable(df[c].iloc[:0]).reindex(range(len(left)))
+    res = pd.DataFrame(out)
+    if how == "inner":
+        res = res[valid]
+    return res
+
+
+def asof_join(left, right, *, on: str, by: str, direction: str = "backward",
+              tolerance=None, how: str = "left", suffix: str = "_r",
+              right_tie: str | None = None, time_bucket=None):
+    """As-of join two Datasets: for each left row, the nearest right row
+    with the same `by` key at-or-before (`backward`) / at-or-after
+    (`forward`) the left row's `on` timestamp. `how`: 'left' (unmatched
+    rows keep null right columns) or 'inner'.
+
+    `tolerance` / `time_bucket`: pandas-Timedelta-like or int (microseconds
+    for timestamp columns, raw units for numeric). With `time_bucket` set
+    (requires `tolerance <= time_bucket`) each key is additionally
+    partitioned by coarse time bucket with right rows replicated into the
+    adjacent bucket — exact results even when one hot key exceeds a
+    single task's memory.
+
+    Right-side timestamp ties break toward the max `right_tie` value
+    (stable-sorted last), so the result is deterministic under any block
+    order. Colliding right column names take `suffix`; `right_tie` names
+    the OUTPUT (possibly suffixed) column.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    if how not in ("left", "inner"):
+        raise ValueError("how must be 'left' or 'inner'")
+    tol_us = None if tolerance is None else _to_us(tolerance)
+    bucket_us = None
+    if time_bucket is not None:
+        bucket_us = _to_us(time_bucket)
+        if tol_us is None or tol_us > bucket_us:
+            raise ValueError("time_bucket requires tolerance <= time_bucket")
+
+    lsch, rsch = left.schema(), right.schema()
+    left_cols = list(lsch.names)
+    for col, sch, side in ((on, lsch, "left"), (by, lsch, "left"),
+                           (on, rsch, "right"), (by, rsch, "right")):
+        if col not in sch.names:
+            raise ValueError(f"asof_join: column {col!r} missing from the "
+                             f"{side} side (have {sch.names})")
+    rename = {}                              # right source -> output name
+    for name in rsch.names:
+        if name == by:
+            continue
+        rename[name] = name if name not in left_cols else name + suffix
+    right_on_out = rename[on] if on in rename else on
+    # right timestamp first: _merge_asof_group reads right_cols[0] as ts
+    right_cols = [right_on_out] + [v for k, v in rename.items()
+                                   if v != right_on_out]
+    ltype = dict(zip(lsch.names, lsch.types))
+    rtype = dict(zip(rsch.names, rsch.types))
+    union_fields = [(by, ltype[by])] + \
+        [(c, ltype[c]) for c in left_cols if c != by] + \
+        [(rename[k], rtype[k]) for k in rename]
+
+    def tag(t: pa.Table, side: int) -> pa.Table:
+        cols = {}
+        for name, typ in union_fields:
+            if side == 1:
+                src = name if name in t.column_names else None
+            else:
+                inv = {v: k for k, v in rename.items()}
+                src = by if name == by else inv.get(name)
+            if src is not None and src in t.column_names:
+                col = t[src]
+                cols[name] = col.cast(typ) if col.type != typ else col
+            else:
+                cols[name] = pa.nulls(t.num_rows, typ)
+        cols["__side"] = pa.array(np.full(t.num_rows, side, np.int8))
+        out = pa.table(cols)
+        if bucket_us is None:
+            return out
+        ts_col = out[on] if side == 1 else out[right_on_out]
+        b = np.floor_divide(_ts_to_i8(ts_col.to_pandas()), bucket_us)
+        out = out.append_column("__bucket", pa.array(b))
+        if side == 1:
+            return out
+        # replicate right rows into the bucket their probes live in
+        shift = 1 if direction == "backward" else -1
+        rep = out.set_column(out.schema.get_field_index("__bucket"),
+                             "__bucket", pa.array(b + shift))
+        return pa.concat_tables([out, rep])
+
+    unioned = left.map_batches(functools.partial(tag, side=1),
+                               batch_format="pyarrow").union(
+        right.map_batches(functools.partial(tag, side=0),
+                          batch_format="pyarrow"))
+
+    group_keys = [by] if bucket_us is None else [by, "__bucket"]
+    merge = functools.partial(
+        _merge_asof_group, on=on, left_cols=left_cols,
+        right_cols=right_cols, direction=direction, tolerance_us=tol_us,
+        how=how, right_tie=right_tie)
+
+    def merge_group(df: pd.DataFrame) -> pd.DataFrame:
+        if bucket_us is not None:
+            df = df.drop(columns=["__bucket"])
+        return merge(df)
+
+    return unioned.groupby(group_keys).map_groups(merge_group,
+                                                  batch_format="pandas")
+
+
+def range_join_broadcast(ds, intervals, *, value_col: str,
+                         lo_col: str = "lo", hi_col: str = "hi",
+                         how: str = "inner"):
+    """Join each row of `ds` to the interval(s) [lo, hi) containing
+    `value_col`. `intervals` is a small driver-side table (pandas / arrow /
+    iterable of dicts) broadcast in the task closure — NO shuffle.
+
+    Non-overlapping intervals: one vectorized searchsorted per batch.
+    Overlapping: per-interval mask fan-out (a row joins every interval
+    containing it — SQL inner-join semantics). `how='left'` keeps
+    unmatched rows with null interval columns (non-overlapping only).
+    """
+    if isinstance(intervals, pa.Table):
+        idf = intervals.to_pandas()
+    elif isinstance(intervals, pd.DataFrame):
+        idf = intervals.copy()
+    else:
+        idf = pd.DataFrame(list(intervals))
+    idf = idf.sort_values(lo_col, kind="stable").reset_index(drop=True)
+    lo = idf[lo_col].to_numpy()
+    hi = idf[hi_col].to_numpy()
+    if np.any(hi < lo):
+        raise ValueError("interval with hi < lo")
+    overlapping = bool(np.any(hi[:-1] > lo[1:])) if len(idf) > 1 else False
+    if overlapping and how == "left":
+        raise ValueError("how='left' requires non-overlapping intervals")
+    extra_cols = [c for c in idf.columns if c not in (lo_col, hi_col)]
+
+    def probe(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        notna = ~pd.isna(v)
+        if not overlapping:
+            idx = np.searchsorted(lo, v, side="right") - 1
+            safe = np.clip(idx, 0, len(lo) - 1)
+            ok = (idx >= 0) & notna
+            ok &= np.where(ok, v < hi[safe], False)
+            cols = {c: t[c] for c in t.column_names}
+            for c in (lo_col, hi_col, *extra_cols):
+                vals = pd.Series(idf[c].to_numpy()[safe])
+                if how == "left":
+                    vals = _nullable(vals).where(pd.Series(ok))
+                cols[c] = pa.array(vals)
+            out = pa.table(cols)
+            return out if how == "left" else out.filter(pa.array(ok))
+        parts = []
+        for i in range(len(idf)):
+            sub = t.filter(pa.array((v >= lo[i]) & (v < hi[i]) & notna))
+            for c in (lo_col, hi_col, *extra_cols):
+                sub = sub.append_column(
+                    c, pa.array([idf[c].iloc[i]] * sub.num_rows))
+            parts.append(sub)
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def _block_topk(df: pd.DataFrame, *, group_cols, order_col, k,
+                descending, tie_cols) -> pd.DataFrame:
+    by = [order_col, *tie_cols]
+    asc = [not descending] + [True] * len(tie_cols)
+    df = df.sort_values(by, ascending=asc, kind="stable")
+    return df.groupby(list(group_cols), sort=False, dropna=False).head(k)
+
+
+def top_k_per_group(ds, *, group_cols, order_col: str, k: int,
+                    descending: bool = True, tie_cols=()):
+    """Top k rows per group by `order_col` — SQL `QUALIFY row_number()
+    OVER (PARTITION BY group ORDER BY order) <= k`, ties broken by
+    `tie_cols` ascending (deterministic under any partitioning).
+
+    Scale shape: a per-block partial top-k (the combiner) prunes each
+    block to ≤ k rows per group BEFORE the one groupby shuffle; the final
+    map_groups re-ranks the ≤ k·blocks survivors per group. The fact
+    table itself never shuffles.
+    """
+    fn = functools.partial(_block_topk, group_cols=tuple(group_cols),
+                           order_col=order_col, k=k, descending=descending,
+                           tie_cols=tuple(tie_cols))
+    pruned = ds.map_batches(fn, batch_format="pandas")
+    return pruned.groupby(list(group_cols)).map_groups(
+        fn, batch_format="pandas")

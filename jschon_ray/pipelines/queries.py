@@ -469,6 +469,128 @@ GROUP BY user_id
 """
 
 
+def q_events_asof_click_view(sf_dir):
+    """As-of join: for every click, the most recent prior view by the same
+    user (temporal.asof_join — tagged-union cogroup, one shuffle)."""
+    from ..functions.temporal import asof_join
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["event_id", "ts", "user_id", "event_type"])
+
+    def split(kind):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], kind))
+            return t.drop_columns(["event_type"])
+        return f
+
+    clicks = ds.map_batches(split("click"), batch_format="pyarrow")
+    views = ds.map_batches(split("view"), batch_format="pyarrow") \
+        .rename_columns({"event_id": "view_event_id"})
+
+    # right `ts` collides with left `ts` -> rides along as `ts_r`
+    joined = asof_join(clicks, views, on="ts", by="user_id",
+                       direction="backward", right_tie="view_event_id")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        gap = pc.subtract(t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                          t["ts_r"].cast(pa.timestamp("us"))
+                          .cast(pa.int64()))
+        return pa.table({
+            "event_id": t["event_id"].cast(pa.int64()),
+            "user_id": t["user_id"].cast(pa.int64()),
+            "view_event_id": t["view_event_id"].cast(pa.int64()),
+            "gap_us": gap.cast(pa.int64()),
+        })
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+_EVENTS_ASOF_SQL = """
+SELECT c.event_id, c.user_id, v.event_id AS view_event_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                             ORDER BY event_id DESC) = 1
+) v ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+
+_VALUE_BANDS = [("low", 0.0, 50.0), ("mid", 50.0, 150.0),
+                ("high", 150.0, 300.0), ("tail", 300.0, 1000.0)]
+
+
+def q_events_value_bands(sf_dir):
+    """Broadcast range join (value in [lo, hi)) then band rollup."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.temporal import range_join_broadcast
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["value"])
+    bands = pd.DataFrame(_VALUE_BANDS, columns=["band", "lo", "hi"])
+    joined = range_join_broadcast(ds, bands, value_col="value")
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        return pa.table({"band": t["band"], "value_e2": cents})
+
+    agg = joined.map_batches(to_cents, batch_format="pyarrow") \
+        .groupby("band").aggregate(Count(alias_name="n"),
+                                   Sum("value_e2", alias_name="sum_value_e2"))
+
+    def cast_int(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("sum_value_e2")
+        return t.set_column(i, "sum_value_e2",
+                            pc.round(t["sum_value_e2"]).cast(pa.int64()))
+
+    return agg.map_batches(cast_int, batch_format="pyarrow")
+
+
+def _value_bands_sql():
+    rows = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _VALUE_BANDS)
+    return f"""
+SELECT b.band, count(*) AS n,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_e2
+FROM events e JOIN (VALUES {rows}) b(band, lo, hi)
+  ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+"""
+
+
+def q_orders_top3_per_priority(sf_dir):
+    """Window-rank analogue: top 3 orders by price per priority class
+    (temporal.top_k_per_group — per-block prune, then one tiny shuffle)."""
+    from ..functions.temporal import top_k_per_group
+
+    ds = read_table(table_path(sf_dir, "orders"),
+                    columns=["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["o_totalprice"], 100.0)) \
+            .cast(pa.int64())
+        return pa.table({"o_orderpriority": t["o_orderpriority"],
+                         "o_orderkey": t["o_orderkey"],
+                         "price_e2": cents})
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow")
+    return top_k_per_group(ds, group_cols=["o_orderpriority"],
+                           order_col="price_e2", k=3,
+                           tie_cols=["o_orderkey"])
+
+
+_ORDERS_TOP3_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_e2
+FROM orders
+QUALIFY row_number() OVER (
+    PARTITION BY o_orderpriority
+    ORDER BY round(o_totalprice * 100) DESC, o_orderkey) <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 
@@ -980,6 +1102,9 @@ def build_queries() -> dict:
         "orders_by_segment": q_orders_by_segment,
         "events_tumbling_hour": q_events_tumbling_hour,
         "events_sessions": q_events_sessions,
+        "events_asof_click_view": q_events_asof_click_view,
+        "events_value_bands": q_events_value_bands,
+        "orders_top3_per_priority": q_orders_top3_per_priority,
         # per-row validation engine
         "validate_orders": q_validate_orders,
         "validate_lineitem": q_validate_lineitem,
@@ -1025,6 +1150,9 @@ def build_oracles() -> dict:
         "orders_by_segment": _ORDERS_BY_SEGMENT_SQL,
         "events_tumbling_hour": _EVENTS_TUMBLING_SQL,
         "events_sessions": _EVENTS_SESSIONS_SQL,
+        "events_asof_click_view": _EVENTS_ASOF_SQL,
+        "events_value_bands": _value_bands_sql(),
+        "orders_top3_per_priority": _ORDERS_TOP3_SQL,
         "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
                            "FROM orders",
         "validate_lineitem": "SELECT l_orderkey, l_linenumber, "
