@@ -32,26 +32,82 @@ def table_files(path) -> list:
     return [path] if isinstance(path, str) else list(path)
 
 
-def read_table(path, *, columns=None, filter=None, override_num_blocks=None):
+#: extension -> logical format (the reference's pluggable Source surface,
+#: /root/reference/jschon/catalog/__init__.py:26-67, recast as data-table
+#: format routing)
+_EXT_FORMAT = {".parquet": "parquet", ".jsonl": "json", ".json": "json",
+               ".csv": "csv"}
+
+
+def _detect_format(path) -> str:
+    """Logical format of a path/dir/list: by extension, parquet default."""
+    if isinstance(path, (list, tuple)):
+        path = path[0] if path else ""
+    if isinstance(path, str) and os.path.isdir(path):
+        for ext, fmt in _EXT_FORMAT.items():
+            if glob.glob(os.path.join(path, f"*{ext}")):
+                return fmt
+        return "parquet"
+    ext = os.path.splitext(path)[1].lower() if isinstance(path, str) else ""
+    return _EXT_FORMAT.get(ext, "parquet")
+
+
+def read_table(path, *, columns=None, filter=None, override_num_blocks=None,
+               format=None):
     """Read a table (file, directory of parts, or list of paths) as a
-    streaming ray.data.Dataset with column pruning + predicate pushdown."""
+    streaming ray.data.Dataset.
+
+    `format`: 'parquet' (default) | 'json' (newline-delimited) | 'csv',
+    auto-detected from the extension when None. Column pruning + predicate
+    pushdown reach storage only on the parquet path — jsonl/csv decode
+    whole records, so columns are dropped post-read (still before the
+    first exchange) and `filter` applies as a batch kernel."""
     import ray.data as rd
 
+    fmt = format or _detect_format(path)
     if isinstance(path, str) and os.path.isdir(path):
-        path = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        ext = {"parquet": ".parquet", "json": ".jsonl", "csv": ".csv"}[fmt]
+        files = sorted(glob.glob(os.path.join(path, f"*{ext}")))
+        if fmt == "json" and not files:
+            files = sorted(glob.glob(os.path.join(path, "*.json")))
+        path = files
     kwargs = {}
-    if columns is not None:
-        kwargs["columns"] = list(columns)
-    if filter is not None:
-        kwargs["filter"] = filter
     if override_num_blocks is not None:
         kwargs["override_num_blocks"] = override_num_blocks
-    return rd.read_parquet(path, **kwargs)
+    if fmt == "parquet":
+        if columns is not None:
+            kwargs["columns"] = list(columns)
+        if filter is not None:
+            kwargs["filter"] = filter
+        return rd.read_parquet(path, **kwargs)
+    if fmt == "json":
+        ds = rd.read_json(path, **kwargs)
+    elif fmt == "csv":
+        ds = rd.read_csv(path, **kwargs)
+    else:
+        raise ValueError(f"unknown table format: {fmt!r}")
+    if columns is not None:
+        ds = ds.select_columns(list(columns))
+    if filter is not None:
+        import pyarrow.dataset as pads
+
+        expr = filter if not isinstance(filter, pads.Expression) else filter
+        ds = ds.map_batches(lambda t, e=expr: t.filter(e),
+                            batch_format="pyarrow")
+    return ds
 
 
-def write_table(ds, path: str, **kwargs):
-    """Write a Dataset as a directory of parquet part files (resumable
-    layout: one directory per logical partition, never one giant file)."""
+def write_table(ds, path: str, *, format: str = "parquet", **kwargs):
+    """Write a Dataset as a directory of part files (resumable layout:
+    one directory per logical partition, never one giant file).
+    `format`: 'parquet' (default) | 'json' (newline-delimited) | 'csv'."""
     os.makedirs(path, exist_ok=True)
-    ds.write_parquet(path, **kwargs)
+    if format == "parquet":
+        ds.write_parquet(path, **kwargs)
+    elif format == "json":
+        ds.write_json(path, **kwargs)
+    elif format == "csv":
+        ds.write_csv(path, **kwargs)
+    else:
+        raise ValueError(f"unknown table format: {format!r}")
     return path
