@@ -591,6 +591,55 @@ QUALIFY row_number() OVER (
 """
 
 
+# nested-document validation: the props column is a JSON string; one
+# vectorized NDJSON parse lifts it to a struct column, then the same
+# engine applies a nested properties/required spec to it
+PROPS_SPEC = {
+    "$id": "https://jschon-ray.dev/specs/event-props",
+    "type": "object",
+    "required": ["event_id", "props"],
+    "properties": {
+        "props": {
+            "type": "object",
+            "required": ["k"],
+            "properties": {
+                "k": {"type": "integer", "minimum": 0, "maximum": 50},
+            },
+        },
+    },
+}
+
+
+def q_validate_events_props(sf_dir):
+    """Nested JSON-document validation over a string column (SURVEY §1.1:
+    the reference's whole-document tree becomes a struct column here)."""
+    from ..functions.text import parse_json_column
+    from .validate import validate_dataset
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["event_id", "props"])
+    ds = ds.map_batches(
+        functools.partial(parse_json_column, col="props"),
+        batch_format="pyarrow")
+    verdicts = validate_dataset(ds, PROPS_SPEC)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"], "valid": t["valid"]})
+
+    return verdicts.map_batches(finalize, batch_format="pyarrow")
+
+
+_EVENTS_PROPS_SQL = """
+SELECT event_id,
+       (props IS NOT NULL
+        AND json_extract(props, '$.k') IS NOT NULL
+        AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT', 'INTEGER')
+        AND CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 0 AND 50)
+           AS valid
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 
@@ -1105,6 +1154,7 @@ def build_queries() -> dict:
         "events_asof_click_view": q_events_asof_click_view,
         "events_value_bands": q_events_value_bands,
         "orders_top3_per_priority": q_orders_top3_per_priority,
+        "validate_events_props": q_validate_events_props,
         # per-row validation engine
         "validate_orders": q_validate_orders,
         "validate_lineitem": q_validate_lineitem,
@@ -1153,6 +1203,7 @@ def build_oracles() -> dict:
         "events_asof_click_view": _EVENTS_ASOF_SQL,
         "events_value_bands": _value_bands_sql(),
         "orders_top3_per_priority": _ORDERS_TOP3_SQL,
+        "validate_events_props": _EVENTS_PROPS_SQL,
         "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
                            "FROM orders",
         "validate_lineitem": "SELECT l_orderkey, l_linenumber, "
