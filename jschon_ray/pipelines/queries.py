@@ -474,18 +474,21 @@ def q_events_asof_click_view(sf_dir):
     user (temporal.asof_join — tagged-union cogroup, one shuffle)."""
     from ..functions.temporal import asof_join
 
-    ds = read_table(table_path(sf_dir, "events"),
-                    columns=["event_id", "ts", "user_id", "event_type"])
+    def side(kind):
+        # each side gets its OWN read: unioning two branches of one read
+        # has shown a Ray reference-counting race under load, and separate
+        # reads also let each side prune independently at storage
+        ds = read_table(table_path(sf_dir, "events"),
+                        columns=["event_id", "ts", "user_id", "event_type"])
 
-    def split(kind):
         def f(t: pa.Table) -> pa.Table:
             t = t.filter(pc.equal(t["event_type"], kind))
             return t.drop_columns(["event_type"])
-        return f
 
-    clicks = ds.map_batches(split("click"), batch_format="pyarrow")
-    views = ds.map_batches(split("view"), batch_format="pyarrow") \
-        .rename_columns({"event_id": "view_event_id"})
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    clicks = side("click")
+    views = side("view").rename_columns({"event_id": "view_event_id"})
 
     # right `ts` collides with left `ts` -> rides along as `ts_r`
     joined = asof_join(clicks, views, on="ts", by="user_id",
