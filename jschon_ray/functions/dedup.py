@@ -409,3 +409,38 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, *,
                              "uni": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def exact_distinct_counts(ds, cols):
+    """Exact per-column distinct count (the exact complement of the HLL
+    sketch in state/sketches.py).
+
+    Scale shape: per-block `pc.unique` first, so only each block's
+    distinct (col, value) pairs enter the shuffle — for low-cardinality
+    columns the exchange carries ~n_distinct rows per block regardless of
+    block size. Nulls are excluded (SQL count(DISTINCT ...) semantics).
+    Values are compared as strings (injective for scalar columns).
+    """
+    cols = list(cols)
+
+    def block_unique(t: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in cols:
+            u = pc.unique(t[c])
+            u = u.filter(pc.is_valid(u)).cast(pa.string())
+            names.extend([c] * len(u))
+            vals.extend(u.to_pylist())
+        return pa.table({"col": pa.array(names, pa.string()),
+                         "value": pa.array(vals, pa.string())})
+
+    pairs = ds.select_columns(cols) \
+        .map_batches(block_unique, batch_format="pyarrow")
+    distinct_pairs = pairs.groupby(["col", "value"]).count()
+
+    def drop_value(t: pa.Table) -> pa.Table:
+        return t.select(["col"])
+
+    return distinct_pairs.map_batches(drop_value, batch_format="pyarrow") \
+        .groupby("col").count() \
+        .map_batches(lambda t: t.rename_columns(["col", "n_distinct"]),
+                     batch_format="pyarrow")

@@ -63,3 +63,38 @@ def session_counts(ds, *, key_col="user_id", ts_col="ts",
 
     return ds.select_columns([key_col, ts_col, tie_col]) \
         .groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def hopping_agg(ds, *, key_cols=("event_type",), ts_col="ts",
+                value_col="value", width_minutes=60, stride_minutes=30):
+    """count + sum(value) per (key, hopping window): windows of `width`
+    starting every `stride` (width must be an integer multiple of stride).
+
+    Vectorized explode: a row at time t belongs to exactly width/stride
+    windows, so each batch is concatenated m times with shifted
+    window_start columns — no Python row loop, no per-row fan-out
+    machinery. The groupby then pre-aggregates per block before the
+    shuffle (Ray's sort aggregate ships partials, not rows).
+    """
+    if width_minutes % stride_minutes:
+        raise ValueError("width must be an integer multiple of stride")
+    m = width_minutes // stride_minutes
+    stride_us = stride_minutes * 60_000_000
+
+    from ray.data.aggregate import Count, Sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts_us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        k = pc.floor(pc.divide(ts_us.cast(pa.float64()), stride_us))
+        k = k.cast(pa.int64())
+        parts = []
+        base = t.select(list(key_cols) + [value_col])
+        for j in range(m):
+            start = pc.multiply(pc.subtract(k, j), stride_us) \
+                .cast(pa.timestamp("us"))
+            parts.append(base.append_column("window_start", start))
+        return pa.concat_tables(parts)
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    return exploded.groupby(list(key_cols) + ["window_start"]).aggregate(
+        Count(alias_name="n"), Sum(value_col, alias_name="sum_value"))

@@ -594,6 +594,67 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_events_hopping_30m(sf_dir):
+    """Hopping (sliding) window: 60-min windows every 30 min — vectorized
+    m-way explode then one pre-aggregated groupby shuffle."""
+    from ..functions.windows import hopping_agg
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["event_type", "ts", "value"])
+    agg = hopping_agg(ds, key_cols=("event_type",), width_minutes=60,
+                      stride_minutes=30)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["sum_value"], 100.0)).cast(pa.int64())
+        return pa.table({
+            "event_type": t["event_type"],
+            "window_start": t["window_start"].cast(pa.timestamp("us")),
+            "n": t["n"],
+            "sum_value_e2": cents,
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+_EVENTS_HOPPING_SQL = """
+WITH assigned AS (
+  SELECT event_type, value,
+         make_timestamp(CAST(floor(epoch_us(ts) / 1800000000)
+                             AS BIGINT) * 1800000000) AS window_start
+  FROM events
+  UNION ALL
+  SELECT event_type, value,
+         make_timestamp((CAST(floor(epoch_us(ts) / 1800000000)
+                              AS BIGINT) - 1) * 1800000000)
+  FROM events)
+SELECT event_type, window_start, count(*) AS n,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_e2
+FROM assigned GROUP BY event_type, window_start
+"""
+
+
+def q_distinct_counts_lineitem(sf_dir):
+    """Exact distinct counts (per-block unique prune before the shuffle;
+    the exact complement of the HLL profile)."""
+    from ..functions.dedup import exact_distinct_counts
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_returnflag", "l_linestatus", "l_shipdate"])
+    return exact_distinct_counts(
+        ds, ["l_returnflag", "l_linestatus", "l_shipdate"])
+
+
+_DISTINCT_COUNTS_SQL = """
+SELECT 'l_returnflag' AS col,
+       CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_distinct
+FROM lineitem
+UNION ALL
+SELECT 'l_linestatus', count(DISTINCT l_linestatus) FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', count(DISTINCT l_shipdate) FROM lineitem
+"""
+
+
 # nested-document validation: the props column is a JSON string; one
 # vectorized NDJSON parse lifts it to a struct column, then the same
 # engine applies a nested properties/required spec to it
@@ -1158,6 +1219,8 @@ def build_queries() -> dict:
         "events_value_bands": q_events_value_bands,
         "orders_top3_per_priority": q_orders_top3_per_priority,
         "validate_events_props": q_validate_events_props,
+        "events_hopping_30m": q_events_hopping_30m,
+        "distinct_counts_lineitem": q_distinct_counts_lineitem,
         # per-row validation engine
         "validate_orders": q_validate_orders,
         "validate_lineitem": q_validate_lineitem,
@@ -1207,6 +1270,8 @@ def build_oracles() -> dict:
         "events_value_bands": _value_bands_sql(),
         "orders_top3_per_priority": _ORDERS_TOP3_SQL,
         "validate_events_props": _EVENTS_PROPS_SQL,
+        "events_hopping_30m": _EVENTS_HOPPING_SQL,
+        "distinct_counts_lineitem": _DISTINCT_COUNTS_SQL,
         "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
                            "FROM orders",
         "validate_lineitem": "SELECT l_orderkey, l_linenumber, "
