@@ -1,0 +1,67 @@
+"""python -m jschon_ray CLI: one subprocess smoke per command family."""
+
+import json
+import os
+import subprocess
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SPEC = {
+    "$id": "https://x/orders",
+    "type": "object",
+    "required": ["o_orderkey", "o_orderstatus"],
+    "properties": {
+        "o_orderkey": {"type": "integer", "exclusiveMinimum": 0},
+        "o_orderstatus": {"enum": ["O", "F", "P"]},
+        "o_totalprice": {"exclusiveMinimum": 0, "maximum": 300000},
+    },
+}
+
+
+def _run(args):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "-m", "jschon_ray", "--num-cpus", "2", *args],
+        capture_output=True, text=True, env=env, cwd="/tmp", timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_cli_validate_writes_verdicts_and_violations(tmp_path):
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(json.dumps(SPEC))
+    outdir = tmp_path / "out"
+    summary = _run(["validate",
+                    "--input", "/root/testdata/sf0.001/orders.parquet",
+                    "--spec", str(spec_path),
+                    "--output", str(outdir),
+                    "--key-cols", "o_orderkey"])
+    con = duckdb.connect()
+    n = con.execute("SELECT count(*) FROM "
+                    "read_parquet('/root/testdata/sf0.001/orders.parquet')"
+                    ).fetchone()[0]
+    assert summary["n"] == n
+    assert 0 < summary["n_valid"] < n
+    verdicts = pq.read_table(str(outdir / "verdicts"))
+    assert verdicts.num_rows == n
+    viols = pq.read_table(str(outdir / "violations"))
+    assert viols.num_rows == summary["n_violations"]
+    assert set(viols.column_names) >= {"o_orderkey", "instanceLocation",
+                                       "keywordLocation", "error"}
+
+
+def test_cli_uniqueness_matches_sql():
+    summary = _run(["uniqueness",
+                    "--input", "/root/testdata/sf0.001/orders.parquet",
+                    "--key", "o_custkey"])
+    con = duckdb.connect()
+    exp = con.execute(
+        "SELECT count(*), coalesce(sum(n), 0) FROM (SELECT count(*) AS n "
+        "FROM read_parquet('/root/testdata/sf0.001/orders.parquet') "
+        "GROUP BY o_custkey HAVING count(*) > 1)").fetchone()
+    assert summary["n_duplicate_keys"] == exp[0]
+    assert summary["n_duplicate_rows"] == exp[1]
