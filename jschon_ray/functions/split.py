@@ -1,0 +1,66 @@
+"""Deterministic dataset splitting + sampling for training pipelines.
+
+Both operators are pure per-batch kernels — NO shuffle, no driver state,
+reproducible under any partitioning — because assignment depends only on a
+row's id hash, never on position or block order:
+
+* ``assign_split`` — train/valid/test (any fractions) by hashed id.
+* ``stratified_sample`` — per-group rate-controlled sample by hashed id,
+  so re-runs (and retried tasks) pick the SAME rows.
+
+Hash = md5 of the id string (first 8 hex digits → [0, 1) bucket), so any
+external system — including the DuckDB oracles — can reproduce the
+assignment exactly; this costs a per-row digest and is the documented
+price of cross-system determinism (engine-internal keys use the
+vectorized state.sketches.hash_array instead).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def _unit_hash(ids) -> np.ndarray:
+    """md5(id) -> float in [0, 1): first 32 bits / 2^32."""
+    out = np.empty(len(ids), np.float64)
+    for i, v in enumerate(ids):
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+        out[i] = h / 4294967296.0
+    return out
+
+
+def assign_split(batch: pa.Table, *, id_col: str, fracs: dict,
+                 out: str = "split") -> pa.Table:
+    """Append a split-label column: {'train': .8, 'valid': .1, 'test': .1}.
+
+    Labels partition [0,1) in dict insertion order; fractions must sum to
+    1 (±1e-9). A row's label is a pure function of its id.
+    """
+    total = sum(fracs.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    ids = batch[id_col].to_pylist()
+    u = _unit_hash(ids)
+    labels = list(fracs)
+    edges = np.cumsum([fracs[k] for k in labels])
+    idx = np.searchsorted(edges, u, side="right")
+    idx = np.minimum(idx, len(labels) - 1)
+    lab = np.array(labels, dtype=object)[idx]
+    return batch.append_column(out, pa.array(lab.tolist(), pa.string()))
+
+
+def stratified_sample(batch: pa.Table, *, id_col: str, group_col: str,
+                      rates: dict, default_rate: float = 0.0) -> pa.Table:
+    """Keep each row with its group's rate, deterministically by id hash.
+
+    `rates`: {group_value: keep_fraction}; groups not listed use
+    `default_rate`. Filtering happens inside the batch — upstream blocks
+    stream through untouched, so this composes with any pipeline position.
+    """
+    u = _unit_hash(batch[id_col].to_pylist())
+    groups = batch[group_col].to_pylist()
+    thresh = np.array([rates.get(g, default_rate) for g in groups])
+    return batch.filter(pa.array(u < thresh))

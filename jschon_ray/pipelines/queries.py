@@ -655,6 +655,57 @@ SELECT 'l_shipdate', count(DISTINCT l_shipdate) FROM lineitem
 """
 
 
+_SPLIT_FRACS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+_SAMPLE_RATES = {"click": 0.5, "error": 1.0, "view": 0.05}
+
+# md5-hex -> [0,1) bucket, reproduced verbatim in the oracles
+_U_SQL = ("CAST(concat('0x', substr(md5(CAST({id} AS VARCHAR)), 1, 8)) "
+          "AS UBIGINT) / 4294967296.0")
+
+
+def q_split_docs(sf_dir):
+    """Deterministic train/valid/test split by hashed doc_id — pure
+    per-batch kernel, no shuffle, identical under any partitioning."""
+    from ..functions.split import assign_split
+
+    ds = read_table(table_path(sf_dir, "documents"), columns=["doc_id"])
+    return ds.map_batches(
+        functools.partial(assign_split, id_col="doc_id",
+                          fracs=_SPLIT_FRACS),
+        batch_format="pyarrow")
+
+
+_SPLIT_DOCS_SQL = f"""
+SELECT doc_id,
+       CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'valid'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, {_U_SQL.format(id='doc_id')} AS u FROM documents)
+"""
+
+
+def q_stratified_sample_events(sf_dir):
+    """Per-group rate-controlled deterministic sample (click 50%,
+    error 100%, view 5%, others dropped)."""
+    from ..functions.split import stratified_sample
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["event_id", "event_type"])
+    return ds.map_batches(
+        functools.partial(stratified_sample, id_col="event_id",
+                          group_col="event_type", rates=_SAMPLE_RATES),
+        batch_format="pyarrow")
+
+
+_STRATIFIED_SQL = f"""
+SELECT event_id, event_type
+FROM (SELECT event_id, event_type,
+             {_U_SQL.format(id='event_id')} AS u FROM events)
+WHERE u < CASE event_type WHEN 'click' THEN 0.5 WHEN 'error' THEN 1.0
+          WHEN 'view' THEN 0.05 ELSE 0.0 END
+"""
+
+
 # nested-document validation: the props column is a JSON string; one
 # vectorized NDJSON parse lifts it to a struct column, then the same
 # engine applies a nested properties/required spec to it
@@ -1221,6 +1272,8 @@ def build_queries() -> dict:
         "validate_events_props": q_validate_events_props,
         "events_hopping_30m": q_events_hopping_30m,
         "distinct_counts_lineitem": q_distinct_counts_lineitem,
+        "split_docs": q_split_docs,
+        "stratified_sample_events": q_stratified_sample_events,
         # per-row validation engine
         "validate_orders": q_validate_orders,
         "validate_lineitem": q_validate_lineitem,
@@ -1272,6 +1325,8 @@ def build_oracles() -> dict:
         "validate_events_props": _EVENTS_PROPS_SQL,
         "events_hopping_30m": _EVENTS_HOPPING_SQL,
         "distinct_counts_lineitem": _DISTINCT_COUNTS_SQL,
+        "split_docs": _SPLIT_DOCS_SQL,
+        "stratified_sample_events": _STRATIFIED_SQL,
         "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
                            "FROM orders",
         "validate_lineitem": "SELECT l_orderkey, l_linenumber, "
