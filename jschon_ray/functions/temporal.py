@@ -70,8 +70,13 @@ def _merge_asof_group(df: pd.DataFrame, *, on: str, left_cols, right_cols,
     right_on = right_cols[0]
     left = df[df["__side"] == 1]
     right = df[df["__side"] == 0]
+    # tie rule: among equal right timestamps pick the MAX right_tie. The
+    # backward probe lands on the last row of an equal-ts run, the forward
+    # probe on the first — so the run is ordered tie-ascending for
+    # backward, tie-descending for forward.
     sort_keys = [right_on] + ([right_tie] if right_tie else [])
-    right = right.sort_values(sort_keys, kind="stable")
+    ascending = [True] + ([direction == "backward"] if right_tie else [])
+    right = right.sort_values(sort_keys, ascending=ascending, kind="stable")
 
     lt = _ts_to_i8(left[on])
     order = np.argsort(lt, kind="stable")

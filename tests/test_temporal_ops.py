@@ -177,3 +177,83 @@ def test_top_k_ascending(ray_session):
                           order_col="v", k=2, descending=False,
                           tie_cols=["id"]).to_pandas()
     assert sorted(got["id"].tolist()) == [1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# hypothesis fuzz: asof_join vs pandas merge_asof on adversarial shapes
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _asof_tables(draw):
+    n_left = draw(st.integers(0, 40))
+    n_right = draw(st.integers(0, 40))
+    keys = draw(st.integers(1, 4))
+    # coarse second-grained stamps force plenty of exact ts collisions
+    def rows(n, id0):
+        ts = draw(st.lists(st.integers(0, 50), min_size=n, max_size=n))
+        uid = draw(st.lists(st.integers(0, keys - 1), min_size=n,
+                            max_size=n))
+        return pd.DataFrame({
+            "rid": np.arange(id0, id0 + n, dtype=np.int64),
+            "ts": np.array(ts, dtype="datetime64[s]").astype("datetime64[us]"),
+            "uid": np.array(uid, dtype=np.int64),
+        })
+    return rows(n_left, 0), rows(n_right, 1000)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(_asof_tables(), st.sampled_from(["backward", "forward"]),
+       st.sampled_from([None, 10_000_000]))
+def test_asof_fuzz_vs_pandas(ray_session, tables, direction, tol):
+    left, right = tables
+    right = right.rename(columns={"rid": "rrid"})
+    got = asof_join(
+        rd.from_pandas(left) if len(left) else
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_pandas(right) if len(right) else
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        on="ts", by="uid", direction=direction,
+        tolerance=tol, right_tie="rrid",
+    ).to_pandas()
+
+    if not len(left):
+        assert len(got) == 0
+        return
+    got = got.sort_values(["rid"]).reset_index(drop=True)
+    # oracle: pandas merge_asof picks the LAST right row among equal ts in
+    # (ts, rrid) sort order for backward, the FIRST for forward — same
+    # deterministic tie rule as ours for backward; forward differs on
+    # ties, so emulate directly.
+    lt = left.sort_values("ts", kind="stable")
+    exp_ids = []
+    for _, row in lt.iterrows():
+        cand = right[right["uid"] == row["uid"]]
+        if direction == "backward":
+            cand = cand[cand["ts"] <= row["ts"]]
+            if tol is not None:
+                cand = cand[(row["ts"] - cand["ts"])
+                            <= pd.Timedelta(tol, "us")]
+            pick = cand.sort_values(["ts", "rrid"]).iloc[-1]["rrid"] \
+                if len(cand) else None
+        else:
+            cand = cand[cand["ts"] >= row["ts"]]
+            if tol is not None:
+                cand = cand[(cand["ts"] - row["ts"])
+                            <= pd.Timedelta(tol, "us")]
+            if len(cand):
+                first_ts = cand["ts"].min()
+                # our rule: among equal ts take max rrid (stable-sort last)
+                pick = cand[cand["ts"] == first_ts]["rrid"].max()
+            else:
+                pick = None
+        exp_ids.append((int(row["rid"]), pick))
+    exp = {r: p for r, p in exp_ids}
+    gotmap = {int(r): (None if pd.isna(v) else int(v))
+              for r, v in zip(got["rid"], got["rrid"])}
+    assert gotmap == {r: (None if p is None else int(p))
+                      for r, p in exp.items()}
