@@ -85,3 +85,51 @@ def hash_join(left, right, *, on: str, how: str = "inner",
 
     return tagged.groupby("__bucket").map_groups(join_bucket,
                                                  batch_format="pyarrow")
+
+
+class _BroadcastJoiner:
+    """Per-batch C++ hash join against one object-store copy of the small
+    side (materialized once per actor in __init__, never per batch)."""
+
+    def __init__(self, small_ref, on, how):
+        import ray
+
+        self.small = ray.get(small_ref) \
+            if isinstance(small_ref, ray.ObjectRef) else small_ref
+        self.on = on
+        self.how = "left outer" if how == "left" else "inner"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return batch.join(self.small, keys=self.on, join_type=self.how)
+
+
+def broadcast_join(ds, small, *, on: str, how: str = "inner",
+                   concurrency=None):
+    """Enrich a large Dataset with a SMALL dimension table — the
+    no-shuffle fact×dim plan (ray_guide "Joins and lookups": broadcast the
+    small side with ray.put once, probe per batch).
+
+    `small`: pyarrow Table / pandas DataFrame (driver-side). Each batch
+    runs one pyarrow C++ hash join against the broadcast table; the fact
+    side never moves. `how`: 'inner' | 'left'. Rows of `small` must be
+    unique on `on` (enforced) so the output row count is predictable.
+
+    Complements `hash_join` (both sides large -> bucketed shuffle) and
+    `referential_violations` (membership-only anti-join).
+    """
+    import ray
+
+    if isinstance(small, pd.DataFrame):
+        small = pa.Table.from_pandas(small, preserve_index=False)
+    n_keys = len(small.column(on).unique())
+    if n_keys != small.num_rows:
+        raise ValueError(f"broadcast_join: small side not unique on {on!r}")
+    small_ref = ray.put(small.combine_chunks())
+    from ..pipelines.validate import default_concurrency
+
+    return ds.map_batches(
+        _BroadcastJoiner,
+        fn_constructor_kwargs=dict(small_ref=small_ref, on=on, how=how),
+        batch_format="pyarrow",
+        concurrency=concurrency or default_concurrency(),
+    )

@@ -655,6 +655,76 @@ SELECT 'l_shipdate', count(DISTINCT l_shipdate) FROM lineitem
 """
 
 
+_PRIORITY_DIM = [("1-URGENT", "hot"), ("2-HIGH", "hot"),
+                 ("3-MEDIUM", "std"), ("4-NOT SPECIFIED", "std"),
+                 ("5-LOW", "cold")]
+
+
+def q_orders_broadcast_enrich(sf_dir):
+    """Broadcast enrich join: fact orders x 5-row priority dim via ray.put
+    + per-batch C++ hash join — the no-shuffle fact×dim plan (contrast
+    orders_by_segment, which exercises the both-sides-large bucketed
+    shuffle join)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.join import broadcast_join
+
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_orderpriority", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["o_totalprice"], 100.0)) \
+            .cast(pa.int64())
+        return pa.table({"o_orderpriority": t["o_orderpriority"],
+                         "price_e2": cents})
+
+    dim = pa.table({
+        "o_orderpriority": [p for p, _ in _PRIORITY_DIM],
+        "priority_class": [c for _, c in _PRIORITY_DIM],
+    })
+    joined = broadcast_join(orders.map_batches(to_cents,
+                                               batch_format="pyarrow"),
+                            dim, on="o_orderpriority", how="inner")
+    agg = joined.groupby("priority_class").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("price_e2", alias_name="sum_price_e2"))
+
+    def cast_int(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("sum_price_e2")
+        return t.set_column(i, "sum_price_e2",
+                            pc.round(t["sum_price_e2"]).cast(pa.int64()))
+
+    return agg.map_batches(cast_int, batch_format="pyarrow")
+
+
+def _priority_dim_sql():
+    rows = ", ".join(f"('{p}', '{c}')" for p, c in _PRIORITY_DIM)
+    return f"""
+SELECT d.priority_class, count(*) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_e2
+FROM orders o JOIN (VALUES {rows}) d(o_orderpriority, priority_class)
+  ON o.o_orderpriority = d.o_orderpriority
+GROUP BY d.priority_class
+"""
+
+
+def q_uniqueness_lineitem_composite(sf_dir):
+    """Composite-key uniqueness: (l_orderkey, l_linenumber) duplicates —
+    the uniqueItems shuffle generalized to multi-column keys."""
+    from .validate import uniqueness_violations
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_linenumber"])
+    return uniqueness_violations(ds, ["l_orderkey", "l_linenumber"])
+
+
+_UNIQUENESS_COMPOSITE_SQL = """
+SELECT l_orderkey, l_linenumber, count(*) AS n_rows
+FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+"""
+
+
 _SPLIT_FRACS = {"train": 0.8, "valid": 0.1, "test": 0.1}
 _SAMPLE_RATES = {"click": 0.5, "error": 1.0, "view": 0.05}
 
@@ -1274,6 +1344,8 @@ def build_queries() -> dict:
         "distinct_counts_lineitem": q_distinct_counts_lineitem,
         "split_docs": q_split_docs,
         "stratified_sample_events": q_stratified_sample_events,
+        "orders_broadcast_enrich": q_orders_broadcast_enrich,
+        "uniqueness_lineitem_composite": q_uniqueness_lineitem_composite,
         # per-row validation engine
         "validate_orders": q_validate_orders,
         "validate_lineitem": q_validate_lineitem,
@@ -1327,6 +1399,8 @@ def build_oracles() -> dict:
         "distinct_counts_lineitem": _DISTINCT_COUNTS_SQL,
         "split_docs": _SPLIT_DOCS_SQL,
         "stratified_sample_events": _STRATIFIED_SQL,
+        "orders_broadcast_enrich": _priority_dim_sql(),
+        "uniqueness_lineitem_composite": _UNIQUENESS_COMPOSITE_SQL,
         "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
                            "FROM orders",
         "validate_lineitem": "SELECT l_orderkey, l_linenumber, "

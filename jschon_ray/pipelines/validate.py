@@ -232,15 +232,20 @@ def uniqueness_violations(ds, key="clip_id", *, hash_first=False):
     assumes duplicates are a SMALL fraction — at 10^12 rows with ~1% dupes
     that set no longer fits, which is why it is not the default.
     """
-    keys = ds.select_columns([key])
+    key_list = [key] if isinstance(key, str) else list(key)
+    keys = ds.select_columns(key_list)
     if not hash_first:
-        counts = keys.groupby(key).count()
+        counts = keys.groupby(key_list if len(key_list) > 1 else key_list[0]) \
+            .count()
 
         def keep_dupes(t: pa.Table) -> pa.Table:
             t = t.filter(pc.greater(t["count()"], 1))
-            return t.rename_columns([key, "n_rows"])
+            return t.rename_columns(key_list + ["n_rows"])
 
         return counts.map_batches(keep_dupes, batch_format="pyarrow")
+    if len(key_list) > 1:
+        raise ValueError("hash_first supports a single key column")
+    key = key_list[0]
 
     from ..state.sketches import hash_array
 
