@@ -70,7 +70,10 @@ def read_table(path, *, columns=None, filter=None, override_num_blocks=None,
         files = sorted(glob.glob(os.path.join(path, f"*{ext}")))
         if fmt == "json" and not files:
             files = sorted(glob.glob(os.path.join(path, "*.json")))
-        path = files
+        # no direct part files: hive-partitioned (col=value/ subdirs) or
+        # otherwise nested layout — hand the directory to ray, which
+        # lists recursively and parses partition columns
+        path = files or path
     kwargs = {}
     if override_num_blocks is not None:
         kwargs["override_num_blocks"] = override_num_blocks
@@ -97,12 +100,18 @@ def read_table(path, *, columns=None, filter=None, override_num_blocks=None,
     return ds
 
 
-def write_table(ds, path: str, *, format: str = "parquet", **kwargs):
+def write_table(ds, path: str, *, format: str = "parquet",
+                partition_cols=None, **kwargs):
     """Write a Dataset as a directory of part files (resumable layout:
     one directory per logical partition, never one giant file).
-    `format`: 'parquet' (default) | 'json' (newline-delimited) | 'csv'."""
+    `format`: 'parquet' (default) | 'json' (newline-delimited) | 'csv'.
+    `partition_cols` (parquet only): hive-style key-range layout
+    (`col=value/` directories) so reruns and downstream readers can skip
+    finished / irrelevant partitions at the listing level."""
     os.makedirs(path, exist_ok=True)
     if format == "parquet":
+        if partition_cols:
+            kwargs["partition_cols"] = list(partition_cols)
         ds.write_parquet(path, **kwargs)
     elif format == "json":
         ds.write_json(path, **kwargs)

@@ -85,3 +85,18 @@ def test_validation_pipeline_over_jsonl(orders_small):
     got = df.sort_values("o_orderkey")["valid"].tolist()
     exp = ref.sort_values("o_orderkey")["valid"].tolist()
     assert got == exp
+
+
+def test_partitioned_parquet_write(orders_small, tmp_path):
+    """partition_cols gives a hive layout readers can prune by listing."""
+    ds, _ = orders_small
+    out = str(tmp_path / "by_status")
+    write_table(ds, out, partition_cols=["o_orderstatus"])
+    import glob
+    import os as _os
+
+    parts = sorted(p.split("=")[-1] for p in
+                   glob.glob(_os.path.join(out, "o_orderstatus=*")))
+    assert parts == ["F", "O", "P"]
+    back = read_table(out)
+    assert back.count() == ds.count()
