@@ -146,6 +146,15 @@ def run_benchmarks() -> dict:
     timed("ngram_jaccard_docs",
           lambda: len(Q.q_ngram_jaccard_docs(SF_DIR)))
 
+    # 9. temporal / join operators (as-of cogroup, broadcast enrich,
+    # hopping-window explode)
+    timed("events_asof_click_view",
+          lambda: Q.q_events_asof_click_view(SF_DIR).count())
+    timed("orders_broadcast_enrich",
+          lambda: Q.q_orders_broadcast_enrich(SF_DIR).to_pandas())
+    timed("events_hopping_30m",
+          lambda: Q.q_events_hopping_30m(SF_DIR).count())
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "headline_pipelines_total",

@@ -124,7 +124,14 @@ def broadcast_join(ds, small, *, on: str, how: str = "inner",
     n_keys = len(small.column(on).unique())
     if n_keys != small.num_rows:
         raise ValueError(f"broadcast_join: small side not unique on {on!r}")
-    small_ref = ray.put(small.combine_chunks())
+    small = small.combine_chunks()
+    if small.nbytes <= 4 << 20:
+        # tiny dim: closure-capture into STATELESS tasks — no actor-pool
+        # spin-up (measured: the pool costs ~3s wall for a 5-row dim);
+        # the task closure ships once per worker process, not per batch
+        joiner = _BroadcastJoiner(small, on, how)
+        return ds.map_batches(joiner.__call__, batch_format="pyarrow")
+    small_ref = ray.put(small)
     from ..pipelines.validate import default_concurrency
 
     return ds.map_batches(
