@@ -128,5 +128,17 @@ def grouped_stats(ds, key: str, value: str, num_salts: int = 16):
                           num_salts=num_salts),
         batch_format="pyarrow",
     )
+    # partials are tiny by construction (≤ groups × salts rows per input
+    # block), but they inherit the input's block COUNT — and the sort
+    # shuffle + merge stages pay per-block scheduling overhead (measured:
+    # 200 hundred-row blocks made a 20k-row job take 11 s). Coalesce to
+    # ~CPU-count blocks first; at any scale this moves only partial rows.
+    try:
+        import ray
+
+        target = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        target = 8
+    parts = parts.repartition(target)
     return parts.groupby(key).map_groups(_merge_salted,
                                          batch_format="pandas")
