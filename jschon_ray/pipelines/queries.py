@@ -915,6 +915,27 @@ def q_audio_features_clips(sf_dir):
          "spec_rolloff_hz"])
 
 
+def q_audio_resample_vad_clips(sf_dir):
+    """Canonical audio pipeline: decode -> resample to 16 kHz -> energy
+    VAD segmentation, as chained actor-pool stages over bytes-bounded
+    batches. Rows-only check (DSP is not SQL-expressible); the segments
+    list column is projected away so the driver's schema hash stays
+    scalar-only."""
+    from ..sources.clips import clips_cache_dir
+    from ..stages.audio_ops import AudioResampler, VADSegments
+    from .validate import default_concurrency
+
+    ds = read_table(clips_cache_dir(sf_dir),
+                    columns=["clip_id", "bytes", "sr_hz", "codec"])
+    out = ds.map_batches(AudioResampler, batch_format="pyarrow",
+                         batch_size=256, concurrency=default_concurrency(),
+                         fn_constructor_kwargs=dict(target_sr=16000)) \
+            .map_batches(VADSegments, batch_format="pyarrow",
+                         batch_size=256, concurrency=default_concurrency())
+    return out.select_columns(["clip_id", "resample_ok", "n_samples",
+                               "vad_ok", "n_segments", "speech_ratio"])
+
+
 def q_media_image_features(sf_dir):
     """Multimodal plumbing: synthetic raw images -> feature actor pool.
 
@@ -1375,6 +1396,7 @@ def build_queries() -> dict:
         "profile_sketches_lineitem": q_profile_sketches_lineitem,
         "drift_lineitem": q_drift_lineitem_halves,
         "audio_features_clips": q_audio_features_clips,
+        "audio_resample_vad_clips": q_audio_resample_vad_clips,
         "media_image_features": q_media_image_features,
         "media_frame_sample": q_media_frame_sample,
         "minhash_lsh_docs": q_minhash_docs,

@@ -1,0 +1,199 @@
+"""Audio transform stages: resampling and energy-based VAD segmentation.
+
+Real DSP on the decodable codecs (pcm_s16le / wav / deterministic fakes —
+stages/decode.py), no external audio libraries. Both run as actor-pool
+`map_batches` stages with bytes-bounded batches, the same deployment shape
+as ClipDecoder / AudioFeatures (the reference's expensive opt-in `format`
+assertion recast as pipeline stages,
+/root/reference/jschon/vocabulary/format.py:14-32).
+
+Vectorization notes: per clip the hot work is pure numpy vector math
+(np.interp over sample indices for resampling; one squared-signal
+`np.add.reduceat` per batch for frame energies). The only Python-level
+loop is over clips in a batch, each iteration touching thousands of
+samples at once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .decode import DecodeError, decode_clip
+
+
+class AudioResampler:
+    """Resample decodable clips to `target_sr` (linear interpolation) and
+    re-emit raw s16le payloads.
+
+    Output columns replace/append: bytes (resampled pcm_s16le), sr_hz
+    (= target for resampled rows), codec ('pcm_s16le'), n_samples,
+    resample_ok, resample_error. Failed decodes keep their original
+    payload with resample_ok=false.
+
+    Use: ds.map_batches(AudioResampler, batch_format="pyarrow",
+                        batch_size=256, concurrency=N,
+                        fn_constructor_kwargs=dict(target_sr=16000))
+    """
+
+    def __init__(self, target_sr: int = 16000):
+        self.target_sr = int(target_sr)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        payloads = batch["bytes"].to_pylist()
+        codecs = batch["codec"].to_pylist()
+        srs = batch["sr_hz"].to_pylist()
+
+        out_bytes = [None] * n
+        out_sr = np.zeros(n, np.int32)
+        n_samples = np.zeros(n, np.int64)
+        ok = np.zeros(n, bool)
+        err = [None] * n
+        for i in range(n):
+            try:
+                if payloads[i] is None or srs[i] is None or srs[i] <= 0:
+                    raise DecodeError("missing payload or sample rate")
+                pcm, _ = decode_clip(payloads[i], codecs[i])
+                src_sr = int(srs[i])
+                if len(pcm) == 0:
+                    res = pcm.astype("<i2")
+                else:
+                    m = int(round(len(pcm) * self.target_sr / src_sr))
+                    # sample positions of the target grid on the source
+                    # timeline; np.interp is one fused C loop per clip
+                    pos = np.arange(m, dtype=np.float64) \
+                        * (src_sr / self.target_sr)
+                    res = np.interp(pos, np.arange(len(pcm)),
+                                    pcm.astype(np.float64))
+                    res = np.clip(np.rint(res), -32768, 32767).astype("<i2")
+                out_bytes[i] = res.tobytes()
+                out_sr[i] = self.target_sr
+                n_samples[i] = len(res)
+                ok[i] = True
+            except DecodeError as ex:
+                out_bytes[i] = payloads[i]
+                out_sr[i] = srs[i] or 0
+                err[i] = f"{type(ex).__name__}: {ex}"
+
+        cols = {name: batch[name] for name in batch.column_names}
+        cols["bytes"] = pa.array(out_bytes, pa.binary())
+        cols["sr_hz"] = pa.array(out_sr)
+        cols["codec"] = pa.array(
+            ["pcm_s16le" if o else c for o, c in zip(ok, codecs)])
+        cols["n_samples"] = pa.array(n_samples)
+        cols["resample_ok"] = pa.array(ok)
+        cols["resample_error"] = pa.array(err, pa.string())
+        return pa.table(cols)
+
+
+SEGMENT_TYPE = pa.list_(pa.struct([("start_ms", pa.int32()),
+                                   ("end_ms", pa.int32())]))
+
+
+class VADSegments:
+    """Energy-based voice-activity segments per clip.
+
+    Frames of `frame_ms` are active when their RMS exceeds
+    `threshold_db` dBFS; runs of active frames closer than `merge_gap_ms`
+    merge, and segments shorter than `min_segment_ms` drop. Appends:
+    segments (list<struct<start_ms,end_ms>>), n_segments, speech_ratio,
+    vad_ok.
+
+    Frame energies for EVERY clip in the batch come from one squared-
+    signal `np.add.reduceat` pass over the concatenated samples.
+    """
+
+    def __init__(self, frame_ms: int = 20, threshold_db: float = -35.0,
+                 merge_gap_ms: int = 60, min_segment_ms: int = 100):
+        self.frame_ms = int(frame_ms)
+        self.threshold = 10.0 ** (threshold_db / 20.0)   # RMS, full scale 1
+        self.merge_gap = int(merge_gap_ms)
+        self.min_segment = int(min_segment_ms)
+
+    def _segments(self, active: np.ndarray) -> list:
+        """Merge active-frame runs -> [(start_frame, end_frame)) pairs."""
+        if not active.any():
+            return []
+        d = np.diff(active.astype(np.int8))
+        starts = list(np.flatnonzero(d == 1) + 1)
+        ends = list(np.flatnonzero(d == -1) + 1)
+        if active[0]:
+            starts.insert(0, 0)
+        if active[-1]:
+            ends.append(len(active))
+        gap_frames = max(1, self.merge_gap // self.frame_ms)
+        merged = [[starts[0], ends[0]]]
+        for s, e in zip(starts[1:], ends[1:]):
+            if s - merged[-1][1] <= gap_frames:
+                merged[-1][1] = e
+            else:
+                merged.append([s, e])
+        min_frames = max(1, self.min_segment // self.frame_ms)
+        return [(s, e) for s, e in merged if e - s >= min_frames]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        payloads = batch["bytes"].to_pylist()
+        codecs = batch["codec"].to_pylist()
+        srs = batch["sr_hz"].to_pylist()
+
+        segments = []
+        n_segments = np.zeros(n, np.int32)
+        speech_ratio = np.full(n, np.nan)
+        ok = np.zeros(n, bool)
+
+        # gather decodable clips, then one reduceat over the batch
+        sigs, rows = [], []
+        for i in range(n):
+            try:
+                if payloads[i] is None or not srs[i]:
+                    raise DecodeError("missing payload or sample rate")
+                pcm, _ = decode_clip(payloads[i], codecs[i])
+                flen = max(1, int(srs[i]) * self.frame_ms // 1000)
+                if len(pcm) >= flen:
+                    sigs.append((pcm, flen))
+                    rows.append(i)
+                else:
+                    # decoded fine, just shorter than one frame
+                    segments.append([])
+                    speech_ratio[i] = 0.0
+                    ok[i] = True
+                    continue
+            except DecodeError:
+                segments.append(None)
+                continue
+            segments.append(...)  # placeholder, filled below
+
+        if rows:
+            sq = np.concatenate(
+                [((p.astype(np.float32) / 32768.0) ** 2)[: (len(p) // f) * f]
+                 for p, f in sigs])
+            counts = [(len(p) // f) for p, f in sigs]
+            flens = np.repeat([f for _, f in sigs], counts)
+            offsets = np.concatenate([[0], np.cumsum(flens)[:-1]])
+            frame_energy = np.add.reduceat(sq, offsets)
+            rms = np.sqrt(frame_energy / flens)
+            pos = 0
+            for j, i in enumerate(rows):
+                nf = counts[j]
+                active = rms[pos:pos + nf] > self.threshold
+                pos += nf
+                segs = self._segments(active)
+                segments[i] = [
+                    {"start_ms": s * self.frame_ms,
+                     "end_ms": e * self.frame_ms} for s, e in segs]
+                n_segments[i] = len(segs)
+                speech_ratio[i] = float(active.mean())
+                ok[i] = True
+
+        for i in range(n):
+            if segments[i] is ...:
+                segments[i] = []
+
+        cols = {name: batch[name] for name in batch.column_names}
+        cols["segments"] = pa.array(segments, SEGMENT_TYPE)
+        cols["n_segments"] = pa.array(n_segments)
+        cols["speech_ratio"] = pa.array(speech_ratio)
+        cols["vad_ok"] = pa.array(ok)
+        return pa.table(cols)

@@ -1,0 +1,106 @@
+"""AudioResampler + VADSegments: DSP correctness and Ray integration."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from jschon_ray.sources.clips import generate_clips, synth_pcm
+from jschon_ray.stages.audio_ops import AudioResampler, VADSegments
+
+
+def _tone(sr, ms, freq, amp=0.5):
+    t = np.arange(int(sr * ms / 1000)) / sr
+    return np.clip(np.sin(2 * np.pi * freq * t) * amp * 32767,
+                   -32768, 32767).astype("<i2")
+
+
+def _table(rows):
+    return pa.table({
+        "clip_id": [r[0] for r in rows],
+        "bytes": pa.array([r[1] for r in rows], pa.binary()),
+        "sr_hz": pa.array([r[2] for r in rows], pa.int32()),
+        "codec": [r[3] for r in rows],
+    })
+
+
+def test_resampler_preserves_tone_frequency():
+    sr, target = 48000, 16000
+    pcm = _tone(sr, 500, 440.0)
+    t = _table([("a", pcm.tobytes(), sr, "pcm_s16le")])
+    out = AudioResampler(target_sr=target)(t)
+    assert out["resample_ok"][0].as_py()
+    res = np.frombuffer(out["bytes"][0].as_py(), "<i2")
+    assert abs(len(res) - len(pcm) * target / sr) <= 1
+    spec = np.abs(np.fft.rfft(res.astype(np.float64)))
+    peak_hz = np.argmax(spec) * target / len(res)
+    assert abs(peak_hz - 440.0) < 4.0
+    assert out["sr_hz"][0].as_py() == target
+    assert out["codec"][0].as_py() == "pcm_s16le"
+
+
+def test_resampler_flags_bad_rows():
+    t = _table([("bad", b"\x01", 16000, "wav"),          # truncated header
+                ("null", None, 16000, "pcm_s16le"),
+                ("nosr", b"\x00\x00", 0, "pcm_s16le")])
+    out = AudioResampler()(t)
+    assert out["resample_ok"].to_pylist() == [False, False, False]
+    assert all(e is not None for e in out["resample_error"].to_pylist())
+
+
+def test_vad_finds_tone_between_silences():
+    sr = 16000
+    sil = np.zeros(int(sr * 0.3), "<i2")
+    tone = _tone(sr, 400, 300.0)
+    pcm = np.concatenate([sil, tone, sil])
+    t = _table([("v", pcm.tobytes(), sr, "pcm_s16le"),
+                ("quiet", np.zeros(sr, "<i2").tobytes(), sr, "pcm_s16le")])
+    out = VADSegments(frame_ms=20)(t)
+    assert out["vad_ok"].to_pylist() == [True, True]
+    segs = out["segments"][0].as_py()
+    assert len(segs) == 1
+    s = segs[0]
+    assert abs(s["start_ms"] - 300) <= 40          # one-frame tolerance
+    assert abs(s["end_ms"] - 700) <= 40
+    assert out["segments"][1].as_py() == []
+    assert out["n_segments"].to_pylist() == [1, 0]
+    assert 0.3 < out["speech_ratio"][0].as_py() < 0.5
+    assert out["speech_ratio"][1].as_py() == 0.0
+
+
+def test_vad_merges_close_bursts_and_drops_blips():
+    sr = 16000
+    sil_s = np.zeros(int(sr * 0.04), "<i2")        # 40ms gap -> merged
+    sil_l = np.zeros(int(sr * 0.5), "<i2")         # 500ms gap -> split
+    burst = _tone(sr, 200, 250.0)
+    blip = _tone(sr, 20, 250.0)                    # 20ms < min_segment
+    pcm = np.concatenate([burst, sil_s, burst, sil_l, blip])
+    t = _table([("m", pcm.tobytes(), sr, "pcm_s16le")])
+    out = VADSegments(frame_ms=20, merge_gap_ms=60, min_segment_ms=100)(t)
+    segs = out["segments"][0].as_py()
+    assert len(segs) == 1                          # bursts merged, blip gone
+    assert segs[0]["start_ms"] == 0
+    assert abs(segs[0]["end_ms"] - 440) <= 40
+
+
+def test_stages_compose_in_ray_pipeline(ray_session):
+    import ray.data as rd
+
+    clips = generate_clips(60, seed=5, dirty=True)
+    ds = rd.from_arrow(clips).repartition(4)
+    # autoscaling (1, 2) pools: two FIXED 2-actor pools would reserve all
+    # 4 CPUs of the test session and starve the upstream read (deadlock)
+    out = ds.map_batches(AudioResampler, batch_format="pyarrow",
+                         batch_size=16, concurrency=(1, 2),
+                         fn_constructor_kwargs=dict(target_sr=16000)) \
+            .map_batches(VADSegments, batch_format="pyarrow",
+                         batch_size=16, concurrency=(1, 2))
+    # consume as arrow: ray's pandas conversion tries (and fails) to cast
+    # the list<struct> segments column to its tensor extension type
+    df = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow")).to_pandas()
+    assert len(df) == 60
+    res_ok = df["resample_ok"]
+    assert res_ok.sum() > 0 and (~res_ok).sum() > 0   # dirty rows flagged
+    assert (df.loc[res_ok, "sr_hz"] == 16000).all()
+    # resampled clips are all decodable by VAD
+    assert df.loc[res_ok, "vad_ok"].all()
