@@ -146,6 +146,20 @@ def run_benchmarks() -> dict:
     timed("ngram_jaccard_docs",
           lambda: len(Q.q_ngram_jaccard_docs(SF_DIR)))
 
+    # 8b. resample -> VAD chained actor pools (payload-reading DSP)
+    def resample_vad():
+        import pyarrow as _pa
+
+        from jschon_ray.pipelines.queries import q_audio_resample_vad_clips
+
+        out = q_audio_resample_vad_clips(SF_DIR)
+        return sum(b.num_rows
+                   for b in out.iter_batches(batch_format="pyarrow"))
+
+    n_vad = timed("audio_resample_vad", resample_vad)
+    extras["vad_clips_per_sec"] = round(n_vad /
+                                        timings["audio_resample_vad"], 1)
+
     # 9. temporal / join operators (as-of cogroup, broadcast enrich,
     # hopping-window explode)
     timed("events_asof_click_view",

@@ -936,6 +936,40 @@ def q_audio_resample_vad_clips(sf_dir):
                                "vad_ok", "n_segments", "speech_ratio"])
 
 
+def q_audio_mel_clips(sf_dir):
+    """Resample -> time-pooled log-mel featurization (the canonical ML
+    audio embedding), rows-only check; the fixed-size mel vector is
+    projected to scalars (its L2 norm) so the driver result stays
+    scalar-typed."""
+    from ..sources.clips import clips_cache_dir
+    from ..stages.audio_ops import AudioResampler, MelSpectrogram
+    from .validate import default_concurrency
+
+    ds = read_table(clips_cache_dir(sf_dir),
+                    columns=["clip_id", "bytes", "sr_hz", "codec"])
+    out = ds.map_batches(AudioResampler, batch_format="pyarrow",
+                         batch_size=256, concurrency=default_concurrency(),
+                         fn_constructor_kwargs=dict(target_sr=16000)) \
+            .map_batches(MelSpectrogram, batch_format="pyarrow",
+                         batch_size=256, concurrency=default_concurrency(),
+                         fn_constructor_kwargs=dict(sr=16000))
+
+    def project(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        mels = t["mel_mean"].to_pylist()
+        norm = [float(np.linalg.norm(m)) if m is not None else None
+                for m in mels]
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "mel_ok": t["mel_ok"],
+            "mel_frames": t["mel_frames"],
+            "mel_norm": pa.array(norm, pa.float64()),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def q_media_image_features(sf_dir):
     """Multimodal plumbing: synthetic raw images -> feature actor pool.
 
@@ -1397,6 +1431,7 @@ def build_queries() -> dict:
         "drift_lineitem": q_drift_lineitem_halves,
         "audio_features_clips": q_audio_features_clips,
         "audio_resample_vad_clips": q_audio_resample_vad_clips,
+        "audio_mel_clips": q_audio_mel_clips,
         "media_image_features": q_media_image_features,
         "media_frame_sample": q_media_frame_sample,
         "minhash_lsh_docs": q_minhash_docs,

@@ -197,3 +197,100 @@ class VADSegments:
         cols["speech_ratio"] = pa.array(speech_ratio)
         cols["vad_ok"] = pa.array(ok)
         return pa.table(cols)
+
+
+def mel_filterbank(sr: int, n_fft: int, n_mels: int,
+                   fmin: float = 0.0, fmax: float | None = None) -> np.ndarray:
+    """Triangular mel filterbank (HTK mel scale), (n_mels, n_fft//2+1).
+    Pure numpy; built once per actor."""
+    fmax = fmax or sr / 2.0
+
+    def to_mel(hz):
+        return 2595.0 * np.log10(1.0 + np.asarray(hz, np.float64) / 700.0)
+
+    def to_hz(mel):
+        return 700.0 * (10.0 ** (np.asarray(mel, np.float64) / 2595.0) - 1.0)
+
+    pts_hz = to_hz(np.linspace(to_mel(fmin), to_mel(fmax), n_mels + 2))
+    bins_hz = np.arange(n_fft // 2 + 1, dtype=np.float64) * sr / n_fft
+    fb = np.zeros((n_mels, len(bins_hz)))
+    for m in range(n_mels):
+        lo, ctr, hi = pts_hz[m], pts_hz[m + 1], pts_hz[m + 2]
+        up = (bins_hz - lo) / max(ctr - lo, 1e-9)
+        down = (hi - bins_hz) / max(hi - ctr, 1e-9)
+        fb[m] = np.clip(np.minimum(up, down), 0.0, None)
+    return fb.astype(np.float32)
+
+
+class MelSpectrogram:
+    """Time-pooled log-mel features per clip — the canonical ML audio
+    featurization, emitted as a fixed-size `list<float32>[n_mels]` column
+    (`mel_mean`, frame-mean of log-mel energies) ready for the embedding
+    operators (ANN top-k, embedding near-dup).
+
+    Requires a CONSTANT sample rate (the mel bank is sr-specific and built
+    once per actor): run AudioResampler(target_sr) first; rows at any
+    other rate get mel_ok=false. One `rfft` + one matmul per batch; per-
+    clip pooling via add.reduceat — no per-frame Python loop.
+    """
+
+    def __init__(self, sr: int = 16000, frame_len: int = 512,
+                 n_mels: int = 40):
+        self.sr = int(sr)
+        self.frame_len = int(frame_len)
+        self.n_mels = int(n_mels)
+        self.window = np.hanning(frame_len).astype(np.float32)
+        self.fb = mel_filterbank(self.sr, frame_len, n_mels)   # (M, bins)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        L = self.frame_len
+        payloads = batch["bytes"].to_pylist()
+        codecs = batch["codec"].to_pylist()
+        srs = batch["sr_hz"].to_pylist()
+
+        ok = np.zeros(n, bool)
+        n_frames = np.zeros(n, np.int32)
+        mel = [None] * n
+
+        frames, counts, rows = [], [], []
+        for i in range(n):
+            if payloads[i] is None or srs[i] != self.sr:
+                continue
+            try:
+                pcm, _ = decode_clip(payloads[i], codecs[i])
+            except (DecodeError, NotImplementedError):
+                continue
+            f = pcm.astype(np.float32) / 32768.0
+            nf = len(f) // L
+            if nf == 0:
+                pad = np.zeros(L, np.float32)
+                pad[:len(f)] = f
+                fr, nf = pad[None, :], 1
+            else:
+                fr = f[:nf * L].reshape(nf, L)
+            frames.append(fr)
+            counts.append(nf)
+            rows.append(i)
+
+        if rows:
+            stack = np.concatenate(frames) * self.window
+            power = np.abs(np.fft.rfft(stack, axis=1)) ** 2
+            logmel = np.log10(power @ self.fb.T + 1e-10)   # (frames, M)
+            offsets = np.zeros(len(rows), np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            pooled = np.add.reduceat(logmel, offsets, axis=0) \
+                / np.asarray(counts, np.float32)[:, None]
+            for j, i in enumerate(rows):
+                mel[i] = pooled[j].astype(np.float32)
+                n_frames[i] = counts[j]
+                ok[i] = True
+
+        cols = {name: batch[name] for name in batch.column_names
+                if name != "bytes"}
+        cols["mel_mean"] = pa.array(
+            [m.tolist() if m is not None else None for m in mel],
+            pa.list_(pa.float32(), self.n_mels))
+        cols["mel_frames"] = pa.array(n_frames)
+        cols["mel_ok"] = pa.array(ok)
+        return pa.table(cols)

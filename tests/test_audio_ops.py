@@ -104,3 +104,52 @@ def test_stages_compose_in_ray_pipeline(ray_session):
     assert (df.loc[res_ok, "sr_hz"] == 16000).all()
     # resampled clips are all decodable by VAD
     assert df.loc[res_ok, "vad_ok"].all()
+
+
+def test_mel_spectrogram_peak_tracks_tone():
+    from jschon_ray.stages.audio_ops import MelSpectrogram, mel_filterbank
+
+    sr = 16000
+    stage = MelSpectrogram(sr=sr, frame_len=512, n_mels=40)
+    low = _tone(sr, 400, 200.0)
+    high = _tone(sr, 400, 3000.0)
+    t = _table([("lo", low.tobytes(), sr, "pcm_s16le"),
+                ("hi", high.tobytes(), sr, "pcm_s16le"),
+                ("wrong_sr", low.tobytes(), 8000, "pcm_s16le")])
+    out = stage(t)
+    assert out["mel_ok"].to_pylist() == [True, True, False]
+    m_lo = np.array(out["mel_mean"][0].as_py())
+    m_hi = np.array(out["mel_mean"][1].as_py())
+    assert len(m_lo) == 40
+    assert np.argmax(m_lo) < np.argmax(m_hi)     # peak moves up with freq
+    # the peak mel band must actually contain the tone frequency
+    fb = mel_filterbank(sr, 512, 40)
+    bins_hz = np.arange(fb.shape[1]) * sr / 512
+    band = fb[np.argmax(m_hi)]
+    lo_hz = bins_hz[np.flatnonzero(band > 0)[0]]
+    hi_hz = bins_hz[np.flatnonzero(band > 0)[-1]]
+    assert lo_hz <= 3000.0 <= hi_hz
+    assert out["mel_mean"][2].as_py() is None
+
+
+def test_resample_then_mel_pipeline(ray_session):
+    import ray.data as rd
+
+    from jschon_ray.stages.audio_ops import MelSpectrogram
+
+    clips = generate_clips(40, seed=9, dirty=True)
+    ds = rd.from_arrow(clips).repartition(3)
+    out = ds.map_batches(AudioResampler, batch_format="pyarrow",
+                         batch_size=16, concurrency=(1, 2),
+                         fn_constructor_kwargs=dict(target_sr=16000)) \
+            .map_batches(MelSpectrogram, batch_format="pyarrow",
+                         batch_size=16, concurrency=(1, 2),
+                         fn_constructor_kwargs=dict(sr=16000))
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    assert t.num_rows == 40
+    ok = np.array(t["mel_ok"].to_pylist())
+    res_ok = np.array(t["resample_ok"].to_pylist())
+    assert (ok == res_ok).all()          # resampled rows all featurize
+    assert ok.sum() > 0
+    mels = [m for m in t["mel_mean"].to_pylist() if m is not None]
+    assert all(len(m) == 40 for m in mels)
