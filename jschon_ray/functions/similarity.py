@@ -118,6 +118,8 @@ def embedding_neardup_exact(ds, *, id_col="vec_id", emb_col="embedding",
     all_mat = _normalize(np.concatenate(full["mat"]))
     ref = ray.put({"ids": all_ids, "mat": all_mat})
 
+    id_type = None
+
     def score(batch: pa.Table) -> pa.Table:
         other = ray.get(ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -129,14 +131,23 @@ def embedding_neardup_exact(ds, *, id_col="vec_id", emb_col="embedding",
             rows_a.append(np.full(mask.sum(), ids[i]))
             rows_b.append(other["ids"][mask])
             rows_s.append(sims[i][mask])
-        return pa.table({"id_a": pa.array(np.concatenate(rows_a))
-                         if rows_a else pa.array([], pa.int64()),
-                         "id_b": pa.array(np.concatenate(rows_b))
-                         if rows_b else pa.array([], pa.int64()),
-                         "sim": pa.array(np.concatenate(rows_s))
-                         if rows_s else pa.array([], pa.float64())})
+        idt = batch.schema.field(id_col).type   # keep id dtype on empties
+        if rows_a:
+            a, b = np.concatenate(rows_a), np.concatenate(rows_b)
+            return pa.table({"id_a": pa.array(a).cast(idt),
+                             "id_b": pa.array(b).cast(idt),
+                             "sim": pa.array(np.concatenate(rows_s),
+                                             pa.float64())})
+        return pa.table({"id_a": pa.array([], idt),
+                         "id_b": pa.array([], idt),
+                         "sim": pa.array([], pa.float64())})
 
     out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if "id_a" not in out.columns:       # ray drops schema on all-empty
+        import pandas as pd
+
+        out = pd.DataFrame({"id_a": [], "id_b": [],
+                            "sim": pd.Series([], dtype="float64")})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 

@@ -970,6 +970,54 @@ def q_audio_mel_clips(sf_dir):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_audio_neardup_clips(sf_dir):
+    """Content-based audio near-duplicates: resample -> log-mel embedding
+    -> exact all-pairs cosine over the broadcast mel matrix. Pairs clips
+    whose AUDIO matches regardless of clip_id (the synth corpus clusters
+    by tone frequency, so same-tone clips pair at sim≈1). Rows-only."""
+    import numpy as np
+
+    from ..functions.similarity import embedding_neardup_exact
+    from ..sources.clips import clips_cache_dir
+    from ..stages.audio_ops import AudioResampler, MelSpectrogram
+    from .validate import default_concurrency
+
+    ds = read_table(clips_cache_dir(sf_dir),
+                    columns=["clip_id", "bytes", "sr_hz", "codec"])
+    feats = ds.map_batches(AudioResampler, batch_format="pyarrow",
+                           batch_size=256,
+                           concurrency=default_concurrency(),
+                           fn_constructor_kwargs=dict(target_sr=16000)) \
+        .map_batches(MelSpectrogram, batch_format="pyarrow",
+                     batch_size=256, concurrency=default_concurrency(),
+                     fn_constructor_kwargs=dict(sr=16000, frame_len=2048,
+                                                n_mels=128))
+
+    def keep_ok(t: pa.Table) -> pa.Table:
+        t = t.filter(t["mel_ok"].combine_chunks()
+                     if isinstance(t["mel_ok"], pa.ChunkedArray)
+                     else t["mel_ok"])
+        # mean-center each vector: the log-mel noise floor is common to
+        # every clip and would otherwise dominate the cosine (everything
+        # pairs at ≈1); centering leaves the tone bands to discriminate
+        m = np.array(t["mel_mean"].to_pylist(), np.float32)
+        if len(m):
+            m = m - m.mean(axis=1, keepdims=True)
+        return pa.table({"clip_id": t["clip_id"],
+                         "embedding": pa.array(m.tolist(),
+                                               pa.list_(pa.float32()))})
+
+    embs = feats.map_batches(keep_ok, batch_format="pyarrow")
+    # 0.98 = "acoustically near-identical": same tone, or tones within a
+    # bin of each other — audio similarity is inherently fuzzy at the
+    # boundary (unlike exact text dedup), so the threshold picks the
+    # plateau between same-tone (~1.0) and unrelated (<0.96 at p99.9)
+    pairs = embedding_neardup_exact(embs, id_col="clip_id",
+                                    emb_col="embedding",
+                                    threshold=0.98)
+    return pairs
+
+
 def q_media_image_features(sf_dir):
     """Multimodal plumbing: synthetic raw images -> feature actor pool.
 
@@ -1432,6 +1480,7 @@ def build_queries() -> dict:
         "audio_features_clips": q_audio_features_clips,
         "audio_resample_vad_clips": q_audio_resample_vad_clips,
         "audio_mel_clips": q_audio_mel_clips,
+        "audio_neardup_clips": q_audio_neardup_clips,
         "media_image_features": q_media_image_features,
         "media_frame_sample": q_media_frame_sample,
         "minhash_lsh_docs": q_minhash_docs,

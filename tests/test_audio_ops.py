@@ -153,3 +153,20 @@ def test_resample_then_mel_pipeline(ray_session):
     assert ok.sum() > 0
     mels = [m for m in t["mel_mean"].to_pylist() if m is not None]
     assert all(len(m) == 40 for m in mels)
+
+
+def test_audio_neardup_query_pairs_same_tone_clips(ray_session):
+    """Content-based near-dup: found pairs are acoustically near-identical
+    (tone frequencies within ~one FFT bin), ordered id_a < id_b."""
+    from jschon_ray.pipelines.queries import q_audio_neardup_clips
+    from jschon_ray.sources.clips import clip_seed
+
+    pairs = q_audio_neardup_clips("/root/testdata/sf0.001")
+    assert len(pairs) > 0
+    assert (pairs["id_a"] < pairs["id_b"]).all()
+    assert (pairs["sim"] >= 0.98).all()
+    freq = lambda cid: 100.0 + (clip_seed(cid) % 1000)
+    gaps = [abs(freq(a) - freq(b))
+            for a, b in zip(pairs["id_a"], pairs["id_b"])]
+    close = sum(1 for g in gaps if g <= 16.0)
+    assert close / len(gaps) >= 0.9     # high precision on tone closeness
