@@ -71,7 +71,7 @@ class AudioResampler:
                 out_sr[i] = self.target_sr
                 n_samples[i] = len(res)
                 ok[i] = True
-            except DecodeError as ex:
+            except (DecodeError, NotImplementedError) as ex:
                 out_bytes[i] = payloads[i]
                 out_sr[i] = srs[i] or 0
                 err[i] = f"{type(ex).__name__}: {ex}"
@@ -160,7 +160,7 @@ class VADSegments:
                     speech_ratio[i] = 0.0
                     ok[i] = True
                     continue
-            except DecodeError:
+            except (DecodeError, NotImplementedError):
                 segments.append(None)
                 continue
             segments.append(...)  # placeholder, filled below

@@ -170,3 +170,20 @@ def test_audio_neardup_query_pairs_same_tone_clips(ray_session):
             for a, b in zip(pairs["id_a"], pairs["id_b"])]
     close = sum(1 for g in gaps if g <= 16.0)
     assert close / len(gaps) >= 0.9     # high precision on tone closeness
+
+
+def test_resampler_and_vad_survive_truncated_container_magic():
+    """Truncated fake-container payloads (magic cut off) raise
+    NotImplementedError from the stub decoder — stages must flag the row,
+    not crash the batch (hit on the sf0.1 dirty corpus)."""
+    t = _table([("trunc", b"FAKEfl", 16000, "flac"),
+                ("good", _tone(16000, 100, 300.0).tobytes(), 16000,
+                 "pcm_s16le")])
+    out = AudioResampler()(t)
+    assert out["resample_ok"].to_pylist() == [False, True]
+    vout = VADSegments()(t)
+    assert vout["vad_ok"].to_pylist() == [False, True]
+    from jschon_ray.stages.audio_ops import MelSpectrogram
+
+    mout = MelSpectrogram(sr=16000)(t)
+    assert mout["mel_ok"].to_pylist() == [False, True]
