@@ -294,3 +294,170 @@ class MelSpectrogram:
         cols["mel_frames"] = pa.array(n_frames)
         cols["mel_ok"] = pa.array(ok)
         return pa.table(cols)
+
+
+class SegmentExtractor:
+    """Explode clips into one row PER SPEECH SEGMENT (the ASR-training
+    prep step): expects VADSegments output columns (bytes + segments) and
+    emits (clip_id, seg_idx, start_ms, end_ms, dur_ms, bytes) with the
+    payload sliced to the segment — raw s16le, sliced by sample offset.
+
+    Row-count-changing map_batches (Ray Data allows output rows !=
+    input rows); clips with no segments disappear, exactly like a
+    flat_map. Slices are zero-copy views of the decoded array until
+    tobytes().
+    """
+
+    def __init__(self, require_ok: bool = True):
+        self.require_ok = require_ok
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["bytes"].to_pylist()
+        codecs = batch["codec"].to_pylist()
+        srs = batch["sr_hz"].to_pylist()
+        seg_col = batch["segments"].to_pylist()
+        ids = batch["clip_id"].to_pylist()
+
+        out = {"clip_id": [], "seg_idx": [], "start_ms": [], "end_ms": [],
+               "dur_ms": [], "bytes": [], "sr_hz": []}
+        for i in range(batch.num_rows):
+            segs = seg_col[i]
+            if not segs:
+                continue
+            try:
+                pcm, _ = decode_clip(payloads[i], codecs[i])
+            except (DecodeError, NotImplementedError):
+                continue
+            sr = int(srs[i])
+            for j, s in enumerate(segs):
+                a = s["start_ms"] * sr // 1000
+                b = min(s["end_ms"] * sr // 1000, len(pcm))
+                if b <= a:
+                    continue
+                out["clip_id"].append(ids[i])
+                out["seg_idx"].append(j)
+                out["start_ms"].append(s["start_ms"])
+                out["end_ms"].append(s["end_ms"])
+                out["dur_ms"].append(s["end_ms"] - s["start_ms"])
+                out["bytes"].append(pcm[a:b].astype("<i2").tobytes())
+                out["sr_hz"].append(sr)
+        return pa.table({
+            "clip_id": pa.array(out["clip_id"], pa.string()),
+            "seg_idx": pa.array(out["seg_idx"], pa.int32()),
+            "start_ms": pa.array(out["start_ms"], pa.int32()),
+            "end_ms": pa.array(out["end_ms"], pa.int32()),
+            "dur_ms": pa.array(out["dur_ms"], pa.int32()),
+            "bytes": pa.array(out["bytes"], pa.binary()),
+            "sr_hz": pa.array(out["sr_hz"], pa.int32()),
+        })
+
+
+class LoudnessNormalizer:
+    """Normalize each decodable clip to a target RMS dBFS (gain-only,
+    clipping-protected: gain is capped so the peak stays <= full scale).
+    Appends norm_ok, gain_db; rewrites bytes as s16le."""
+
+    def __init__(self, target_db: float = -20.0):
+        self.target = 10.0 ** (target_db / 20.0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        payloads = batch["bytes"].to_pylist()
+        codecs = batch["codec"].to_pylist()
+        ok = np.zeros(n, bool)
+        gain_db = np.full(n, np.nan)
+        out_bytes = list(payloads)
+        for i in range(n):
+            try:
+                pcm, _ = decode_clip(payloads[i], codecs[i]) \
+                    if payloads[i] is not None else (None, None)
+                if pcm is None or not len(pcm):
+                    raise DecodeError("empty")
+            except (DecodeError, NotImplementedError):
+                continue
+            f = pcm.astype(np.float64) / 32768.0
+            rms = float(np.sqrt(np.mean(f * f)))
+            if rms <= 0:
+                continue
+            gain = self.target / rms
+            peak = float(np.max(np.abs(f)))
+            if peak * gain > 0.999:               # clipping guard
+                gain = 0.999 / peak
+            out = np.clip(np.rint(f * gain * 32768.0), -32768, 32767)
+            out_bytes[i] = out.astype("<i2").tobytes()
+            gain_db[i] = 20.0 * np.log10(gain)
+            ok[i] = True
+        cols = {name: batch[name] for name in batch.column_names}
+        cols["bytes"] = pa.array(out_bytes, pa.binary())
+        cols["codec"] = pa.array(
+            ["pcm_s16le" if o else c for o, c in zip(ok, codecs)])
+        cols["norm_ok"] = pa.array(ok)
+        cols["gain_db"] = pa.array(gain_db)
+        return pa.table(cols)
+
+
+class AudioAugmenter:
+    """Deterministic training-data augmentation: per-clip seeded gain
+    jitter + additive noise + speed perturbation (resample-based). The
+    seed derives from (clip_id, variant), so re-runs and retried tasks
+    produce byte-identical output (idempotent under Ray task retry).
+
+    Emits one row per (input row × variant) with clip_id suffixed
+    `#aug<k>` — a row-count-changing map_batches like SegmentExtractor.
+    """
+
+    def __init__(self, variants: int = 1, gain_jitter_db: float = 3.0,
+                 noise_db: float = -40.0, speed_range: float = 0.1):
+        self.variants = int(variants)
+        self.gain_jitter_db = float(gain_jitter_db)
+        self.noise = 10.0 ** (noise_db / 20.0)
+        self.speed_range = float(speed_range)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        payloads = batch["bytes"].to_pylist()
+        codecs = batch["codec"].to_pylist()
+        srs = batch["sr_hz"].to_pylist()
+        ids = batch["clip_id"].to_pylist()
+
+        out = {"clip_id": [], "source_clip_id": [], "bytes": [],
+               "sr_hz": [], "speed": [], "gain_db": []}
+        for i in range(batch.num_rows):
+            try:
+                pcm, _ = decode_clip(payloads[i], codecs[i]) \
+                    if payloads[i] is not None else (None, None)
+                if pcm is None or not len(pcm) or not srs[i]:
+                    raise DecodeError("empty")
+            except (DecodeError, NotImplementedError):
+                continue
+            f = pcm.astype(np.float64) / 32768.0
+            for k in range(self.variants):
+                seed = int.from_bytes(hashlib.sha256(
+                    f"{ids[i]}#aug{k}".encode()).digest()[:8], "big")
+                rng = np.random.default_rng(seed)
+                speed = 1.0 + rng.uniform(-self.speed_range,
+                                          self.speed_range)
+                g_db = rng.uniform(-self.gain_jitter_db,
+                                   self.gain_jitter_db)
+                m = max(1, int(round(len(f) / speed)))
+                pos = np.arange(m, dtype=np.float64) * speed
+                pos = np.clip(pos, 0, len(f) - 1)
+                v = np.interp(pos, np.arange(len(f)), f)
+                v = v * (10.0 ** (g_db / 20.0)) \
+                    + rng.standard_normal(m) * self.noise
+                v = np.clip(np.rint(v * 32768.0), -32768, 32767)
+                out["clip_id"].append(f"{ids[i]}#aug{k}")
+                out["source_clip_id"].append(ids[i])
+                out["bytes"].append(v.astype("<i2").tobytes())
+                out["sr_hz"].append(int(srs[i]))
+                out["speed"].append(round(speed, 6))
+                out["gain_db"].append(round(g_db, 6))
+        return pa.table({
+            "clip_id": pa.array(out["clip_id"], pa.string()),
+            "source_clip_id": pa.array(out["source_clip_id"], pa.string()),
+            "bytes": pa.array(out["bytes"], pa.binary()),
+            "sr_hz": pa.array(out["sr_hz"], pa.int32()),
+            "speed": pa.array(out["speed"], pa.float64()),
+            "gain_db": pa.array(out["gain_db"], pa.float64()),
+        })

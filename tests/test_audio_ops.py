@@ -187,3 +187,98 @@ def test_resampler_and_vad_survive_truncated_container_magic():
 
     mout = MelSpectrogram(sr=16000)(t)
     assert mout["mel_ok"].to_pylist() == [False, True]
+
+
+def test_segment_extractor_slices_payloads():
+    from jschon_ray.stages.audio_ops import SegmentExtractor
+
+    sr = 16000
+    sil = np.zeros(int(sr * 0.3), "<i2")
+    tone = _tone(sr, 400, 300.0)
+    pcm = np.concatenate([sil, tone, sil, tone, sil])
+    t = _table([("s", pcm.tobytes(), sr, "pcm_s16le")])
+    vad = VADSegments(frame_ms=20, merge_gap_ms=40)(t)
+    segs = SegmentExtractor()(vad)
+    assert segs.num_rows == 2
+    assert segs["seg_idx"].to_pylist() == [0, 1]
+    for i in range(2):
+        b = segs["bytes"][i].as_py()
+        dur = segs["dur_ms"][i].as_py()
+        assert abs(len(b) // 2 - sr * dur // 1000) <= 1
+        seg_pcm = np.frombuffer(b, "<i2")
+        # segment energy is tone-level, not silence
+        assert np.sqrt(np.mean((seg_pcm / 32768.0) ** 2)) > 0.1
+    # clip with no segments vanishes (flat_map semantics)
+    quiet = _table([("q", np.zeros(sr, "<i2").tobytes(), sr, "pcm_s16le")])
+    assert SegmentExtractor()(VADSegments()(quiet)).num_rows == 0
+
+
+def test_loudness_normalizer_hits_target_rms():
+    from jschon_ray.stages.audio_ops import LoudnessNormalizer
+
+    sr = 16000
+    quiet = (_tone(sr, 300, 250.0, amp=0.05))
+    loud = (_tone(sr, 300, 250.0, amp=0.9))
+    t = _table([("q", quiet.tobytes(), sr, "pcm_s16le"),
+                ("l", loud.tobytes(), sr, "pcm_s16le"),
+                ("bad", b"\x01", sr, "wav")])
+    out = LoudnessNormalizer(target_db=-20.0)(t)
+    assert out["norm_ok"].to_pylist() == [True, True, False]
+    for i in range(2):
+        f = np.frombuffer(out["bytes"][i].as_py(), "<i2") / 32768.0
+        rms_db = 20 * np.log10(np.sqrt(np.mean(f * f)))
+        assert abs(rms_db - (-20.0)) < 1.0
+    assert out["gain_db"][0].as_py() > 0 > out["gain_db"][1].as_py()
+
+
+def test_augmenter_deterministic_and_speed_changes_length():
+    from jschon_ray.stages.audio_ops import AudioAugmenter
+
+    sr = 16000
+    pcm = _tone(sr, 500, 420.0)
+    t = _table([("a", pcm.tobytes(), sr, "pcm_s16le")])
+    aug = AudioAugmenter(variants=3, speed_range=0.1)
+    o1, o2 = aug(t), aug(t)
+    assert o1.num_rows == 3
+    assert o1["bytes"].to_pylist() == o2["bytes"].to_pylist()  # idempotent
+    assert o1["clip_id"].to_pylist() == ["a#aug0", "a#aug1", "a#aug2"]
+    for i in range(3):
+        sp = o1["speed"][i].as_py()
+        m = len(o1["bytes"][i].as_py()) // 2
+        assert abs(m - len(pcm) / sp) <= 2
+        assert 0.9 <= sp <= 1.1
+
+
+def test_full_audio_prep_chain(ray_session):
+    """resample -> VAD -> segment-extract -> normalize -> augment,
+    end-to-end over a Ray Dataset."""
+    import ray.data as rd
+
+    from jschon_ray.stages.audio_ops import (AudioAugmenter,
+                                             LoudnessNormalizer,
+                                             SegmentExtractor)
+
+    clips = generate_clips(30, seed=12, dirty=True)
+    ds = rd.from_arrow(clips).repartition(3)
+    segs = ds.map_batches(AudioResampler, batch_format="pyarrow",
+                          batch_size=16, concurrency=(1, 2),
+                          fn_constructor_kwargs=dict(target_sr=16000)) \
+        .map_batches(VADSegments, batch_format="pyarrow", batch_size=16,
+                     concurrency=(1, 2)) \
+        .map_batches(SegmentExtractor, batch_format="pyarrow",
+                     batch_size=16, concurrency=(1, 2))
+    segs = segs.map_batches(lambda t: t.append_column(
+        "codec", pa.array(["pcm_s16le"] * t.num_rows)),
+        batch_format="pyarrow")
+    # five min-1 actor pools would exceed the 4-CPU test session and
+    # deadlock; the last two stages are cheap-state, run them as
+    # stateless task functions instead
+    normed = segs.map_batches(LoudnessNormalizer().__call__,
+                              batch_format="pyarrow", batch_size=64)
+    final = normed.map_batches(AudioAugmenter(variants=2).__call__,
+                               batch_format="pyarrow", batch_size=64)
+    t = pa.concat_tables(final.iter_batches(batch_format="pyarrow"))
+    assert t.num_rows > 0
+    assert t.num_rows % 2 == 0                 # 2 variants per segment
+    assert all(c.endswith(("#aug0", "#aug1"))
+               for c in t["clip_id"].to_pylist())
