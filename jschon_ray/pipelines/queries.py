@@ -1018,6 +1018,41 @@ def q_audio_neardup_clips(sf_dir):
     return pairs
 
 
+def q_audio_prep_segments(sf_dir):
+    """Full ASR-prep chain: resample -> VAD -> segment-extract ->
+    loudness-normalize -> 2x seeded augmentation. Rows-only; the output
+    is one row per (speech segment x variant) with scalar columns."""
+    from ..sources.clips import clips_cache_dir
+    from ..stages.audio_ops import (AudioAugmenter, AudioResampler,
+                                    LoudnessNormalizer, SegmentExtractor,
+                                    VADSegments)
+    from .validate import default_concurrency
+
+    ds = read_table(clips_cache_dir(sf_dir),
+                    columns=["clip_id", "bytes", "sr_hz", "codec"])
+    segs = ds.map_batches(AudioResampler, batch_format="pyarrow",
+                          batch_size=256,
+                          concurrency=default_concurrency(),
+                          fn_constructor_kwargs=dict(target_sr=16000)) \
+        .map_batches(VADSegments, batch_format="pyarrow", batch_size=256,
+                     concurrency=default_concurrency()) \
+        .map_batches(SegmentExtractor, batch_format="pyarrow",
+                     batch_size=256, concurrency=default_concurrency())
+    segs = segs.map_batches(lambda t: t.append_column(
+        "codec", pa.array(["pcm_s16le"] * t.num_rows)),
+        batch_format="pyarrow")
+    final = segs.map_batches(LoudnessNormalizer().__call__,
+                             batch_format="pyarrow", batch_size=256) \
+        .map_batches(AudioAugmenter(variants=2).__call__,
+                     batch_format="pyarrow", batch_size=256)
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["clip_id", "source_clip_id", "sr_hz", "speed",
+                         "gain_db"])
+
+    return final.map_batches(project, batch_format="pyarrow")
+
+
 def q_media_image_features(sf_dir):
     """Multimodal plumbing: synthetic raw images -> feature actor pool.
 
@@ -1481,6 +1516,7 @@ def build_queries() -> dict:
         "audio_resample_vad_clips": q_audio_resample_vad_clips,
         "audio_mel_clips": q_audio_mel_clips,
         "audio_neardup_clips": q_audio_neardup_clips,
+        "audio_prep_segments": q_audio_prep_segments,
         "media_image_features": q_media_image_features,
         "media_frame_sample": q_media_frame_sample,
         "minhash_lsh_docs": q_minhash_docs,
