@@ -1,0 +1,145 @@
+"""Distributed prefix-scan operators: sequence packing and global rank.
+
+Order-dependent operators (cumulative sums, row numbering) don't fit a
+single embarrassingly-parallel pass, but they do NOT need a driver-side
+loop either. Both operators here use the classic two-phase scan:
+
+  1. bucket every row by a balanced, order-preserving key range (so
+     bucket 0 < bucket 1 < ... in the target order);
+  2. one tiny aggregate — per-bucket totals (counts or token sums) —
+     flows to the driver (K values, K ~ 64-4096, independent of row
+     count), which computes the exclusive cumsum = each bucket's offset;
+  3. a `groupby(bucket).map_groups` pass sorts each bucket locally and
+     adds its offset.
+
+At 10^12 rows only phase 3 touches the data again, and it is fully
+partition-parallel; the driver handles K integers. The shuffle moves only
+the scan's input columns (id + token count), never payloads.
+
+The reference has no analogue (jschon is per-document); these serve the
+training-data side of the engine: `pack_sequences` is the standard
+fixed-token-budget packing used to build training batches, and
+`global_rank` gives a deterministic, seeded global shuffle order
+(rank = row_number over md5(id || ':' || seed) — reproducible by any
+external system, including the DuckDB oracles).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _bucket_offsets(ds, bucket_col: str, weight_col: str | None):
+    """Tiny aggregate: per-bucket totals -> exclusive-cumsum offsets.
+
+    Returns {bucket_id: offset}. The groupby result is K rows — safe to
+    take_all at any data scale.
+    """
+    import ray.data  # noqa: F401
+
+    if weight_col is None:
+        agg = ds.groupby(bucket_col).count()
+        key = "count()"
+    else:
+        agg = ds.groupby(bucket_col).sum(weight_col)
+        key = f"sum({weight_col})"
+    rows = agg.take_all()
+    rows.sort(key=lambda r: r[bucket_col])
+    offsets, acc = {}, 0
+    for r in rows:
+        offsets[r[bucket_col]] = acc
+        acc += int(r[key])
+    return offsets
+
+
+def _hash_bucket_batch(batch: pa.Table, *, id_col: str, seed: int,
+                       num_buckets: int) -> pa.Table:
+    """Append the seeded shuffle key (md5 hex of 'id:seed') and its
+    order-preserving bucket (the key's leading 24 bits scaled to
+    num_buckets — md5 output is uniform, so buckets are balanced for any
+    id distribution with no sampling pass)."""
+    ids = batch[id_col].to_pylist()
+    keys = [hashlib.md5(f"{v}:{seed}".encode()).hexdigest() for v in ids]
+    buckets = [int(k[:6], 16) * num_buckets >> 24 for k in keys]
+    out = batch.append_column("_key", pa.array(keys, pa.string()))
+    return out.append_column("_bucket", pa.array(buckets, pa.int32()))
+
+
+def global_rank(ds, *, id_col: str, seed: int = 42,
+                num_buckets: int = 64, out: str = "shuffle_rank"):
+    """Deterministic seeded global shuffle order: rank i means this row is
+    the i-th row (0-based) when sorted by md5(f"{id}:{seed}").
+
+    Two-phase scan (see module docstring); emits (id_col, out). Ranks are
+    globally contiguous 0..n-1 regardless of partitioning.
+    """
+    keyed = ds.map_batches(
+        _hash_bucket_batch, batch_format="pyarrow",
+        fn_kwargs=dict(id_col=id_col, seed=seed, num_buckets=num_buckets))
+    offsets = _bucket_offsets(keyed.select_columns(["_bucket"]),
+                              "_bucket", None)
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_key", kind="mergesort")
+        base = offsets[int(g["_bucket"].iloc[0])]
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            out: base + np.arange(len(g), dtype=np.int64)})
+
+    return keyed.groupby("_bucket").map_groups(rank_group)
+
+
+def _range_bucket_batch(batch: pa.Table, *, id_col: str,
+                        edges: np.ndarray) -> pa.Table:
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    b = np.searchsorted(edges, ids, side="right").astype(np.int32)
+    return batch.append_column("_bucket", pa.array(b))
+
+
+def pack_sequences(ds, *, id_col: str, tokens_col: str, budget: int,
+                   num_buckets: int = 64, out: str = "pack_id"):
+    """Fixed-token-budget sequence packing: documents are laid out in
+    id order and cut into packs of `budget` tokens; a document's pack is
+    exclusive_prefix_sum(tokens) // budget (documents may straddle a
+    boundary — the standard concat-then-chunk layout used for LM
+    training batches).
+
+    Requires a numeric, unique `id_col` (the deterministic global order).
+    Bucket edges are uniform over [min,max] — for skewed id spaces pass
+    more buckets; totals per bucket still flow exactly through the
+    offsets, only balance degrades. Emits (id_col, tokens_col, pack_id,
+    pack_pos) where pack_pos is the token offset inside the pack.
+    """
+    import pyarrow.compute as pc
+
+    stats = ds.aggregate(*_min_max(id_col))
+    lo, hi = stats[f"min({id_col})"], stats[f"max({id_col})"]
+    edges = np.linspace(lo, hi, num_buckets + 1)[1:-1]
+    keyed = ds.map_batches(
+        _range_bucket_batch, batch_format="pyarrow",
+        fn_kwargs=dict(id_col=id_col, edges=edges))
+    offsets = _bucket_offsets(
+        keyed.select_columns(["_bucket", tokens_col]), "_bucket", tokens_col)
+
+    def pack_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
+        toks = g[tokens_col].to_numpy().astype(np.int64)
+        base = offsets[int(g["_bucket"].iloc[0])]
+        excl = base + np.cumsum(toks) - toks
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            tokens_col: toks,
+            out: excl // budget,
+            "pack_pos": excl % budget})
+
+    del pc
+    return keyed.groupby("_bucket").map_groups(pack_group)
+
+
+def _min_max(col: str):
+    from ray.data.aggregate import Max, Min
+    return Min(col), Max(col)

@@ -152,3 +152,103 @@ def parse_json_column(batch: pa.Table, col: str, *,
         return batch.set_column(batch.schema.get_field_index(name), name,
                                 struct)
     return batch.append_column(name, struct)
+
+
+# ---------------------------------------------------------------------------
+# cleaning / filtering / safety stages (training-data prep)
+
+
+def normalize_text_batch(batch: pa.Table, col: str = "text",
+                         out: str = "text_norm") -> pa.Table:
+    """Canonical text normalization: lowercase, collapse all whitespace
+    runs to single spaces, trim. One pass of Arrow C++ kernels per batch;
+    the DuckDB oracle runs lower/regexp_replace/trim with the same RE2
+    pattern, so outputs are byte-identical."""
+    t = pc.utf8_lower(batch[col])
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    t = pc.utf8_trim_whitespace(t)
+    out_t = batch.append_column(out, t)
+    return out_t.append_column(
+        out + "_chars", pc.utf8_length(t).cast(pa.int64()))
+
+
+def repetition_batch(batch: pa.Table, col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style repetition stats per document, fully vectorized:
+    n_tokens, n_distinct tokens, and the count of the most frequent token
+    (top_tok_count / n_tokens is the classic repetition-filter ratio).
+
+    One split_pattern_regex per batch -> flatten + parent indices ->
+    a single np.unique over (doc, token-code) pairs; no per-row Python.
+    Exact integers, so the SQL oracle (unnest + GROUP BY) matches bit-wise.
+    """
+    n = batch.num_rows
+    toks = pc.split_pattern_regex(batch[col], r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep)
+    parents = parents.filter(keep).to_numpy(zero_copy_only=False)
+    n_tokens = np.bincount(parents, minlength=n).astype(np.int64)
+    import pandas as pd
+    codes, uniques = pd.factorize(flat.to_numpy(zero_copy_only=False))
+    k = max(len(uniques), 1)
+    pair = parents.astype(np.int64) * k + codes
+    upair, pcounts = np.unique(pair, return_counts=True)
+    doc_of = (upair // k).astype(np.int64)
+    n_distinct = np.bincount(doc_of, minlength=n).astype(np.int64)
+    top = np.zeros(n, np.int64)
+    np.maximum.at(top, doc_of, pcounts)
+    out = batch.select([id_col])
+    out = out.append_column("n_tokens", pa.array(n_tokens))
+    out = out.append_column("n_distinct", pa.array(n_distinct))
+    return out.append_column("top_tok_count", pa.array(top))
+
+
+# PII patterns (RE2 — identical engine in Arrow and DuckDB). Redaction
+# order matters and is fixed: email, then phone, then IPv4 (the
+# placeholders contain no digits, so later passes cannot re-match).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def pii_batch(batch: pa.Table, col: str = "text",
+              redact: bool = True) -> pa.Table:
+    """Detect (and optionally redact) common PII: emails, NANP-style
+    phone numbers, IPv4 addresses. Appends one count column per pattern
+    plus a `redacted` text column. Vectorized RE2 kernels; patterns are
+    module constants so the DuckDB oracle uses the same strings."""
+    t = batch[col]
+    out = batch
+    red = t
+    for name, rx, token in PII_PATTERNS:
+        out = out.append_column(
+            f"n_{name}", pc.count_substring_regex(t, rx).cast(pa.int64()))
+        if redact:
+            red = pc.replace_substring_regex(red, rx, token)
+    if redact:
+        out = out.append_column("redacted", red)
+    return out
+
+
+def contamination_batch(batch: pa.Table, phrases, col: str = "text") -> \
+        pa.Table:
+    """Benchmark-contamination check: flag documents containing any of the
+    given literal phrases (e.g. eval-set n-grams). `phrases` is the
+    broadcast small side — at scale, ship it once via ray.put and pass it
+    through fn_constructor_args to an actor pool; for very large phrase
+    sets switch to the inverted-index n-gram join (functions/dedup.py).
+    Appends n_hits (count of distinct phrases present, substring
+    semantics) and a `contaminated` bool."""
+    t = batch[col]
+    hits = None
+    for p in phrases:
+        m = pc.match_substring(t, p).cast(pa.int64())
+        hits = m if hits is None else pc.add(hits, m)
+    if hits is None:
+        hits = pa.array(np.zeros(batch.num_rows, np.int64))
+    out = batch.append_column("n_hits", hits)
+    return out.append_column("contaminated", pc.greater(hits, 0))

@@ -1463,6 +1463,225 @@ def q_embedding_neardup_lsh(sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# training-data prep: cleaning, safety, contamination, packing, shuffle order
+
+
+def q_normalize_docs(sf_dir):
+    from ..functions.text import normalize_text_batch
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    return ds.map_batches(normalize_text_batch, batch_format="pyarrow") \
+        .select_columns(["doc_id", "text_norm", "text_norm_chars"])
+
+
+_NORMALIZE_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_norm,
+       length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+         AS text_norm_chars
+FROM documents
+"""
+
+
+def q_repetition_docs(sf_dir):
+    from ..functions.text import repetition_batch
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    return ds.map_batches(repetition_batch, batch_format="pyarrow")
+
+
+_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+agg AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+per AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+               max(c) AS top_tok_count
+        FROM agg GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_distinct, 0) AS BIGINT) AS n_distinct,
+       CAST(coalesce(top_tok_count, 0) AS BIGINT) AS top_tok_count
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+def q_pii_docs(sf_dir):
+    """PII scan over a deterministically PII-augmented text column (the
+    synthetic docs contain no organic PII; both sides build the same
+    fixture: doc_id%3 -> email, %5 -> phone, %7 -> ip)."""
+    from ..functions.text import pii_batch
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        txt = t["text"].to_pylist()
+        scan = []
+        for i, d in enumerate(did):
+            s = txt[i]
+            if d % 3 == 0:
+                s += f" contact user{d}@example.com"
+            if d % 5 == 0:
+                s += " call 555-123-4567"
+            if d % 7 == 0:
+                s += f" from 192.168.0.{d % 250}"
+            scan.append(s)
+        return pa.table({"doc_id": t["doc_id"], "text": scan})
+
+    ds = ds.map_batches(augment, batch_format="pyarrow")
+    return ds.map_batches(pii_batch, batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_email", "n_phone", "n_ipv4",
+                         "redacted"])
+
+
+def _pii_sql() -> str:
+    from ..functions.text import PII_PATTERNS
+    pats = {name: (rx, tok) for name, rx, tok in PII_PATTERNS}
+    red = "t"
+    for name, (rx, tok) in pats.items():
+        red = f"regexp_replace({red}, '{rx}', '{tok}', 'g')"
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(t, '{rx}')) AS BIGINT) AS n_{name}"
+        for name, (rx, _) in pats.items())
+    return rf"""
+WITH scan AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' from 192.168.0.' || (doc_id % 250) ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+  {counts},
+  {red} AS redacted
+FROM scan
+"""
+
+
+# benchmark-contamination phrase list: fixed literals (stand-ins for an
+# eval-set n-gram inventory; broadcast once at scale)
+CONTAM_PHRASES = ("table table", "query big query", "fast merge batch",
+                  "spark order data", "window stream sort", "the line sort")
+
+
+def q_contamination_docs(sf_dir):
+    from ..functions.text import contamination_batch
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    return ds.map_batches(
+        contamination_batch, batch_format="pyarrow",
+        fn_kwargs=dict(phrases=CONTAM_PHRASES)) \
+        .select_columns(["doc_id", "n_hits", "contaminated"])
+
+
+def _contamination_sql() -> str:
+    hits = " + ".join(
+        f"CASE WHEN position('{p}' IN text) > 0 THEN 1 ELSE 0 END"
+        for p in CONTAM_PHRASES)
+    return f"""
+SELECT doc_id, CAST({hits} AS BIGINT) AS n_hits,
+       ({hits}) > 0 AS contaminated
+FROM documents
+"""
+
+
+def q_shuffle_docs(sf_dir):
+    from ..functions.scan import global_rank
+
+    ds = read_table(table_path(sf_dir, "documents"), columns=["doc_id"])
+    return global_rank(ds, id_col="doc_id", seed=42)
+
+
+_SHUFFLE_SQL = """
+SELECT doc_id,
+       row_number() OVER (ORDER BY md5(doc_id::VARCHAR || ':42'), doc_id) - 1
+         AS shuffle_rank
+FROM documents
+"""
+
+
+def q_pack_docs(sf_dir):
+    from ..functions.scan import pack_sequences
+    from ..functions.text import token_count_batch
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_tokens"])
+    return pack_sequences(ds, id_col="doc_id", tokens_col="n_tokens",
+                          budget=512)
+
+
+_PACK_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+  FROM t)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(excl // 512 AS BIGINT) AS pack_id,
+       CAST(excl % 512 AS BIGINT) AS pack_pos
+FROM c
+"""
+
+
+def q_drift_psi_bins_lineitem(sf_dir):
+    """Binned histogram counts for the PSI/KS drift test, computed as
+    per-block partial bincounts merged by a 5-group aggregate (the
+    mergeable-counts pattern; state/profile.py turns these counts into
+    PSI). base = even l_orderkey, cur = odd; 5 bins of width 10 over
+    l_quantity (1..50)."""
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_quantity"])
+    nbins = 5
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        m = ~np.isnan(q.astype(np.float64))
+        q, ok = q[m], ok[m]
+        b = np.minimum((q // 10).astype(np.int64), nbins - 1)
+        base = (ok % 2) == 0
+        return pa.table({
+            "bin_id": np.arange(nbins, dtype=np.int64),
+            "n_base": np.bincount(b[base], minlength=nbins)
+                        .astype(np.int64),
+            "n_cur": np.bincount(b[~base], minlength=nbins)
+                       .astype(np.int64)})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bin_id").sum(["n_base", "n_cur"])
+    return agg.map_batches(
+        lambda t: t.rename_columns(["bin_id", "n_base", "n_cur"]),
+        batch_format="pyarrow")
+
+
+_DRIFT_PSI_SQL = """
+SELECT least(CAST(floor(l_quantity / 10) AS BIGINT), 4) AS bin_id,
+       CAST(sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_base,
+       CAST(sum(CASE WHEN l_orderkey % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cur
+FROM lineitem
+WHERE l_quantity IS NOT NULL
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 
 
 def build_queries() -> dict:
@@ -1500,6 +1719,13 @@ def build_queries() -> dict:
         "quality_docs": q_quality_docs,
         "lang_id_docs": q_lang_id_docs,
         "fingerprint_docs": q_fingerprint_docs,
+        "normalize_docs": q_normalize_docs,
+        "repetition_docs": q_repetition_docs,
+        "pii_docs": q_pii_docs,
+        "contamination_docs": q_contamination_docs,
+        "shuffle_docs": q_shuffle_docs,
+        "pack_docs": q_pack_docs,
+        "drift_psi_bins_lineitem": q_drift_psi_bins_lineitem,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -1559,6 +1785,13 @@ def build_oracles() -> dict:
         "quality_docs": _QUALITY_SQL,
         "lang_id_docs": _lang_id_sql(),
         "fingerprint_docs": _FINGERPRINT_SQL,
+        "normalize_docs": _NORMALIZE_SQL,
+        "repetition_docs": _REPETITION_SQL,
+        "pii_docs": _pii_sql(),
+        "contamination_docs": _contamination_sql(),
+        "shuffle_docs": _SHUFFLE_SQL,
+        "pack_docs": _PACK_SQL,
+        "drift_psi_bins_lineitem": _DRIFT_PSI_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,

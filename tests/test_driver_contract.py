@@ -116,6 +116,8 @@ def test_entry_smoke(entry_mod):
 
 @pytest.mark.parametrize("name", [
     "orders_by_segment", "events_tumbling_hour", "events_sessions",
+    "normalize_docs", "repetition_docs", "pii_docs", "contamination_docs",
+    "shuffle_docs", "pack_docs", "drift_psi_bins_lineitem",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()

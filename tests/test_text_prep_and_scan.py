@@ -1,0 +1,128 @@
+"""Training-data prep operators: normalization, repetition stats, PII,
+contamination, and the distributed prefix-scan ops (global shuffle rank,
+sequence packing). Scan ops are checked for partition invariance — the
+defining property of the two-phase scan design (functions/scan.py)."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from jschon_ray.functions.text import (contamination_batch,
+                                       normalize_text_batch, pii_batch,
+                                       repetition_batch)
+
+
+def test_normalize_basic():
+    t = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": ["  A\tB\n\nC ", "already clean", "", "X  Y"]})
+    out = normalize_text_batch(t)
+    assert out["text_norm"].to_pylist() == ["a b c", "already clean", "",
+                                            "x y"]
+    assert out["text_norm_chars"].to_pylist() == [5, 13, 0, 3]
+
+
+def test_normalize_null_passthrough():
+    t = pa.table({"doc_id": [1], "text": pa.array([None], pa.string())})
+    out = normalize_text_batch(t)
+    assert out["text_norm"].to_pylist() == [None]
+
+
+def test_repetition_counts():
+    t = pa.table({"doc_id": [0, 1, 2, 3],
+                  "text": ["a a a b", "x y z", "", "q q"]})
+    out = repetition_batch(t).to_pydict()
+    assert out["n_tokens"] == [4, 3, 0, 2]
+    assert out["n_distinct"] == [2, 3, 0, 1]
+    assert out["top_tok_count"] == [3, 1, 0, 2]
+
+
+def test_repetition_null_text_is_zero():
+    t = pa.table({"doc_id": [7],
+                  "text": pa.array([None], pa.string())})
+    out = repetition_batch(t).to_pydict()
+    assert out["n_tokens"] == [0]
+    assert out["top_tok_count"] == [0]
+
+
+def test_pii_counts_and_redaction_order():
+    t = pa.table({"doc_id": [1], "text": [
+        "mail a.b+c@ex.org and d@e.io, call 555-123-4567, host 10.0.0.255"]})
+    out = pii_batch(t).to_pydict()
+    assert out["n_email"] == [2]
+    assert out["n_phone"] == [1]
+    assert out["n_ipv4"] == [1]
+    assert out["redacted"][0] == \
+        "mail [EMAIL] and [EMAIL], call [PHONE], host [IP]"
+
+
+def test_pii_counts_are_pre_redaction():
+    # a phone embedded in an email's local part is counted on the ORIGINAL
+    # text, but the email redaction (first pass) swallows it
+    t = pa.table({"doc_id": [1],
+                  "text": ["reach 555-123-4567@example.com now"]})
+    out = pii_batch(t).to_pydict()
+    assert out["n_email"] == [1]
+    assert out["n_phone"] == [1]         # counted pre-redaction
+    assert out["redacted"] == ["reach [EMAIL] now"]
+
+
+def test_contamination_hits():
+    t = pa.table({"doc_id": [1, 2],
+                  "text": ["the cat sat", "dogs run far"]})
+    out = contamination_batch(t, ["cat sat", "run", "absent"]).to_pydict()
+    assert out["n_hits"] == [1, 1]
+    assert out["contaminated"] == [True, True]
+    empty = contamination_batch(t, []).to_pydict()
+    assert empty["n_hits"] == [0, 0]
+
+
+@pytest.mark.parametrize("parts", [1, 3, 8])
+def test_global_rank_matches_md5_order_any_partitioning(ray_session, parts):
+    import ray.data
+
+    from jschon_ray.functions.scan import global_rank
+
+    ids = [f"id-{i:03d}" for i in range(60)]
+    ds = ray.data.from_arrow(pa.table({"k": ids})).repartition(parts)
+    out = global_rank(ds, id_col="k", seed=7, num_buckets=16).to_pandas()
+    got = out.sort_values("shuffle_rank")["k"].tolist()
+    exp = sorted(ids, key=lambda v: hashlib.md5(f"{v}:7".encode())
+                 .hexdigest())
+    assert got == exp
+    assert sorted(out["shuffle_rank"]) == list(range(60))
+
+
+@pytest.mark.parametrize("parts", [1, 5])
+def test_pack_sequences_exclusive_prefix_sum(ray_session, parts):
+    import ray.data
+
+    from jschon_ray.functions.scan import pack_sequences
+
+    rng = np.random.default_rng(3)
+    n = 80
+    toks = rng.integers(1, 40, n)
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": np.arange(n), "n": toks})).repartition(parts)
+    out = pack_sequences(ds, id_col="doc_id", tokens_col="n",
+                         budget=64, num_buckets=9).to_pandas() \
+        .sort_values("doc_id")
+    excl = np.cumsum(toks) - toks
+    assert (out["pack_id"].to_numpy() == excl // 64).all()
+    assert (out["pack_pos"].to_numpy() == excl % 64).all()
+    # packs are contiguous in doc order and bounded by the budget
+    assert out["pack_id"].is_monotonic_increasing
+
+
+def test_pack_sequences_doc_larger_than_budget(ray_session):
+    import ray.data
+
+    from jschon_ray.functions.scan import pack_sequences
+
+    ds = ray.data.from_arrow(pa.table({"doc_id": [1, 2, 3],
+                                       "n": [10, 500, 10]}))
+    out = pack_sequences(ds, id_col="doc_id", tokens_col="n",
+                         budget=100).to_pandas().sort_values("doc_id")
+    # doc 2 straddles packs 0..5; doc 3 starts at token 520 -> pack 5
+    assert out["pack_id"].tolist() == [0, 0, 5]
