@@ -160,6 +160,21 @@ def run_benchmarks() -> dict:
     extras["vad_clips_per_sec"] = round(n_vad /
                                         timings["audio_resample_vad"], 1)
 
+    # 8c. distributed prefix scan: seeded global shuffle rank over the
+    # biggest table (two-phase scan; only bucket totals hit the driver)
+    def shuffle_rank_li():
+        from jschon_ray.functions.scan import global_rank
+        from jschon_ray.sources.io import read_table, table_path
+
+        ds = read_table(table_path(SF_DIR, "orders"),
+                        columns=["o_orderkey"])
+        return global_rank(ds, id_col="o_orderkey", seed=42,
+                           num_buckets=4 * NUM_CPUS).count()
+
+    n_rank = timed("shuffle_rank_orders", shuffle_rank_li)
+    extras["shuffle_rank_rows_per_sec"] = round(
+        n_rank / timings["shuffle_rank_orders"], 1)
+
     # 9. temporal / join operators (as-of cogroup, broadcast enrich,
     # hopping-window explode)
     timed("events_asof_click_view",

@@ -80,6 +80,10 @@ def global_rank(ds, *, id_col: str, seed: int = 42,
     keyed = ds.map_batches(
         _hash_bucket_batch, batch_format="pyarrow",
         fn_kwargs=dict(id_col=id_col, seed=seed, num_buckets=num_buckets))
+    # consumed twice (bucket totals, then the rank pass) — materialize the
+    # narrow (id, key, bucket) projection once instead of re-running the
+    # read + hash lineage; the object store spills if it outgrows memory
+    keyed = keyed.materialize()
     offsets = _bucket_offsets(keyed.select_columns(["_bucket"]),
                               "_bucket", None)
 
@@ -122,6 +126,7 @@ def pack_sequences(ds, *, id_col: str, tokens_col: str, budget: int,
     keyed = ds.map_batches(
         _range_bucket_batch, batch_format="pyarrow",
         fn_kwargs=dict(id_col=id_col, edges=edges))
+    keyed = keyed.materialize()  # consumed twice; narrow columns only
     offsets = _bucket_offsets(
         keyed.select_columns(["_bucket", tokens_col]), "_bucket", tokens_col)
 

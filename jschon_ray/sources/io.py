@@ -1,9 +1,11 @@
-"""TableIO seam: parquet now, Lance-ready.
+"""TableIO seam: parquet / jsonl / csv, plus Lance where installed.
 
-The north rule targets Lance tables; this sandbox has no ``lance`` package
-and the driver testdata is parquet (TESTDATA.md), so reads/writes go through
-this thin seam: swap in ``ray.data.read_lance`` / ``write_lance`` where Lance
-is installed without touching pipeline code.
+The north rule targets Lance tables; the Lance branch is wired through
+``ray.data.read_lance`` / ``Dataset.write_lance`` (column + predicate
+pushdown into the Lance scanner, fragment-parallel reads) and activates
+when the ``lance`` package is importable. This sandbox has no ``lance``
+and the driver testdata is parquet (TESTDATA.md), so reads here take the
+parquet path; pipeline code is format-agnostic through this seam.
 
 Scale notes: always pass ``columns=`` so only needed columns leave storage;
 readers return a streaming Dataset (never materialized here).
@@ -16,7 +18,7 @@ import os
 
 try:
     import lance  # noqa: F401
-    HAVE_LANCE = False  # flip to True when read_lance is wired + tested
+    HAVE_LANCE = True
 except ImportError:
     HAVE_LANCE = False
 
@@ -36,16 +38,20 @@ def table_files(path) -> list:
 #: /root/reference/jschon/catalog/__init__.py:26-67, recast as data-table
 #: format routing)
 _EXT_FORMAT = {".parquet": "parquet", ".jsonl": "json", ".json": "json",
-               ".csv": "csv"}
+               ".csv": "csv", ".lance": "lance"}
 
 
 def _detect_format(path) -> str:
-    """Logical format of a path/dir/list: by extension, parquet default."""
+    """Logical format of a path/dir/list: by extension, parquet default.
+    A directory NAMED `*.lance` is a Lance dataset root (fragments live
+    inside it — never globbed as part files)."""
     if isinstance(path, (list, tuple)):
         path = path[0] if path else ""
     if isinstance(path, str) and os.path.isdir(path):
+        if path.rstrip("/").endswith(".lance"):
+            return "lance"
         for ext, fmt in _EXT_FORMAT.items():
-            if glob.glob(os.path.join(path, f"*{ext}")):
+            if ext != ".lance" and glob.glob(os.path.join(path, f"*{ext}")):
                 return fmt
         return "parquet"
     ext = os.path.splitext(path)[1].lower() if isinstance(path, str) else ""
@@ -65,6 +71,24 @@ def read_table(path, *, columns=None, filter=None, override_num_blocks=None,
     import ray.data as rd
 
     fmt = format or _detect_format(path)
+    if fmt == "lance":
+        # the north-rule primary: columns + (string) predicates push down
+        # into the Lance scanner, fragments parallelize the read
+        if not HAVE_LANCE:
+            raise ImportError(
+                "lance is not installed in this environment; the TableIO "
+                "seam reads parquet here (TESTDATA.md). Install `pylance` "
+                "to read Lance datasets.")
+        kwargs = {}
+        if override_num_blocks is not None:
+            kwargs["override_num_blocks"] = override_num_blocks
+        ds = rd.read_lance(
+            path, columns=list(columns) if columns is not None else None,
+            filter=filter if isinstance(filter, str) else None, **kwargs)
+        if filter is not None and not isinstance(filter, str):
+            ds = ds.map_batches(lambda t, e=filter: t.filter(e),
+                                batch_format="pyarrow")
+        return ds
     if isinstance(path, str) and os.path.isdir(path):
         ext = {"parquet": ".parquet", "json": ".jsonl", "csv": ".csv"}[fmt]
         files = sorted(glob.glob(os.path.join(path, f"*{ext}")))
@@ -117,6 +141,10 @@ def write_table(ds, path: str, *, format: str = "parquet",
         ds.write_json(path, **kwargs)
     elif format == "csv":
         ds.write_csv(path, **kwargs)
+    elif format == "lance":
+        if not HAVE_LANCE:
+            raise ImportError("lance is not installed; write parquet here")
+        ds.write_lance(path, **kwargs)
     else:
         raise ValueError(f"unknown table format: {format!r}")
     return path

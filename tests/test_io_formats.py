@@ -100,3 +100,19 @@ def test_partitioned_parquet_write(orders_small, tmp_path):
     assert parts == ["F", "O", "P"]
     back = read_table(out)
     assert back.count() == ds.count()
+
+
+def test_lance_detection_and_gating(tmp_path):
+    """A `*.lance` directory routes to the Lance branch; without the lance
+    package installed the seam raises a clear ImportError instead of
+    misreading fragments as parquet parts."""
+    import pytest
+
+    from jschon_ray.sources.io import HAVE_LANCE, _detect_format, read_table
+
+    d = tmp_path / "clips.lance"
+    d.mkdir()
+    assert _detect_format(str(d)) == "lance"
+    if not HAVE_LANCE:
+        with pytest.raises(ImportError, match="lance"):
+            read_table(str(d))
