@@ -87,6 +87,130 @@ def hash_join(left, right, *, on: str, how: str = "inner",
                                                  batch_format="pyarrow")
 
 
+def _distinct_tag_batch(batch: pa.Table, *, col: str, out: str,
+                        side: int) -> pa.Table:
+    """Per-block distinct keys + side tag: the only rows that ever
+    shuffle in a set op / membership check. A block contributes each key
+    once no matter how many rows carry it."""
+    import pyarrow.compute as pc
+    keys = pc.drop_null(batch[col]).unique()
+    n = len(keys)
+    return pa.table({out: keys,
+                     "_in_a": pa.array(np.full(n, 1 - side, np.int64)),
+                     "_in_b": pa.array(np.full(n, side, np.int64))})
+
+
+def key_set_op(a, b, *, on_a: str, on_b: str, op: str, out: str = "key"):
+    """Distributed set operation on key columns: 'intersect', 'except'
+    (keys of `a` not in `b`), or 'union' — SQL INTERSECT / EXCEPT /
+    UNION (distinct) semantics over the two columns.
+
+    Scale shape: each block first reduces to its DISTINCT keys (payloads
+    and duplicate rows never move), then one keys-only groupby shuffle
+    sums per-side presence; the filter is a vectorized mask on the tiny
+    aggregate. Skewed duplicate-heavy keys cost one row per block, not
+    one per occurrence.
+    """
+    if op not in ("intersect", "except", "union"):
+        raise ValueError(f"unknown set op: {op!r}")
+    tagged = a.map_batches(
+        functools.partial(_distinct_tag_batch, col=on_a, out=out, side=0),
+        batch_format="pyarrow",
+    ).union(b.map_batches(
+        functools.partial(_distinct_tag_batch, col=on_b, out=out, side=1),
+        batch_format="pyarrow"))
+    agg = tagged.groupby(out).sum(["_in_a", "_in_b"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        in_a = pc.greater(t["sum(_in_a)"], 0)
+        in_b = pc.greater(t["sum(_in_b)"], 0)
+        mask = {"intersect": pc.and_(in_a, in_b),
+                "except": pc.and_(in_a, pc.invert(in_b)),
+                "union": pc.or_(in_a, in_b)}[op]
+        return t.filter(mask).select([out])
+
+    return agg.map_batches(pick, batch_format="pyarrow")
+
+
+def referential_violations_shuffle(fact, dim, *, fact_key: str,
+                                   dim_key: str, bloom=None):
+    """Referential-integrity violations when the dimension is TOO LARGE
+    to broadcast (the scale complement of
+    pipelines.validate.referential_violations): fact keys absent from
+    the dimension, with how many fact rows carry each.
+
+    Plan: per-block (distinct key, row count) partials on the fact side,
+    distinct-key partials on the dim side, one keys-only groupby shuffle
+    — dim payload columns and fact duplicates never move (the `$ref`
+    semi-join of SURVEY §2.3 without the broadcast assumption).
+
+    `bloom`: optional state.sketches.BloomFilter built over the dim keys.
+    Keys the bloom rejects are DEFINITE violations (no false negatives)
+    and skip the shuffle entirely — a pure win in the violation-heavy
+    regime; keys it accepts still go through the exact shuffle, so the
+    result is exact either way.
+
+    Emits (fact_key, n_rows) per violating key.
+    """
+    def fact_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keyed = batch.select([fact_key]) \
+            .filter(pc.is_valid(batch[fact_key]))
+        counts = keyed.group_by(fact_key).aggregate([(fact_key, "count")])
+        keys = counts[fact_key]
+        n = counts[f"{fact_key}_count"].cast(pa.int64())
+        return pa.table({fact_key: keys, "_n": n,
+                         "_dim": pa.array(np.zeros(len(keys), np.int64))})
+
+    def dim_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keys = pc.drop_null(batch[dim_key]).unique()
+        return pa.table({fact_key: keys,
+                         "_n": pa.array(np.zeros(len(keys), np.int64)),
+                         "_dim": pa.array(np.ones(len(keys), np.int64))})
+
+    facts = fact.map_batches(fact_partial, batch_format="pyarrow")
+    definite = None
+    if bloom is not None:
+        # bind the class into the closure (ships by value with the task;
+        # workers in a driver-owned session don't have this repo on path)
+        from ..state.sketches import BloomFilter
+        blob = bloom.to_bytes()
+
+        def split(t: pa.Table):
+            bf = BloomFilter.from_bytes(blob)
+            hit = bf.contains(t[fact_key].to_numpy(zero_copy_only=False))
+            return t.filter(pa.array(hit)), t.filter(pa.array(~hit))
+
+        def misses(t: pa.Table) -> pa.Table:
+            return split(t)[1].select([fact_key, "_n"])
+
+        def hits(t: pa.Table) -> pa.Table:
+            return split(t)[0]
+
+        definite = facts.map_batches(misses, batch_format="pyarrow") \
+            .groupby(fact_key).sum("_n")
+        definite = definite.map_batches(
+            lambda t: t.rename_columns([fact_key, "n_rows"]),
+            batch_format="pyarrow")
+        facts = facts.map_batches(hits, batch_format="pyarrow")
+
+    tagged = facts.union(dim.map_batches(dim_partial,
+                                         batch_format="pyarrow"))
+    agg = tagged.groupby(fact_key).sum(["_n", "_dim"])
+
+    def violations(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.equal(t["sum(_dim)"], 0)
+        v = t.filter(mask)
+        return pa.table({fact_key: v[fact_key],
+                         "n_rows": v["sum(_n)"].cast(pa.int64())})
+
+    out = agg.map_batches(violations, batch_format="pyarrow")
+    return out.union(definite) if definite is not None else out
+
+
 class _BroadcastJoiner:
     """Per-batch C++ hash join against one object-store copy of the small
     side (materialized once per actor in __init__, never per batch)."""

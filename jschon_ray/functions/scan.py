@@ -53,7 +53,7 @@ def _bucket_offsets(ds, bucket_col: str, weight_col: str | None):
     for r in rows:
         offsets[r[bucket_col]] = acc
         acc += int(r[key])
-    return offsets
+    return offsets, acc
 
 
 def _hash_bucket_batch(batch: pa.Table, *, id_col: str, seed: int,
@@ -84,8 +84,8 @@ def global_rank(ds, *, id_col: str, seed: int = 42,
     # narrow (id, key, bucket) projection once instead of re-running the
     # read + hash lineage; the object store spills if it outgrows memory
     keyed = keyed.materialize()
-    offsets = _bucket_offsets(keyed.select_columns(["_bucket"]),
-                              "_bucket", None)
+    offsets, _total = _bucket_offsets(keyed.select_columns(["_bucket"]),
+                                      "_bucket", None)
 
     def rank_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("_key", kind="mergesort")
@@ -95,6 +95,45 @@ def global_rank(ds, *, id_col: str, seed: int = 42,
             out: base + np.arange(len(g), dtype=np.int64)})
 
     return keyed.groupby("_bucket").map_groups(rank_group)
+
+
+def _ntile_of_rank(rank: np.ndarray, n: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) over 0-based global ranks: the first n%k tiles get
+    ceil(n/k) rows, the rest floor(n/k) — 1-based tile ids (exactly
+    DuckDB/ANSI semantics, so oracles hash-match)."""
+    q, r = divmod(n, k)
+    cut = r * (q + 1)
+    big = rank // (q + 1) if q + 1 else np.zeros_like(rank)
+    small = r + (rank - cut) // q if q else np.zeros_like(rank)
+    return np.where(rank < cut, big, small).astype(np.int64) + 1
+
+
+def global_ntile(ds, *, id_col: str, k: int, seed: int = 42,
+                 num_buckets: int = 64, out: str = "tile"):
+    """Deterministic seeded NTILE(k): tile i of the global order sorted
+    by md5(f"{id}:{seed}") — equal-size quantile buckets for sharded
+    training splits / balanced exports.
+
+    Same two-phase scan as `global_rank` (the driver sees K integers,
+    never the data); the tile is a pure function of (rank, total, k), so
+    the second pass stays embarrassingly parallel.
+    """
+    keyed = ds.map_batches(
+        _hash_bucket_batch, batch_format="pyarrow",
+        fn_kwargs=dict(id_col=id_col, seed=seed, num_buckets=num_buckets))
+    keyed = keyed.materialize()
+    offsets, total = _bucket_offsets(keyed.select_columns(["_bucket"]),
+                                     "_bucket", None)
+
+    def tile_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_key", kind="mergesort")
+        base = offsets[int(g["_bucket"].iloc[0])]
+        ranks = base + np.arange(len(g), dtype=np.int64)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            out: _ntile_of_rank(ranks, total, k)})
+
+    return keyed.groupby("_bucket").map_groups(tile_group)
 
 
 def _range_bucket_batch(batch: pa.Table, *, id_col: str,
@@ -127,7 +166,7 @@ def pack_sequences(ds, *, id_col: str, tokens_col: str, budget: int,
         _range_bucket_batch, batch_format="pyarrow",
         fn_kwargs=dict(id_col=id_col, edges=edges))
     keyed = keyed.materialize()  # consumed twice; narrow columns only
-    offsets = _bucket_offsets(
+    offsets, _total = _bucket_offsets(
         keyed.select_columns(["_bucket", tokens_col]), "_bucket", tokens_col)
 
     def pack_group(g: pd.DataFrame) -> pd.DataFrame:

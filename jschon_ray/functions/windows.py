@@ -65,6 +65,82 @@ def session_counts(ds, *, key_col="user_id", ts_col="ts",
         .groupby(key_col).map_groups(per_key, batch_format="pandas")
 
 
+def _key_bucket(batch: pa.Table, *, key_col: str,
+                num_buckets: int) -> pa.Table:
+    """Append a deterministic hash bucket of the key column. The bucket
+    only routes rows (bounded group count for map_groups); it never
+    appears in output, so any stable hash works."""
+    col = batch[key_col]
+    if pa.types.is_integer(col.type):
+        k = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        mixed = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        b = (mixed % np.uint64(num_buckets)).astype(np.int32)
+    else:
+        import zlib
+        b = np.fromiter(
+            (zlib.crc32(str(v).encode()) % num_buckets
+             for v in col.to_pylist()), dtype=np.int32, count=len(col))
+    return batch.append_column("_bucket", pa.array(b))
+
+
+def keyed_window_scan(ds, *, key_col: str, ts_col: str, tie_col: str,
+                      value_col: str, k: int = 5, num_buckets: int = 64,
+                      to_int=None):
+    """Per-key ordered window pass: running (cumulative) sum, rolling
+    k-row sum and rolling count over rows ordered by (ts, tie) within
+    each key — SQL `SUM(v) OVER (PARTITION BY key ORDER BY ts, tie
+    ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)` semantics.
+
+    Scale shape: keys are hash-bucketed into `num_buckets` groups (one
+    shuffle of the scan's narrow columns; group count is bounded and
+    balanced regardless of key cardinality or skew), then one sorted
+    segmented-numpy pass per bucket — no per-key Python dispatch, no
+    driver loop. Key groups never split across buckets, so the pass is
+    exact for any input partitioning.
+
+    `to_int`: optional batch fn mapping the float value column to exact
+    int64 units (e.g. cents) so cumulative sums hash-match a SQL oracle
+    bit-for-bit; default keeps the column as-is (float cumsum).
+
+    Emits (key_col, tie_col, row_in_key, cum_value, roll_sum, roll_n).
+    """
+    narrow = ds.select_columns([key_col, ts_col, tie_col, value_col])
+    keyed = narrow.map_batches(
+        functools.partial(_key_bucket, key_col=key_col,
+                          num_buckets=num_buckets),
+        batch_format="pyarrow")
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tie_col], kind="mergesort")
+        n = len(g)
+        v = g[value_col].to_numpy()
+        if to_int is not None:
+            v = to_int(v)
+        keys = g[key_col].to_numpy()
+        idx = np.arange(n, dtype=np.int64)
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = keys[1:] != keys[:-1]
+        seg = np.maximum.accumulate(np.where(new_seg, idx, 0))
+        row_in_key = idx - seg
+        cs = np.cumsum(v)
+        base = np.where(seg > 0, cs[np.maximum(seg - 1, 0)], 0)
+        cum = cs - base
+        lo = np.maximum(idx - (k - 1), seg)
+        prev = lo - 1
+        roll = cs - np.where(prev >= 0, cs[np.maximum(prev, 0)], 0)
+        return pd.DataFrame({
+            key_col: keys,
+            tie_col: g[tie_col].to_numpy(),
+            "row_in_key": row_in_key,
+            "cum_value": cum,
+            "roll_sum": roll,
+            "roll_n": (idx - lo + 1).astype(np.int64)})
+
+    return keyed.groupby("_bucket").map_groups(scan_bucket,
+                                               batch_format="pandas")
+
+
 def hopping_agg(ds, *, key_cols=("event_type",), ts_col="ts",
                 value_col="value", width_minutes=60, stride_minutes=30):
     """count + sum(value) per (key, hopping window): windows of `width`

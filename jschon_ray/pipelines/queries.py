@@ -1682,6 +1682,108 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# per-key window scans, global tiling, set ops, shuffle referential
+
+
+def q_events_user_windows(sf_dir):
+    """Per-user running totals + 5-row rolling sums ordered by (ts,
+    event_id) — SQL window-function semantics via the bucketed
+    segmented-scan (one keys-only shuffle, bounded group count)."""
+    from ..functions.windows import keyed_window_scan
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["user_id", "ts", "event_id", "value"])
+    return keyed_window_scan(
+        ds, key_col="user_id", ts_col="ts", tie_col="event_id",
+        value_col="value", k=5,
+        to_int=lambda v: np.round(v * 100).astype(np.int64))
+
+
+_EVENTS_USER_WINDOWS_SQL = """
+WITH v AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT user_id, event_id,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+       AS BIGINT) AS row_in_key,
+  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_value,
+  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_sum,
+  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_n
+FROM v
+"""
+
+
+def q_docs_ntile(sf_dir):
+    """Seeded NTILE(7) over the global md5 shuffle order — balanced
+    shard assignment via the two-phase prefix scan."""
+    from ..functions.scan import global_ntile
+
+    ds = read_table(table_path(sf_dir, "documents"), columns=["doc_id"])
+    return global_ntile(ds, id_col="doc_id", k=7, seed=42)
+
+
+_DOCS_NTILE_SQL = """
+SELECT doc_id,
+       CAST(ntile(7) OVER (ORDER BY md5(doc_id::VARCHAR || ':42'), doc_id)
+            AS BIGINT) AS tile
+FROM documents
+"""
+
+
+def q_custkeys_without_orders(sf_dir):
+    """Key EXCEPT: customers who never placed an order (distinct-keys
+    shuffle; payload columns never move)."""
+    from ..functions.join import key_set_op
+
+    cust = read_table(table_path(sf_dir, "customer"),
+                      columns=["c_custkey"])
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_custkey"])
+    out = key_set_op(cust, orders, on_a="c_custkey", on_b="o_custkey",
+                     op="except").to_pandas()
+    return _ensure_columns(out, {"key": "int64"})
+
+
+_CUSTKEYS_EXCEPT_SQL = """
+SELECT c_custkey AS key FROM customer
+EXCEPT
+SELECT o_custkey AS key FROM orders
+"""
+
+
+def q_referential_shuffle_lineitem(sf_dir):
+    """The no-broadcast referential path: per-violating-key row counts
+    via distinct-key partials + one keys-only shuffle, with a Bloom
+    prefilter built distributed over the dim keys (misses short-cut the
+    shuffle; result stays exact)."""
+    from ..functions.join import referential_violations_shuffle
+    from ..state.sketches import build_bloom
+
+    dim = read_table(table_path(sf_dir, "orders"), columns=["o_orderkey"])
+    bloom = build_bloom(dim, "o_orderkey", num_bits=1 << 21)
+    fact = read_table(table_path(sf_dir, "lineitem"),
+                      columns=["l_orderkey"])
+    out = referential_violations_shuffle(
+        fact, dim, fact_key="l_orderkey", dim_key="o_orderkey",
+        bloom=bloom).to_pandas()
+    return _ensure_columns(out, {"l_orderkey": "int64", "n_rows": "int64"})
+
+
+_REFERENTIAL_SHUFFLE_SQL = """
+SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_orderkey IS NOT NULL
+  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 
 
 def build_queries() -> dict:
@@ -1707,6 +1809,10 @@ def build_queries() -> dict:
         "stratified_sample_events": q_stratified_sample_events,
         "orders_broadcast_enrich": q_orders_broadcast_enrich,
         "uniqueness_lineitem_composite": q_uniqueness_lineitem_composite,
+        "events_user_windows": q_events_user_windows,
+        "docs_ntile": q_docs_ntile,
+        "custkeys_without_orders": q_custkeys_without_orders,
+        "referential_shuffle_lineitem": q_referential_shuffle_lineitem,
         # per-row validation engine
         "validate_orders": q_validate_orders,
         "validate_lineitem": q_validate_lineitem,
@@ -1773,6 +1879,10 @@ def build_oracles() -> dict:
         "stratified_sample_events": _STRATIFIED_SQL,
         "orders_broadcast_enrich": _priority_dim_sql(),
         "uniqueness_lineitem_composite": _UNIQUENESS_COMPOSITE_SQL,
+        "events_user_windows": _EVENTS_USER_WINDOWS_SQL,
+        "docs_ntile": _DOCS_NTILE_SQL,
+        "custkeys_without_orders": _CUSTKEYS_EXCEPT_SQL,
+        "referential_shuffle_lineitem": _REFERENTIAL_SHUFFLE_SQL,
         "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
                            "FROM orders",
         "validate_lineitem": "SELECT l_orderkey, l_linenumber, "

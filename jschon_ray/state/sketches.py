@@ -305,6 +305,119 @@ class Histogram:
         return h
 
 
+class BloomFilter:
+    """Mergeable Bloom filter over 64-bit key hashes: no false negatives,
+    false-positive rate ~(1 - e^{-kn/m})^k for n keys, m bits, k probes.
+
+    The membership sketch completing the family (TDigest=quantiles,
+    HLL=distinct, CMS=frequency): build per block over a dimension key
+    column, OR-merge partials, then probe fact batches vectorized —
+    `functions.join.referential_violations_shuffle` uses it to short-cut
+    definite violations without a shuffle. Probe positions derive from
+    the same `hash_array` double-hashing (h1 + i*h2), so a filter built
+    in one process probes correctly in any other.
+    """
+
+    def __init__(self, num_bits: int = 1 << 23, num_hashes: int = 4):
+        if num_bits % 64:
+            raise ValueError("num_bits must be a multiple of 64")
+        self.m = num_bits
+        self.k = num_hashes
+        self.words = np.zeros(num_bits // 64, dtype=np.uint64)
+        self.n_added = 0
+
+    def _positions(self, hashes: np.ndarray) -> np.ndarray:
+        """(k, n) probe bit positions via Kirsch-Mitzenmacher double
+        hashing of the 64-bit input hash."""
+        h = hashes.astype(np.uint64)
+        h1 = h
+        h2 = (h >> np.uint64(33)) | np.uint64(1)  # odd -> full-period
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return (h1[None, :] + i * h2[None, :]) % np.uint64(self.m)
+
+    def add_hashes(self, hashes: np.ndarray):
+        pos = self._positions(np.asarray(hashes)).ravel()
+        np.bitwise_or.at(self.words, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+        self.n_added += len(np.asarray(hashes))
+        return self
+
+    def add_batch(self, values):
+        return self.add_hashes(hash_array(values))
+
+    def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        pos = self._positions(np.asarray(hashes))
+        bits = (self.words[(pos >> np.uint64(6)).astype(np.int64)]
+                >> (pos & np.uint64(63))) & np.uint64(1)
+        return bits.all(axis=0)
+
+    def contains(self, values) -> np.ndarray:
+        return self.contains_hashes(hash_array(values))
+
+    def fp_rate(self) -> float:
+        """Expected false-positive probability at the current fill."""
+        fill = np.count_nonzero(
+            np.unpackbits(self.words.view(np.uint8))) / self.m
+        return float(fill ** self.k)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        if (other.m, other.k) != (self.m, self.k):
+            raise ValueError("incompatible bloom parameters")
+        np.bitwise_or(self.words, other.words, out=self.words)
+        self.n_added += other.n_added
+        return self
+
+    def to_bytes(self) -> bytes:
+        return zlib.compress(pickle.dumps(
+            (self.m, self.k, self.n_added, self.words)))
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "BloomFilter":
+        m, k, n, words = pickle.loads(zlib.decompress(blob))
+        bf = cls(num_bits=m, num_hashes=k)
+        bf.words, bf.n_added = words, n
+        return bf
+
+
+def build_bloom(ds, col: str, *, num_bits: int = 1 << 23,
+                num_hashes: int = 4) -> BloomFilter:
+    """Distributed Bloom build: per-block partial filters (map_batches),
+    OR-merged in a bounded tree — blobs per merge leg ≤ max(16, #CPUs),
+    so the driver never holds #blocks × m/8 bytes."""
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(num_bits=num_bits, num_hashes=num_hashes)
+        vals = batch[col].drop_null()
+        if len(vals):
+            bf.add_batch(vals.to_numpy(zero_copy_only=False))
+        return pa.table({"blob": pa.array([bf.to_bytes()], pa.binary())})
+
+    def or_block(batch: pa.Table) -> pa.Table:
+        bf = None
+        for blob in batch["blob"].to_pylist():
+            part = BloomFilter.from_bytes(blob)
+            bf = part if bf is None else bf.merge(part)
+        return pa.table({"blob": pa.array([bf.to_bytes()], pa.binary())})
+
+    parts = ds.select_columns([col]) \
+        .map_batches(partial, batch_format="pyarrow")
+    try:
+        import ray
+        fan = max(16, int(ray.cluster_resources().get("CPU", 16)))
+    except Exception:
+        fan = 16
+    parts = parts.repartition(fan) \
+        .map_batches(or_block, batch_format="pyarrow")
+    merged = None
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for blob in b["blob"].to_pylist():
+            part = BloomFilter.from_bytes(blob)
+            merged = part if merged is None else merged.merge(part)
+    return merged if merged is not None \
+        else BloomFilter(num_bits=num_bits, num_hashes=num_hashes)
+
+
 # ---------------------------------------------------------------------------
 # drift statistics
 

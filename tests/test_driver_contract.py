@@ -118,6 +118,8 @@ def test_entry_smoke(entry_mod):
     "orders_by_segment", "events_tumbling_hour", "events_sessions",
     "normalize_docs", "repetition_docs", "pii_docs", "contamination_docs",
     "shuffle_docs", "pack_docs", "drift_psi_bins_lineitem",
+    "events_user_windows", "docs_ntile", "custkeys_without_orders",
+    "referential_shuffle_lineitem",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()
