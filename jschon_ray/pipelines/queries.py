@@ -1783,6 +1783,100 @@ GROUP BY 1
 """
 
 
+def q_events_pivot_hour_bands(sf_dir):
+    """Pivot to a wide table: per event_type, count + cents-sum per
+    6-hour band of the day. One fused bincount per block; only
+    groups×bands partial rows shuffle."""
+    from ..functions.relational import pivot_agg
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["event_type", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["value"], 100.0)).cast(pa.float64())
+        return pa.table({"event_type": t["event_type"], "ts": t["ts"],
+                         "cents": cents})
+
+    def band_codes(t: pa.Table) -> np.ndarray:
+        hours = pc.hour(t["ts"]).to_numpy(zero_copy_only=False)
+        return hours // 6
+
+    wide = pivot_agg(ds.map_batches(to_cents, batch_format="pyarrow"),
+                     row_key="event_type", col_codes_batch=band_codes,
+                     categories=["b0", "b1", "b2", "b3"], value_col="cents",
+                     prefix="")
+
+    def cast_sums(t: pa.Table) -> pa.Table:
+        for n in ("b0_sum", "b1_sum", "b2_sum", "b3_sum"):
+            i = t.schema.get_field_index(n)
+            t = t.set_column(i, n, pc.round(t[n]).cast(pa.int64()))
+        return t
+
+    return wide.map_batches(cast_sums, batch_format="pyarrow")
+
+
+def _pivot_hour_bands_sql() -> str:
+    parts = []
+    for b in range(4):
+        cond = f"extract(hour FROM ts) // 6 = {b}"
+        parts.append(f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) "
+                     f"AS BIGINT) AS b{b}_n")
+        parts.append(
+            f"CAST(coalesce(sum(CASE WHEN {cond} THEN "
+            f"CAST(round(value*100) AS BIGINT) ELSE 0 END), 0) "
+            f"AS BIGINT) AS b{b}_sum")
+    return ("SELECT event_type, " + ", ".join(parts)
+            + " FROM events GROUP BY event_type")
+
+
+def q_lineitem_median_qty(sf_dir):
+    """Exact per-group median over the low-cardinality quantity domain:
+    (key, value) count pairs shuffle, never rows."""
+    from ..functions.relational import grouped_median_lowcard
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_returnflag", "l_quantity"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["l_quantity"])),
+        batch_format="pyarrow")
+    return grouped_median_lowcard(ds, key="l_returnflag",
+                                  value_col="l_quantity")
+
+
+_LINEITEM_MEDIAN_SQL = """
+SELECT l_returnflag, median(l_quantity) AS median
+FROM lineitem WHERE l_quantity IS NOT NULL
+GROUP BY l_returnflag
+"""
+
+
+def q_docs_string_agg(sf_dir):
+    """Ordered grouped concatenation on a filtered projection (text
+    heads of every 7th doc, per language)."""
+    from ..functions.relational import grouped_string_agg
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "lang", "text"])
+
+    def head(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(did % 7 == 0))
+        return pa.table({"lang": t["lang"], "doc_id": t["doc_id"],
+                         "head": pc.utf8_slice_codeunits(t["text"], 0, 8)})
+
+    heads = ds.map_batches(head, batch_format="pyarrow")
+    return grouped_string_agg(heads, key="lang", value_col="head",
+                              order_col="doc_id")
+
+
+_DOCS_STRING_AGG_SQL = """
+SELECT lang, string_agg(substring(text, 1, 8), '|' ORDER BY doc_id) AS agg,
+       CAST(count(*) AS BIGINT) AS n_parts
+FROM documents WHERE doc_id % 7 = 0
+GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1813,6 +1907,9 @@ def build_queries() -> dict:
         "docs_ntile": q_docs_ntile,
         "custkeys_without_orders": q_custkeys_without_orders,
         "referential_shuffle_lineitem": q_referential_shuffle_lineitem,
+        "events_pivot_hour_bands": q_events_pivot_hour_bands,
+        "lineitem_median_qty": q_lineitem_median_qty,
+        "docs_string_agg": q_docs_string_agg,
         # per-row validation engine
         "validate_orders": q_validate_orders,
         "validate_lineitem": q_validate_lineitem,
@@ -1883,6 +1980,9 @@ def build_oracles() -> dict:
         "docs_ntile": _DOCS_NTILE_SQL,
         "custkeys_without_orders": _CUSTKEYS_EXCEPT_SQL,
         "referential_shuffle_lineitem": _REFERENTIAL_SHUFFLE_SQL,
+        "events_pivot_hour_bands": _pivot_hour_bands_sql(),
+        "lineitem_median_qty": _LINEITEM_MEDIAN_SQL,
+        "docs_string_agg": _DOCS_STRING_AGG_SQL,
         "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
                            "FROM orders",
         "validate_lineitem": "SELECT l_orderkey, l_linenumber, "
