@@ -1877,6 +1877,57 @@ GROUP BY lang
 """
 
 
+def q_audio_pitch_clips(sf_dir):
+    """Autocorrelation F0 estimation per clip (rows-only: batched-FFT
+    pitch tracking is not SQL-expressible)."""
+    from ..sources.clips import clips_cache_dir
+    from ..stages.features import pitch_features
+
+    ds = read_table(clips_cache_dir(sf_dir),
+                    columns=["clip_id", "bytes", "sr_hz", "codec"])
+    out = pitch_features(ds, batch_size=256)
+    return out.select_columns(["clip_id", "pitch_ok", "f0_hz",
+                               "voiced_ratio"])
+
+
+def q_audio_cmvn_clips(sf_dir):
+    """Corpus CMVN over log-mel features: the canonical two-pass
+    normalization (per-block moment partials -> driver-merged stats ->
+    broadcast apply). Rows-only; the normalized vector is projected to
+    its mean/std scalars so the driver result stays scalar-typed."""
+    from ..sources.clips import clips_cache_dir
+    from ..stages.audio_ops import AudioResampler, MelSpectrogram
+    from ..stages.features import apply_cmvn, cmvn_stats
+    from .validate import default_concurrency
+
+    ds = read_table(clips_cache_dir(sf_dir),
+                    columns=["clip_id", "bytes", "sr_hz", "codec"])
+    mels = ds.map_batches(AudioResampler, batch_format="pyarrow",
+                          batch_size=256,
+                          concurrency=default_concurrency(),
+                          fn_constructor_kwargs=dict(target_sr=16000)) \
+             .map_batches(MelSpectrogram, batch_format="pyarrow",
+                          batch_size=256,
+                          concurrency=default_concurrency(),
+                          fn_constructor_kwargs=dict(sr=16000)) \
+             .select_columns(["clip_id", "mel_ok", "mel_mean"])
+    # consumed twice (stats pass + normalize pass): materialize the
+    # narrow feature projection, not the payload table
+    mels = mels.materialize()
+    mean, std, _n = cmvn_stats(mels, "mel_mean")
+    out = apply_cmvn(mels, mean, std, col="mel_mean")
+
+    def project(t: pa.Table) -> pa.Table:
+        vecs = t["mel_mean_cmvn"].to_pylist()
+        mu = [float(np.mean(v)) if v is not None else None for v in vecs]
+        sd = [float(np.std(v)) if v is not None else None for v in vecs]
+        return pa.table({"clip_id": t["clip_id"], "mel_ok": t["mel_ok"],
+                         "cmvn_mean": pa.array(mu, pa.float64()),
+                         "cmvn_std": pa.array(sd, pa.float64())})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1946,6 +1997,8 @@ def build_queries() -> dict:
         "audio_mel_clips": q_audio_mel_clips,
         "audio_neardup_clips": q_audio_neardup_clips,
         "audio_prep_segments": q_audio_prep_segments,
+        "audio_pitch_clips": q_audio_pitch_clips,
+        "audio_cmvn_clips": q_audio_cmvn_clips,
         "media_image_features": q_media_image_features,
         "media_frame_sample": q_media_frame_sample,
         "minhash_lsh_docs": q_minhash_docs,

@@ -1,0 +1,112 @@
+"""PitchEstimator on constructed tones; CMVN two-pass normalization."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from jschon_ray.sources.clips import generate_clips
+from jschon_ray.stages.features import (CMVNNormalizer, PitchEstimator,
+                                        apply_cmvn, cmvn_stats,
+                                        pitch_features)
+
+
+def tone_clip(freq, sr=16000, ms=400, amp=0.5):
+    t = np.arange(int(sr * ms / 1000)) / sr
+    pcm = (amp * 32767 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+    return pcm.tobytes()
+
+
+def clips_table(rows):
+    return pa.table({
+        "clip_id": [r[0] for r in rows],
+        "bytes": pa.array([r[1] for r in rows], pa.binary()),
+        "sr_hz": pa.array([r[2] for r in rows], pa.int32()),
+        "dur_ms": pa.array([400] * len(rows), pa.int32()),
+        "codec": ["pcm_s16le"] * len(rows),
+        "transcript": [""] * len(rows),
+    })
+
+
+def test_pitch_detects_tones():
+    t = clips_table([
+        ("a", tone_clip(220), 16000),
+        ("b", tone_clip(110), 16000),
+        ("c", tone_clip(440, sr=8000), 8000),
+    ])
+    out = PitchEstimator()(t)
+    f0 = dict(zip(out["clip_id"].to_pylist(), out["f0_hz"].to_pylist()))
+    ok = dict(zip(out["clip_id"].to_pylist(), out["pitch_ok"].to_pylist()))
+    assert all(ok.values())
+    assert abs(f0["a"] - 220) < 5
+    assert abs(f0["b"] - 110) < 3
+    assert abs(f0["c"] - 440) < 15
+    vr = dict(zip(out["clip_id"].to_pylist(),
+                  out["voiced_ratio"].to_pylist()))
+    assert vr["a"] > 0.9
+
+
+def test_pitch_noise_is_unvoiced_and_short_rows_flagged():
+    rng = np.random.default_rng(9)
+    noise = (rng.normal(0, 0.2, 6400) * 32767).clip(-32768, 32767) \
+        .astype(np.int16).tobytes()
+    short = np.zeros(100, np.int16).tobytes()
+    t = clips_table([("noise", noise, 16000), ("short", short, 16000)])
+    out = PitchEstimator()(t)
+    got = {r["clip_id"]: r for r in out.to_pylist()}
+    assert got["noise"]["voiced_ratio"] < 0.5
+    assert got["short"]["pitch_ok"] is False
+    # undecodable payload -> not ok, no crash
+    bad = clips_table([("bad", b"\x01", 16000)])
+    bad = bad.set_column(4, "codec", pa.array(["flac"]))
+    outb = PitchEstimator()(bad)
+    assert outb["pitch_ok"].to_pylist() == [False]
+
+
+def test_pitch_stage_over_dataset(ray_session):
+    import ray.data
+
+    t = generate_clips(48, seed=3, dirty=False)
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = pitch_features(ds, concurrency=2, batch_size=16).to_pandas()
+    assert len(out) == 48
+    assert "f0_hz" in out and "bytes" not in out.columns
+    assert out["pitch_ok"].mean() > 0.5
+
+
+def _feature_ds(n=200, dim=8, nulls=(7,)):
+    import ray.data
+
+    rng = np.random.default_rng(1)
+    feats = rng.normal(5.0, 3.0, (n, dim))
+    vals = [None if i in nulls else feats[i].tolist() for i in range(n)]
+    t = pa.table({"id": pa.array(np.arange(n)),
+                  "mel_mean": pa.array(vals, pa.list_(pa.float32(), dim))})
+    return ray.data.from_arrow(t).repartition(9), feats, nulls
+
+
+def test_cmvn_two_pass(ray_session):
+    ds, feats, nulls = _feature_ds()
+    mean, std, n = cmvn_stats(ds, "mel_mean")
+    keep = np.array([i for i in range(len(feats)) if i not in nulls])
+    f32 = feats[keep].astype(np.float32).astype(np.float64)
+    assert n == len(keep)
+    assert np.allclose(mean, f32.mean(axis=0), atol=1e-6)
+    assert np.allclose(std, f32.std(axis=0), atol=1e-6)
+
+    tabs = [pa.table(b) for b in
+            apply_cmvn(ds, mean, std).iter_batches(batch_format="pyarrow")]
+    out = pa.concat_tables(tabs)
+    vals = out["mel_mean_cmvn"].to_pylist()
+    normed = np.asarray([v for v in vals if v is not None])
+    assert abs(normed.mean()) < 1e-3
+    assert abs(normed.std() - 1.0) < 1e-2
+    assert sum(v is None for v in vals) == len(nulls)
+
+
+def test_cmvn_empty_raises(ray_session):
+    import ray.data
+
+    t = pa.table({"mel_mean": pa.array([None, None],
+                                       pa.list_(pa.float32(), 4))})
+    with pytest.raises(ValueError):
+        cmvn_stats(ray.data.from_arrow(t), "mel_mean")
