@@ -252,3 +252,86 @@ def contamination_batch(batch: pa.Table, phrases, col: str = "text") -> \
         hits = pa.array(np.zeros(batch.num_rows, np.int64))
     out = batch.append_column("n_hits", hits)
     return out.append_column("contaminated", pc.greater(hits, 0))
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary + out-of-vocabulary coverage
+
+
+def vocab_count_partial(batch: pa.Table, *, col: str = "text",
+                        lowercase: bool = True) -> pa.Table:
+    """Per-block token counts: one RE2 split + one np.unique per batch.
+    Only (token, n) partial rows shuffle — the classic word-count
+    pre-aggregation."""
+    s = pc.utf8_lower(batch[col]) if lowercase else batch[col]
+    toks = pc.list_flatten(pc.split_pattern_regex(s, r"\s+"))
+    arr = toks.to_numpy(zero_copy_only=False)
+    arr = arr[arr != ""]
+    u, c = np.unique(arr, return_counts=True)
+    return pa.table({"tok": pa.array(u, pa.string()),
+                     "n": pa.array(c.astype(np.int64))})
+
+
+def build_vocab(ds, *, col: str = "text", min_count: int = 5,
+                lowercase: bool = True) -> frozenset:
+    """Corpus vocabulary: tokens appearing >= min_count times.
+
+    Distributed word count (per-block partials -> one (token) groupby
+    of partial rows), then the SURVIVING vocab flows to the driver.
+    `min_count` bounds the driver-side set: at corpus scale raise it (or
+    cap with a count-min sketch pass) so the broadcast stays node-sized;
+    the shuffle itself never depends on the threshold.
+    """
+    import functools
+
+    counts = ds.map_batches(
+        functools.partial(vocab_count_partial, col=col,
+                          lowercase=lowercase),
+        batch_format="pyarrow").groupby("tok").sum("n")
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["sum(n)"], min_count)) \
+            .select(["tok"])
+
+    vocab = set()
+    for b in counts.map_batches(keep, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        vocab.update(b["tok"].to_pylist())
+    return frozenset(vocab)
+
+
+def vocab_coverage_batch(batch: pa.Table, *, vocab: frozenset,
+                         col: str = "text", id_col: str = "doc_id",
+                         lowercase: bool = True) -> pa.Table:
+    """Per-doc token/OOV counts against a broadcast vocabulary: exact
+    integers (n_tokens, n_oov), vectorized membership via one hashed
+    isin over the flattened token array."""
+    import pandas as pd
+
+    s = pc.utf8_lower(batch[col]) if lowercase else batch[col]
+    lists = pc.split_pattern_regex(s, r"\s+")
+    flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    keep = flat != ""
+    n = batch.num_rows
+    n_tokens = np.bincount(parents[keep], minlength=n).astype(np.int64)
+    in_vocab = pd.Series(flat[keep]).isin(vocab).to_numpy()
+    n_oov = np.bincount(parents[keep][~in_vocab],
+                        minlength=n).astype(np.int64)
+    return pa.table({id_col: batch[id_col],
+                     "n_tokens": pa.array(n_tokens),
+                     "n_oov": pa.array(n_oov)})
+
+
+def vocab_coverage(ds, *, col: str = "text", id_col: str = "doc_id",
+                   min_count: int = 5, lowercase: bool = True):
+    """Two-phase OOV scoring: distributed vocab build, then a broadcast
+    per-batch coverage pass (the `$ref`-style small-side lookup)."""
+    import functools
+
+    vocab = build_vocab(ds, col=col, min_count=min_count,
+                        lowercase=lowercase)
+    return ds.map_batches(
+        functools.partial(vocab_coverage_batch, vocab=vocab, col=col,
+                          id_col=id_col, lowercase=lowercase),
+        batch_format="pyarrow")

@@ -1928,6 +1928,33 @@ def q_audio_cmvn_clips(sf_dir):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_oov_docs(sf_dir):
+    """Out-of-vocabulary scoring vs a corpus-derived vocabulary
+    (distributed word count -> broadcast membership pass)."""
+    from ..functions.text import vocab_coverage
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    return vocab_coverage(ds, min_count=5)
+
+
+_OOV_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+vocab AS (SELECT tok FROM toks GROUP BY tok HAVING count(*) >= 5),
+per AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM toks t LEFT JOIN vocab v USING (tok) GROUP BY t.doc_id)
+SELECT d.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1961,6 +1988,7 @@ def build_queries() -> dict:
         "events_pivot_hour_bands": q_events_pivot_hour_bands,
         "lineitem_median_qty": q_lineitem_median_qty,
         "docs_string_agg": q_docs_string_agg,
+        "oov_docs": q_oov_docs,
         # per-row validation engine
         "validate_orders": q_validate_orders,
         "validate_lineitem": q_validate_lineitem,
@@ -2036,6 +2064,7 @@ def build_oracles() -> dict:
         "events_pivot_hour_bands": _pivot_hour_bands_sql(),
         "lineitem_median_qty": _LINEITEM_MEDIAN_SQL,
         "docs_string_agg": _DOCS_STRING_AGG_SQL,
+        "oov_docs": _OOV_SQL,
         "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
                            "FROM orders",
         "validate_lineitem": "SELECT l_orderkey, l_linenumber, "

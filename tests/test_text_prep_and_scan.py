@@ -6,6 +6,7 @@ defining property of the two-phase scan design (functions/scan.py)."""
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -126,3 +127,27 @@ def test_pack_sequences_doc_larger_than_budget(ray_session):
                          budget=100).to_pandas().sort_values("doc_id")
     # doc 2 straddles packs 0..5; doc 3 starts at token 520 -> pack 5
     assert out["pack_id"].tolist() == [0, 0, 5]
+
+
+def test_vocab_coverage_matches_bruteforce(ray_session):
+    import ray.data
+
+    from jschon_ray.functions.text import build_vocab, vocab_coverage
+
+    docs = ["the cat sat", "the the the dog", "zebra qux", "", "cat dog",
+            "The CAT", "dog dog dog", "  spaced   out  "]
+    df = pd.DataFrame({"doc_id": np.arange(len(docs)), "text": docs})
+    ds = ray.data.from_pandas(df).repartition(3)
+
+    # brute force
+    toks = [[t for t in d.lower().split() if t] for d in docs]
+    from collections import Counter
+    cnt = Counter(t for ts in toks for t in ts)
+    vocab_ref = {t for t, c in cnt.items() if c >= 2}
+    assert build_vocab(ds, min_count=2) == frozenset(vocab_ref)
+
+    out = vocab_coverage(ds, min_count=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for i, ts in enumerate(toks):
+        assert out["n_tokens"][i] == len(ts)
+        assert out["n_oov"][i] == sum(t not in vocab_ref for t in ts)
