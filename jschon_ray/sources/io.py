@@ -38,7 +38,8 @@ def table_files(path) -> list:
 #: /root/reference/jschon/catalog/__init__.py:26-67, recast as data-table
 #: format routing)
 _EXT_FORMAT = {".parquet": "parquet", ".jsonl": "json", ".json": "json",
-               ".csv": "csv", ".lance": "lance"}
+               ".csv": "csv", ".lance": "lance", ".orc": "orc",
+               ".feather": "feather", ".arrow": "feather"}
 
 
 def _detect_format(path) -> str:
@@ -89,6 +90,9 @@ def read_table(path, *, columns=None, filter=None, override_num_blocks=None,
             ds = ds.map_batches(lambda t, e=filter: t.filter(e),
                                 batch_format="pyarrow")
         return ds
+    if fmt in ("orc", "feather"):
+        return _read_file_parallel(path, fmt, columns=columns,
+                                   filter=filter)
     if isinstance(path, str) and os.path.isdir(path):
         ext = {"parquet": ".parquet", "json": ".jsonl", "csv": ".csv"}[fmt]
         files = sorted(glob.glob(os.path.join(path, f"*{ext}")))
@@ -124,6 +128,76 @@ def read_table(path, *, columns=None, filter=None, override_num_blocks=None,
     return ds
 
 
+def _read_file_parallel(path, fmt: str, *, columns=None, filter=None):
+    """Fragment-parallel reader for formats Ray lacks a native datasource
+    for (ORC, Feather/Arrow IPC): one read task per file over shared
+    storage — the same per-fragment parallelism shape as read_parquet
+    (size input files accordingly). ORC prunes columns at the stripe
+    reader; Feather is memory-mapped then projected."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    exts = {"orc": (".orc",), "feather": (".feather", ".arrow")}[fmt]
+    if isinstance(path, str) and os.path.isdir(path):
+        files = sorted(f for e in exts
+                       for f in glob.glob(os.path.join(path, f"*{e}")))
+    else:
+        files = [path] if isinstance(path, str) else list(path)
+    if not files:
+        raise FileNotFoundError(f"no {fmt} files under {path!r}")
+    cols = list(columns) if columns is not None else None
+
+    def load(batch: pa.Table) -> pa.Table:
+        parts = []
+        for p in batch["path"].to_pylist():
+            if fmt == "orc":
+                import pyarrow.orc as orc
+                t = orc.ORCFile(p).read(columns=cols)
+            else:
+                import pyarrow.feather as feather
+                t = feather.read_table(p, columns=cols, memory_map=True)
+            if filter is not None:
+                t = t.filter(filter)
+            parts.append(t)
+        return pa.concat_tables(parts)
+
+    paths = rd.from_items([{"path": f} for f in files],
+                          override_num_blocks=len(files))
+    return paths.map_batches(load, batch_format="pyarrow", batch_size=1)
+
+
+def _block_file_writer(path: str, fmt: str):
+    """Per-block part-file writer (ORC / Feather) as a CLOSURE so it
+    always pickles by value (driver-owned sessions may not have this
+    repo on worker sys.path). Filenames are content-addressed (md5 of
+    the block's first key column head + row count), so a retried task
+    overwrites its own part instead of duplicating rows — the
+    idempotent-write requirement of SURVEY §4."""
+    ext = "orc" if fmt == "orc" else "feather"
+
+    def write_block(batch):
+        import hashlib
+        import os as _os
+
+        import pyarrow as pa
+        key = batch.column_names[0] if batch.num_columns else "empty"
+        h = hashlib.md5(
+            (key + str(batch.num_rows) + str(
+                batch[key][:64].to_pylist() if batch.num_columns else "")
+             ).encode()).hexdigest()[:16]
+        fname = _os.path.join(path, f"part-{h}.{ext}")
+        if fmt == "orc":
+            import pyarrow.orc as orc
+            orc.write_table(batch, fname)
+        else:
+            import pyarrow.feather as feather
+            feather.write_feather(batch, fname)
+        return pa.table({"path": pa.array([fname]),
+                         "rows": pa.array([batch.num_rows], pa.int64())})
+
+    return write_block
+
+
 def write_table(ds, path: str, *, format: str = "parquet",
                 partition_cols=None, **kwargs):
     """Write a Dataset as a directory of part files (resumable layout:
@@ -145,6 +219,11 @@ def write_table(ds, path: str, *, format: str = "parquet",
         if not HAVE_LANCE:
             raise ImportError("lance is not installed; write parquet here")
         ds.write_lance(path, **kwargs)
+    elif format in ("orc", "feather"):
+        # drive the lazy pipeline through the per-block writer; the
+        # returned manifest (path, rows) is tiny
+        ds.map_batches(_block_file_writer(path, format),
+                       batch_format="pyarrow").materialize()
     else:
         raise ValueError(f"unknown table format: {format!r}")
     return path

@@ -8,6 +8,9 @@ pipeline is source-format-agnostic.
 
 import os
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
 import pyarrow.compute as pc
 import pytest
 
@@ -116,3 +119,50 @@ def test_lance_detection_and_gating(tmp_path):
     if not HAVE_LANCE:
         with pytest.raises(ImportError, match="lance"):
             read_table(str(d))
+
+
+def test_orc_roundtrip(ray_session, tmp_path):
+    import ray.data
+
+    from jschon_ray.sources.io import read_table, write_table
+
+    df = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                       "s": [f"v{i}" for i in range(100)]})
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = str(tmp_path / "orc_out")
+    write_table(ds, out, format="orc")
+    files = sorted(os.listdir(out))
+    assert len(files) >= 2 and all(f.endswith(".orc") for f in files)
+
+    back = read_table(out).to_pandas().sort_values("k") \
+        .reset_index(drop=True)
+    assert (back["k"] == df["k"]).all() and (back["s"] == df["s"]).all()
+    # column pruning
+    only_k = read_table(out, columns=["k"]).to_pandas()
+    assert list(only_k.columns) == ["k"]
+
+
+def test_feather_roundtrip_and_detect(ray_session, tmp_path):
+    import ray.data
+
+    from jschon_ray.sources.io import read_table, write_table
+
+    df = pd.DataFrame({"a": np.arange(37), "b": np.arange(37) * 0.5})
+    ds = ray.data.from_pandas(df)
+    out = str(tmp_path / "fth")
+    write_table(ds, out, format="feather")
+    assert any(f.endswith(".feather") for f in os.listdir(out))
+    back = read_table(out).to_pandas().sort_values("a") \
+        .reset_index(drop=True)
+    assert np.allclose(back["b"], df["b"])
+
+
+def test_single_orc_file_read(ray_session, tmp_path):
+    import pyarrow.orc as orc
+
+    from jschon_ray.sources.io import read_table
+
+    t = pa.table({"x": [1, 2, 3]})
+    f = str(tmp_path / "one.orc")
+    orc.write_table(t, f)
+    assert read_table(f).to_pandas()["x"].tolist() == [1, 2, 3]
