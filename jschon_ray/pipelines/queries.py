@@ -900,6 +900,64 @@ SELECT id_a, id_b, inter, uni, inter / uni AS jaccard FROM (
 """
 
 
+def q_dup_clusters_docs(sf_dir):
+    """Near-dup cluster formation: exact n-gram Jaccard pairs (>=0.5) ->
+    distributed connected components (min-label propagation with
+    pointer-doubling shortcuts, `functions/graph.py`); component = min
+    doc_id of the cluster. The downstream dedup decision is `keep rows
+    where doc_id == component`."""
+    import ray.data
+
+    from ..functions.dedup import ngram_jaccard_pairs
+    from ..functions.graph import connected_components
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.5)
+    if not len(pairs):
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "component": pd.Series([], dtype="int64")})
+    eds = ray.data.from_pandas(pairs[["id_a", "id_b"]])
+    cc = connected_components(eds, out_node="doc_id")
+    return cc.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+# transitive closure of the (proven-matching) jaccard pair set; component
+# = min reachable doc_id
+_DUP_CLUSTERS_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct(CASE
+      WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+      ELSE [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]
+    END) AS s
+  FROM toks WHERE len(ws) > 0
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      len(list_intersect(a.s, b.s)) AS inter,
+      len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  ) WHERE inter / uni >= 0.5
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+  UNION SELECT id_a, id_a FROM pairs
+  UNION SELECT id_b, id_b FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u
+ORDER BY doc_id
+"""
+
+
 def q_audio_features_clips(sf_dir):
     """Framed-FFT spectral features over the synthesized clips table.
 
@@ -1989,6 +2047,7 @@ def build_queries() -> dict:
         "lineitem_median_qty": q_lineitem_median_qty,
         "docs_string_agg": q_docs_string_agg,
         "oov_docs": q_oov_docs,
+        "dup_clusters_docs": q_dup_clusters_docs,
         # per-row validation engine
         "validate_orders": q_validate_orders,
         "validate_lineitem": q_validate_lineitem,
@@ -2065,6 +2124,7 @@ def build_oracles() -> dict:
         "lineitem_median_qty": _LINEITEM_MEDIAN_SQL,
         "docs_string_agg": _DOCS_STRING_AGG_SQL,
         "oov_docs": _OOV_SQL,
+        "dup_clusters_docs": _DUP_CLUSTERS_SQL,
         "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
                            "FROM orders",
         "validate_lineitem": "SELECT l_orderkey, l_linenumber, "

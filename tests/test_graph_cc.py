@@ -1,0 +1,93 @@
+"""Connected components (dup-cluster formation) vs a union-find oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from jschon_ray.functions.graph import connected_components, dup_clusters
+
+
+def uf_components(pairs):
+    """Pure-python union-find oracle: node -> min node of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots = {}
+    for n in list(parent):
+        roots.setdefault(find(n), []).append(n)
+    out = {}
+    for members in roots.values():
+        rep = min(members)
+        for n in members:
+            out[n] = rep
+    return out
+
+
+def run_cc(pairs, **kw):
+    df = pd.DataFrame(pairs, columns=["id_a", "id_b"])
+    ds = ray.data.from_pandas(df).repartition(4)
+    res = connected_components(ds, **kw).to_pandas()
+    return dict(zip(res["node"], res["component"]))
+
+
+def test_two_components_int(ray_session):
+    got = run_cc([(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_chain_needs_propagation_rounds(ray_session):
+    # a 40-node path: exercises multi-round propagation (pointer-doubling
+    # shortcuts make this O(log diameter) rounds)
+    pairs = [(i, i + 1) for i in range(40)]
+    got = run_cc(pairs, num_buckets=8)
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_string_ids_lexicographic_min(ray_session):
+    got = run_cc([("doc-b", "doc-c"), ("doc-c", "doc-a"),
+                  ("zzz", "yyy")])
+    assert got == {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+                   "zzz": "yyy", "yyy": "yyy"}
+
+
+def test_self_loops_and_duplicate_edges(ray_session):
+    got = run_cc([(5, 5), (1, 2), (2, 1), (1, 2)])
+    assert got == {5: 5, 1: 1, 2: 1}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fuzz_vs_union_find(ray_session, seed):
+    rng = np.random.default_rng(seed)
+    n = 200
+    m = int(rng.integers(50, 300))
+    pairs = [(int(a), int(b))
+             for a, b in rng.integers(0, n, size=(m, 2))]
+    got = run_cc(pairs, num_buckets=16)
+    assert got == uf_components(pairs)
+
+
+def test_diameter_budget_raises(ray_session):
+    pairs = [(i, i + 1) for i in range(30)]
+    df = pd.DataFrame(pairs, columns=["id_a", "id_b"])
+    ds = ray.data.from_pandas(df)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(ds, max_rounds=3).to_pandas()
+
+
+def test_dup_clusters_keep_rule(ray_session):
+    pairs = pd.DataFrame({"id_a": [1, 2, 7], "id_b": [2, 3, 8]})
+    ds = ray.data.from_pandas(pairs)
+    res = dup_clusters(ds, id_name="doc_id").to_pandas()
+    keep = set(res.loc[res["doc_id"] == res["component"], "doc_id"])
+    assert keep == {1, 7}
