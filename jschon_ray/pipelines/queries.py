@@ -900,6 +900,28 @@ SELECT id_a, id_b, inter, uni, inter / uni AS jaccard FROM (
 """
 
 
+def q_quantiles_lineitem(sf_dir):
+    """Exact global quantile_disc by iterative histogram refinement
+    (`functions/quantiles.py`): only fixed-size count vectors reach the
+    driver; the column is scanned per round but never shuffled. Values
+    are exact elements of the column, so they hash-match the oracle
+    bit-for-bit with no rounding."""
+    from ..functions.quantiles import exact_quantiles
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_extendedprice"])
+    return exact_quantiles(ds, "l_extendedprice",
+                           [0.01, 0.25, 0.5, 0.75, 0.99],
+                           bins=512, gather_limit=4096)
+
+
+_QUANTILES_LINEITEM_SQL = "\nUNION ALL\n".join(
+    f"SELECT CAST({q} AS DOUBLE) AS q, "
+    f"CAST(quantile_disc(l_extendedprice, {q}) AS DOUBLE) AS value "
+    "FROM lineitem"
+    for q in [0.01, 0.25, 0.5, 0.75, 0.99])
+
+
 def q_dup_clusters_docs(sf_dir):
     """Near-dup cluster formation: exact n-gram Jaccard pairs (>=0.5) ->
     distributed connected components (min-label propagation with
@@ -2048,6 +2070,7 @@ def build_queries() -> dict:
         "docs_string_agg": q_docs_string_agg,
         "oov_docs": q_oov_docs,
         "dup_clusters_docs": q_dup_clusters_docs,
+        "quantiles_lineitem": q_quantiles_lineitem,
         # per-row validation engine
         "validate_orders": q_validate_orders,
         "validate_lineitem": q_validate_lineitem,
@@ -2125,6 +2148,7 @@ def build_oracles() -> dict:
         "docs_string_agg": _DOCS_STRING_AGG_SQL,
         "oov_docs": _OOV_SQL,
         "dup_clusters_docs": _DUP_CLUSTERS_SQL,
+        "quantiles_lineitem": _QUANTILES_LINEITEM_SQL,
         "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
                            "FROM orders",
         "validate_lineitem": "SELECT l_orderkey, l_linenumber, "
