@@ -126,3 +126,135 @@ def grouped_string_agg(ds, *, key: str, value_col: str, order_col: str,
 
     return ds.select_columns([key, value_col, order_col]) \
         .groupby(key).map_groups(finish, batch_format="pandas")
+
+
+def grouped_mode_lowcard(ds, *, key: str, value_col: str,
+                         out: str = "mode_value"):
+    """Deterministic per-group MODE over a low-cardinality value domain:
+    the most frequent value, ties broken by SMALLEST value (an explicit
+    rule — SQL's bare `mode()` tie choice is engine-defined).
+
+    Same shuffle shape as `grouped_median_lowcard`: per-block
+    (key, value) COUNT pairs are the only rows that move; the exchange is
+    bounded by keys x distinct-values, never the input. Emits
+    (key, out, n_mode) with n_mode the exact occurrence count.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([key, value_col]).to_pandas()
+        c = df.groupby([key, value_col], sort=False, dropna=False) \
+            .size().reset_index(name="n")
+        return pa.Table.from_pandas(c, preserve_index=False)
+
+    counts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(value_col)["n"].sum()
+        mx = agg.max()
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            out: [agg[agg == mx].index.min()],
+            "n_mode": [int(mx)]})
+
+    return counts.groupby(key).map_groups(finish, batch_format="pandas")
+
+
+def grouped_distinct_count(ds, *, key: str, value_col: str,
+                           out: str = "n_distinct"):
+    """EXACT `count(DISTINCT value)` per group (the grouped complement of
+    `dedup.exact_distinct_counts`, and the exact complement of the HLL
+    sketch in `state/sketches.py`): per-block distinct (key, value) pairs
+    are pruned BEFORE the shuffle, so at most keys x distinct-values rows
+    move regardless of input size. NULL values are not counted (SQL
+    semantics)."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([key, value_col]).to_pandas() \
+            .dropna(subset=[value_col]).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             out: [int(g[value_col].nunique())]})
+
+    return pairs.groupby(key).map_groups(finish, batch_format="pandas")
+
+
+def grouped_corr(ds, *, key: str, x_col: str, y_col: str,
+                 out: str = "corr"):
+    """Per-group Pearson correlation from mergeable moment partials
+    (n, sx, sy, sxx, syy, sxy): each block reduces to one 6-number row
+    per key in-block, the groupby sums those, and the final ratio is
+    computed per group — SQL `corr(y, x) GROUP BY key` semantics
+    (row pairs with a NULL on either side are dropped; groups with < 2
+    rows or zero variance yield NULL).
+
+    Float note: partial sums associate differently than a single-node
+    scan, so compare to an oracle with rounding (the registry rounds to
+    4 decimals on both sides)."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([key, x_col, y_col]).to_pandas() \
+            .dropna(subset=[x_col, y_col])
+        x = df[x_col].to_numpy(dtype=np.float64)
+        y = df[y_col].to_numpy(dtype=np.float64)
+        m = pd.DataFrame({key: df[key], "n": np.float64(1.0),
+                          "sx": x, "sy": y, "sxx": x * x, "syy": y * y,
+                          "sxy": x * y})
+        agg = m.groupby(key, sort=False).sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).sum(cols)
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.rename(columns={f"sum({c})": c for c in cols})
+        n, sx, sy = df["n"], df["sx"], df["sy"]
+        cov = df["n"] * df["sxy"] - sx * sy
+        vx = n * df["sxx"] - sx * sx
+        vy = n * df["syy"] - sy * sy
+        denom = np.sqrt(vx * vy)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = np.where((n >= 2) & (denom > 0), cov / denom, np.nan)
+        return pa.Table.from_pandas(
+            pd.DataFrame({key: df[key], out: r}), preserve_index=False)
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def rollup_agg(ds, *, keys: list, value_col: str):
+    """`GROUP BY ROLLUP(keys...)`: subtotals at every key prefix plus the
+    grand total. ONE input-sized pass builds per-block partials for the
+    FINEST level only; one groupby shuffles those (bounded by the finest
+    group domain); every coarser level is re-aggregated from the finest
+    RESULT — output-bounded work, the input is never re-read or
+    re-shuffled per level. Returns a pandas DataFrame (keys..., n,
+    sum_value) with None in rolled-up key slots, finest-to-total order.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(list(keys) + [value_col]).to_pandas()
+        df["_v"] = df[value_col].astype(np.float64)
+        agg = df.groupby(list(keys), sort=False, dropna=False) \
+            .agg(n=("_v", "size"), s=("_v", "sum")).reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    finest = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(list(keys)).sum(["n", "s"]).to_pandas()
+    finest = finest.rename(columns={"sum(n)": "n", "sum(s)": "s"})
+    finest["n"] = finest["n"].astype(np.int64)
+
+    levels = [finest]
+    for k in range(len(keys) - 1, -1, -1):
+        sub = keys[:k]
+        if sub:
+            lv = finest.groupby(sub, dropna=False, sort=False) \
+                .agg(n=("n", "sum"), s=("s", "sum")).reset_index()
+        else:
+            lv = pd.DataFrame({"n": [int(finest["n"].sum())],
+                               "s": [float(finest["s"].sum())]})
+        for miss in keys[k:]:
+            lv[miss] = None
+        levels.append(lv[list(keys) + ["n", "s"]])
+    out = pd.concat(levels, ignore_index=True)
+    return out.rename(columns={"s": f"sum_{value_col}"})

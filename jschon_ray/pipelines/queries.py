@@ -900,6 +900,114 @@ SELECT id_a, id_b, inter, uni, inter / uni AS jaccard FROM (
 """
 
 
+def _drop_null_rows(ds, cols):
+    """Pre-filter rows with a NULL in any of `cols` (keeps the operator
+    comparisons free of the SQL NULL-group representation ambiguity)."""
+    def keep(t: pa.Table) -> pa.Table:
+        mask = None
+        for c in cols:
+            m = pc.is_valid(t[c])
+            mask = m if mask is None else pc.and_(mask, m)
+        return t.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def q_lineitem_mode_qty(sf_dir):
+    """Deterministic grouped mode (ties -> smallest value) via
+    (key, value) count-pair shuffle."""
+    from ..functions.relational import grouped_mode_lowcard
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_returnflag", "l_quantity"])
+    ds = _drop_null_rows(ds, ["l_returnflag", "l_quantity"])
+    return grouped_mode_lowcard(ds, key="l_returnflag",
+                                value_col="l_quantity", out="mode_qty")
+
+
+_LINEITEM_MODE_SQL = """
+WITH c AS (
+  SELECT l_returnflag, l_quantity, count(*) AS n FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+  GROUP BY l_returnflag, l_quantity
+), m AS (SELECT l_returnflag, max(n) AS mx FROM c GROUP BY l_returnflag)
+SELECT c.l_returnflag, min(c.l_quantity) AS mode_qty,
+       CAST(m.mx AS BIGINT) AS n_mode
+FROM c JOIN m ON c.l_returnflag = m.l_returnflag AND c.n = m.mx
+GROUP BY c.l_returnflag, m.mx
+"""
+
+
+def q_grouped_distinct_lineitem(sf_dir):
+    """Exact count(DISTINCT l_partkey) per returnflag: per-block distinct
+    pairs pruned before the shuffle."""
+    from ..functions.relational import grouped_distinct_count
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_returnflag", "l_partkey"])
+    ds = _drop_null_rows(ds, ["l_returnflag"])
+    return grouped_distinct_count(ds, key="l_returnflag",
+                                  value_col="l_partkey")
+
+
+_GROUPED_DISTINCT_SQL = """
+SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag
+"""
+
+
+def q_corr_lineitem(sf_dir):
+    """Per-group Pearson correlation from mergeable moment partials;
+    rounded to 4 decimals on both sides (summation-order variance)."""
+    from ..functions.relational import grouped_corr
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice"])
+    ds = _drop_null_rows(ds, ["l_returnflag"])
+    out = grouped_corr(ds, key="l_returnflag", x_col="l_quantity",
+                       y_col="l_extendedprice", out="corr_qp")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("corr_qp"),
+                            "corr_qp", pc.round(t["corr_qp"], 4))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+_CORR_LINEITEM_SQL = """
+SELECT l_returnflag, round(corr(l_extendedprice, l_quantity), 4) AS corr_qp
+FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag
+"""
+
+
+def q_rollup_lineitem(sf_dir):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): one finest-level
+    shuffle; coarser subtotal levels re-aggregated from the finest
+    result (output-bounded)."""
+    from ..functions.relational import rollup_agg
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_returnflag", "l_linestatus",
+                             "l_quantity"])
+    ds = _drop_null_rows(ds, ["l_returnflag", "l_linestatus",
+                              "l_quantity"])
+    out = rollup_agg(ds, keys=["l_returnflag", "l_linestatus"],
+                     value_col="l_quantity")
+    out["sum_l_quantity"] = out["sum_l_quantity"].round(4)
+    return out
+
+
+_ROLLUP_LINEITEM_SQL = """
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 4) AS sum_l_quantity
+FROM lineitem
+WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+  AND l_quantity IS NOT NULL
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 def q_quantiles_lineitem(sf_dir):
     """Exact global quantile_disc by iterative histogram refinement
     (`functions/quantiles.py`): only fixed-size count vectors reach the
@@ -2071,6 +2179,10 @@ def build_queries() -> dict:
         "oov_docs": q_oov_docs,
         "dup_clusters_docs": q_dup_clusters_docs,
         "quantiles_lineitem": q_quantiles_lineitem,
+        "lineitem_mode_qty": q_lineitem_mode_qty,
+        "grouped_distinct_lineitem": q_grouped_distinct_lineitem,
+        "corr_lineitem": q_corr_lineitem,
+        "rollup_lineitem": q_rollup_lineitem,
         # per-row validation engine
         "validate_orders": q_validate_orders,
         "validate_lineitem": q_validate_lineitem,
@@ -2149,6 +2261,10 @@ def build_oracles() -> dict:
         "oov_docs": _OOV_SQL,
         "dup_clusters_docs": _DUP_CLUSTERS_SQL,
         "quantiles_lineitem": _QUANTILES_LINEITEM_SQL,
+        "lineitem_mode_qty": _LINEITEM_MODE_SQL,
+        "grouped_distinct_lineitem": _GROUPED_DISTINCT_SQL,
+        "corr_lineitem": _CORR_LINEITEM_SQL,
+        "rollup_lineitem": _ROLLUP_LINEITEM_SQL,
         "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
                            "FROM orders",
         "validate_lineitem": "SELECT l_orderkey, l_linenumber, "

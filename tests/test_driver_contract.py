@@ -122,7 +122,8 @@ def test_entry_smoke(entry_mod):
     "events_user_windows", "docs_ntile", "custkeys_without_orders",
     "referential_shuffle_lineitem", "events_pivot_hour_bands",
     "lineitem_median_qty", "docs_string_agg", "oov_docs",
-    "dup_clusters_docs", "quantiles_lineitem",
+    "dup_clusters_docs", "quantiles_lineitem", "lineitem_mode_qty",
+    "grouped_distinct_lineitem", "corr_lineitem", "rollup_lineitem",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()

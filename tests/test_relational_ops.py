@@ -77,3 +77,100 @@ def test_grouped_string_agg_ordered(ray_session):
     got = dict(zip(out["g"], out["agg"]))
     assert got == {"a": "w1|w2|w3", "b": "x1|x2"}
     assert dict(zip(out["g"], out["n_parts"])) == {"a": 3, "b": 2}
+
+
+# ---------------------------------------------------------------------------
+# grouped mode / distinct count / corr / rollup
+
+
+def _rng_df(seed=11, n=3000):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "g": rng.choice(["x", "y", "z"], n),
+        "v": rng.integers(1, 8, n).astype(float),
+        "w": np.round(rng.normal(50, 10, n), 3),
+    })
+
+
+def test_grouped_mode_ties_pick_smallest(ray_session):
+    from jschon_ray.functions.relational import grouped_mode_lowcard
+
+    df = pd.DataFrame({"g": ["a"] * 4 + ["b"] * 3,
+                       "v": [2.0, 1.0, 2.0, 1.0, 9.0, 9.0, 3.0]})
+    out = grouped_mode_lowcard(_ds(df, 3), key="g", value_col="v") \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    assert out["mode_value"].tolist() == [1.0, 9.0]  # tie a: min(1,2)=1
+    assert out["n_mode"].tolist() == [2, 2]
+
+
+def test_grouped_mode_vs_pandas(ray_session):
+    from jschon_ray.functions.relational import grouped_mode_lowcard
+
+    df = _rng_df()
+    out = grouped_mode_lowcard(_ds(df, 8), key="g", value_col="v") \
+        .to_pandas().set_index("g")
+    for g, sub in df.groupby("g"):
+        counts = sub["v"].value_counts()
+        mx = counts.max()
+        expect = counts[counts == mx].index.min()
+        assert out.loc[g, "mode_value"] == expect
+        assert out.loc[g, "n_mode"] == mx
+
+
+def test_grouped_distinct_count_exact(ray_session):
+    from jschon_ray.functions.relational import grouped_distinct_count
+
+    df = _rng_df(seed=4)
+    df.loc[::17, "v"] = np.nan  # nulls must not be counted
+    out = grouped_distinct_count(_ds(df, 9), key="g", value_col="v") \
+        .to_pandas().set_index("g")
+    for g, sub in df.groupby("g"):
+        assert out.loc[g, "n_distinct"] == sub["v"].dropna().nunique()
+
+
+def test_grouped_corr_vs_duckdb(ray_session):
+    from jschon_ray.functions.relational import grouped_corr
+
+    df = _rng_df(seed=9)
+    df["w"] = df["v"] * 3.0 + np.random.default_rng(1).normal(0, 1, len(df))
+    out = grouped_corr(_ds(df, 7), key="g", x_col="v", y_col="w") \
+        .to_pandas().set_index("g")
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT g, corr(w, v) AS c FROM t GROUP BY g").df().set_index("g")
+    for g in exp.index:
+        assert abs(out.loc[g, "corr"] - exp.loc[g, "c"]) < 1e-9
+
+
+def test_grouped_corr_degenerate_null(ray_session):
+    from jschon_ray.functions.relational import grouped_corr
+
+    df = pd.DataFrame({"g": ["a", "a", "b"],
+                       "v": [1.0, 1.0, 5.0],   # zero variance in a
+                       "w": [2.0, 3.0, 4.0]})  # single row in b
+    out = grouped_corr(_ds(df, 2), key="g", x_col="v", y_col="w") \
+        .to_pandas()
+    assert out["corr"].isna().all()
+
+
+def test_rollup_vs_duckdb(ray_session):
+    from jschon_ray.functions.relational import rollup_agg
+
+    df = _rng_df(seed=2)
+    out = rollup_agg(_ds(df, 8), keys=["g", "v"], value_col="w")
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT g, v, CAST(count(*) AS BIGINT) AS n, sum(w) AS sum_w "
+        "FROM t GROUP BY ROLLUP(g, v)").df()
+    def norm(d):
+        d = d.copy()
+        d.columns = ["g", "v", "n", "sum_w"]
+        d["g"] = d["g"].astype(str)
+        d["v"] = d["v"].astype(str)
+        d["sum_w"] = np.round(d["sum_w"].astype(float), 6)
+        return d.sort_values(["g", "v", "n"]).reset_index(drop=True)
+    a, b = norm(out), norm(exp)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_names=False)
