@@ -335,3 +335,66 @@ def vocab_coverage(ds, *, col: str = "text", id_col: str = "doc_id",
         functools.partial(vocab_coverage_batch, vocab=vocab, col=col,
                           id_col=id_col, lowercase=lowercase),
         batch_format="pyarrow")
+
+
+def unigram_logprob(ds, *, col: str = "text", id_col: str = "doc_id",
+                    lowercase: bool = True, min_count: int = 1):
+    """Per-document mean unigram log-probability — the classic cheap
+    LM-based quality-filter signal (docs of improbable tokens score low).
+
+    Two-phase like `vocab_coverage`: (1) distributed word count (only
+    (token, n) partial rows shuffle) with the corpus total computed from
+    the same pass; (2) broadcast the count table, score each doc batch
+    vectorized: logprob(tok) = ln(count(tok) / total), doc score = mean
+    over its tokens.
+
+    With `min_count` = 1 the score is exact (every doc token is in the
+    corpus count by construction). At corpus scale raise `min_count` to
+    bound the broadcast table; rarer tokens then fall back to
+    ln(min_count / total) (a documented floor, no longer bit-exact
+    against a full-count oracle).
+
+    Emits (id_col, n_tokens, avg_logprob); empty docs get null.
+    """
+    import functools
+
+    counts = ds.map_batches(
+        functools.partial(vocab_count_partial, col=col,
+                          lowercase=lowercase),
+        batch_format="pyarrow").groupby("tok").sum("n")
+
+    total = 0
+    table = {}
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        ns = b["sum(n)"].to_numpy(zero_copy_only=False)
+        total += int(ns.sum())
+        keep = ns >= min_count
+        toks = b["tok"].to_numpy(zero_copy_only=False)[keep]
+        for t, c in zip(toks, ns[keep]):
+            table[t] = int(c)
+    logp = {t: float(np.log(c / total)) for t, c in table.items()}
+    floor = float(np.log(min_count / total)) if total else 0.0
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = pc.utf8_lower(batch[col]) if lowercase else batch[col]
+        lists = pc.split_pattern_regex(s, r"\s+")
+        flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(lists) \
+            .to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        n = batch.num_rows
+        n_tokens = np.bincount(parents[keep], minlength=n) \
+            .astype(np.int64)
+        lp = pd.Series(flat[keep]).map(logp).fillna(floor).to_numpy()
+        sums = np.bincount(parents[keep], weights=lp, minlength=n)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            avg = np.where(n_tokens > 0, sums / np.maximum(n_tokens, 1),
+                           np.nan)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens": pa.array(n_tokens),
+            "avg_logprob": pa.array(avg, pa.float64(), from_pandas=True)})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -900,6 +900,41 @@ SELECT id_a, id_b, inter, uni, inter / uni AS jaccard FROM (
 """
 
 
+def q_unigram_logprob_docs(sf_dir):
+    """Per-doc mean unigram log-probability (LM quality-filter signal):
+    distributed word count -> broadcast count table -> vectorized doc
+    scoring. Rounded to 4 decimals on both sides (token summation
+    order)."""
+    from ..functions.text import unigram_logprob
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    out = unigram_logprob(ds)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("avg_logprob")
+        return t.set_column(i, "avg_logprob", pc.round(t["avg_logprob"], 4))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+_UNIGRAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT count(*) AS t FROM toks),
+per AS (
+  SELECT doc_id, count(*) AS n_tokens, avg(ln(c / t)) AS alp
+  FROM toks JOIN cnt USING (tok) CROSS JOIN tot GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(alp, 4) AS avg_logprob
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
 def _drop_null_rows(ds, cols):
     """Pre-filter rows with a NULL in any of `cols` (keeps the operator
     comparisons free of the SQL NULL-group representation ambiguity)."""
@@ -2183,6 +2218,7 @@ def build_queries() -> dict:
         "grouped_distinct_lineitem": q_grouped_distinct_lineitem,
         "corr_lineitem": q_corr_lineitem,
         "rollup_lineitem": q_rollup_lineitem,
+        "unigram_logprob_docs": q_unigram_logprob_docs,
         # per-row validation engine
         "validate_orders": q_validate_orders,
         "validate_lineitem": q_validate_lineitem,
@@ -2265,6 +2301,7 @@ def build_oracles() -> dict:
         "grouped_distinct_lineitem": _GROUPED_DISTINCT_SQL,
         "corr_lineitem": _CORR_LINEITEM_SQL,
         "rollup_lineitem": _ROLLUP_LINEITEM_SQL,
+        "unigram_logprob_docs": _UNIGRAM_SQL,
         "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
                            "FROM orders",
         "validate_lineitem": "SELECT l_orderkey, l_linenumber, "

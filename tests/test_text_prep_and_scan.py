@@ -151,3 +151,38 @@ def test_vocab_coverage_matches_bruteforce(ray_session):
     for i, ts in enumerate(toks):
         assert out["n_tokens"][i] == len(ts)
         assert out["n_oov"][i] == sum(t not in vocab_ref for t in ts)
+
+
+def test_unigram_logprob_hand_computed(ray_session):
+    import math
+
+    import ray.data
+
+    from jschon_ray.functions.text import unigram_logprob
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["a a b", "b c", ""]})
+    out = unigram_logprob(ray.data.from_pandas(df)).to_pandas() \
+        .set_index("doc_id")
+    # counts: a=2 b=2 c=1, T=5
+    assert out.loc[1, "n_tokens"] == 3
+    assert abs(out.loc[1, "avg_logprob"] - math.log(2 / 5)) < 1e-12
+    assert abs(out.loc[2, "avg_logprob"]
+               - (math.log(2 / 5) + math.log(1 / 5)) / 2) < 1e-12
+    assert out.loc[3, "n_tokens"] == 0
+    assert pd.isna(out.loc[3, "avg_logprob"])
+
+
+def test_unigram_logprob_min_count_floor(ray_session):
+    import math
+
+    import ray.data
+
+    from jschon_ray.functions.text import unigram_logprob
+
+    df = pd.DataFrame({"doc_id": [1], "text": ["a a rare"]})
+    out = unigram_logprob(ray.data.from_pandas(df),
+                          min_count=2).to_pandas()
+    # 'rare' (count 1 < 2) scores at the ln(min_count/T) floor
+    expect = (2 * math.log(2 / 3) + math.log(2 / 3)) / 3
+    assert abs(out["avg_logprob"].iloc[0] - expect) < 1e-12
