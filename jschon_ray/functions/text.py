@@ -398,3 +398,28 @@ def unigram_logprob(ds, *, col: str = "text", id_col: str = "doc_id",
             "avg_logprob": pa.array(avg, pa.float64(), from_pandas=True)})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def top_tokens(ds, *, col: str = "text", k: int = 20,
+               lowercase: bool = True):
+    """Corpus heavy hitters, exact: distributed word count (per-block
+    partial rows are all that shuffle) then a distributed
+    sort-by-(count desc, token) + limit — the deterministic tie order
+    makes the result reproducible and oracle-comparable. The exact
+    complement of the count-min sketch in `state/sketches.py`.
+
+    Emits (tok, n) — the k most frequent tokens.
+    """
+    import functools
+
+    counts = ds.map_batches(
+        functools.partial(vocab_count_partial, col=col,
+                          lowercase=lowercase),
+        batch_format="pyarrow").groupby("tok").sum("n")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"tok": t["tok"],
+                         "n": t["sum(n)"].cast(pa.int64())})
+
+    return counts.map_batches(finish, batch_format="pyarrow") \
+        .sort(key=["n", "tok"], descending=[True, False]).limit(k)

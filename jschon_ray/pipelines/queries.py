@@ -900,6 +900,47 @@ SELECT id_a, id_b, inter, uni, inter / uni AS jaccard FROM (
 """
 
 
+def q_top_tokens_docs(sf_dir):
+    """Exact corpus heavy hitters: word-count shuffle then distributed
+    sort-by-(count desc, token) + limit — deterministic tie order makes
+    the top-k set oracle-comparable."""
+    from ..functions.text import top_tokens
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    return top_tokens(ds, k=20)
+
+
+_TOP_TOKENS_SQL = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents)
+SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok
+ORDER BY n DESC, tok LIMIT 20
+"""
+
+
+def q_kmeans_embeddings(sf_dir):
+    """Distributed k-means over the embeddings table (broadcast
+    centroids, per-block partial sums; input never shuffled) + final
+    assignment pass. Rows-only check: iterative clustering is not
+    SQL-expressible."""
+    from ..functions.clustering import kmeans_assign, kmeans_fit
+
+    ds = read_table(table_path(sf_dir, "embeddings"),
+                    columns=["vec_id", "embedding"])
+    cents, _info = kmeans_fit(ds, k=5, seed=42, max_iters=10,
+                              sample_size=1024)
+    out = kmeans_assign(ds, cents, id_col="vec_id")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("dist")
+        return t.set_column(i, "dist", pc.round(t["dist"], 4))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
 def q_unigram_logprob_docs(sf_dir):
     """Per-doc mean unigram log-probability (LM quality-filter signal):
     distributed word count -> broadcast count table -> vectorized doc
@@ -2219,6 +2260,7 @@ def build_queries() -> dict:
         "corr_lineitem": q_corr_lineitem,
         "rollup_lineitem": q_rollup_lineitem,
         "unigram_logprob_docs": q_unigram_logprob_docs,
+        "top_tokens_docs": q_top_tokens_docs,
         # per-row validation engine
         "validate_orders": q_validate_orders,
         "validate_lineitem": q_validate_lineitem,
@@ -2262,6 +2304,7 @@ def build_queries() -> dict:
         "minhash_lsh_docs": q_minhash_docs,
         "simhash_docs": q_simhash_docs,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "kmeans_embeddings": q_kmeans_embeddings,
     }
 
 
@@ -2302,6 +2345,7 @@ def build_oracles() -> dict:
         "corr_lineitem": _CORR_LINEITEM_SQL,
         "rollup_lineitem": _ROLLUP_LINEITEM_SQL,
         "unigram_logprob_docs": _UNIGRAM_SQL,
+        "top_tokens_docs": _TOP_TOKENS_SQL,
         "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
                            "FROM orders",
         "validate_lineitem": "SELECT l_orderkey, l_linenumber, "

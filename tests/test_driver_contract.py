@@ -101,7 +101,7 @@ def test_query_matches_oracle(entry_mod, con, name):
     "profile_sketches_lineitem", "drift_lineitem", "minhash_lsh_docs",
     "simhash_docs", "embedding_neardup_lsh",
     "media_image_features", "media_frame_sample", "audio_features_clips",
-    "audio_pitch_clips", "audio_cmvn_clips",
+    "audio_pitch_clips", "audio_cmvn_clips", "kmeans_embeddings",
 ])
 def test_rows_only_queries_run(entry_mod, name):
     out = to_pandas(entry_mod.queries()[name](SF_DIR))
@@ -124,7 +124,7 @@ def test_entry_smoke(entry_mod):
     "lineitem_median_qty", "docs_string_agg", "oov_docs",
     "dup_clusters_docs", "quantiles_lineitem", "lineitem_mode_qty",
     "grouped_distinct_lineitem", "corr_lineitem", "rollup_lineitem",
-    "unigram_logprob_docs",
+    "unigram_logprob_docs", "top_tokens_docs",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()
