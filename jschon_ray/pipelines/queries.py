@@ -2192,6 +2192,45 @@ def q_audio_cmvn_clips(sf_dir):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_audio_specaugment_clips(sf_dir):
+    """ASR augmentation chain: resample -> per-frame log-mel
+    (emit="frames") -> seeded SpecAugment time/freq masking (2 variants,
+    deterministic per (clip_id, variant) so retries are idempotent).
+    Rows-only check; the fbank payload is dropped in-stage, a masked-mean
+    check value rides along."""
+    from ..sources.clips import clips_cache_dir
+    from ..stages.audio_ops import (AudioResampler, MelSpectrogram,
+                                    SpecAugment)
+    from .validate import default_concurrency
+
+    ds = read_table(clips_cache_dir(sf_dir),
+                    columns=["clip_id", "bytes", "sr_hz", "codec"])
+    out = ds.map_batches(AudioResampler, batch_format="pyarrow",
+                         batch_size=256,
+                         concurrency=default_concurrency(),
+                         fn_constructor_kwargs=dict(target_sr=16000)) \
+            .map_batches(MelSpectrogram, batch_format="pyarrow",
+                         batch_size=256,
+                         concurrency=default_concurrency(),
+                         fn_constructor_kwargs=dict(sr=16000,
+                                                    emit="frames")) \
+            .map_batches(SpecAugment, batch_format="pyarrow",
+                         batch_size=256,
+                         concurrency=default_concurrency(),
+                         fn_constructor_kwargs=dict(variants=2))
+
+    def project(t: pa.Table) -> pa.Table:
+        fb = t["mel_fbank"].to_pylist()
+        mu = [round(float(np.mean(v)), 4) if v else None for v in fb]
+        return pa.table({"clip_id": t["clip_id"],
+                         "source_clip_id": t["source_clip_id"],
+                         "mel_frames": t["mel_frames"],
+                         "mel_ok": t["mel_ok"],
+                         "sa_mean": pa.array(mu, pa.float64())})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def q_oov_docs(sf_dir):
     """Out-of-vocabulary scoring vs a corpus-derived vocabulary
     (distributed word count -> broadcast membership pass)."""
@@ -2305,6 +2344,7 @@ def build_queries() -> dict:
         "simhash_docs": q_simhash_docs,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "audio_specaugment_clips": q_audio_specaugment_clips,
     }
 
 

@@ -235,10 +235,15 @@ class MelSpectrogram:
     """
 
     def __init__(self, sr: int = 16000, frame_len: int = 512,
-                 n_mels: int = 40):
+                 n_mels: int = 40, emit: str = "mean"):
+        # emit="mean": time-pooled list<float32>[n_mels] (embedding ops)
+        # emit="frames": the full per-frame matrix, flattened row-major
+        #   to a variable-length list<float32> of n_frames*n_mels (the
+        #   ASR-training feature shape; input to SpecAugment)
         self.sr = int(sr)
         self.frame_len = int(frame_len)
         self.n_mels = int(n_mels)
+        self.emit = emit
         self.window = np.hanning(frame_len).astype(np.float32)
         self.fb = mel_filterbank(self.sr, frame_len, n_mels)   # (M, bins)
 
@@ -279,18 +284,28 @@ class MelSpectrogram:
             logmel = np.log10(power @ self.fb.T + 1e-10)   # (frames, M)
             offsets = np.zeros(len(rows), np.int64)
             np.cumsum(counts[:-1], out=offsets[1:])
-            pooled = np.add.reduceat(logmel, offsets, axis=0) \
-                / np.asarray(counts, np.float32)[:, None]
-            for j, i in enumerate(rows):
-                mel[i] = pooled[j].astype(np.float32)
-                n_frames[i] = counts[j]
-                ok[i] = True
+            if self.emit == "mean":
+                pooled = np.add.reduceat(logmel, offsets, axis=0) \
+                    / np.asarray(counts, np.float32)[:, None]
+                for j, i in enumerate(rows):
+                    mel[i] = pooled[j].astype(np.float32)
+                    n_frames[i] = counts[j]
+                    ok[i] = True
+            else:
+                for j, i in enumerate(rows):
+                    sl = logmel[offsets[j]:offsets[j] + counts[j]]
+                    mel[i] = sl.astype(np.float32).ravel()
+                    n_frames[i] = counts[j]
+                    ok[i] = True
 
         cols = {name: batch[name] for name in batch.column_names
                 if name != "bytes"}
-        cols["mel_mean"] = pa.array(
+        out_name = "mel_mean" if self.emit == "mean" else "mel_fbank"
+        out_type = pa.list_(pa.float32(), self.n_mels) \
+            if self.emit == "mean" else pa.list_(pa.float32())
+        cols[out_name] = pa.array(
             [m.tolist() if m is not None else None for m in mel],
-            pa.list_(pa.float32(), self.n_mels))
+            out_type)
         cols["mel_frames"] = pa.array(n_frames)
         cols["mel_ok"] = pa.array(ok)
         return pa.table(cols)
@@ -461,3 +476,85 @@ class AudioAugmenter:
             "speed": pa.array(out["speed"], pa.float64()),
             "gain_db": pa.array(out["gain_db"], pa.float64()),
         })
+
+
+class SpecAugment:
+    """Seeded SpecAugment (Park et al., Interspeech 2019): time- and
+    frequency-band masking over per-frame log-mel features — the standard
+    ASR training-data augmentation. Input is MelSpectrogram(emit="frames")
+    output (`mel_fbank` flattened (n_frames x n_mels) + `mel_frames` +
+    `mel_ok`).
+
+    Determinism: each output row's masks derive from
+    md5(clip_id '#sa' variant), so re-runs and retried Ray tasks are
+    byte-identical (the AudioAugmenter idempotency rule). Masked cells
+    are set to the clip's mean log-energy. Emits one row per
+    (input row x variant) with clip_id suffixed `#sa<k>`; failed rows
+    (mel_ok=false) pass through once with a null fbank.
+    """
+
+    def __init__(self, n_mels: int = 40, variants: int = 1,
+                 n_time_masks: int = 2, max_time_frac: float = 0.2,
+                 n_freq_masks: int = 2, max_freq_bins: int = 8):
+        self.n_mels = int(n_mels)
+        self.variants = int(variants)
+        self.n_time_masks = int(n_time_masks)
+        self.max_time_frac = float(max_time_frac)
+        self.n_freq_masks = int(n_freq_masks)
+        self.max_freq_bins = int(max_freq_bins)
+
+    def _mask(self, mat: np.ndarray, rng) -> np.ndarray:
+        nf = mat.shape[0]
+        fill = np.float32(mat.mean())
+        out = mat.copy()
+        t_max = max(1, int(nf * self.max_time_frac))
+        for _ in range(self.n_time_masks):
+            w = int(rng.integers(0, t_max + 1))
+            t0 = int(rng.integers(0, max(nf - w, 0) + 1))
+            out[t0:t0 + w, :] = fill
+        f_max = min(self.max_freq_bins, self.n_mels)
+        for _ in range(self.n_freq_masks):
+            w = int(rng.integers(0, f_max + 1))
+            f0 = int(rng.integers(0, max(self.n_mels - w, 0) + 1))
+            out[:, f0:f0 + w] = fill
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = batch["clip_id"].to_pylist()
+        fb = batch["mel_fbank"].to_pylist()
+        nfr = batch["mel_frames"].to_pylist()
+        oks = batch["mel_ok"].to_pylist()
+
+        out = {"clip_id": [], "source_clip_id": [], "mel_fbank": [],
+               "mel_frames": [], "mel_ok": []}
+        for i in range(batch.num_rows):
+            if not oks[i] or fb[i] is None:
+                out["clip_id"].append(ids[i])
+                out["source_clip_id"].append(ids[i])
+                out["mel_fbank"].append(None)
+                out["mel_frames"].append(0)
+                out["mel_ok"].append(False)
+                continue
+            mat = np.asarray(fb[i], np.float32) \
+                .reshape(int(nfr[i]), self.n_mels)
+            for v in range(self.variants):
+                tag = f"{ids[i]}#sa{v}"
+                seed = int.from_bytes(
+                    hashlib.md5(tag.encode()).digest()[:8], "little")
+                rng = np.random.default_rng(seed)
+                masked = self._mask(mat, rng)
+                out["clip_id"].append(tag)
+                out["source_clip_id"].append(ids[i])
+                out["mel_fbank"].append(masked.ravel().tolist())
+                out["mel_frames"].append(int(nfr[i]))
+                out["mel_ok"].append(True)
+        return pa.table({
+            "clip_id": pa.array(out["clip_id"], pa.string()),
+            "source_clip_id": pa.array(out["source_clip_id"],
+                                       pa.string()),
+            "mel_fbank": pa.array(out["mel_fbank"],
+                                  pa.list_(pa.float32())),
+            "mel_frames": pa.array(out["mel_frames"], pa.int32()),
+            "mel_ok": pa.array(out["mel_ok"], pa.bool_())})

@@ -110,3 +110,105 @@ def test_cmvn_empty_raises(ray_session):
                                        pa.list_(pa.float32(), 4))})
     with pytest.raises(ValueError):
         cmvn_stats(ray.data.from_arrow(t), "mel_mean")
+
+
+# ---------------------------------------------------------------------------
+# SpecAugment (seeded time/freq masking over per-frame mel features)
+
+
+def _fbank_batch(n_frames=50, n_mels=40, value=1.0):
+    import pyarrow as pa
+
+    mat = np.full((n_frames, n_mels), value, np.float32)
+    return pa.table({
+        "clip_id": pa.array(["c1"], pa.string()),
+        "mel_fbank": pa.array([mat.ravel().tolist()],
+                              pa.list_(pa.float32())),
+        "mel_frames": pa.array([n_frames], pa.int32()),
+        "mel_ok": pa.array([True])})
+
+
+def test_specaugment_masks_within_bounds():
+    from jschon_ray.stages.audio_ops import SpecAugment
+
+    sa = SpecAugment(n_mels=40, n_time_masks=2, max_time_frac=0.2,
+                     n_freq_masks=2, max_freq_bins=8)
+    out = sa(_fbank_batch())
+    m = np.asarray(out["mel_fbank"][0].as_py(), np.float32) \
+        .reshape(50, 40)
+    # uniform input: fill == mean == original value, so masking is
+    # invisible on constant input — use a ramp instead
+    ramp = np.arange(50 * 40, dtype=np.float32).reshape(50, 40)
+    batch = _fbank_batch()
+    import pyarrow as pa
+    batch = batch.set_column(1, "mel_fbank",
+                             pa.array([ramp.ravel().tolist()],
+                                      pa.list_(pa.float32())))
+    out = sa(batch)
+    m = np.asarray(out["mel_fbank"][0].as_py(), np.float32) \
+        .reshape(50, 40)
+    changed = m != ramp
+    # masked time rows: full-width runs; <= 2 masks of <= 10 frames plus
+    # <= 2 freq bands of <= 8 bins
+    assert changed.sum() <= 2 * 10 * 40 + 2 * 8 * 50
+    assert (m[changed] == np.float32(ramp.mean())).all() or \
+        changed.sum() == 0
+
+
+def test_specaugment_deterministic_and_variants():
+    from jschon_ray.stages.audio_ops import SpecAugment
+
+    ramp = np.arange(50 * 40, dtype=np.float32).reshape(50, 40)
+    import pyarrow as pa
+    batch = _fbank_batch().set_column(
+        1, "mel_fbank",
+        pa.array([ramp.ravel().tolist()], pa.list_(pa.float32())))
+    sa = SpecAugment(n_mels=40, variants=3)
+    a, b = sa(batch), sa(batch)
+    assert a.equals(b)  # byte-identical under re-run (retry idempotence)
+    ids = a["clip_id"].to_pylist()
+    assert ids == ["c1#sa0", "c1#sa1", "c1#sa2"]
+    mats = [np.asarray(x, np.float32) for x in
+            (r.as_py() for r in a["mel_fbank"])]
+    assert not np.array_equal(mats[0], mats[1])  # variants differ
+
+
+def test_specaugment_failed_rows_pass_through():
+    import pyarrow as pa
+
+    from jschon_ray.stages.audio_ops import SpecAugment
+
+    batch = pa.table({
+        "clip_id": pa.array(["bad"], pa.string()),
+        "mel_fbank": pa.array([None], pa.list_(pa.float32())),
+        "mel_frames": pa.array([0], pa.int32()),
+        "mel_ok": pa.array([False])})
+    out = SpecAugment()(batch)
+    assert out["mel_ok"].to_pylist() == [False]
+    assert out["clip_id"].to_pylist() == ["bad"]
+
+
+def test_mel_frames_mode_roundtrip(ray_session):
+    """MelSpectrogram(emit='frames') emits the full matrix whose frame
+    mean equals the emit='mean' output."""
+    from jschon_ray.sources.clips import encode_clip
+    from jschon_ray.stages.audio_ops import MelSpectrogram
+
+    import pyarrow as pa
+
+    sr = 16000
+    payload = encode_clip("t", sr, 400, "pcm_s16le")
+    batch = pa.table({
+        "clip_id": pa.array(["t"], pa.string()),
+        "bytes": pa.array([payload], pa.binary()),
+        "sr_hz": pa.array([sr], pa.int32()),
+        "codec": pa.array(["pcm_s16le"], pa.string())})
+    mean_out = MelSpectrogram(sr=sr)(batch)
+    fr_out = MelSpectrogram(sr=sr, emit="frames")(batch)
+    assert fr_out["mel_ok"].to_pylist() == [True]
+    nf = fr_out["mel_frames"][0].as_py()
+    mat = np.asarray(fr_out["mel_fbank"][0].as_py(), np.float32) \
+        .reshape(nf, 40)
+    assert np.allclose(mat.mean(axis=0),
+                       np.asarray(mean_out["mel_mean"][0].as_py()),
+                       atol=1e-4)
