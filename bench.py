@@ -184,6 +184,15 @@ def run_benchmarks() -> dict:
     timed("events_hopping_30m",
           lambda: Q.q_events_hopping_30m(SF_DIR).count())
 
+    # 10. exact order statistics (histogram-refinement scan), near-dup
+    # cluster closure (iterative narrow-row co-group shuffles; includes
+    # regenerating the jaccard pair set), distributed k-means (broadcast
+    # centroids + partial-sum reduce)
+    timed("quantiles_lineitem", lambda: Q.q_quantiles_lineitem(SF_DIR))
+    timed("dup_clusters_docs", lambda: len(Q.q_dup_clusters_docs(SF_DIR)))
+    timed("kmeans_embeddings",
+          lambda: Q.q_kmeans_embeddings(SF_DIR).count())
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "headline_pipelines_total",

@@ -900,6 +900,72 @@ SELECT id_a, id_b, inter, uni, inter / uni AS jaccard FROM (
 """
 
 
+def q_events_gapfill_hour(sf_dir):
+    """Dense hourly grid per event_type — empty buckets explicit (gap
+    fill): one tumbling-shape aggregate pass, driver-side densification
+    over the bounded (keys x hours) grid."""
+    from ..functions.densify import time_gapfill_counts
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["event_type", "ts"])
+    return time_gapfill_counts(ds, key_col="event_type", ts_col="ts",
+                               unit="hour")
+
+
+_EVENTS_GAPFILL_SQL = """
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS ws, count(*) AS c
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2),
+bounds AS (SELECT min(ws) AS lo, max(ws) AS hi FROM agg),
+grid AS (
+  SELECT t.event_type, g.ws
+  FROM (SELECT DISTINCT event_type FROM agg) t
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+              AS ws FROM bounds) g)
+SELECT grid.event_type, CAST(grid.ws AS TIMESTAMP) AS window_start,
+       CAST(coalesce(c, 0) AS BIGINT) AS n
+FROM grid LEFT JOIN agg
+  ON grid.event_type = agg.event_type AND grid.ws = agg.ws
+"""
+
+
+def q_winsorize_lineitem(sf_dir):
+    """Percentile winsorization (clip to [p01, p99]) composed from the
+    exact-quantile operator: histogram-refinement passes find the exact
+    bounds, then one broadcast clamp pass — values are exact column
+    elements or exact copies, so no rounding is needed."""
+    from ..functions.quantiles import exact_quantiles
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_linenumber",
+                             "l_extendedprice"])
+    ds = _drop_null_rows(ds, ["l_extendedprice"])
+    qv = exact_quantiles(ds, "l_extendedprice", [0.01, 0.99],
+                         bins=512, gather_limit=4096)
+    lo, hi = float(qv["value"].iloc[0]), float(qv["value"].iloc[1])
+
+    def clamp(t: pa.Table) -> pa.Table:
+        x = t["l_extendedprice"]
+        w = pc.min_element_wise(pc.max_element_wise(x, lo), hi)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_linenumber": t["l_linenumber"],
+                         "price_w": w})
+
+    return ds.map_batches(clamp, batch_format="pyarrow")
+
+
+_WINSORIZE_SQL = """
+WITH b AS (
+  SELECT quantile_disc(l_extendedprice, 0.01) AS lo,
+         quantile_disc(l_extendedprice, 0.99) AS hi
+  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+SELECT l_orderkey, l_linenumber,
+       CAST(least(greatest(l_extendedprice, lo), hi) AS DOUBLE) AS price_w
+FROM lineitem, b WHERE l_extendedprice IS NOT NULL
+"""
+
+
 def q_top_tokens_docs(sf_dir):
     """Exact corpus heavy hitters: word-count shuffle then distributed
     sort-by-(count desc, token) + limit — deterministic tie order makes
@@ -2300,6 +2366,8 @@ def build_queries() -> dict:
         "rollup_lineitem": q_rollup_lineitem,
         "unigram_logprob_docs": q_unigram_logprob_docs,
         "top_tokens_docs": q_top_tokens_docs,
+        "events_gapfill_hour": q_events_gapfill_hour,
+        "winsorize_lineitem": q_winsorize_lineitem,
         # per-row validation engine
         "validate_orders": q_validate_orders,
         "validate_lineitem": q_validate_lineitem,
@@ -2386,6 +2454,8 @@ def build_oracles() -> dict:
         "rollup_lineitem": _ROLLUP_LINEITEM_SQL,
         "unigram_logprob_docs": _UNIGRAM_SQL,
         "top_tokens_docs": _TOP_TOKENS_SQL,
+        "events_gapfill_hour": _EVENTS_GAPFILL_SQL,
+        "winsorize_lineitem": _WINSORIZE_SQL,
         "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
                            "FROM orders",
         "validate_lineitem": "SELECT l_orderkey, l_linenumber, "
