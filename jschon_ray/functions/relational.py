@@ -258,3 +258,41 @@ def rollup_agg(ds, *, keys: list, value_col: str):
         levels.append(lv[list(keys) + ["n", "s"]])
     out = pd.concat(levels, ignore_index=True)
     return out.rename(columns={"s": f"sum_{value_col}"})
+
+
+def fd_violations(ds, *, determinant: list, dependent: str,
+                  out: str = "n_values"):
+    """Functional-dependency validation at dataset scale — the
+    dataset-wide analogue of the reference's dependent-keyword family
+    (dependentRequired, /root/reference/jschon/vocabulary/validation.py:
+    243-256; dependentSchemas, applicator.py:119-139): assert that rows
+    agreeing on `determinant` agree on `dependent`, and report the keys
+    that don't.
+
+    Shuffle shape: per-block DISTINCT (determinant..., dependent) tuples
+    prune before the exchange (the `grouped_distinct_count` shape), so
+    at most keys x distinct-dependent-values rows move. NULL dependents
+    are ignored (SQL count(DISTINCT) semantics, documented). Emits one
+    row per violating key: (determinant..., n_values) with n_values > 1.
+    """
+    cols = list(determinant) + [dependent]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(cols).to_pandas() \
+            .dropna(subset=[dependent]).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        n = g[dependent].nunique()
+        if n <= 1:  # typed empty frame so block schemas stay aligned
+            empty = pd.DataFrame({c: g[c].iloc[:0] for c in determinant})
+            empty[out] = pd.Series([], dtype="int64")
+            return empty
+        row = pd.DataFrame({c: [g[c].iloc[0]] for c in determinant})
+        row[out] = np.int64(n)
+        return row
+
+    return pairs.groupby(list(determinant)).map_groups(
+        finish, batch_format="pandas")

@@ -423,3 +423,81 @@ def top_tokens(ds, *, col: str = "text", k: int = 20,
 
     return counts.map_batches(finish, batch_format="pyarrow") \
         .sort(key=["n", "tok"], descending=[True, False]).limit(k)
+
+
+def tfidf_top_terms(ds, *, col: str = "text", id_col: str = "doc_id",
+                    k: int = 3, lowercase: bool = True,
+                    min_df: int = 1):
+    """Top-k characteristic terms per document by tf-idf (keyword
+    extraction for corpus curation): score = tf * ln(N / df) with raw
+    term counts, N = docs containing >= 1 token, ties broken by term
+    (deterministic, oracle-comparable).
+
+    Document frequency is EXACT with only (token, partial-count) rows
+    shuffling: a document is one row, so per-block distinct (doc, token)
+    pairs collapse to per-block df partials before the groupby. The idf
+    table broadcasts (cap it with `min_df` at corpus scale — rarer terms
+    then drop out of scoring, documented). Emits (id_col, tok, score,
+    rk).
+    """
+    import functools
+
+    import pandas as pd
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(batch[col]) if lowercase else batch[col]
+        lists = pc.split_pattern_regex(s, r"\s+")
+        flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(lists) \
+            .to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        dfp = pd.DataFrame({"p": parents[keep], "tok": flat[keep]}) \
+            .drop_duplicates()
+        agg = dfp.groupby("tok", sort=False).size().reset_index(name="n")
+        n_docs = int(dfp["p"].nunique())
+        agg = pd.concat([agg, pd.DataFrame({"tok": [""], "n": [n_docs]})],
+                        ignore_index=True)  # "" carries the N partial
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    merged = ds.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("tok").sum("n")
+    idf = {}
+    n_total = 0
+    rows = []
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        toks = b["tok"].to_pylist()
+        ns = b["sum(n)"].to_numpy(zero_copy_only=False)
+        for t, c in zip(toks, ns):
+            if t == "":
+                n_total += int(c)
+            elif c >= min_df:
+                rows.append((t, int(c)))
+    idf = {t: float(np.log(n_total / c)) for t, c in rows}
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(batch[col]) if lowercase else batch[col]
+        lists = pc.split_pattern_regex(s, r"\s+")
+        flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(lists) \
+            .to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        tf = pd.DataFrame({"p": parents[keep], "tok": flat[keep]}) \
+            .groupby(["p", "tok"], sort=False).size() \
+            .reset_index(name="tf")
+        tf["idf"] = tf["tok"].map(idf)
+        tf = tf.dropna(subset=["idf"])
+        tf["score"] = tf["tf"].to_numpy(np.float64) \
+            * tf["idf"].to_numpy(np.float64)
+        tf = tf.sort_values(["p", "score", "tok"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        tf["rk"] = tf.groupby("p", sort=False).cumcount() + 1
+        tf = tf[tf["rk"] <= k]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ids[tf["p"].to_numpy()]),
+            "tok": pa.array(tf["tok"], pa.string()),
+            "score": pa.array(np.round(tf["score"].to_numpy(), 4)),
+            "rk": pa.array(tf["rk"].to_numpy(np.int64))})
+
+    return ds.map_batches(score, batch_format="pyarrow")

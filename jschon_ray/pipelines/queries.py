@@ -900,6 +900,57 @@ SELECT id_a, id_b, inter, uni, inter / uni AS jaccard FROM (
 """
 
 
+def q_fd_part_supplier(sf_dir):
+    """Functional-dependency validation (the dataset-scale
+    dependentRequired analogue): report l_partkey values shipped by more
+    than one supplier — keys where l_partkey -/-> l_suppkey."""
+    from ..functions.relational import fd_violations
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_partkey", "l_suppkey"])
+    ds = _drop_null_rows(ds, ["l_partkey"])
+    return fd_violations(ds, determinant=["l_partkey"],
+                         dependent="l_suppkey")
+
+
+_FD_PART_SUPPLIER_SQL = """
+SELECT l_partkey, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_values
+FROM lineitem WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+GROUP BY l_partkey HAVING count(DISTINCT l_suppkey) > 1
+"""
+
+
+def q_tfidf_docs(sf_dir):
+    """Top-3 characteristic terms per document by tf-idf: exact
+    distributed document-frequency count (docs are rows, so df partials
+    collapse per block) -> broadcast idf table -> vectorized per-doc
+    scoring with deterministic (score desc, term) ties."""
+    from ..functions.text import tfidf_top_terms
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, k=3)
+
+
+_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfq AS (SELECT tok, count(DISTINCT doc_id) AS dfc FROM toks GROUP BY tok),
+nn AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+scored AS (
+  SELECT doc_id, tok, tf * ln(n / dfc) AS s,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf * ln(n / dfc) DESC, tok) AS rk
+  FROM tf JOIN dfq USING (tok) CROSS JOIN nn)
+SELECT doc_id, tok, round(s, 4) AS score, CAST(rk AS BIGINT) AS rk
+FROM scored WHERE rk <= 3
+"""
+
+
 def q_events_gapfill_hour(sf_dir):
     """Dense hourly grid per event_type — empty buckets explicit (gap
     fill): one tumbling-shape aggregate pass, driver-side densification
@@ -2368,6 +2419,8 @@ def build_queries() -> dict:
         "top_tokens_docs": q_top_tokens_docs,
         "events_gapfill_hour": q_events_gapfill_hour,
         "winsorize_lineitem": q_winsorize_lineitem,
+        "fd_part_supplier": q_fd_part_supplier,
+        "tfidf_docs": q_tfidf_docs,
         # per-row validation engine
         "validate_orders": q_validate_orders,
         "validate_lineitem": q_validate_lineitem,
@@ -2456,6 +2509,8 @@ def build_oracles() -> dict:
         "top_tokens_docs": _TOP_TOKENS_SQL,
         "events_gapfill_hour": _EVENTS_GAPFILL_SQL,
         "winsorize_lineitem": _WINSORIZE_SQL,
+        "fd_part_supplier": _FD_PART_SUPPLIER_SQL,
+        "tfidf_docs": _TFIDF_SQL,
         "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
                            "FROM orders",
         "validate_lineitem": "SELECT l_orderkey, l_linenumber, "

@@ -174,3 +174,28 @@ def test_rollup_vs_duckdb(ray_session):
     a, b = norm(out), norm(exp)
     assert len(a) == len(b)
     pd.testing.assert_frame_equal(a, b, check_names=False)
+
+
+def test_fd_violations_detects_disagreeing_keys(ray_session):
+    from jschon_ray.functions.relational import fd_violations
+
+    df = pd.DataFrame({
+        "det": [1, 1, 1, 2, 2, 3, 3],
+        "dep": ["a", "a", "b", "c", "c", "d", None]})  # 1 violates; null ignored
+    out = fd_violations(_ds(df, 4), determinant=["det"],
+                        dependent="dep").to_pandas()
+    assert out["det"].tolist() == [1]
+    assert out["n_values"].tolist() == [2]
+
+
+def test_fd_violations_composite_determinant(ray_session):
+    from jschon_ray.functions.relational import fd_violations
+
+    df = pd.DataFrame({
+        "a": [1, 1, 1, 2], "b": ["x", "x", "y", "x"],
+        "dep": [10, 20, 30, 40]})
+    out = fd_violations(_ds(df, 2), determinant=["a", "b"],
+                        dependent="dep").to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["a"] == 1 and out.iloc[0]["b"] == "x"
+    assert out.iloc[0]["n_values"] == 2

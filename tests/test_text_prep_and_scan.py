@@ -186,3 +186,35 @@ def test_unigram_logprob_min_count_floor(ray_session):
     # 'rare' (count 1 < 2) scores at the ln(min_count/T) floor
     expect = (2 * math.log(2 / 3) + math.log(2 / 3)) / 3
     assert abs(out["avg_logprob"].iloc[0] - expect) < 1e-12
+
+
+def test_tfidf_top_terms_hand_computed(ray_session):
+    import math
+
+    import ray.data
+
+    from jschon_ray.functions.text import tfidf_top_terms
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["apple apple banana", "banana cherry", "cherry date"]})
+    out = tfidf_top_terms(ray.data.from_pandas(df).repartition(2), k=2) \
+        .to_pandas()
+    # N=3; df: apple 1, banana 2, cherry 2, date 1
+    t1 = out[out["doc_id"] == 1].sort_values("rk")
+    assert t1["tok"].tolist() == ["apple", "banana"]
+    assert abs(t1["score"].iloc[0] - round(2 * math.log(3 / 1), 4)) < 1e-9
+    t3 = out[out["doc_id"] == 3].sort_values("rk")
+    assert t3["tok"].tolist() == ["date", "cherry"]  # ln3 > ln(3/2)
+
+
+def test_tfidf_min_df_drops_rare_terms(ray_session):
+    import ray.data
+
+    from jschon_ray.functions.text import tfidf_top_terms
+
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": ["common rare1", "common rare2"]})
+    out = tfidf_top_terms(ray.data.from_pandas(df), k=3, min_df=2) \
+        .to_pandas()
+    assert set(out["tok"]) == {"common"}
