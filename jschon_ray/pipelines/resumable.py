@@ -124,3 +124,50 @@ def run_resumable_validation(clips_dir: str, out_dir: str, *, spec=None,
     total["shards_skipped"] = skipped
     total["profile"] = profile
     return total
+
+
+def run_resumable_stage(input_dir: str, out_dir: str, stage_fn, *,
+                        columns=None, pattern: str = "*.parquet") -> dict:
+    """Run ANY per-shard Dataset transform chain with manifest lineage —
+    the generic form of `run_resumable_validation` for non-validation
+    pipelines (featurization, augmentation, decode): each input shard
+    runs `stage_fn(ds) -> Dataset` as one fully-parallel Ray Data job,
+    its output lands in `out/data/shard=<id>/`, and one atomic manifest
+    row records completion. A killed run redoes only pending shards;
+    redo clears the shard's partial outputs first, so it is idempotent,
+    never additive.
+
+    Scale posture matches the flagship loop: the shard loop is the
+    CHECKPOINT boundary, not the parallelism boundary — each iteration
+    saturates the cluster, and at 100 TB shards are fragment groups
+    dispatched a few at a time.
+
+    Returns {n_rows, shards_processed, shards_skipped, out_dir}.
+    """
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    man = Manifest(out_dir)
+    shard_paths = {shard_id_for(p): p for p in
+                   sorted(glob.glob(os.path.join(input_dir, pattern)))}
+    pending = man.pending(shard_paths)
+    skipped = len(shard_paths) - len(pending)
+
+    for sid, path in pending.items():
+        odir = os.path.join(out_dir, "data", f"shard={sid}")
+        shutil.rmtree(odir, ignore_errors=True)
+        ds = read_table(path, columns=columns)
+        out = stage_fn(ds)
+        write_table(out, odir)
+        n = sum(pq.read_metadata(f).num_rows for f in
+                glob.glob(os.path.join(odir, "*.parquet")))
+        man.mark_complete(sid, input_path=path, n_rows=n, n_valid=n,
+                          n_violations=0,
+                          extra={"output_dir": odir})
+
+    done = man.complete_shards()
+    return {"n_rows": sum(r["n_rows"] for r in done.values()),
+            "shards_processed": len(pending),
+            "shards_skipped": skipped,
+            "out_dir": out_dir}
