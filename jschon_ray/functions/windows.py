@@ -174,3 +174,104 @@ def hopping_agg(ds, *, key_cols=("event_type",), ts_col="ts",
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     return exploded.groupby(list(key_cols) + ["window_start"]).aggregate(
         Count(alias_name="n"), Sum(value_col, alias_name="sum_value"))
+
+
+def funnel_conversion(ds, *, user_col: str, ts_col: str, type_col: str,
+                      step_a: str, step_b: str, within,
+                      num_buckets: int = 64):
+    """Per-user funnel analysis: did any `step_a` event lead to a
+    `step_b` event at-or-after it within `within`? The product-analytics
+    primitive (click -> purchase conversion) as ONE bounded shuffle.
+
+    Scale shape: rows are filtered to the two step types at the read
+    (column- and row-pruned), hash-bucketed by user (bounded, balanced
+    group count — the `keyed_window_scan` pattern), and each bucket runs
+    a segmented-numpy REVERSE scan: sort by (user, ts, a-before-b on
+    ties), walk backward carrying the index of the nearest upcoming
+    step_b within the user segment — no per-user Python dispatch. Rows
+    with null user/ts are dropped.
+
+    Emits one row per user with >= 1 step event:
+    (user_col, n_a, n_b, converted, min_gap_us) where min_gap_us =
+    min over step_a events of (first step_b at-or-after) - ts, null if
+    no (a, b) pair exists.
+    """
+    import functools
+
+    within_us = _to_us_windows(within)
+    narrow = ds.select_columns([user_col, ts_col, type_col])
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(
+            pc.is_in(t[type_col],
+                     value_set=pa.array([step_a, step_b])),
+            pc.and_(pc.is_valid(t[user_col]), pc.is_valid(t[ts_col])))
+        return t.filter(keep)
+
+    keyed = narrow.map_batches(prefilter, batch_format="pyarrow") \
+        .map_batches(functools.partial(_key_bucket, key_col=user_col,
+                                       num_buckets=num_buckets),
+                     batch_format="pyarrow")
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        is_b = (g[type_col] == step_b).to_numpy()
+        ts = g[ts_col].to_numpy()
+        if np.issubdtype(ts.dtype, np.datetime64):
+            ts = ts.astype("datetime64[us]").astype(np.int64)
+        else:
+            ts = ts.astype(np.int64)
+        # sort: user, ts, a before b on equal ts (so the backward scan
+        # from an a-row sees a same-timestamp b as "at-or-after")
+        order = np.lexsort((is_b, ts,
+                            g[user_col].to_numpy()))
+        users = g[user_col].to_numpy()[order]
+        ts = ts[order]
+        is_b_s = is_b[order]
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = users[1:] != users[:-1]
+        seg = np.maximum.accumulate(np.where(new_seg, idx, 0))
+        # nearest upcoming b index per row = forward-fill of b positions
+        # over the REVERSED array (walking backward, remember the last b
+        # seen); run globally, then kill hits beyond the row's segment
+        rev_new = np.empty(n, dtype=bool)
+        rev_new[-1] = True
+        rev_new[:-1] = users[1:] != users[:-1]
+        # seg_end[i] = last index of i's segment
+        ends = np.where(rev_new, idx, n + 1)
+        seg_end = np.minimum.accumulate(ends[::-1])[::-1]
+        j = np.arange(n, dtype=np.int64)
+        rc = np.where(is_b_s[::-1], j, np.int64(-1))
+        ff = np.maximum.accumulate(rc)
+        nb = np.where(ff >= 0, n - 1 - ff, np.int64(-1))[::-1]
+        valid = (nb >= 0) & (nb <= seg_end)
+        a_rows = ~is_b_s
+        gap = np.where(valid, ts[np.clip(nb, 0, n - 1)] - ts,
+                       np.int64(-1))
+        dfa = pd.DataFrame({
+            "u": users, "a": a_rows.astype(np.int64),
+            "b": is_b_s.astype(np.int64),
+            "gap": np.where(a_rows & valid, gap, np.int64(-1))})
+        agg = dfa.groupby("u", sort=False).agg(
+            n_a=("a", "sum"), n_b=("b", "sum"))
+        pos = dfa[dfa["gap"] >= 0].groupby("u", sort=False)["gap"].min()
+        agg["min_gap_us"] = pos.reindex(agg.index)
+        agg["converted"] = agg["min_gap_us"].notna() \
+            & (agg["min_gap_us"] <= within_us)
+        out = agg.reset_index().rename(columns={"u": user_col})
+        out["n_a"] = out["n_a"].astype(np.int64)
+        out["n_b"] = out["n_b"].astype(np.int64)
+        return out[[user_col, "n_a", "n_b", "converted", "min_gap_us"]]
+
+    return keyed.groupby("_bucket").map_groups(scan_bucket,
+                                               batch_format="pandas")
+
+
+def _to_us_windows(value) -> int:
+    if isinstance(value, (int, np.integer)):
+        return int(value)
+    return int(pd.Timedelta(value).value // 1000)

@@ -900,6 +900,46 @@ SELECT id_a, id_b, inter, uni, inter / uni AS jaccard FROM (
 """
 
 
+def q_funnel_click_purchase(sf_dir):
+    """Per-user funnel conversion (click -> purchase within 1h): rows
+    filtered to the two step types, hash-bucketed by user, one segmented
+    reverse scan per bucket — no per-user Python dispatch."""
+    from ..functions.windows import funnel_conversion
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["user_id", "ts", "event_type"])
+    return funnel_conversion(ds, user_col="user_id", ts_col="ts",
+                             type_col="event_type", step_a="click",
+                             step_b="purchase", within="1h")
+
+
+_FUNNEL_SQL = """
+WITH a AS (SELECT user_id, ts FROM events
+           WHERE event_type = 'click' AND user_id IS NOT NULL
+             AND ts IS NOT NULL),
+b AS (SELECT user_id, ts FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        AND ts IS NOT NULL),
+gaps AS (
+  SELECT a.user_id, min(epoch_us(b.ts) - epoch_us(a.ts)) AS min_gap_us
+  FROM a JOIN b ON a.user_id = b.user_id AND b.ts >= a.ts
+  GROUP BY a.user_id),
+counts AS (
+  SELECT user_id,
+         CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+           AS n_a,
+         CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS n_b
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id)
+SELECT c.user_id, n_a, n_b,
+       coalesce(g.min_gap_us <= 3600000000, FALSE) AS converted,
+       g.min_gap_us
+FROM counts c LEFT JOIN gaps g USING (user_id)
+WHERE n_a > 0 OR n_b > 0
+"""
+
+
 def q_fd_part_supplier(sf_dir):
     """Functional-dependency validation (the dataset-scale
     dependentRequired analogue): report l_partkey values shipped by more
@@ -2421,6 +2461,7 @@ def build_queries() -> dict:
         "winsorize_lineitem": q_winsorize_lineitem,
         "fd_part_supplier": q_fd_part_supplier,
         "tfidf_docs": q_tfidf_docs,
+        "funnel_click_purchase": q_funnel_click_purchase,
         # per-row validation engine
         "validate_orders": q_validate_orders,
         "validate_lineitem": q_validate_lineitem,
@@ -2511,6 +2552,7 @@ def build_oracles() -> dict:
         "winsorize_lineitem": _WINSORIZE_SQL,
         "fd_part_supplier": _FD_PART_SUPPLIER_SQL,
         "tfidf_docs": _TFIDF_SQL,
+        "funnel_click_purchase": _FUNNEL_SQL,
         "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
                            "FROM orders",
         "validate_lineitem": "SELECT l_orderkey, l_linenumber, "

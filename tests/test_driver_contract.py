@@ -125,7 +125,7 @@ def test_entry_smoke(entry_mod):
     "dup_clusters_docs", "quantiles_lineitem", "lineitem_mode_qty",
     "grouped_distinct_lineitem", "corr_lineitem", "rollup_lineitem",
     "unigram_logprob_docs", "top_tokens_docs", "events_gapfill_hour",
-    "winsorize_lineitem", "fd_part_supplier", "tfidf_docs",
+    "winsorize_lineitem", "fd_part_supplier", "tfidf_docs", "funnel_click_purchase",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()

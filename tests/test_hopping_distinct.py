@@ -60,3 +60,87 @@ def test_exact_distinct_counts(ray_session):
     got = dict(zip(got["col"], got["n_distinct"]))
     assert got == {"a": df["a"].nunique(), "b": df["b"].nunique(),
                    "c": df["c"].nunique()}   # pandas nunique drops nulls too
+
+
+# ---------------------------------------------------------------------------
+# funnel conversion (per-user ordered A -> B within window)
+
+
+def _funnel_df():
+    rows = [
+        # u1: click 10:00 -> purchase 10:30 (within 1h) => converted
+        ("u1", "2024-01-01 10:00", "click"),
+        ("u1", "2024-01-01 10:30", "purchase"),
+        # u2: purchase BEFORE click only => not converted
+        ("u2", "2024-01-01 09:00", "purchase"),
+        ("u2", "2024-01-01 10:00", "click"),
+        # u3: click -> purchase after 2h => pair exists, outside window
+        ("u3", "2024-01-01 08:00", "click"),
+        ("u3", "2024-01-01 10:00", "purchase"),
+        # u4: same-timestamp click & purchase => gap 0, converted
+        ("u4", "2024-01-01 12:00", "click"),
+        ("u4", "2024-01-01 12:00", "purchase"),
+        # u5: only other event types => excluded entirely
+        ("u5", "2024-01-01 13:00", "view"),
+    ]
+    return pd.DataFrame({
+        "user_id": [r[0] for r in rows],
+        "ts": pd.to_datetime([r[1] for r in rows]),
+        "event_type": [r[2] for r in rows]})
+
+
+def test_funnel_hand_cases(ray_session):
+    import ray.data
+
+    from jschon_ray.functions.windows import funnel_conversion
+
+    ds = ray.data.from_pandas(_funnel_df()).repartition(3)
+    out = funnel_conversion(ds, user_col="user_id", ts_col="ts",
+                            type_col="event_type", step_a="click",
+                            step_b="purchase", within="1h") \
+        .to_pandas().set_index("user_id")
+    assert set(out.index) == {"u1", "u2", "u3", "u4"}
+    assert bool(out.loc["u1", "converted"]) is True
+    assert out.loc["u1", "min_gap_us"] == 30 * 60 * 1_000_000
+    assert bool(out.loc["u2", "converted"]) is False
+    assert pd.isna(out.loc["u2", "min_gap_us"])
+    assert bool(out.loc["u3", "converted"]) is False
+    assert out.loc["u3", "min_gap_us"] == 2 * 3600 * 1_000_000
+    assert bool(out.loc["u4", "converted"]) is True
+    assert out.loc["u4", "min_gap_us"] == 0
+
+
+def test_funnel_fuzz_vs_bruteforce(ray_session):
+    import ray.data
+
+    from jschon_ray.functions.windows import funnel_conversion
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    df = pd.DataFrame({
+        "user_id": [f"u{int(i)}" for i in rng.integers(0, 40, n)],
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 86400, n), unit="s"),
+        "event_type": rng.choice(["click", "purchase", "view"], n)})
+    out = funnel_conversion(
+        ray.data.from_pandas(df).repartition(7), user_col="user_id",
+        ts_col="ts", type_col="event_type", step_a="click",
+        step_b="purchase", within="30min").to_pandas() \
+        .set_index("user_id")
+
+    within_us = 30 * 60 * 1_000_000
+    sub = df[df["event_type"].isin(["click", "purchase"])]
+    for u, g in sub.groupby("user_id"):
+        a = g.loc[g["event_type"] == "click", "ts"].to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        b = g.loc[g["event_type"] == "purchase", "ts"].to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        gaps = [(tb - ta) for ta in a for tb in b if tb >= ta]
+        assert out.loc[u, "n_a"] == len(a)
+        assert out.loc[u, "n_b"] == len(b)
+        if gaps:
+            assert out.loc[u, "min_gap_us"] == min(gaps)
+            assert bool(out.loc[u, "converted"]) == (min(gaps) <= within_us)
+        else:
+            assert pd.isna(out.loc[u, "min_gap_us"])
+            assert bool(out.loc[u, "converted"]) is False
