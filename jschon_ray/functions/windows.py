@@ -275,3 +275,65 @@ def _to_us_windows(value) -> int:
     if isinstance(value, (int, np.integer)):
         return int(value)
     return int(pd.Timedelta(value).value // 1000)
+
+
+def retention_cohorts(ds, *, user_col: str, ts_col: str,
+                      unit: str = "week", num_buckets: int = 64):
+    """Cohort retention matrix: users grouped by their FIRST activity
+    bucket (the cohort), counted in every later bucket they return —
+    the standard growth-analytics rollup.
+
+    Shape: per-block DISTINCT (user, bucket) pairs prune before the one
+    user-keyed shuffle (a user's full history co-locates via the hash
+    bucket); each group then derives (cohort = min bucket, offset =
+    bucket - cohort) pairs vectorized and emits pre-aggregated counts,
+    so the final exchange is cohort-matrix-sized. Null user/ts dropped.
+
+    Emits (cohort, offset, n_users): n_users distinct users whose first
+    bucket is `cohort` and who were active `offset` units later
+    (offset 0 = the cohort size).
+    """
+    import functools
+
+    freq = {"week": "W", "day": "D", "hour": "h"}[unit]
+    narrow = ds.select_columns([user_col, ts_col])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().dropna(subset=[user_col, ts_col])
+        if freq == "W":  # ANSI-ish: weeks since epoch, Monday start
+            b = (df[ts_col].dt.normalize()
+                 - pd.to_timedelta(df[ts_col].dt.weekday, unit="D"))
+        else:
+            b = df[ts_col].dt.floor(freq)
+        out = pd.DataFrame({user_col: df[user_col], "bucket": b}) \
+            .drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    keyed = narrow.map_batches(pairs, batch_format="pyarrow") \
+        .map_batches(functools.partial(_key_bucket, key_col=user_col,
+                                       num_buckets=num_buckets),
+                     batch_format="pyarrow")
+
+    step = {"W": 7 * 86400, "D": 86400, "h": 3600}[freq]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([user_col, "bucket"])
+        first = g.groupby(user_col, sort=False)["bucket"].transform("min")
+        off = (g["bucket"] - first).dt.total_seconds() \
+            .to_numpy(np.int64) // step
+        agg = pd.DataFrame({"cohort": first, "offset": off}) \
+            .groupby(["cohort", "offset"], sort=False).size() \
+            .reset_index(name="n_users")
+        return agg
+
+    merged = keyed.groupby("_bucket").map_groups(per_bucket,
+                                                 batch_format="pandas")
+    final = merged.groupby(["cohort", "offset"]).sum(["n_users"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort": t["cohort"].cast(pa.timestamp("us")),
+            "offset": t["offset"].cast(pa.int64()),
+            "n_users": t["sum(n_users)"].cast(pa.int64())})
+
+    return final.map_batches(finish, batch_format="pyarrow")

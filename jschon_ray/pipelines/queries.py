@@ -900,6 +900,31 @@ SELECT id_a, id_b, inter, uni, inter / uni AS jaccard FROM (
 """
 
 
+def q_retention_weekly(sf_dir):
+    """Weekly retention cohort matrix: per-block distinct (user, week)
+    pairs -> one user-keyed shuffle -> cohort/offset counts (the final
+    exchange is cohort-matrix-sized)."""
+    from ..functions.windows import retention_cohorts
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["user_id", "ts"])
+    return retention_cohorts(ds, user_col="user_id", ts_col="ts",
+                             unit="week")
+
+
+_RETENTION_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS b
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+firsts AS (SELECT user_id, min(b) AS cohort FROM pairs GROUP BY user_id)
+SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+       CAST(date_diff('day', cohort, b) / 7 AS BIGINT) AS "offset",
+       CAST(count(*) AS BIGINT) AS n_users
+FROM pairs JOIN firsts USING (user_id)
+GROUP BY cohort, date_diff('day', cohort, b) / 7
+"""
+
+
 def q_funnel_click_purchase(sf_dir):
     """Per-user funnel conversion (click -> purchase within 1h): rows
     filtered to the two step types, hash-bucketed by user, one segmented
@@ -2462,6 +2487,7 @@ def build_queries() -> dict:
         "fd_part_supplier": q_fd_part_supplier,
         "tfidf_docs": q_tfidf_docs,
         "funnel_click_purchase": q_funnel_click_purchase,
+        "retention_weekly": q_retention_weekly,
         # per-row validation engine
         "validate_orders": q_validate_orders,
         "validate_lineitem": q_validate_lineitem,
@@ -2553,6 +2579,7 @@ def build_oracles() -> dict:
         "fd_part_supplier": _FD_PART_SUPPLIER_SQL,
         "tfidf_docs": _TFIDF_SQL,
         "funnel_click_purchase": _FUNNEL_SQL,
+        "retention_weekly": _RETENTION_SQL,
         "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
                            "FROM orders",
         "validate_lineitem": "SELECT l_orderkey, l_linenumber, "

@@ -144,3 +144,31 @@ def test_funnel_fuzz_vs_bruteforce(ray_session):
         else:
             assert pd.isna(out.loc[u, "min_gap_us"])
             assert bool(out.loc[u, "converted"]) is False
+
+
+def test_retention_cohorts_hand_case(ray_session):
+    import ray.data
+
+    from jschon_ray.functions.windows import retention_cohorts
+
+    df = pd.DataFrame({
+        "user_id": ["a", "a", "a", "b", "b", "c"],
+        "ts": pd.to_datetime([
+            "2024-01-01 10:00",  # a cohort W0 (Mon Jan 1)
+            "2024-01-03 11:00",  # a same week
+            "2024-01-17 09:00",  # a week offset 2
+            "2024-01-08 08:00",  # b cohort W1
+            "2024-01-15 08:00",  # b offset 1
+            "2024-01-02 12:00",  # c cohort W0, never returns
+        ])})
+    out = retention_cohorts(ray.data.from_pandas(df).repartition(3),
+                            user_col="user_id", ts_col="ts") \
+        .to_pandas()
+    got = {(str(r["cohort"])[:10], int(r["offset"])): int(r["n_users"])
+           for _, r in out.iterrows()}
+    assert got == {
+        ("2024-01-01", 0): 2,   # a + c
+        ("2024-01-01", 2): 1,   # a returns in week 2
+        ("2024-01-08", 0): 1,   # b
+        ("2024-01-08", 1): 1,   # b returns
+    }
