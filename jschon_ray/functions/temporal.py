@@ -294,3 +294,169 @@ def top_k_per_group(ds, *, group_cols, order_col: str, k: int,
     pruned = ds.map_batches(fn, batch_format="pandas")
     return pruned.groupby(list(group_cols)).map_groups(
         fn, batch_format="pandas")
+
+
+def _arrow_types(ds, cols):
+    """{col: pyarrow type} from a Dataset schema (arrow- or pandas-
+    backed); object dtypes map to string."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    out = {}
+    if isinstance(base, pa.Schema):
+        for c in cols:
+            out[c] = base.field(c).type
+        return out
+    for n, t in zip(sch.names, sch.types):
+        if n in cols:
+            if isinstance(t, pa.DataType):
+                out[n] = t
+            else:
+                try:
+                    out[n] = pa.from_numpy_dtype(t)
+                except (pa.ArrowNotImplementedError, TypeError):
+                    out[n] = pa.string()
+    return out
+
+
+def interval_join(left, right, *, by: str, lo_col: str = "lo",
+                  hi_col: str = "hi", left_cols=None, right_cols=None,
+                  tile_us: int = 3_600_000_000, suffix: str = "_r",
+                  num_buckets: int = 64):
+    """Large-LARGE interval overlap join (the big-side complement of
+    `range_join_broadcast`): emit (l, r) pairs with equal `by` key whose
+    half-open intervals overlap (l.lo < r.hi AND r.lo < l.hi). Interval
+    bounds are int64 (microseconds or any consistent unit).
+
+    Scale shape: each row replicates into every time TILE its interval
+    spans (`tile_us` sets the granularity — pick >= the typical interval
+    length so replication stays near 1x); both sides co-group via ONE
+    hash-bucketed shuffle keyed on (by, tile); within a bucket a C-speed
+    pandas merge on (by, tile) builds candidates and a vectorized filter
+    keeps overlaps. A pair spanning several tiles is emitted ONLY in the
+    tile containing max(l.lo, r.lo) — the ownership rule makes
+    cross-tile duplicates impossible with no dedup pass. Documented
+    assumption: per-(key, tile) row counts stay task-sized; shrink
+    `tile_us` for dense keys (replication rises, group size falls).
+
+    Returns (by, *left_cols, lo, hi, *right_cols+suffix, lo_r, hi_r,
+    overlap) with exact-int overlap lengths.
+    """
+    import functools
+
+    left_cols = list(left_cols or [])
+    right_cols = list(right_cols or [])
+
+    def tiled(side):
+        def explode(t: pa.Table, keep) -> pa.Table:
+            df = t.to_pandas().dropna(subset=[by, lo_col, hi_col])
+            lo = df[lo_col].to_numpy(np.int64)
+            hi = df[hi_col].to_numpy(np.int64)
+            t0 = lo // tile_us
+            t1 = np.maximum(hi - 1, lo) // tile_us
+            reps = (t1 - t0 + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(df)), reps)
+            # tile sequence per row: global offset trick
+            starts = np.repeat(t0, reps)
+            within = np.arange(reps.sum()) \
+                - np.repeat(np.cumsum(reps) - reps, reps)
+            out = df.iloc[idx][[by] + keep + [lo_col, hi_col]].copy()
+            out["_tile"] = starts + within
+            out["_side"] = side
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        return explode
+
+    ltypes = _arrow_types(left, [by] + left_cols + [lo_col, hi_col])
+    rtypes = _arrow_types(right, [by] + right_cols + [lo_col, hi_col])
+    # the union schema: left payload under its own names, right payload
+    # under suffixed names; each side fills the other side's slots with
+    # typed nulls (values never read; output dtypes are repaired by the
+    # final cast pass)
+    union_fields = [(by, ltypes[by])] \
+        + [(c, ltypes[c]) for c in left_cols] \
+        + [(lo_col, pa.int64()), (hi_col, pa.int64())] \
+        + [(c + suffix, rtypes[c]) for c in right_cols] \
+        + [(lo_col + suffix, pa.int64()), (hi_col + suffix, pa.int64())]
+
+    def align(t: pa.Table, side: int) -> pa.Table:
+        n = t.num_rows
+        cols = {}
+        for name, typ in union_fields:
+            src = None
+            if side == 1 and name in t.column_names:
+                src = t[name]
+            elif side == 0:
+                plain = name[:-len(suffix)] if name.endswith(suffix) \
+                    else name
+                if name == by:
+                    src = t[by]
+                elif plain in t.column_names and name != plain:
+                    src = t[plain]
+            cols[name] = src.cast(typ) if src is not None \
+                else pa.nulls(n, type=typ)
+        cols["_tile"] = t["_tile"]
+        cols["_side"] = t["_side"]
+        return pa.table(cols)
+
+    lt = left.select_columns([by] + left_cols + [lo_col, hi_col]) \
+        .map_batches(functools.partial(tiled(1), keep=left_cols),
+                     batch_format="pyarrow") \
+        .map_batches(functools.partial(align, side=1),
+                     batch_format="pyarrow")
+    rt = right.select_columns([by] + right_cols + [lo_col, hi_col]) \
+        .map_batches(functools.partial(tiled(0), keep=right_cols),
+                     batch_format="pyarrow") \
+        .map_batches(functools.partial(align, side=0),
+                     batch_format="pyarrow")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        key = pd_.Series(t[by].to_pandas().astype(str)) + "|" \
+            + pd_.Series(t["_tile"].to_pandas().astype(str))
+        h = pd_.util.hash_pandas_object(key, index=False)
+        return t.append_column(
+            "_bucket",
+            pa.array((h.to_numpy() % np.uint64(num_buckets))
+                     .astype(np.int64)))
+
+    tagged = lt.union(rt).map_batches(bucketize, batch_format="pyarrow")
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 1]
+        rg = g[g["_side"] == 0]
+        lcols = [by, "_tile"] + left_cols + [lo_col, hi_col]
+        rcols = [by, "_tile"] + [c + suffix for c in right_cols] \
+            + [lo_col + suffix, hi_col + suffix]
+        cand = lg[lcols].merge(rg[rcols], on=[by, "_tile"])
+        if not len(cand):
+            return cand.drop(columns=["_tile"]).assign(
+                overlap=pd.Series([], dtype="int64"))
+        llo = cand[lo_col].to_numpy(np.int64)
+        lhi = cand[hi_col].to_numpy(np.int64)
+        rlo = cand[lo_col + suffix].to_numpy(np.int64)
+        rhi = cand[hi_col + suffix].to_numpy(np.int64)
+        start = np.maximum(llo, rlo)
+        keep = (llo < rhi) & (rlo < lhi) \
+            & (start // tile_us == cand["_tile"].to_numpy(np.int64))
+        out = cand[keep].drop(columns=["_tile"]).copy()
+        out["overlap"] = (np.minimum(lhi, rhi) - start)[keep]
+        return out
+
+    joined = tagged.groupby("_bucket").map_groups(join_bucket,
+                                                  batch_format="pandas")
+
+    def repair(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name, typ in union_fields:
+            col = t[name]
+            if pa.types.is_floating(col.type) \
+                    and not pa.types.is_floating(typ):
+                col = col.cast(typ)
+            elif col.type != typ:
+                col = col.cast(typ)
+            cols[name] = col
+        cols["overlap"] = t["overlap"].cast(pa.int64())
+        return pa.table(cols)
+
+    return joined.map_batches(repair, batch_format="pyarrow")

@@ -900,6 +900,63 @@ SELECT id_a, id_b, inter, uni, inter / uni AS jaccard FROM (
 """
 
 
+def q_interval_join_events(sf_dir):
+    """Large-large interval overlap join: 10-minute activity windows of
+    clicks x views per user, co-grouped by (user, time tile) with the
+    ownership rule (pair emitted only in the tile of max(lo, lo_r)) —
+    no dedup pass, exact-int overlaps."""
+    from ..functions.temporal import interval_join
+
+    win_us = 600_000_000  # 10 min
+
+    def side(ev_type):
+        ds = read_table(table_path(sf_dir, "events"),
+                        columns=["user_id", "ts", "event_type",
+                                 "event_id"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.equal(t["event_type"], ev_type),
+                           pc.and_(pc.is_valid(t["user_id"]),
+                                   pc.is_valid(t["ts"])))
+            t = t.filter(keep)
+            lo = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            return pa.table({"user_id": t["user_id"],
+                             "event_id": t["event_id"],
+                             "lo": lo,
+                             "hi": pc.add(lo, win_us)})
+
+        return ds.map_batches(prep, batch_format="pyarrow")
+
+    out = interval_join(side("click"), side("view"), by="user_id",
+                        left_cols=["event_id"],
+                        right_cols=["event_id"],
+                        tile_us=2 * win_us)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "l_event": t["event_id"],
+                         "r_event": t["event_id_r"],
+                         "overlap_us": t["overlap"]})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+_INTERVAL_JOIN_SQL = """
+WITH a AS (SELECT user_id, event_id, epoch_us(ts) AS lo,
+                  epoch_us(ts) + 600000000 AS hi
+           FROM events WHERE event_type = 'click'
+             AND user_id IS NOT NULL AND ts IS NOT NULL),
+b AS (SELECT user_id, event_id, epoch_us(ts) AS lo,
+             epoch_us(ts) + 600000000 AS hi
+      FROM events WHERE event_type = 'view'
+        AND user_id IS NOT NULL AND ts IS NOT NULL)
+SELECT a.user_id, a.event_id AS l_event, b.event_id AS r_event,
+       least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_us
+FROM a JOIN b ON a.user_id = b.user_id
+  AND a.lo < b.hi AND b.lo < a.hi
+"""
+
+
 def q_retention_weekly(sf_dir):
     """Weekly retention cohort matrix: per-block distinct (user, week)
     pairs -> one user-keyed shuffle -> cohort/offset counts (the final
@@ -2488,6 +2545,7 @@ def build_queries() -> dict:
         "tfidf_docs": q_tfidf_docs,
         "funnel_click_purchase": q_funnel_click_purchase,
         "retention_weekly": q_retention_weekly,
+        "interval_join_events": q_interval_join_events,
         # per-row validation engine
         "validate_orders": q_validate_orders,
         "validate_lineitem": q_validate_lineitem,
@@ -2580,6 +2638,7 @@ def build_oracles() -> dict:
         "tfidf_docs": _TFIDF_SQL,
         "funnel_click_purchase": _FUNNEL_SQL,
         "retention_weekly": _RETENTION_SQL,
+        "interval_join_events": _INTERVAL_JOIN_SQL,
         "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
                            "FROM orders",
         "validate_lineitem": "SELECT l_orderkey, l_linenumber, "

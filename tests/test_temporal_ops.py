@@ -257,3 +257,80 @@ def test_asof_fuzz_vs_pandas(ray_session, tables, direction, tol):
               for r, v in zip(got["rid"], got["rrid"])}
     assert gotmap == {r: (None if p is None else int(p))
                       for r, p in exp.items()}
+
+
+# ---------------------------------------------------------------------------
+# large-large interval overlap join
+
+
+def _ij(left, right, **kw):
+    import ray.data
+
+    from jschon_ray.functions.temporal import interval_join
+
+    lds = ray.data.from_pandas(left).repartition(3)
+    rds = ray.data.from_pandas(right).repartition(2)
+    return interval_join(lds, rds, **kw).to_pandas()
+
+
+def test_interval_join_hand_cases(ray_session):
+    left = pd.DataFrame({
+        "k": ["u", "u", "v"],
+        "lid": [1, 2, 3],
+        "lo": [0, 100, 0],
+        "hi": [10, 200, 50]})
+    right = pd.DataFrame({
+        "k": ["u", "u", "v", "w"],
+        "rid": [10, 20, 30, 40],
+        "lo": [5, 300, 40, 0],
+        "hi": [15, 400, 60, 100]})
+    out = _ij(left, right, by="k", left_cols=["lid"],
+              right_cols=["rid"], tile_us=16)
+    got = sorted(zip(out["lid"], out["rid_r"], out["overlap"]))
+    # u: [0,10)x[5,15) overlap 5; [100,200) no match; v: [0,50)x[40,60) 10
+    assert got == [(1, 10, 5), (3, 30, 10)]
+    assert str(out["lid"].dtype) == "int64"  # dtypes repaired, not float
+
+
+def test_interval_join_tile_spanning_no_duplicates(ray_session):
+    # interval spans many tiles; pair must appear exactly once
+    left = pd.DataFrame({"k": ["a"], "lid": [1], "lo": [0], "hi": [1000]})
+    right = pd.DataFrame({"k": ["a"], "rid": [2], "lo": [500],
+                          "hi": [1500]})
+    out = _ij(left, right, by="k", left_cols=["lid"],
+              right_cols=["rid"], tile_us=64)
+    assert len(out) == 1
+    assert out["overlap"].iloc[0] == 500
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_interval_join_fuzz_vs_bruteforce(ray_session, seed):
+    rng = np.random.default_rng(seed)
+    n, m = 300, 250
+    left = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], n),
+        "lid": np.arange(n),
+        "lo": rng.integers(0, 5000, n)})
+    left["hi"] = left["lo"] + rng.integers(1, 400, n)
+    right = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], m),
+        "rid": np.arange(m),
+        "lo": rng.integers(0, 5000, m)})
+    right["hi"] = right["lo"] + rng.integers(1, 400, m)
+    out = _ij(left, right, by="k", left_cols=["lid"],
+              right_cols=["rid"], tile_us=256)
+    got = set(zip(out["lid"], out["rid_r"]))
+    brute = set()
+    for _, l in left.iterrows():
+        for _, r in right.iterrows():
+            if l["k"] == r["k"] and l["lo"] < r["hi"] \
+                    and r["lo"] < l["hi"]:
+                brute.add((l["lid"], r["rid"]))
+    assert got == brute
+    if len(out):
+        llo = left.set_index("lid").loc[out["lid"], "lo"].to_numpy()
+        lhi = left.set_index("lid").loc[out["lid"], "hi"].to_numpy()
+        rlo = right.set_index("rid").loc[out["rid_r"], "lo"].to_numpy()
+        rhi = right.set_index("rid").loc[out["rid_r"], "hi"].to_numpy()
+        exp = np.minimum(lhi, rhi) - np.maximum(llo, rlo)
+        assert (out["overlap"].to_numpy() == exp).all()
