@@ -501,3 +501,61 @@ def tfidf_top_terms(ds, *, col: str = "text", id_col: str = "doc_id",
             "rk": pa.array(tf["rk"].to_numpy(np.int64))})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def chunk_documents(ds, *, col: str = "text", id_col: str = "doc_id",
+                    chunk_tokens: int = 64, overlap: int = 8):
+    """Split documents into fixed-token-budget training chunks with
+    overlap — the standard LLM pretraining prep step (the windowed
+    complement of `scan.pack_sequences`, which concatenates instead).
+
+    Chunk starts are `range(0, max(n_tokens - overlap, 1), stride)` with
+    stride = chunk_tokens - overlap, so every token lands in >= 1 chunk,
+    consecutive chunks share `overlap` tokens, and no trailing chunk is
+    a pure suffix of the previous one. Whitespace tokenization (the
+    corpus-wide convention shared with the SQL oracles).
+
+    Row-count-changing map_batches: one split per batch; per-doc chunk
+    assembly slices the flattened token array (docs are short relative
+    to batches, so the per-doc loop is bounded by rows-per-batch, not
+    corpus size). Empty docs emit zero chunks. Emits
+    (id_col, chunk_idx, n_chunk_tokens, chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(batch[col], r"\s+")
+        flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(lists) \
+            .to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        flat, parents = flat[keep], parents[keep]
+        n = batch.num_rows
+        counts = np.bincount(parents, minlength=n)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+
+        out_ids, out_idx, out_n, out_text = [], [], [], []
+        for i in range(n):
+            toks = flat[offsets[i]:offsets[i + 1]]
+            nt = len(toks)
+            if nt == 0:
+                continue
+            for ci, start in enumerate(
+                    range(0, max(nt - overlap, 1), stride)):
+                piece = toks[start:start + chunk_tokens]
+                out_ids.append(ids[i])
+                out_idx.append(ci)
+                out_n.append(len(piece))
+                out_text.append(" ".join(piece))
+        return pa.table({
+            id_col: pa.array(out_ids,
+                             type=batch.schema.field(id_col).type),
+            "chunk_idx": pa.array(out_idx, pa.int64()),
+            "n_chunk_tokens": pa.array(out_n, pa.int64()),
+            "chunk_text": pa.array(out_text, pa.string())})
+
+    return ds.map_batches(explode, batch_format="pyarrow")

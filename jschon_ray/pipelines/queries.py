@@ -900,6 +900,34 @@ SELECT id_a, id_b, inter, uni, inter / uni AS jaccard FROM (
 """
 
 
+def q_chunk_docs(sf_dir):
+    """Fixed-token-budget chunking with overlap (chunk 32, overlap 4):
+    row-count-changing map_batches; exact chunk strings."""
+    from ..functions.text import chunk_documents
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk_tokens=32, overlap=4)
+
+
+_CHUNK_DOCS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws
+  FROM documents),
+starts AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(0, greatest(len(ws) - 4 - 1, 0), 28))
+           AS s
+  FROM toks WHERE len(ws) > 0)
+SELECT doc_id,
+       CAST(s / 28 AS BIGINT) AS chunk_idx,
+       CAST(len(ws[s+1 : s+32]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(ws[s+1 : s+32], ' ') AS chunk_text
+FROM starts
+"""
+
+
 def q_interval_join_events(sf_dir):
     """Large-large interval overlap join: 10-minute activity windows of
     clicks x views per user, co-grouped by (user, time tile) with the
@@ -2546,6 +2574,7 @@ def build_queries() -> dict:
         "funnel_click_purchase": q_funnel_click_purchase,
         "retention_weekly": q_retention_weekly,
         "interval_join_events": q_interval_join_events,
+        "chunk_docs": q_chunk_docs,
         # per-row validation engine
         "validate_orders": q_validate_orders,
         "validate_lineitem": q_validate_lineitem,
@@ -2639,6 +2668,7 @@ def build_oracles() -> dict:
         "funnel_click_purchase": _FUNNEL_SQL,
         "retention_weekly": _RETENTION_SQL,
         "interval_join_events": _INTERVAL_JOIN_SQL,
+        "chunk_docs": _CHUNK_DOCS_SQL,
         "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
                            "FROM orders",
         "validate_lineitem": "SELECT l_orderkey, l_linenumber, "

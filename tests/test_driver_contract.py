@@ -126,7 +126,7 @@ def test_entry_smoke(entry_mod):
     "grouped_distinct_lineitem", "corr_lineitem", "rollup_lineitem",
     "unigram_logprob_docs", "top_tokens_docs", "events_gapfill_hour",
     "winsorize_lineitem", "fd_part_supplier", "tfidf_docs", "funnel_click_purchase",
-    "retention_weekly", "interval_join_events",
+    "retention_weekly", "interval_join_events", "chunk_docs",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()

@@ -218,3 +218,44 @@ def test_tfidf_min_df_drops_rare_terms(ray_session):
     out = tfidf_top_terms(ray.data.from_pandas(df), k=3, min_df=2) \
         .to_pandas()
     assert set(out["tok"]) == {"common"}
+
+
+def test_chunk_documents_hand_case(ray_session):
+    import ray.data
+
+    from jschon_ray.functions.text import chunk_documents
+
+    toks = " ".join(f"t{i}" for i in range(10))
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": [toks, "a b", ""]})
+    out = chunk_documents(ray.data.from_pandas(df), chunk_tokens=4,
+                          overlap=1).to_pandas()
+    d1 = out[out["doc_id"] == 1].sort_values("chunk_idx")
+    # stride 3, starts range(0, max(10-1,1), 3) = 0,3,6 -> wait 9//3: 0,3,6
+    assert d1["chunk_text"].tolist() == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"]
+    assert d1["n_chunk_tokens"].tolist() == [4, 4, 4]
+    d2 = out[out["doc_id"] == 2]
+    assert d2["chunk_text"].tolist() == ["a b"]
+    assert (out["doc_id"] != 3).all()  # empty doc -> no chunks
+
+
+def test_chunk_documents_overlap_coverage(ray_session):
+    import ray.data
+
+    from jschon_ray.functions.text import chunk_documents
+
+    rng = np.random.default_rng(6)
+    for nt in [1, 5, 63, 64, 65, 100, 129]:
+        text = " ".join(f"w{i}" for i in range(nt))
+        df = pd.DataFrame({"doc_id": [0], "text": [text]})
+        out = chunk_documents(ray.data.from_pandas(df), chunk_tokens=64,
+                              overlap=8).to_pandas() \
+            .sort_values("chunk_idx")
+        seen = []
+        for t in out["chunk_text"]:
+            seen.extend(t.split())
+        # every token covered, in order, with duplicates only at seams
+        assert sorted(set(seen)) == sorted(f"w{i}" for i in range(nt))
+        starts = list(range(0, max(nt - 8, 1), 56))
+        assert len(out) == len(starts)
