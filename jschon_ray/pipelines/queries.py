@@ -1766,6 +1766,47 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+def q_embedding_dup_clusters(sf_dir):
+    """Semantic dedup decision: embedding-cosine near-dup pairs closed
+    into clusters by distributed connected components (the same closure
+    the n-gram path uses — two independent pair generators, one cluster
+    former)."""
+    import ray.data
+
+    from ..functions.graph import connected_components
+
+    pairs = q_embedding_neardup(sf_dir)
+    if not len(pairs):
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "component": pd.Series([], dtype="int64")})
+    eds = ray.data.from_pandas(pairs[["id_a", "id_b"]])
+    cc = connected_components(eds, out_node="vec_id")
+    return cc.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
+_EMBEDDING_DUP_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+    AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6)
+        >= 0.45
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+  UNION SELECT id_a, id_a FROM pairs
+  UNION SELECT id_b, id_b FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS vec_id, min(v) AS component FROM reach GROUP BY u
+ORDER BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only entries (non-SQL-expressible: sketches, LSH, drift, clips)
 
@@ -2575,6 +2616,7 @@ def build_queries() -> dict:
         "retention_weekly": q_retention_weekly,
         "interval_join_events": q_interval_join_events,
         "chunk_docs": q_chunk_docs,
+        "embedding_dup_clusters": q_embedding_dup_clusters,
         # per-row validation engine
         "validate_orders": q_validate_orders,
         "validate_lineitem": q_validate_lineitem,
@@ -2669,6 +2711,7 @@ def build_oracles() -> dict:
         "retention_weekly": _RETENTION_SQL,
         "interval_join_events": _INTERVAL_JOIN_SQL,
         "chunk_docs": _CHUNK_DOCS_SQL,
+        "embedding_dup_clusters": _EMBEDDING_DUP_CLUSTERS_SQL,
         "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
                            "FROM orders",
         "validate_lineitem": "SELECT l_orderkey, l_linenumber, "
