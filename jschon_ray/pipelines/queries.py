@@ -2500,6 +2500,38 @@ def q_audio_cmvn_clips(sf_dir):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_cluster_balanced_sample(sf_dir):
+    """Cluster-balanced curation sample: k-means clusters the embedding
+    space, then each cluster is capped at 24 rows by deterministic
+    md5(vec_id) rank (the embedding-space analogue of stratified
+    sampling — upweights sparse clusters, downweights dense ones).
+    Composition of kmeans_fit/assign + top_k_per_group; every stage's
+    exchange is cluster- or k-bounded. Rows-only check (k-means is not
+    SQL-expressible)."""
+    import hashlib
+
+    from ..functions.clustering import kmeans_assign, kmeans_fit
+    from ..functions.temporal import top_k_per_group
+
+    ds = read_table(table_path(sf_dir, "embeddings"),
+                    columns=["vec_id", "embedding"])
+    cents, _ = kmeans_fit(ds, k=5, seed=42, max_iters=10,
+                          sample_size=1024)
+    assigned = kmeans_assign(ds, cents, id_col="vec_id")
+
+    def hash_rank(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_pylist()
+        h = [hashlib.md5(str(v).encode()).hexdigest() for v in ids]
+        return pa.table({"vec_id": t["vec_id"],
+                         "cluster": t["cluster"],
+                         "h": pa.array(h, pa.string())})
+
+    ranked = assigned.map_batches(hash_rank, batch_format="pyarrow")
+    return top_k_per_group(ranked, group_cols=["cluster"],
+                           order_col="h", k=24, descending=False,
+                           tie_cols=("vec_id",))
+
+
 def q_audio_specaugment_clips(sf_dir):
     """ASR augmentation chain: resample -> per-frame log-mel
     (emit="frames") -> seeded SpecAugment time/freq masking (2 variants,
@@ -2662,6 +2694,7 @@ def build_queries() -> dict:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "kmeans_embeddings": q_kmeans_embeddings,
         "audio_specaugment_clips": q_audio_specaugment_clips,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
     }
 
 

@@ -101,7 +101,7 @@ def test_query_matches_oracle(entry_mod, con, name):
     "profile_sketches_lineitem", "drift_lineitem", "minhash_lsh_docs",
     "simhash_docs", "embedding_neardup_lsh",
     "media_image_features", "media_frame_sample", "audio_features_clips",
-    "audio_pitch_clips", "audio_cmvn_clips", "kmeans_embeddings", "audio_specaugment_clips",
+    "audio_pitch_clips", "audio_cmvn_clips", "kmeans_embeddings", "audio_specaugment_clips", "cluster_balanced_sample",
 ])
 def test_rows_only_queries_run(entry_mod, name):
     out = to_pandas(entry_mod.queries()[name](SF_DIR))
