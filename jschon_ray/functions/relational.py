@@ -296,3 +296,55 @@ def fd_violations(ds, *, determinant: list, dependent: str,
 
     return pairs.groupby(list(determinant)).map_groups(
         finish, batch_format="pandas")
+
+
+def grouped_zscore(ds, *, key: str, value_col: str, keep_cols=(),
+                   out: str = "z", ddof: int = 1):
+    """Per-row z-score against the row's GROUP statistics — the
+    outlier-scoring validation primitive (distribution-aware range
+    check; the dynamic complement of the spec's static minimum/maximum
+    bounds).
+
+    Two phases: per-block (key, n, sum, sumsq) moment partials -> one
+    tiny groupby (the only shuffle, key-count-sized); the merged stats
+    broadcast back through a second stateless pass that standardizes
+    every row. Groups with < 2 rows or zero variance yield null z.
+    NULL values pass through with null z.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([key, value_col]).to_pandas() \
+            .dropna(subset=[key, value_col])
+        v = df[value_col].to_numpy(np.float64)
+        m = pd.DataFrame({key: df[key], "n": np.float64(1.0),
+                          "s": v, "ss": v * v})
+        agg = m.groupby(key, sort=False).sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).sum(["n", "s", "ss"]).to_pandas()
+    merged = merged.rename(columns={f"sum({c})": c
+                                    for c in ("n", "s", "ss")})
+    n = merged["n"].to_numpy(np.float64)
+    mean = merged["s"].to_numpy(np.float64) / n
+    var = (merged["ss"].to_numpy(np.float64) - n * mean * mean) \
+        / np.maximum(n - ddof, 1.0)
+    std = np.sqrt(np.maximum(var, 0.0))
+    ok = (n >= 2) & (std > 0)
+    stats = {k: (m_, s_) for k, m_, s_, good in
+             zip(merged[key], mean, std, ok) if good}
+
+    keep_cols = list(keep_cols)
+
+    def standardize(t: pa.Table) -> pa.Table:
+        df = t.select([key, value_col] + keep_cols).to_pandas()
+        ms = df[key].map({k: v[0] for k, v in stats.items()})
+        ss = df[key].map({k: v[1] for k, v in stats.items()})
+        v = df[value_col].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (v - ms.to_numpy(np.float64)) / ss.to_numpy(np.float64)
+        cols = {c: df[c] for c in keep_cols + [key, value_col]}
+        cols[out] = z
+        return pa.Table.from_pandas(pd.DataFrame(cols),
+                                    preserve_index=False)
+
+    return ds.map_batches(standardize, batch_format="pyarrow")

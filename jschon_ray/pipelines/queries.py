@@ -900,6 +900,39 @@ SELECT id_a, id_b, inter, uni, inter / uni AS jaccard FROM (
 """
 
 
+def q_zscore_lineitem(sf_dir):
+    """Distribution-aware outlier scoring: per-row z against the row's
+    group stats (two phases — key-count-sized moment shuffle, then a
+    broadcast standardize pass). The dynamic complement of the spec's
+    static min/max range checks."""
+    from ..functions.relational import grouped_zscore
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_linenumber",
+                             "l_returnflag", "l_extendedprice"])
+    ds = _drop_null_rows(ds, ["l_returnflag", "l_extendedprice"])
+    out = grouped_zscore(ds, key="l_returnflag",
+                         value_col="l_extendedprice",
+                         keep_cols=("l_orderkey", "l_linenumber"))
+
+    def rnd(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("z")
+        return t.set_column(i, "z", pc.round(t["z"], 4))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+_ZSCORE_SQL = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+       round((l_extendedprice
+              - avg(l_extendedprice) OVER (PARTITION BY l_returnflag))
+             / stddev_samp(l_extendedprice)
+               OVER (PARTITION BY l_returnflag), 4) AS z
+FROM lineitem
+WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+"""
+
+
 def q_chunk_docs(sf_dir):
     """Fixed-token-budget chunking with overlap (chunk 32, overlap 4):
     row-count-changing map_batches; exact chunk strings."""
@@ -2648,6 +2681,7 @@ def build_queries() -> dict:
         "retention_weekly": q_retention_weekly,
         "interval_join_events": q_interval_join_events,
         "chunk_docs": q_chunk_docs,
+        "zscore_lineitem": q_zscore_lineitem,
         "embedding_dup_clusters": q_embedding_dup_clusters,
         # per-row validation engine
         "validate_orders": q_validate_orders,
@@ -2744,6 +2778,7 @@ def build_oracles() -> dict:
         "retention_weekly": _RETENTION_SQL,
         "interval_join_events": _INTERVAL_JOIN_SQL,
         "chunk_docs": _CHUNK_DOCS_SQL,
+        "zscore_lineitem": _ZSCORE_SQL,
         "embedding_dup_clusters": _EMBEDDING_DUP_CLUSTERS_SQL,
         "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
                            "FROM orders",

@@ -199,3 +199,29 @@ def test_fd_violations_composite_determinant(ray_session):
     assert len(out) == 1
     assert out.iloc[0]["a"] == 1 and out.iloc[0]["b"] == "x"
     assert out.iloc[0]["n_values"] == 2
+
+
+def test_grouped_zscore_vs_pandas(ray_session):
+    from jschon_ray.functions.relational import grouped_zscore
+
+    df = _rng_df(seed=21)
+    out = grouped_zscore(_ds(df, 6), key="g", value_col="w",
+                         keep_cols=()).to_pandas()
+    exp = df.copy()
+    exp["z"] = df.groupby("g")["w"].transform(
+        lambda s: (s - s.mean()) / s.std(ddof=1))
+    merged = out.sort_values(["g", "w"]).reset_index(drop=True)
+    expected = exp[["g", "w", "z"]].sort_values(["g", "w"]) \
+        .reset_index(drop=True)
+    assert np.allclose(merged["z"], expected["z"], atol=1e-9)
+
+
+def test_grouped_zscore_degenerate_groups(ray_session):
+    from jschon_ray.functions.relational import grouped_zscore
+
+    df = pd.DataFrame({"g": ["a", "a", "b", "c"],
+                       "w": [5.0, 5.0, 1.0, None]})
+    out = grouped_zscore(_ds(df, 2), key="g", value_col="w") \
+        .to_pandas()
+    # zero-variance group a, single-row b, null value c -> all null z
+    assert out["z"].isna().all()
