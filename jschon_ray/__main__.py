@@ -10,6 +10,9 @@ Commands
   uniqueness  duplicate keys by column
   profile     sketch profile (count/null/min/max + t-digest/HLL/CM) per column
   dedup       exact content dedup over a column
+  quantiles   exact quantile_disc values by histogram refinement
+  clusters    connected components over an edge table (dup clusters)
+  chunk       split docs into fixed-token-budget chunks with overlap
 """
 
 from __future__ import annotations
@@ -104,6 +107,56 @@ def cmd_dedup(args) -> dict:
     return {"n_rows_kept": kept.count()}
 
 
+def cmd_quantiles(args) -> dict:
+    from .functions.quantiles import exact_quantiles
+    from .sources.io import read_table
+
+    qs = [float(q) for q in args.q.split(",")]
+    ds = read_table(args.input, format=args.input_format,
+                    columns=[args.column])
+    out = exact_quantiles(ds, args.column, qs)
+    return {"column": args.column,
+            "quantiles": {str(q): (None if pd_isna(v) else float(v))
+                          for q, v in zip(out["q"], out["value"])}}
+
+
+def pd_isna(v):
+    import pandas as pd
+
+    return pd.isna(v)
+
+
+def cmd_clusters(args) -> dict:
+    from .functions.graph import connected_components
+    from .sources.io import read_table, write_table
+
+    ds = read_table(args.input, format=args.input_format,
+                    columns=[args.src, args.dst])
+    cc = connected_components(ds, src=args.src, dst=args.dst)
+    if args.output:
+        write_table(cc, args.output)
+        cc = read_table(args.output)
+    df = cc.to_pandas()
+    return {"n_nodes": int(len(df)),
+            "n_components": int(df["component"].nunique())}
+
+
+def cmd_chunk(args) -> dict:
+    from .functions.text import chunk_documents
+    from .sources.io import read_table, write_table
+
+    ds = read_table(args.input, format=args.input_format,
+                    columns=[args.id_col, args.content_col])
+    chunks = chunk_documents(ds, col=args.content_col,
+                             id_col=args.id_col,
+                             chunk_tokens=args.chunk_tokens,
+                             overlap=args.overlap)
+    if args.output:
+        write_table(chunks, args.output)
+        chunks = read_table(args.output)
+    return {"n_chunks": chunks.count()}
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="jschon_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -134,6 +187,23 @@ def main(argv=None) -> int:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--content-col", default="text")
     p.set_defaults(fn=cmd_dedup)
+
+    p = sub.add_parser("quantiles"); common(p)
+    p.add_argument("--column", required=True)
+    p.add_argument("--q", default="0.25,0.5,0.75")
+    p.set_defaults(fn=cmd_quantiles)
+
+    p = sub.add_parser("clusters"); common(p)
+    p.add_argument("--src", default="id_a")
+    p.add_argument("--dst", default="id_b")
+    p.set_defaults(fn=cmd_clusters)
+
+    p = sub.add_parser("chunk"); common(p)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--content-col", default="text")
+    p.add_argument("--chunk-tokens", type=int, default=512)
+    p.add_argument("--overlap", type=int, default=32)
+    p.set_defaults(fn=cmd_chunk)
 
     args = ap.parse_args(argv)
     _ray_up(args.num_cpus)

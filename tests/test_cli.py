@@ -65,3 +65,41 @@ def test_cli_uniqueness_matches_sql():
         "GROUP BY o_custkey HAVING count(*) > 1)").fetchone()
     assert summary["n_duplicate_keys"] == exp[0]
     assert summary["n_duplicate_rows"] == exp[1]
+
+
+def test_cli_quantiles_matches_duckdb():
+    out = _run(["quantiles",
+                "--input", "/root/testdata/sf0.001/lineitem.parquet",
+                "--column", "l_extendedprice", "--q", "0.5,0.9"])
+    con = duckdb.connect()
+    for q in ("0.5", "0.9"):
+        exp = con.execute(
+            "SELECT CAST(quantile_disc(l_extendedprice, ?) AS DOUBLE) "
+            "FROM read_parquet("
+            "'/root/testdata/sf0.001/lineitem.parquet')",
+            [float(q)]).fetchone()[0]
+        assert out["quantiles"][q] == exp
+
+
+def test_cli_clusters(tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+
+    edges = pa.Table.from_pandas(pd.DataFrame(
+        {"id_a": [1, 2, 10], "id_b": [2, 3, 11]}))
+    path = tmp_path / "edges.parquet"
+    pq.write_table(edges, str(path))
+    out = _run(["clusters", "--input", str(path)])
+    assert out == {"n_nodes": 5, "n_components": 2}
+
+
+def test_cli_chunk(tmp_path):
+    outdir = tmp_path / "chunks"
+    out = _run(["chunk",
+                "--input", "/root/testdata/sf0.001/documents.parquet",
+                "--chunk-tokens", "32", "--overlap", "4",
+                "--output", str(outdir)])
+    assert out["n_chunks"] > 0
+    t = pq.read_table(str(outdir))
+    assert set(t.column_names) == {"doc_id", "chunk_idx",
+                                   "n_chunk_tokens", "chunk_text"}
