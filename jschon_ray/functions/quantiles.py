@@ -169,3 +169,147 @@ def exact_quantiles(ds, col: str, qs, *, bins: int = 4096,
                                         dtype="float64"),
                          "value": pd.Series([s["value"] for s in state],
                                             dtype="float64")})
+
+
+def grouped_quantile_disc(ds, key: str, col: str, q: float, *,
+                          bins: int = 2048, gather_limit: int = 65536,
+                          reduce_parallelism: int = 16,
+                          max_iters: int = 12,
+                          materialize: bool = True,
+                          out: str = "value") -> pd.DataFrame:
+    """EXACT per-group ``quantile_disc`` over ANY value domain — the
+    general-domain complement of `relational.grouped_median_lowcard`
+    (which needs a small discrete domain). Same iterative histogram
+    refinement as `exact_quantiles`, with ONE fused (group x bin)
+    bincount per block per round (the pivot_agg trick), so adding groups
+    costs a wider count vector, not extra passes.
+
+    Groups must be a bounded domain (driver holds one interval + one
+    count vector per group — the pivot/static-category assumption).
+    Returns a DataFrame (key, value) with the exact element at rank
+    max(1, ceil(q*n_group)) per group; all-null groups get NaN.
+    """
+    narrow = ds.select_columns([key, col])
+    if materialize:
+        narrow = narrow.materialize()
+
+    def base_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().dropna(subset=[key, col])
+        v = df[col].to_numpy(np.float64)
+        df = df.loc[~np.isnan(v)]
+        v = v[~np.isnan(v)]
+        g = df.groupby(key, sort=False)
+        agg = g.agg(n=(col, "size"), lo=(col, "min"),
+                    hi=(col, "max")).reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    base = narrow.map_batches(base_partial, batch_format="pyarrow") \
+        .to_pandas()
+    if not len(base):
+        return pd.DataFrame({key: [], out: pd.Series([], dtype="float64")})
+    gb = base.groupby(key)
+    groups = sorted(gb.groups)
+    state = {}
+    for k in groups:
+        sub = gb.get_group(k)
+        n = int(sub["n"].sum())
+        state[k] = {"rank": _disc_rank(q, n), "lo": float(sub["lo"].min()),
+                    "hi": float(sub["hi"].max()), "below": 0,
+                    "value": None}
+        if state[k]["lo"] == state[k]["hi"]:
+            state[k]["value"] = state[k]["lo"]
+
+    kidx = {k: i for i, k in enumerate(groups)}
+
+    for _it in range(max_iters):
+        active = [k for k in groups if state[k]["value"] is None]
+        if not active:
+            break
+        aidx = {k: i for i, k in enumerate(active)}
+        edge_sets = np.stack([np.linspace(state[k]["lo"], state[k]["hi"],
+                                          bins + 1) for k in active])
+
+        def hist_partial(t: pa.Table, edge_sets=edge_sets,
+                         aidx=aidx) -> pa.Table:
+            df = t.to_pandas().dropna(subset=[key, col])
+            v = df[col].to_numpy(np.float64)
+            ok = ~np.isnan(v)
+            df, v = df.loc[ok], v[ok]
+            gcodes = df[key].map(aidx)
+            keep = gcodes.notna()
+            v = v[keep.to_numpy()]
+            gc = gcodes[keep].to_numpy(np.int64)
+            na = len(aidx)
+            b = np.empty(len(v), np.int64)
+            for i in range(na):  # bounded: one searchsorted per group
+                m = gc == i
+                if m.any():
+                    e = edge_sets[i]
+                    bi = np.searchsorted(e, v[m], side="right") - 1
+                    inside = (v[m] >= e[0]) & (v[m] <= e[-1])
+                    bi = np.where(inside, np.clip(bi, 0, bins - 1), -1)
+                    b[m] = bi
+            keep2 = b >= 0
+            fused = gc[keep2] * bins + b[keep2]
+            counts = np.bincount(fused, minlength=na * bins) \
+                .astype(np.int64)
+            return pa.table({"counts": pa.array([counts.tolist()],
+                                                pa.list_(pa.int64()))})
+
+        def combine(t: pa.Table) -> pa.Table:
+            m = np.vstack([np.asarray(r) for r in
+                           t["counts"].to_pylist()]).sum(axis=0)
+            return pa.table({"counts": pa.array([m.tolist()],
+                                                pa.list_(pa.int64()))})
+
+        parts = narrow.map_batches(hist_partial, batch_format="pyarrow") \
+            .repartition(reduce_parallelism) \
+            .map_batches(combine, batch_format="pyarrow").to_pandas()
+        total = np.vstack([np.asarray(r) for r in parts["counts"]]) \
+            .sum(axis=0).reshape(len(active), bins)
+
+        for k in active:
+            s = state[k]
+            counts = total[aidx[k]]
+            edges = edge_sets[aidx[k]]
+            cum = np.cumsum(counts)
+            local = s["rank"] - s["below"]
+            b = int(np.searchsorted(cum, local, side="left"))
+            s["below"] += int(cum[b - 1]) if b > 0 else 0
+            s["lo"] = float(edges[b])
+            s["hi"] = float(edges[b + 1])
+            if int(counts[b]) <= gather_limit or s["lo"] >= s["hi"]:
+                s["value"] = "GATHER" if s["lo"] < s["hi"] else s["lo"]
+
+    gather = [k for k in groups
+              if state[k]["value"] == "GATHER"
+              or state[k]["value"] is None]
+    if gather:
+        gidx = {k: i for i, k in enumerate(gather)}
+        bounds = [(state[k]["lo"], state[k]["hi"]) for k in gather]
+
+        def gather_partial(t: pa.Table, gidx=gidx,
+                           bounds=bounds) -> pa.Table:
+            df = t.to_pandas().dropna(subset=[key, col])
+            v = df[col].to_numpy(np.float64)
+            ok = ~np.isnan(v)
+            df, v = df.loc[ok], v[ok]
+            gcodes = df[key].map(gidx)
+            keep = gcodes.notna().to_numpy()
+            v, gc = v[keep], gcodes[keep].to_numpy(np.int64)
+            los = np.asarray([b[0] for b in bounds])[gc]
+            his = np.asarray([b[1] for b in bounds])[gc]
+            m = (v >= los) & (v <= his)
+            return pa.table({"iid": pa.array(gc[m]),
+                             "val": pa.array(v[m])})
+
+        got = narrow.map_batches(gather_partial,
+                                 batch_format="pyarrow").to_pandas()
+        for k in gather:
+            s = state[k]
+            vals = np.sort(got.loc[got["iid"] == gidx[k], "val"]
+                           .to_numpy())
+            s["value"] = float(vals[s["rank"] - s["below"] - 1])
+
+    return pd.DataFrame({key: groups,
+                         out: [state[k]["value"] for k in groups]})

@@ -900,6 +900,28 @@ SELECT id_a, id_b, inter, uni, inter / uni AS jaccard FROM (
 """
 
 
+def q_grouped_p90_lineitem(sf_dir):
+    """Exact per-group p90 over a continuous domain (general-domain
+    complement of the low-cardinality grouped median): one fused
+    (group x bin) histogram per block per refinement round."""
+    from ..functions.quantiles import grouped_quantile_disc
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_returnflag", "l_extendedprice"])
+    ds = _drop_null_rows(ds, ["l_returnflag"])
+    return grouped_quantile_disc(ds, "l_returnflag", "l_extendedprice",
+                                 0.9, bins=512, gather_limit=4096)
+
+
+_GROUPED_P90_SQL = """
+SELECT l_returnflag,
+       CAST(quantile_disc(l_extendedprice, 0.9) AS DOUBLE) AS value
+FROM lineitem
+WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+GROUP BY l_returnflag
+"""
+
+
 def q_zscore_lineitem(sf_dir):
     """Distribution-aware outlier scoring: per-row z against the row's
     group stats (two phases — key-count-sized moment shuffle, then a
@@ -2682,6 +2704,7 @@ def build_queries() -> dict:
         "interval_join_events": q_interval_join_events,
         "chunk_docs": q_chunk_docs,
         "zscore_lineitem": q_zscore_lineitem,
+        "grouped_p90_lineitem": q_grouped_p90_lineitem,
         "embedding_dup_clusters": q_embedding_dup_clusters,
         # per-row validation engine
         "validate_orders": q_validate_orders,
@@ -2779,6 +2802,7 @@ def build_oracles() -> dict:
         "interval_join_events": _INTERVAL_JOIN_SQL,
         "chunk_docs": _CHUNK_DOCS_SQL,
         "zscore_lineitem": _ZSCORE_SQL,
+        "grouped_p90_lineitem": _GROUPED_P90_SQL,
         "embedding_dup_clusters": _EMBEDDING_DUP_CLUSTERS_SQL,
         "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
                            "FROM orders",

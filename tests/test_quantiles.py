@@ -81,3 +81,38 @@ def test_matches_duckdb_lineitem(ray_session):
             f"SELECT CAST(quantile_disc(l_extendedprice, {q}) AS DOUBLE) "
             f"FROM '{path}'").fetchone()[0]
         assert v == exp, q
+
+
+# ---------------------------------------------------------------------------
+# grouped exact quantiles (general domain)
+
+
+def test_grouped_quantile_vs_duckdb(ray_session):
+    from jschon_ray.functions.quantiles import grouped_quantile_disc
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y", "z"], 30000),
+        "v": rng.normal(100, 40, 30000)})
+    ds = ray.data.from_pandas(df).repartition(7)
+    out = grouped_quantile_disc(ds, "g", "v", 0.9, bins=16,
+                                gather_limit=32).set_index("g")
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("SELECT g, quantile_disc(v, 0.9) AS e FROM t "
+                      "GROUP BY g").df().set_index("g")
+    for g in exp.index:
+        assert out.loc[g, "value"] == exp.loc[g, "e"], g
+
+
+def test_grouped_quantile_duplicates_and_nulls(ray_session):
+    from jschon_ray.functions.quantiles import grouped_quantile_disc
+
+    df = pd.DataFrame({
+        "g": ["a"] * 10000 + ["b"] * 3,
+        "v": [7.5] * 10000 + [1.0, None, 3.0]})
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = grouped_quantile_disc(ds, "g", "v", 0.5, bins=8,
+                                gather_limit=16).set_index("g")
+    assert out.loc["a", "value"] == 7.5     # collapse path
+    assert out.loc["b", "value"] == 1.0     # n=2, rank=1
