@@ -64,3 +64,42 @@ def stratified_sample(batch: pa.Table, *, id_col: str, group_col: str,
     groups = batch[group_col].to_pylist()
     thresh = np.array([rates.get(g, default_rate) for g in groups])
     return batch.filter(pa.array(u < thresh))
+
+
+def mixture_resample(ds, *, id_col: str, group_col: str,
+                     target: dict | None = None):
+    """Domain-mixture rebalancing (the data-mixing step): per-group keep
+    rates derived from the OBSERVED group counts so the kept sample hits
+    the target mixture, applied as a deterministic md5 threshold —
+    rerun-stable, partition-invariant, idempotent under retry (the
+    split/stratified-sample convention).
+
+    target=None (uniform): rate_g = min_count / count_g — every group
+    contributes ~min_count rows. With a dict {group: weight}, rates are
+    scaled so the heaviest-constrained group keeps 100%. Two phases: one
+    key-sized count aggregate, then a broadcast stateless filter; rows
+    with an unknown/null group are dropped. Emits (id_col, group_col).
+    """
+    counts_df = ds.groupby(group_col).count().to_pandas()
+    counts_df = counts_df.dropna(subset=[group_col])
+    counts = dict(zip(counts_df[group_col],
+                      counts_df["count()"].astype(int)))
+    if target is None:
+        mn = min(counts.values())
+        rates = {g: mn / c for g, c in counts.items()}
+    else:
+        # scale so max_g (target_g * total / count_g) == 1
+        scale = max(t / counts[g] for g, t in target.items()
+                    if g in counts)
+        rates = {g: min((target.get(g, 0.0) / counts[g]) / scale, 1.0)
+                 for g in counts}
+
+    def keep(t: pa.Table) -> pa.Table:
+        df = t.select([id_col, group_col]).to_pandas() \
+            .dropna(subset=[group_col])
+        u = _unit_hash(df[id_col])
+        r = df[group_col].map(rates).fillna(0.0).to_numpy(np.float64)
+        out = df.loc[u < r]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(keep, batch_format="pyarrow")

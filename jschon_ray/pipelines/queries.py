@@ -900,6 +900,31 @@ SELECT id_a, id_b, inter, uni, inter / uni AS jaccard FROM (
 """
 
 
+def q_mixture_docs(sf_dir):
+    """Domain-mixture rebalancing to a uniform source mix: one
+    key-sized count aggregate derives per-source keep rates
+    (min_count/count), applied as a deterministic md5 threshold — the
+    exact row set is reproducible on both sides."""
+    from ..functions.split import mixture_resample
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "source"])
+    return mixture_resample(ds, id_col="doc_id", group_col="source")
+
+
+_MIXTURE_SQL = f"""
+WITH c AS (SELECT source, count(*) AS cnt FROM documents
+           WHERE source IS NOT NULL GROUP BY source),
+m AS (SELECT min(cnt) AS mn FROM c)
+SELECT doc_id, source FROM (
+  SELECT d.doc_id, d.source,
+         {_U_SQL.format(id='d.doc_id')} AS u,
+         m.mn / c.cnt AS rate
+  FROM documents d JOIN c USING (source) CROSS JOIN m)
+WHERE u < rate
+"""
+
+
 def q_grouped_p90_lineitem(sf_dir):
     """Exact per-group p90 over a continuous domain (general-domain
     complement of the low-cardinality grouped median): one fused
@@ -2705,6 +2730,7 @@ def build_queries() -> dict:
         "chunk_docs": q_chunk_docs,
         "zscore_lineitem": q_zscore_lineitem,
         "grouped_p90_lineitem": q_grouped_p90_lineitem,
+        "mixture_docs": q_mixture_docs,
         "embedding_dup_clusters": q_embedding_dup_clusters,
         # per-row validation engine
         "validate_orders": q_validate_orders,
@@ -2803,6 +2829,7 @@ def build_oracles() -> dict:
         "chunk_docs": _CHUNK_DOCS_SQL,
         "zscore_lineitem": _ZSCORE_SQL,
         "grouped_p90_lineitem": _GROUPED_P90_SQL,
+        "mixture_docs": _MIXTURE_SQL,
         "embedding_dup_clusters": _EMBEDDING_DUP_CLUSTERS_SQL,
         "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
                            "FROM orders",

@@ -127,7 +127,7 @@ def test_entry_smoke(entry_mod):
     "unigram_logprob_docs", "top_tokens_docs", "events_gapfill_hour",
     "winsorize_lineitem", "fd_part_supplier", "tfidf_docs", "funnel_click_purchase",
     "retention_weekly", "interval_join_events", "chunk_docs",
-    "zscore_lineitem", "grouped_p90_lineitem",
+    "zscore_lineitem", "grouped_p90_lineitem", "mixture_docs",
     "embedding_dup_clusters",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):

@@ -62,3 +62,33 @@ def test_stratified_sample_deterministic_and_rated(ray_session):
     t = pa.table({"event_id": [1, 2], "event_type": ["other", "other"]})
     assert stratified_sample(t, id_col="event_id", group_col="event_type",
                              rates=rates).num_rows == 0
+
+
+def test_mixture_resample_uniform_and_targeted(ray_session):
+    import ray.data
+
+    from jschon_ray.functions.split import _unit_hash, mixture_resample
+
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({
+        "id": np.arange(4000),
+        "g": rng.choice(["big", "mid", "small"], 4000,
+                        p=[0.7, 0.25, 0.05])})
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = mixture_resample(ds, id_col="id", group_col="g").to_pandas()
+    counts = df["g"].value_counts()
+    mn = counts.min()
+    # exact expected set: u < mn/count_g
+    u = _unit_hash(df["id"])
+    expect = df.loc[u < df["g"].map(mn / counts).to_numpy()]
+    assert sorted(out["id"]) == sorted(expect["id"])
+    # kept groups are near-balanced (hash noise only)
+    kept = out["g"].value_counts()
+    assert kept.max() <= 2.0 * kept.min()
+
+    # targeted mixture: 'small' gets 3x weight of others
+    out2 = mixture_resample(ds, id_col="id", group_col="g",
+                            target={"big": 1, "mid": 1, "small": 3}) \
+        .to_pandas()
+    k2 = out2["g"].value_counts()
+    assert k2["small"] == counts["small"]  # most-constrained keeps all
