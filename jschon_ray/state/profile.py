@@ -237,3 +237,56 @@ def drift_report(baseline: TableProfile, current: TableProfile,
                 row["reason"] = f"null ratio {bn:.3f}->{cn:.3f}"
         out.append(row)
     return out
+
+
+def schema_diff(baseline: TableProfile, current: TableProfile, *,
+                distinct_ratio: float = 2.0,
+                mean_shift_sigmas: float = 3.0) -> list[dict]:
+    """Structural schema-evolution diff between two profile versions —
+    the dataset-scale analogue of the reference's additionalProperties /
+    unevaluatedProperties column-set checks
+    (/root/reference/jschon/vocabulary/applicator.py:311-390): columns
+    ADDED or REMOVED, column KIND changes, approximate-distinct-count
+    blowups/collapses, and mean shifts in robust-sigma units (IQR/1.349
+    from the t-digest). Complements `drift_report` (distributional) with
+    structure; driver-side and tiny, like all profile finalizers.
+
+    Returns one row per detected change: {column, change, detail}.
+    """
+    out = []
+    for name in sorted(set(baseline.columns) | set(current.columns)):
+        b = baseline.columns.get(name)
+        c = current.columns.get(name)
+        if c is None:
+            out.append({"column": name, "change": "removed",
+                        "detail": f"kind={b.kind}"})
+            continue
+        if b is None:
+            out.append({"column": name, "change": "added",
+                        "detail": f"kind={c.kind}"})
+            continue
+        if b.kind != c.kind:
+            out.append({"column": name, "change": "kind_changed",
+                        "detail": f"{b.kind}->{c.kind}"})
+            continue
+        bd, cd = b.hll.estimate(), c.hll.estimate()
+        if bd >= 1 and cd >= 1:
+            ratio = max(bd, cd) / max(min(bd, cd), 1.0)
+            if ratio > distinct_ratio:
+                out.append({
+                    "column": name, "change": "distinct_ratio",
+                    "detail": f"{round(bd)}->{round(cd)} "
+                              f"({ratio:.1f}x)"})
+        nb, nc = b.count - b.nulls, c.count - c.nulls
+        if b.kind == "numeric" and nb > 1 and nc > 1 \
+                and b.tdigest is not None and b.tdigest.count:
+            mb, mc = b.vsum / nb, c.vsum / nc
+            iqr = b.tdigest.quantile(0.75) - b.tdigest.quantile(0.25)
+            sigma = max(iqr / 1.349, 1e-12)
+            shift = abs(mc - mb) / sigma
+            if shift > mean_shift_sigmas:
+                out.append({
+                    "column": name, "change": "mean_shift",
+                    "detail": f"{mb:.4g}->{mc:.4g} "
+                              f"({shift:.1f} sigma)"})
+    return out

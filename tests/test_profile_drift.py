@@ -91,3 +91,42 @@ def test_grouped_stats_salted(ray_session):
         med = df[df.codec == codec]["dur_ms"].median()
         spread = max(10.0, 0.1 * abs(med))
         assert abs(g["p50"] - med) <= spread
+
+
+def test_schema_diff_detects_structural_changes(ray_session):
+    import pyarrow as pa
+
+    from jschon_ray.state.profile import TableProfile, schema_diff
+
+    rng = np.random.default_rng(3)
+    base_t = pa.table({
+        "a": pa.array(rng.normal(10, 2, 3000)),
+        "dropped": pa.array(rng.integers(0, 5, 3000)),
+        "ids": pa.array([f"k{i%50}" for i in range(3000)]),
+    })
+    cur_t = pa.table({
+        "a": pa.array(rng.normal(40, 2, 3000)),          # mean shift
+        "added": pa.array(rng.normal(0, 1, 3000)),
+        "ids": pa.array([f"k{i}" for i in range(3000)]),  # distinct blowup
+    })
+    b = TableProfile(); b.add_table(base_t)
+    c = TableProfile(); c.add_table(cur_t)
+    diff = {(r["column"], r["change"]) for r in schema_diff(b, c)}
+    assert ("dropped", "removed") in diff
+    assert ("added", "added") in diff
+    assert ("ids", "distinct_ratio") in diff
+    assert ("a", "mean_shift") in diff
+
+
+def test_schema_diff_kind_change_and_clean(ray_session):
+    import pyarrow as pa
+
+    from jschon_ray.state.profile import TableProfile, schema_diff
+
+    b = TableProfile(); b.add_table(pa.table({"x": pa.array([1.0, 2.0])}))
+    c = TableProfile(); c.add_table(pa.table({"x": pa.array(["p", "q"])}))
+    diff = schema_diff(b, c)
+    assert diff == [{"column": "x", "change": "kind_changed",
+                     "detail": "numeric->string"}]
+    same = TableProfile(); same.add_table(pa.table({"x": pa.array([1.0, 2.0])}))
+    assert schema_diff(b, same) == []
