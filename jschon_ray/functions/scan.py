@@ -187,3 +187,55 @@ def pack_sequences(ds, *, id_col: str, tokens_col: str, budget: int,
 def _min_max(col: str):
     from ray.data.aggregate import Max, Min
     return Min(col), Max(col)
+
+
+def global_value_rank(ds, *, value_col: str, tie_cols=(),
+                      num_buckets: int = 256, out: str = "rank"):
+    """Exact global row number by (value, ties...) ascending — per-row
+    order statistics (percent_rank / empirical CDF) via RANGE
+    partitioning, the third partitioning strategy next to the hash
+    (`global_rank`) and id-range (`pack_sequences`) scans.
+
+    Same two-phase scan: uniform value-range bucket edges from one
+    min/max aggregate (skewed distributions: raise `num_buckets` —
+    totals stay exact, only balance degrades), per-bucket counts ->
+    driver exclusive cumsum, then one per-bucket sort+offset pass.
+    Rows with a null value are dropped. Emits the input's tie columns +
+    (value_col, rank, pct) with 1-based rank and
+    pct = (rank-1)/(n-1) (SQL percent_rank under a tie-broken total
+    order).
+    """
+    cols = [value_col] + list(tie_cols)
+    narrow = ds.select_columns(cols)
+
+    def drop_null(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_valid(t[value_col]))
+
+    narrow = narrow.map_batches(drop_null, batch_format="pyarrow")
+    stats = narrow.aggregate(*_min_max(value_col))
+    lo, hi = stats[f"min({value_col})"], stats[f"max({value_col})"]
+    if lo is None:
+        import ray.data
+
+        return ray.data.from_items([])
+    edges = np.linspace(lo, hi, num_buckets + 1)[1:-1]
+    keyed = narrow.map_batches(
+        _range_bucket_batch, batch_format="pyarrow",
+        fn_kwargs=dict(id_col=value_col, edges=edges)).materialize()
+    offsets, total = _bucket_offsets(
+        keyed.select_columns(["_bucket"]), "_bucket", None)
+    denom = max(total - 1, 1)
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([value_col] + list(tie_cols), kind="mergesort")
+        base = offsets[int(g["_bucket"].iloc[0])]
+        rank = base + np.arange(1, len(g) + 1, dtype=np.int64)
+        res = {c: g[c].to_numpy() for c in list(tie_cols) + [value_col]}
+        res[out] = rank
+        res["pct"] = (rank - 1) / denom
+        return pd.DataFrame(res)
+
+    return keyed.groupby("_bucket").map_groups(rank_group,
+                                               batch_format="pandas")

@@ -900,6 +900,31 @@ SELECT id_a, id_b, inter, uni, inter / uni AS jaccard FROM (
 """
 
 
+def q_percent_rank_lineitem(sf_dir):
+    """Per-row global order statistics (exact percent_rank) via RANGE
+    partitioning: min/max pass -> uniform value-range buckets ->
+    per-bucket counts to driver offsets -> per-bucket sort+offset. pct
+    divides the same two exact integers on both sides."""
+    from ..functions.scan import global_value_rank
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_linenumber",
+                             "l_extendedprice"])
+    return global_value_rank(ds, value_col="l_extendedprice",
+                             tie_cols=("l_orderkey", "l_linenumber"),
+                             num_buckets=256)
+
+
+_PERCENT_RANK_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice,
+       row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                          l_linenumber) AS rank,
+       percent_rank() OVER (ORDER BY l_extendedprice, l_orderkey,
+                            l_linenumber) AS pct
+FROM lineitem WHERE l_extendedprice IS NOT NULL
+"""
+
+
 def q_mixture_docs(sf_dir):
     """Domain-mixture rebalancing to a uniform source mix: one
     key-sized count aggregate derives per-source keep rates
@@ -2731,6 +2756,7 @@ def build_queries() -> dict:
         "zscore_lineitem": q_zscore_lineitem,
         "grouped_p90_lineitem": q_grouped_p90_lineitem,
         "mixture_docs": q_mixture_docs,
+        "percent_rank_lineitem": q_percent_rank_lineitem,
         "embedding_dup_clusters": q_embedding_dup_clusters,
         # per-row validation engine
         "validate_orders": q_validate_orders,
@@ -2830,6 +2856,7 @@ def build_oracles() -> dict:
         "zscore_lineitem": _ZSCORE_SQL,
         "grouped_p90_lineitem": _GROUPED_P90_SQL,
         "mixture_docs": _MIXTURE_SQL,
+        "percent_rank_lineitem": _PERCENT_RANK_SQL,
         "embedding_dup_clusters": _EMBEDDING_DUP_CLUSTERS_SQL,
         "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
                            "FROM orders",

@@ -259,3 +259,30 @@ def test_chunk_documents_overlap_coverage(ray_session):
         assert sorted(set(seen)) == sorted(f"w{i}" for i in range(nt))
         starts = list(range(0, max(nt - 8, 1), 56))
         assert len(out) == len(starts)
+
+
+def test_global_value_rank_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from jschon_ray.functions.scan import global_value_rank
+
+    rng = np.random.default_rng(19)
+    df = pd.DataFrame({"id": np.arange(5000),
+                       "v": np.round(rng.normal(0, 10, 5000), 3)})
+    df.loc[::13, "v"] = 7.7     # heavy ties
+    df.loc[::31, "v"] = np.nan  # nulls dropped
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = global_value_rank(ds, value_col="v", tie_cols=("id",),
+                            num_buckets=32).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT id, v, row_number() OVER (ORDER BY v, id) AS rank, "
+        "percent_rank() OVER (ORDER BY v, id) AS pct "
+        "FROM t WHERE v IS NOT NULL").df() \
+        .sort_values("id").reset_index(drop=True)
+    assert (out["id"].to_numpy() == exp["id"].to_numpy()).all()
+    assert (out["rank"].to_numpy() == exp["rank"].to_numpy()).all()
+    assert np.allclose(out["pct"], exp["pct"], atol=0)
