@@ -337,3 +337,52 @@ def retention_cohorts(ds, *, user_col: str, ts_col: str,
             "n_users": t["sum(n_users)"].cast(pa.int64())})
 
     return final.map_batches(finish, batch_format="pyarrow")
+
+
+def event_bigrams(ds, *, user_col: str, ts_col: str, tie_col: str,
+                  type_col: str, num_buckets: int = 64):
+    """Per-key consecutive-event transition counts (path analysis):
+    how often does event type A immediately precede B within a user's
+    (ts, tie)-ordered stream — SQL `lag() OVER (PARTITION BY user ORDER
+    BY ts, tie)` + GROUP BY.
+
+    Shape: hash-bucketed keys (the `keyed_window_scan` pattern), one
+    sorted segmented pass per bucket (shift-compare, no per-user
+    dispatch), per-bucket (prev, next) partial counts -> one tiny
+    transition-matrix-sized groupby. Null user/ts rows are dropped.
+    Emits (prev, next, n).
+    """
+    import functools
+
+    narrow = ds.select_columns([user_col, ts_col, tie_col, type_col])
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t[user_col]), pc.is_valid(t[ts_col]))
+        return t.filter(keep)
+
+    keyed = narrow.map_batches(prefilter, batch_format="pyarrow") \
+        .map_batches(functools.partial(_key_bucket, key_col=user_col,
+                                       num_buckets=num_buckets),
+                     batch_format="pyarrow")
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, tie_col], kind="mergesort")
+        users = g[user_col].to_numpy()
+        types = g[type_col].to_numpy()
+        same = np.empty(len(g), dtype=bool)
+        same[0] = False
+        same[1:] = users[1:] == users[:-1]
+        prev = np.roll(types, 1)
+        df = pd.DataFrame({"prev": prev[same], "next": types[same]})
+        return df.groupby(["prev", "next"], sort=False).size() \
+            .reset_index(name="n")
+
+    parts = keyed.groupby("_bucket").map_groups(scan_bucket,
+                                                batch_format="pandas")
+    merged = parts.groupby(["prev", "next"]).sum("n")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"prev": t["prev"], "next": t["next"],
+                         "n": t["sum(n)"].cast(pa.int64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")

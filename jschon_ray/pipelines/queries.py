@@ -900,6 +900,29 @@ SELECT id_a, id_b, inter, uni, inter / uni AS jaccard FROM (
 """
 
 
+def q_event_bigrams(sf_dir):
+    """Per-user consecutive-event transition counts (path analysis):
+    hash-bucketed sorted segmented pass, transition-matrix-sized final
+    exchange."""
+    from ..functions.windows import event_bigrams
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    return event_bigrams(ds, user_col="user_id", ts_col="ts",
+                         tie_col="event_id", type_col="event_type")
+
+
+_EVENT_BIGRAMS_SQL = """
+WITH o AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+FROM o WHERE prev IS NOT NULL GROUP BY prev, next
+"""
+
+
 def q_percent_rank_lineitem(sf_dir):
     """Per-row global order statistics (exact percent_rank) via RANGE
     partitioning: min/max pass -> uniform value-range buckets ->
@@ -2757,6 +2780,7 @@ def build_queries() -> dict:
         "grouped_p90_lineitem": q_grouped_p90_lineitem,
         "mixture_docs": q_mixture_docs,
         "percent_rank_lineitem": q_percent_rank_lineitem,
+        "event_bigrams": q_event_bigrams,
         "embedding_dup_clusters": q_embedding_dup_clusters,
         # per-row validation engine
         "validate_orders": q_validate_orders,
@@ -2857,6 +2881,7 @@ def build_oracles() -> dict:
         "grouped_p90_lineitem": _GROUPED_P90_SQL,
         "mixture_docs": _MIXTURE_SQL,
         "percent_rank_lineitem": _PERCENT_RANK_SQL,
+        "event_bigrams": _EVENT_BIGRAMS_SQL,
         "embedding_dup_clusters": _EMBEDDING_DUP_CLUSTERS_SQL,
         "validate_orders": f"SELECT o_orderkey, {_ORDERS_VALID_SQL} AS valid "
                            "FROM orders",

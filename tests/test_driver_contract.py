@@ -128,7 +128,7 @@ def test_entry_smoke(entry_mod):
     "winsorize_lineitem", "fd_part_supplier", "tfidf_docs", "funnel_click_purchase",
     "retention_weekly", "interval_join_events", "chunk_docs",
     "zscore_lineitem", "grouped_p90_lineitem", "mixture_docs",
-    "percent_rank_lineitem",
+    "percent_rank_lineitem", "event_bigrams",
     "embedding_dup_clusters",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):

@@ -172,3 +172,35 @@ def test_retention_cohorts_hand_case(ray_session):
         ("2024-01-08", 0): 1,   # b
         ("2024-01-08", 1): 1,   # b returns
     }
+
+
+def test_event_bigrams_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from jschon_ray.functions.windows import event_bigrams
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": [f"u{int(i)}" for i in rng.integers(0, 30, n)],
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 50000, n), unit="s"),
+        "event_id": np.arange(n),
+        "event_type": rng.choice(["a", "b", "c"], n)})
+    out = event_bigrams(ray.data.from_pandas(df).repartition(6),
+                        user_col="user_id", ts_col="ts",
+                        tie_col="event_id", type_col="event_type") \
+        .to_pandas().sort_values(["prev", "next"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        WITH o AS (SELECT event_type,
+                          lag(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+                   FROM t)
+        SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+        FROM o WHERE prev IS NOT NULL GROUP BY prev, next
+        ORDER BY prev, next""").df()
+    assert (out["prev"].to_numpy() == exp["prev"].to_numpy()).all()
+    assert (out["n"].to_numpy() == exp["n"].to_numpy()).all()
