@@ -2017,6 +2017,69 @@ def _clips_violation_counts_sql(sf_dir: str) -> str:
         f"SELECT keywordLocation, n FROM ({union}) WHERE n > 0"
 
 
+def q_speaking_rate_clips(sf_dir):
+    """Cross-column consistency validation on the clip table: words per
+    second from (transcript, dur_ms) with a plausible-speech band
+    [0.5, 6.0] wps — the data-to-data check a per-column spec cannot
+    express (SURVEY hard-parts note). One stateless vectorized pass;
+    wps divides the same exact ints on both sides."""
+    from ..sources.clips import clips_cache_dir
+
+    ds = read_table(clips_cache_dir(sf_dir),
+                    columns=["clip_id", "transcript", "dur_ms"])
+
+    def rate(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(t["transcript"], r"\s+")
+        flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(lists) \
+            .to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        n_words = pa.array(
+            np.bincount(parents[keep], minlength=t.num_rows)
+            .astype(np.int64))
+        dur = t["dur_ms"].cast(pa.float64())
+        wps = pc.divide(pc.multiply(n_words.cast(pa.float64()), 1000.0),
+                        dur)
+        ok_dur = pc.and_(pc.is_valid(t["dur_ms"]),
+                         pc.greater(t["dur_ms"], 0))
+        wps = pc.if_else(ok_dur, wps, pa.scalar(None, pa.float64()))
+        plausible = pc.and_(pc.greater_equal(wps, 0.5),
+                            pc.less_equal(wps, 6.0))
+        plausible = pc.if_else(pc.is_valid(wps), plausible,
+                               pa.scalar(False))
+        # wps is a small-int ratio, so exact .00005 halves occur:
+        # match DuckDB's half-away-from-zero (Arrow defaults to
+        # half-to-even)
+        return pa.table({"clip_id": t["clip_id"], "n_words": n_words,
+                         "wps": pc.round(
+                             wps, 4,
+                             round_mode="half_towards_infinity"),
+                         "plausible": plausible})
+
+    return ds.map_batches(rate, batch_format="pyarrow")
+
+
+def _speaking_rate_sql(sf_dir: str) -> str:
+    from ..sources.clips import clips_cache_dir
+
+    path = clips_cache_dir(sf_dir)
+    return f"""
+WITH c AS (
+  SELECT clip_id, dur_ms,
+    CASE WHEN transcript IS NULL THEN 0
+         ELSE len(list_filter(regexp_split_to_array(transcript, '\\s+'),
+                              w -> w <> '')) END AS n_words
+  FROM read_parquet('{path}/*.parquet'))
+SELECT clip_id, CAST(n_words AS BIGINT) AS n_words,
+  round(CASE WHEN dur_ms IS NOT NULL AND dur_ms > 0
+             THEN n_words * 1000.0 / dur_ms END, 4) AS wps,
+  coalesce(dur_ms IS NOT NULL AND dur_ms > 0
+           AND n_words * 1000.0 / dur_ms >= 0.5
+           AND n_words * 1000.0 / dur_ms <= 6.0, FALSE) AS plausible
+FROM c
+"""
+
+
 def q_clips_validation(sf_dir):
     """Flagship constraint suite over the synthesized clips table."""
     from ..sources.clips import clips_cache_dir
@@ -2807,6 +2870,7 @@ def build_queries() -> dict:
         "embedding_neardup": q_embedding_neardup,
         # clips flagship (oracle-checked against the same /tmp cache)
         "clips_validation": q_clips_validation,
+        "speaking_rate_clips": q_speaking_rate_clips,
         "clips_violation_counts": q_clips_violations,
         # rows-only (no SQL equivalent)
         "clips_decode": q_clips_decode,
@@ -2909,6 +2973,7 @@ def build_oracles() -> dict:
         # driver runs side-by-side correctness at sf0.01 (driver contract),
         # which is the scale these strings are derived for
         "clips_validation": _clips_validation_sql("/root/testdata/sf0.01"),
+        "speaking_rate_clips": _speaking_rate_sql("/root/testdata/sf0.01"),
         "clips_violation_counts":
             _clips_violation_counts_sql("/root/testdata/sf0.01"),
         "grouped_stats_codec":

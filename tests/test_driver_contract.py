@@ -98,6 +98,7 @@ def test_query_matches_oracle(entry_mod, con, name):
 
 @pytest.mark.parametrize("name", [
     "clips_validation", "clips_violation_counts", "grouped_stats_codec",
+    "speaking_rate_clips",
     "profile_sketches_lineitem", "drift_lineitem", "minhash_lsh_docs",
     "simhash_docs", "embedding_neardup_lsh",
     "media_image_features", "media_frame_sample", "audio_features_clips",
