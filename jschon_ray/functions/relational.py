@@ -348,3 +348,103 @@ def grouped_zscore(ds, *, key: str, value_col: str, keep_cols=(),
                                     preserve_index=False)
 
     return ds.map_batches(standardize, batch_format="pyarrow")
+
+
+def grouped_skew_kurt(ds, *, key: str, value_col: str,
+                      skew_out: str = "skew", kurt_out: str = "kurt"):
+    """Per-group sample skewness and excess kurtosis — the 3rd/4th-moment
+    distribution-shape stats a drift/profile check reads (SQL
+    `skewness(v)` / `kurtosis(v)` GROUP BY key semantics, bias-corrected
+    like DuckDB/Excel).
+
+    Numerics: raw power sums of a wide column cancel catastrophically at
+    the 4th moment, so this is a two-pass centered plan — pass 1 is a
+    tiny (key, n, sum) aggregate whose means broadcast back; pass 2 sums
+    per-block CENTERED powers (n, c2, c3, c4) per key, one
+    key-count-sized shuffle. Groups with < 3 rows (skew) / < 4 rows
+    (kurtosis) or zero variance yield null.
+    """
+    def mean_partial(t: pa.Table) -> pa.Table:
+        df = t.select([key, value_col]).to_pandas() \
+            .dropna(subset=[key, value_col])
+        v = df[value_col].to_numpy(np.float64)
+        m = pd.DataFrame({key: df[key], "n": np.float64(1.0), "s": v})
+        agg = m.groupby(key, sort=False).sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    stats = ds.map_batches(mean_partial, batch_format="pyarrow") \
+        .groupby(key).sum(["n", "s"]).to_pandas()
+    stats = stats.rename(columns={"sum(n)": "n", "sum(s)": "s"})
+    means = {k: s_ / n_ for k, n_, s_ in
+             zip(stats[key], stats["n"], stats["s"]) if n_ > 0}
+
+    def centered_partial(t: pa.Table) -> pa.Table:
+        df = t.select([key, value_col]).to_pandas() \
+            .dropna(subset=[key, value_col])
+        mu = df[key].map(means).to_numpy(np.float64)
+        d = df[value_col].to_numpy(np.float64) - mu
+        m = pd.DataFrame({key: df[key], "n": np.float64(1.0),
+                          "c2": d * d, "c3": d ** 3, "c4": d ** 4})
+        agg = m.groupby(key, sort=False).sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    cols = ["n", "c2", "c3", "c4"]
+    merged = ds.map_batches(centered_partial, batch_format="pyarrow") \
+        .groupby(key).sum(cols)
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().rename(
+            columns={f"sum({c})": c for c in cols})
+        n = df["n"].to_numpy(np.float64)
+        m2 = df["c2"].to_numpy(np.float64)
+        m3 = df["c3"].to_numpy(np.float64)
+        m4 = df["c4"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = np.sqrt(m2 / np.maximum(n - 1, 1.0))  # sample stddev
+            skew = n / np.maximum((n - 1) * (n - 2), 1.0) * m3 / s ** 3
+            kurt = (n * (n + 1)) / np.maximum(
+                (n - 1) * (n - 2) * (n - 3), 1.0) * m4 / s ** 4 \
+                - 3.0 * (n - 1) ** 2 / np.maximum((n - 2) * (n - 3), 1.0)
+        skew = np.where((n >= 3) & (s > 0), skew, np.nan)
+        kurt = np.where((n >= 4) & (s > 0), kurt, np.nan)
+        return pa.Table.from_pandas(
+            pd.DataFrame({key: df[key], skew_out: skew, kurt_out: kurt}),
+            preserve_index=False)
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def equi_width_histogram(ds, *, value_col: str, lo_e2: int, width_e2: int,
+                         n_bins: int, out_bin: str = "bin",
+                         out_count: str = "n"):
+    """Exact equi-width histogram over integer-cents units: bin =
+    (cents - lo_e2) // width_e2, clamped into [0, n_bins) (under/overflow
+    land in the edge bins, SQL `least/greatest` semantics). Bins with no
+    rows are absent from the output (SQL GROUP BY semantics).
+
+    Scale shape: each block reduces to at most n_bins partial rows via
+    one vectorized `np.bincount` (no per-row Python), then a bin-count
+    -sized groupby merges partials — exchange volume is O(n_bins) per
+    block regardless of input size. All arithmetic is int64 → the
+    result hash-matches a SQL oracle exactly, no float rounding.
+
+    `value_col` must already be exact int64 cents (use a `to_cents`
+    map upstream); NULLs are dropped.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.drop_null(t[value_col]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = (v - lo_e2) // width_e2
+        np.clip(b, 0, n_bins - 1, out=b)
+        counts = np.bincount(b, minlength=n_bins)
+        nz = np.nonzero(counts)[0]
+        return pa.table({out_bin: pa.array(nz.astype(np.int64)),
+                         out_count: pa.array(counts[nz].astype(np.int64))})
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(out_bin).sum(out_count)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([out_bin, out_count])
+
+    return merged.map_batches(rename, batch_format="pyarrow")

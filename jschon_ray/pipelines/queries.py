@@ -1028,6 +1028,157 @@ WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
 """
 
 
+def q_skew_lineitem(sf_dir):
+    """Per-group 3rd/4th-moment shape stats (sample skewness + excess
+    kurtosis, bias-corrected): two-pass centered moment partials, both
+    shuffles key-count-sized; rounded to 4 decimals on both sides."""
+    from ..functions.relational import grouped_skew_kurt
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_returnflag", "l_extendedprice"])
+    ds = _drop_null_rows(ds, ["l_returnflag", "l_extendedprice"])
+    out = grouped_skew_kurt(ds, key="l_returnflag",
+                            value_col="l_extendedprice",
+                            skew_out="skew_price", kurt_out="kurt_price")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        for c in ("skew_price", "kurt_price"):
+            t = t.set_column(t.schema.get_field_index(c), c,
+                             pc.round(t[c], 4))
+        return t
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+_SKEW_LINEITEM_SQL = """
+SELECT l_returnflag, round(skewness(l_extendedprice), 4) AS skew_price,
+       round(kurtosis(l_extendedprice), 4) AS kurt_price
+FROM lineitem
+WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+GROUP BY l_returnflag
+"""
+
+
+_HIST_LO_E2 = 0            # cents
+_HIST_WIDTH_E2 = 500_000   # $5,000 per bin, in cents
+_HIST_BINS = 40
+
+
+def q_histogram_lineitem(sf_dir):
+    """Exact equi-width histogram of l_extendedprice in integer cents
+    ($5k bins): per-block np.bincount partials, bin-count-sized shuffle,
+    pure int64 arithmetic → bit-exact vs the SQL oracle."""
+    from ..functions.relational import equi_width_histogram
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_extendedprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({"price_e2": pc.round(
+            pc.multiply(t["l_extendedprice"], 100.0)).cast(pa.int64())})
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow")
+    return equi_width_histogram(ds, value_col="price_e2",
+                                lo_e2=_HIST_LO_E2, width_e2=_HIST_WIDTH_E2,
+                                n_bins=_HIST_BINS, out_bin="bin",
+                                out_count="n")
+
+
+_HISTOGRAM_LINEITEM_SQL = f"""
+SELECT least(greatest((CAST(round(l_extendedprice * 100) AS BIGINT)
+                       - {_HIST_LO_E2}) // {_HIST_WIDTH_E2}, 0),
+             {_HIST_BINS - 1}) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem WHERE l_extendedprice IS NOT NULL
+GROUP BY bin
+"""
+
+
+def q_q3_shipping(sf_dir):
+    """TPC-H Q3 analogue (segment revenue top-10): the multi-join
+    reporting pipeline — customer segment filter broadcast as a key set
+    (small side never shuffles), orders↔lineitem via the partitioned
+    hash join (the one large-large exchange), then a revenue rollup and
+    a global top-k. Revenue is summed in exact integer cents (per-row
+    round like the oracle) so the sums hash-match under any block order.
+
+    Reference analogy: a three-table applicator chain (jschon
+    vocabulary/applicator.py properties→items nesting) recast as join
+    + aggregate; cutoff 1995-03-15 mirrors Q3's date split.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.join import hash_join
+
+    cutoff = pd.Timestamp("1995-03-15")
+
+    cust = read_table(table_path(sf_dir, "customer"),
+                      columns=["c_custkey", "c_mktsegment"])
+    seg_keys = set()
+    for b in cust.iter_batches(batch_format="pyarrow"):
+        m = pc.equal(b["c_mktsegment"], "BUILDING")
+        seg_keys.update(b.filter(pc.fill_null(m, False))
+                        ["c_custkey"].to_pylist())
+
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.less(t["o_orderdate"], pa.scalar(cutoff)),
+            pc.is_in(t["o_custkey"],
+                     value_set=pa.array(sorted(seg_keys), pa.int64())))
+        t = t.filter(pc.fill_null(keep, False))
+        return t.select(["o_orderkey", "o_orderdate"])
+
+    orders = orders.map_batches(filter_orders, batch_format="pyarrow")
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_shipdate",
+                             "l_extendedprice", "l_discount"])
+
+    def filter_li(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["l_shipdate"], pa.scalar(cutoff))
+        t = t.filter(pc.fill_null(keep, False))
+        rev = pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"], 100.0),
+            pc.subtract(1.0, t["l_discount"]))).cast(pa.int64())
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "rev_e2": rev})
+
+    li = li.map_batches(filter_li, batch_format="pyarrow")
+    joined = hash_join(li, orders, on="o_orderkey", how="inner")
+    agg = joined.groupby(["o_orderkey", "o_orderdate"]).aggregate(
+        Sum("rev_e2", alias_name="revenue_e2"))
+
+    def fix(t: pa.Table) -> pa.Table:
+        col = t["revenue_e2"]
+        if col.type != pa.int64():
+            t = t.set_column(t.schema.get_field_index("revenue_e2"),
+                             "revenue_e2", pc.round(col).cast(pa.int64()))
+        return t
+
+    agg = agg.map_batches(fix, batch_format="pyarrow")
+    return agg.sort(["revenue_e2", "o_orderkey"],
+                    descending=[True, False]).limit(10)
+
+
+_Q3_SHIPPING_SQL = """
+SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
+       CAST(sum(CAST(round(l.l_extendedprice * 100 * (1 - l.l_discount))
+                     AS BIGINT)) AS BIGINT) AS revenue_e2
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue_e2 DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
 def q_chunk_docs(sf_dir):
     """Fixed-token-budget chunking with overlap (chunk 32, overlap 4):
     row-count-changing map_batches; exact chunk strings."""
@@ -2849,6 +3000,9 @@ def build_queries() -> dict:
         "validate_orders": q_validate_orders,
         "validate_lineitem": q_validate_lineitem,
         "orders_violation_counts": q_orders_violation_counts,
+        "skew_lineitem": q_skew_lineitem,
+        "histogram_lineitem": q_histogram_lineitem,
+        "q3_shipping": q_q3_shipping,
         # documents
         "dedup_docs_exact": q_dedup_docs_exact,
         "dup_groups_prefix24": q_dup_groups_prefix24,
@@ -2952,6 +3106,9 @@ def build_oracles() -> dict:
         "validate_lineitem": "SELECT l_orderkey, l_linenumber, "
                              f"{_LINEITEM_VALID_SQL} AS valid FROM lineitem",
         "orders_violation_counts": _ORDERS_VIOLATION_COUNTS_SQL,
+        "skew_lineitem": _SKEW_LINEITEM_SQL,
+        "histogram_lineitem": _HISTOGRAM_LINEITEM_SQL,
+        "q3_shipping": _Q3_SHIPPING_SQL,
         "dedup_docs_exact": _DEDUP_DOCS_SQL,
         "dup_groups_prefix24": _DUP_GROUPS_SQL,
         "ngram_jaccard_docs": _NGRAM_JACCARD_SQL,

@@ -87,6 +87,7 @@ def test_all_queries_have_unique_names(entry_mod):
     "token_count_docs", "quality_docs", "lang_id_docs", "fingerprint_docs",
     "ann_topk", "embedding_neardup", "ngram_jaccard_docs",
     "ann_topk_ivf",
+    "skew_lineitem", "histogram_lineitem", "q3_shipping",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()

@@ -225,3 +225,47 @@ def test_grouped_zscore_degenerate_groups(ray_session):
         .to_pandas()
     # zero-variance group a, single-row b, null value c -> all null z
     assert out["z"].isna().all()
+
+
+def test_grouped_skew_kurt_vs_duckdb(ray_session):
+    import duckdb
+
+    from jschon_ray.functions.relational import grouped_skew_kurt
+
+    df = _rng_df(seed=33)
+    df["w"] = df["w"] ** 2  # make the distribution actually skewed
+    out = grouped_skew_kurt(_ds(df, 6), key="g", value_col="w") \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT g, skewness(w) AS skew, kurtosis(w) AS kurt FROM t "
+        "GROUP BY g ORDER BY g").df()
+    assert np.allclose(out["skew"], exp["skew"], atol=1e-7)
+    assert np.allclose(out["kurt"], exp["kurt"], atol=1e-7)
+
+
+def test_grouped_skew_kurt_degenerate(ray_session):
+    from jschon_ray.functions.relational import grouped_skew_kurt
+
+    df = pd.DataFrame({"g": ["a", "a", "b", "b", "b", "c"],
+                       "w": [5.0, 5.0, 1.0, 2.0, 3.0, 7.0]})
+    out = grouped_skew_kurt(_ds(df, 2), key="g", value_col="w") \
+        .to_pandas().set_index("g")
+    assert np.isnan(out.loc["a", "skew"])     # zero variance
+    assert np.isnan(out.loc["c", "skew"])     # n < 3
+    assert not np.isnan(out.loc["b", "skew"])  # n == 3 has skew...
+    assert np.isnan(out.loc["b", "kurt"])      # ...but no kurtosis (n < 4)
+
+
+def test_equi_width_histogram_exact_and_clamped(ray_session):
+    from jschon_ray.functions.relational import equi_width_histogram
+
+    vals = [-50, 0, 99, 100, 199, 250, 999, 1000, 5000, None]
+    df = pd.DataFrame({"v": pd.array(vals, dtype="Int64")})
+    out = equi_width_histogram(
+        _ds(df.astype({"v": "Int64"}), 3), value_col="v",
+        lo_e2=0, width_e2=100, n_bins=5).to_pandas() \
+        .set_index("bin")["n"].to_dict()
+    # -50 clamps into bin 0; 999 -> bin 4 (in range); 1000/5000 clamp to 4
+    assert out == {0: 3, 1: 2, 2: 1, 4: 3}
