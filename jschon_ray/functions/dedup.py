@@ -444,3 +444,217 @@ def exact_distinct_counts(ds, cols):
         .groupby("col").count() \
         .map_batches(lambda t: t.rename_columns(["col", "n_distinct"]),
                      batch_format="pyarrow")
+
+
+def _lev_vec(a: str, b: str, cap: int) -> int | None:
+    """Levenshtein distance with a cap: returns the distance if <= cap,
+    else None. Row-wise numpy DP; the in-row left-to-right insertion
+    dependency is resolved with the prefix-min identity
+    cur[j] = min(base[j], min_{l<j}(base[l] + (j-l))) so every row is
+    a handful of vector ops, not a Python cell loop. Early-exits when a
+    whole DP row exceeds the cap (band argument)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return None
+    if la == 0 or lb == 0:
+        d = max(la, lb)
+        return d if d <= cap else None
+    av = np.fromiter(map(ord, a), np.int32, la)
+    bv = np.fromiter(map(ord, b), np.int32, lb)
+    idx = np.arange(1, lb + 1, dtype=np.int64)
+    prev = np.arange(lb + 1, dtype=np.int64)
+    for i in range(1, la + 1):
+        cost = (bv != av[i - 1]).astype(np.int64)
+        base = np.minimum(prev[1:] + 1, prev[:-1] + cost)
+        run = np.minimum.accumulate(base - idx) + idx
+        cur = np.empty(lb + 1, np.int64)
+        cur[0] = i
+        cur[1:] = np.minimum(np.minimum(base, run), i + idx)
+        if cur.min() > cap:
+            return None
+        prev = cur
+    d = int(prev[lb])
+    return d if d <= cap else None
+
+
+def _bag_bound(texts, alphabet_size: int = 128) -> np.ndarray:
+    """Per-text character-count vectors (the multiset 'bag'). The bag
+    distance max(Σ surplus_a, Σ surplus_b) between two bags is a lower
+    bound on Levenshtein distance (each edit changes at most one
+    character occurrence), so candidate pairs can be pruned with one
+    vectorized counts-difference before any DP."""
+    m = len(texts)
+    out = np.zeros((m, alphabet_size), np.int32)
+    for r, s in enumerate(texts):
+        if s:
+            v = np.fromiter(map(ord, s), np.int64, len(s))
+            np.clip(v, 0, alphabet_size - 1, out=v)
+            out[r] = np.bincount(v, minlength=alphabet_size)
+    return out
+
+
+def _lev_pairs(A_texts, B_texts, cap: int | None = None) -> np.ndarray:
+    """Levenshtein distance for P string pairs in ONE batched DP: pad
+    both sides to their max length and run the row-wise DP with every
+    vector op spanning all P pairs at once (the same prefix-min identity
+    as `_lev_vec` resolves the in-row dependency). Pairs whose left
+    string is shorter freeze at their final row via a mask, so padding
+    never corrupts a finished distance. O(Lmax) numpy row steps total
+    instead of O(P) Python DP calls — the per-block verify cost is a few
+    hundred vector ops regardless of candidate count.
+
+    With `cap`, pairs whose DP row minimum exceeds cap retire from the
+    loop (band early-exit, vectorized); their result is reported as
+    cap + 1 ("too far"), never the true distance."""
+    p = len(A_texts)
+    if p == 0:
+        return np.empty(0, np.int64)
+    la = np.fromiter((len(s) for s in A_texts), np.int64, p)
+    lb = np.fromiter((len(s) for s in B_texts), np.int64, p)
+    lmax_a, lmax_b = int(la.max()), int(lb.max())
+    A = np.zeros((p, max(lmax_a, 1)), np.int32)
+    B = np.zeros((p, max(lmax_b, 1)), np.int32)
+    for r, s in enumerate(A_texts):
+        if s:
+            A[r, :len(s)] = np.fromiter(map(ord, s), np.int32, len(s))
+    for r, s in enumerate(B_texts):
+        if s:
+            B[r, :len(s)] = np.fromiter(map(ord, s), np.int32, len(s))
+    idx = np.arange(1, lmax_b + 1, dtype=np.int64)
+    prev = np.broadcast_to(np.arange(lmax_b + 1, dtype=np.int64),
+                           (p, lmax_b + 1)).copy()
+    out = np.empty(p, np.int64)
+    done0 = la == 0
+    out[done0] = lb[done0]
+    if lmax_b == 0:
+        out = la.copy()
+        if cap is not None:
+            out[out > cap] = cap + 1
+        return out
+    alive = la >= 1
+    for i in range(1, lmax_a + 1):
+        if not alive.any():
+            break
+        cost = (B[alive] != A[alive, i - 1:i]).astype(np.int64)
+        pv = prev[alive]
+        base = np.minimum(pv[:, 1:] + 1, pv[:, :-1] + cost)
+        run = np.minimum.accumulate(base - idx, axis=1) + idx
+        cur = np.empty_like(pv)
+        cur[:, 0] = i
+        cur[:, 1:] = np.minimum(np.minimum(base, run), i + idx)
+        prev[alive] = cur
+        ai = np.nonzero(alive)[0]
+        fin = la[ai] == i
+        if fin.any():
+            fi = ai[fin]
+            out[fi] = prev[fi, lb[fi]]
+        alive[ai[fin]] = False
+        if cap is not None:
+            over = cur.min(axis=1) > cap
+            if over.any():
+                oi = ai[over & ~fin]
+                out[oi] = cap + 1
+                alive[oi] = False
+    if cap is not None:
+        out[out > cap] = cap + 1
+    return out
+
+
+def editdist_blocked_pairs(ds, id_col: str, text_col: str, *,
+                           max_dist: int = 4, out_a: str = "id_a",
+                           out_b: str = "id_b", out_dist: str = "dist"):
+    """Blocked edit-distance near-dup join: pairs of rows in the same
+    block whose Levenshtein distance is <= max_dist. Block key =
+    (word count, first word) — the standard entity-resolution blocking
+    tradeoff (declared semantics: candidates share the block key; the
+    oracle mirrors the same key). Null/empty texts are excluded; equal
+    ids never pair; a pair reachable through two blocks (duplicate ids
+    with different texts) keeps its MIN distance.
+
+    Scale shape: one narrow shuffle of (id, text, block); each block
+    co-groups and verifies locally. Inside a block the verify is
+    distinct-text-deduped (identical texts — e.g. a hot boilerplate
+    value — cost ZERO DP calls and expand combinatorially only in the
+    output), length-pruned by |len(a)-len(b)| <= max_dist, and
+    cap-banded, so the quadratic only touches genuinely close distinct
+    strings. Skewed hot blocks are bounded by key granularity; a hotter
+    corpus would extend the key (first+last word) the same way.
+    """
+    def keyed(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        keep = pc.and_(pc.is_valid(txt), pc.not_equal(txt, ""))
+        t = t.filter(pc.fill_null(keep, False))
+        txt = t[text_col]
+        words = pc.split_pattern(txt, " ")
+        n_words = pc.list_value_length(words).cast(pa.int64())
+        w1 = pc.list_element(words, 0)
+        block = pc.binary_join_element_wise(
+            pc.cast(n_words, pa.string()), w1, "|")
+        return pa.table({out_a: t[id_col], "_text": txt, "_block": block})
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+
+    def verify_block(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[out_a].to_numpy()
+        texts = g["_text"].to_numpy()
+        # distinct-text dedup: DP once per distinct text pair, batched
+        uniq, inv = np.unique(texts, return_inverse=True)
+        m = len(uniq)
+        groups = [np.nonzero(inv == u)[0] for u in range(m)]
+        lens = np.fromiter((len(u) for u in uniq), np.int64, m)
+
+        # candidate distinct pairs: upper triangle, length-pruned, then
+        # bag-distance-pruned (both lossless lower bounds of Levenshtein)
+        iu, iv = np.triu_indices(m, 1)
+        keep = np.abs(lens[iu] - lens[iv]) <= max_dist
+        iu, iv = iu[keep], iv[keep]
+        if len(iu):
+            bags = _bag_bound(uniq)
+            diff = bags[iu].astype(np.int64) - bags[iv]
+            bound = np.maximum(np.where(diff > 0, diff, 0).sum(axis=1),
+                               np.where(diff < 0, -diff, 0).sum(axis=1))
+            keep = bound <= max_dist
+            iu, iv = iu[keep], iv[keep]
+        d = _lev_pairs(uniq[iu], uniq[iv], cap=max_dist)
+        ok = d <= max_dist
+        iu, iv, d = iu[ok], iv[ok], d[ok]
+
+        ra, rb, rd = [], [], []
+        for u in range(m):                   # identical texts: dist 0
+            g_u = groups[u]
+            if len(g_u) > 1:
+                ii, jj = np.triu_indices(len(g_u), 1)
+                ra.append(ids[g_u[ii]])
+                rb.append(ids[g_u[jj]])
+                rd.append(np.zeros(len(ii), np.int64))
+        for u, v, dist in zip(iu, iv, d):    # close distinct texts
+            g_u, g_v = groups[u], groups[v]
+            ra.append(np.repeat(ids[g_u], len(g_v)))
+            rb.append(np.tile(ids[g_v], len(g_u)))
+            rd.append(np.full(len(g_u) * len(g_v), dist, np.int64))
+        if not ra:
+            return pa.table({out_a: pa.array([], pa.string()),
+                             out_b: pa.array([], pa.string()),
+                             out_dist: pa.array([], pa.int64())})
+        a = np.concatenate(ra)
+        b = np.concatenate(rb)
+        dist = np.concatenate(rd)
+        neq = a != b                         # duplicate ids never self-pair
+        a, b, dist = a[neq], b[neq], dist[neq]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        # arrow out: string columns, never pandas object blocks (Ray's
+        # block-size estimation degrades badly on object dtype)
+        return pa.table({out_a: pa.array(a2, pa.string()),
+                         out_b: pa.array(b2, pa.string()),
+                         out_dist: pa.array(dist, pa.int64())})
+
+    pairs = keyed_ds.groupby("_block").map_groups(
+        verify_block, batch_format="pandas")
+    merged = pairs.groupby([out_a, out_b]).min(out_dist)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([out_a, out_b, out_dist])
+
+    return merged.map_batches(rename, batch_format="pyarrow")

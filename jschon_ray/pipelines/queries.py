@@ -2231,6 +2231,44 @@ FROM c
 """
 
 
+def q_editdist_clips(sf_dir):
+    """Blocked edit-distance near-dup join over clip transcripts
+    (block = word-count|first-word, Levenshtein <= 4, min-dist per id
+    pair): the typo-level dedup family that n-gram Jaccard misses.
+    Exact-integer distances hash-match the DuckDB levenshtein oracle."""
+    from ..functions.dedup import editdist_blocked_pairs
+    from ..sources.clips import clips_cache_dir
+
+    ds = read_table(clips_cache_dir(sf_dir),
+                    columns=["clip_id", "transcript"])
+    return editdist_blocked_pairs(ds, "clip_id", "transcript",
+                                  max_dist=4)
+
+
+def _editdist_clips_sql(sf_dir: str) -> str:
+    from ..sources.clips import clips_cache_dir
+
+    path = clips_cache_dir(sf_dir)
+    return f"""
+WITH c AS (
+  SELECT clip_id, transcript,
+         len(string_split(transcript, ' ')) AS n_words,
+         string_split(transcript, ' ')[1] AS w1,
+         len(transcript) AS tlen
+  FROM read_parquet('{path}/*.parquet')
+  WHERE transcript IS NOT NULL AND transcript <> ''),
+p AS (
+  SELECT a.clip_id AS id_a, b.clip_id AS id_b,
+         CASE WHEN a.transcript = b.transcript THEN 0
+              ELSE levenshtein(a.transcript, b.transcript) END AS d
+  FROM c a JOIN c b
+    ON a.n_words = b.n_words AND a.w1 = b.w1 AND a.clip_id < b.clip_id
+  WHERE abs(a.tlen - b.tlen) <= 4)
+SELECT id_a, id_b, CAST(min(d) AS BIGINT) AS dist
+FROM p WHERE d <= 4 GROUP BY id_a, id_b
+"""
+
+
 def q_clips_validation(sf_dir):
     """Flagship constraint suite over the synthesized clips table."""
     from ..sources.clips import clips_cache_dir
@@ -3025,6 +3063,7 @@ def build_queries() -> dict:
         # clips flagship (oracle-checked against the same /tmp cache)
         "clips_validation": q_clips_validation,
         "speaking_rate_clips": q_speaking_rate_clips,
+        "editdist_clips": q_editdist_clips,
         "clips_violation_counts": q_clips_violations,
         # rows-only (no SQL equivalent)
         "clips_decode": q_clips_decode,
@@ -3131,6 +3170,7 @@ def build_oracles() -> dict:
         # which is the scale these strings are derived for
         "clips_validation": _clips_validation_sql("/root/testdata/sf0.01"),
         "speaking_rate_clips": _speaking_rate_sql("/root/testdata/sf0.01"),
+        "editdist_clips": _editdist_clips_sql("/root/testdata/sf0.01"),
         "clips_violation_counts":
             _clips_violation_counts_sql("/root/testdata/sf0.01"),
         "grouped_stats_codec":

@@ -209,3 +209,75 @@ def test_ann_topk_ivf_pruned_recall(ray_session):
                  set(map(tuple, exact[["query_id", "neighbor_id"]].values))) \
         / len(exact)
     assert recall >= 0.6, recall
+
+
+def _lev_ref(a: str, b: str) -> int:
+    """Plain O(len*len) reference Levenshtein for kernel validation."""
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+def test_lev_kernels_match_reference():
+    from jschon_ray.functions.dedup import _lev_pairs, _lev_vec
+
+    rng = np.random.default_rng(11)
+    alpha = list("abcde ")
+    pairs = []
+    for _ in range(60):
+        la, lb = rng.integers(0, 14, 2)
+        pairs.append(("".join(rng.choice(alpha, la)),
+                      "".join(rng.choice(alpha, lb))))
+    pairs += [("", ""), ("", "abc"), ("abc", ""), ("same", "same")]
+    ref = np.array([_lev_ref(a, b) for a, b in pairs])
+    got = _lev_pairs([a for a, _ in pairs], [b for _, b in pairs])
+    np.testing.assert_array_equal(got, ref)
+    # capped batch kernel: exact below cap, cap+1 above
+    capped = _lev_pairs([a for a, _ in pairs], [b for _, b in pairs], cap=3)
+    np.testing.assert_array_equal(capped, np.where(ref <= 3, ref, 4))
+    for (a, b), r in zip(pairs, ref):
+        one = _lev_vec(a, b, cap=20)
+        assert one == r, (a, b, one, r)
+        assert _lev_vec(a, b, cap=2) == (r if r <= 2 else None)
+
+
+def test_editdist_blocked_pairs_vs_bruteforce(ray_session):
+    """End-to-end blocked join equals a brute-force scan restricted to
+    the same block key (word count + first word), incl. exact dups,
+    a null and an empty transcript, and min-dist over duplicate ids."""
+    import ray.data as rd
+    from jschon_ray.functions.dedup import editdist_blocked_pairs
+
+    texts = ["the cat sat on mat", "the cat sat on hat",   # dist 1
+             "the cat sat on mat",                          # exact dup
+             "the dog sat on mat",                          # dist 1/2
+             "a cat sat on mat",                            # different w1
+             "the cat sat on a mat",                        # different n
+             "zz yy xx ww vv", None, ""]
+    ids = [f"c{i}" for i in range(len(texts))]
+    t = pa.table({"clip_id": pa.array(ids), "transcript": pa.array(texts)})
+    out = editdist_blocked_pairs(rd.from_arrow(t), "clip_id", "transcript",
+                                 max_dist=4).to_pandas()
+    got = {(r.id_a, r.id_b): r.dist for r in out.itertuples()}
+
+    # brute force with identical block semantics
+    exp = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = texts[i], texts[j]
+            if not a or not b:
+                continue
+            wa, wb = a.split(" "), b.split(" ")
+            if len(wa) != len(wb) or wa[0] != wb[0]:
+                continue
+            d = _lev_ref(a, b)
+            if d <= 4:
+                key = tuple(sorted((ids[i], ids[j])))
+                exp[key] = min(d, exp.get(key, 99))
+    assert got == exp, (got, exp)
