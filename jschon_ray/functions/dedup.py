@@ -658,3 +658,109 @@ def editdist_blocked_pairs(ds, id_col: str, text_col: str, *,
         return t.rename_columns([out_a, out_b, out_dist])
 
     return merged.map_batches(rename, batch_format="pyarrow")
+
+
+def cross_doc_dup_ngrams(ds, id_col: str, text_col: str, *, k: int = 5,
+                         n_buckets: int = 64,
+                         out_total: str = "n_grams",
+                         out_dup: str = "n_dup_grams"):
+    """Cross-document duplicated n-gram detection — the core measurement
+    of exact-substring dedup (count, per doc, how many of its distinct
+    word k-grams also occur in at least one OTHER document). Docs with
+    fewer than k words emit nothing.
+
+    Three-stage shape (seeds: `uniqueItems` pairwise equality lifted
+    across rows, /root/reference/jschon/vocabulary/validation.py:163-177,
+    same inverted-index skeleton as `ngram_jaccard_pairs`):
+      1. map_batches: per doc the DISTINCT k-gram set, hashed to 64-bit
+         keys (collision odds ~n^2/2^64 — negligible); emit
+         (bucket, gram_hash, doc_id) posting rows. Distinctness per doc
+         is established here (a doc is one row), so postings are
+         globally distinct (gram, doc) pairs — document frequency is a
+         plain count downstream.
+      2. groupby(coarse bucket = hash % n_buckets): inside each bucket
+         ONE vectorized pandas transform('size') marks grams with
+         df >= 2, then a per-doc partial (n_grams, n_dup) pre-aggregate.
+         Per-group Python overhead is O(n_buckets), not O(grams).
+      3. tiny groupby(doc_id).sum of the per-bucket partials.
+
+    Scale notes: only (int64, int64, id) posting rows shuffle — text
+    never moves; no doc-frequency table is ever broadcast or collected.
+    Unlike the Jaccard join nothing here is quadratic in df — a
+    boilerplate gram shared by a million docs is one transform('size')
+    bucket row per doc, so hot grams cost O(df), not O(df^2).
+    """
+    def emit(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        texts = t[text_col].to_pylist()
+        hs, di = [], []
+        for i, txt in zip(ids, texts):
+            w = txt.split() if txt else []
+            if len(w) < k:
+                continue
+            grams = {" ".join(w[j:j + k]) for j in range(len(w) - k + 1)}
+            hs.append(hash_array(sorted(grams)).view(np.int64))
+            di.append(np.full(len(grams), i))
+        if not hs:
+            return pa.table({"gh": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             id_col: t[id_col].slice(0, 0)})
+        gh = np.concatenate(hs)
+        return pa.table({"gh": pa.array(gh),
+                         "bucket": pa.array(
+                             (gh.view(np.uint64) % n_buckets)
+                             .view(np.int64)),
+                         id_col: pa.array(np.concatenate(di))})
+
+    postings = ds.map_batches(emit, batch_format="pyarrow")
+
+    def bucket_partials(g: pd.DataFrame) -> pd.DataFrame:
+        df_ge2 = g.groupby("gh")["gh"].transform("size") >= 2
+        out = g.assign(_dup=df_ge2.astype(np.int64)) \
+            .groupby(id_col, as_index=False) \
+            .agg(_n=("gh", "size"), _d=("_dup", "sum"))
+        return out
+
+    partials = postings.groupby("bucket").map_groups(
+        bucket_partials, batch_format="pandas")
+    merged = partials.groupby(id_col).sum(["_n", "_d"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([id_col, out_total, out_dup])
+
+    return merged.map_batches(rename, batch_format="pyarrow")
+
+
+def dedup_keep_canonical(ds, cc, id_col: str, *, node_col: str = "node",
+                         comp_col: str = "component"):
+    """Apply near-dup clusters to the corpus: keep every unpaired row
+    plus, per cluster, only the canonical member (the min-id
+    `component`). `cc` is the (node, component) output of
+    `dup_clusters` / `connected_components`.
+
+    The removal set {node != component} is at most (cluster members -
+    clusters) ids — tiny relative to the corpus (dup pairs are the rare
+    case), so it broadcasts via ray.put into a stateless semi-join mask;
+    no corpus shuffle. A corpus whose removal set outgrows worker memory
+    would switch to `join.referential_violations_shuffle`'s anti-join
+    shape instead (keys-only shuffle) — same semantics.
+    """
+    import ray
+
+    removed = cc.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t[node_col], t[comp_col])))
+                   .select([node_col]),
+        batch_format="pyarrow").to_pandas()
+    removed_ref = ray.put(np.sort(removed[node_col].to_numpy()))
+
+    def keep(t: pa.Table, rem_ref) -> pa.Table:
+        rem = ray.get(rem_ref)    # zero-copy read from the local store
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(rem, ids)
+        pos = np.clip(pos, 0, max(len(rem) - 1, 0))
+        hit = (len(rem) > 0) & (rem[pos] == ids) if len(rem) else \
+            np.zeros(len(ids), bool)
+        return t.filter(pa.array(~hit))
+
+    return ds.map_batches(keep, fn_args=(removed_ref,),
+                          batch_format="pyarrow")

@@ -2231,6 +2231,95 @@ FROM c
 """
 
 
+def q_dup_ngrams_docs(sf_dir):
+    """Cross-document duplicated 5-gram counts per doc (the measurement
+    behind exact-substring dedup): distinct word 5-grams per doc, df>=2
+    marks a gram as shared. Exact integers; docs under 5 words emit
+    nothing — mirrored by the oracle's len(ws) >= 5 guard."""
+    from ..functions.dedup import cross_doc_dup_ngrams
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    return cross_doc_dup_ngrams(ds, "doc_id", "text", k=5)
+
+
+_DUP_NGRAMS_DOCS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(ws[i:i+4], ' ')
+                   for i in range(1, len(ws) - 3)]) AS grams
+  FROM toks WHERE len(ws) >= 5),
+g AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(d.gram) AS BIGINT) AS n_dup_grams
+FROM g LEFT JOIN d ON g.gram = d.gram
+GROUP BY g.doc_id
+"""
+
+
+def q_dedup_corpus_docs(sf_dir):
+    """End-to-end near-dup dedup APPLIED: jaccard pairs (>=0.5) ->
+    connected components -> keep unpaired docs plus each cluster's
+    min-id canonical. The surviving corpus (doc_id, n_chars)."""
+    import ray.data
+
+    from ..functions.dedup import dedup_keep_canonical, ngram_jaccard_pairs
+    from ..functions.graph import connected_components
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text", "n_chars"])
+    pairs = ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.5)
+    survivors = ds.select_columns(["doc_id", "n_chars"])
+    if len(pairs):
+        eds = ray.data.from_pandas(pairs[["id_a", "id_b"]])
+        cc = connected_components(eds)
+        survivors = dedup_keep_canonical(survivors, cc, "doc_id")
+    return survivors
+
+
+# survivors = docs minus non-canonical cluster members (reach CTE shared
+# with _DUP_CLUSTERS_SQL)
+_DEDUP_CORPUS_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct(CASE
+      WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+      ELSE [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]
+    END) AS s
+  FROM toks WHERE len(ws) > 0
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      len(list_intersect(a.s, b.s)) AS inter,
+      len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  ) WHERE inter / uni >= 0.5
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+  UNION SELECT id_a, id_a FROM pairs
+  UNION SELECT id_b, id_b FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), removed AS (
+  SELECT u AS doc_id FROM reach GROUP BY u HAVING u <> min(v)
+)
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)
+"""
+
+
 def q_editdist_clips(sf_dir):
     """Blocked edit-distance near-dup join over clip transcripts
     (block = word-count|first-word, Levenshtein <= 4, min-dist per id
@@ -3013,6 +3102,8 @@ def build_queries() -> dict:
         "docs_string_agg": q_docs_string_agg,
         "oov_docs": q_oov_docs,
         "dup_clusters_docs": q_dup_clusters_docs,
+        "dup_ngrams_docs": q_dup_ngrams_docs,
+        "dedup_corpus_docs": q_dedup_corpus_docs,
         "quantiles_lineitem": q_quantiles_lineitem,
         "lineitem_mode_qty": q_lineitem_mode_qty,
         "grouped_distinct_lineitem": q_grouped_distinct_lineitem,
@@ -3119,6 +3210,8 @@ def build_oracles() -> dict:
         "docs_string_agg": _DOCS_STRING_AGG_SQL,
         "oov_docs": _OOV_SQL,
         "dup_clusters_docs": _DUP_CLUSTERS_SQL,
+        "dup_ngrams_docs": _DUP_NGRAMS_DOCS_SQL,
+        "dedup_corpus_docs": _DEDUP_CORPUS_SQL,
         "quantiles_lineitem": _QUANTILES_LINEITEM_SQL,
         "lineitem_mode_qty": _LINEITEM_MODE_SQL,
         "grouped_distinct_lineitem": _GROUPED_DISTINCT_SQL,

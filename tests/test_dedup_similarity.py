@@ -281,3 +281,48 @@ def test_editdist_blocked_pairs_vs_bruteforce(ray_session):
                 key = tuple(sorted((ids[i], ids[j])))
                 exp[key] = min(d, exp.get(key, 99))
     assert got == exp, (got, exp)
+
+
+def test_cross_doc_dup_ngrams(ray_session):
+    """Per-doc dup-gram counts vs a brute-force dictionary, incl. a
+    short doc (< k words, emits nothing) and null text."""
+    import ray.data as rd
+    from jschon_ray.functions.dedup import cross_doc_dup_ngrams
+
+    texts = ["a b c d e f g",        # grams abcde bcdef cdefg
+             "x a b c d e y",        # shares abcde
+             "p q r s t",            # unique gram pqrst
+             "p q r s t u",          # shares pqrst
+             "tiny doc", None]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = cross_doc_dup_ngrams(rd.from_arrow(t), "doc_id", "text",
+                               k=5).to_pandas().set_index("doc_id")
+
+    from collections import Counter
+    df = Counter()
+    per_doc = {}
+    for i, txt in enumerate(texts):
+        w = txt.split() if txt else []
+        if len(w) < 5:
+            continue
+        grams = {" ".join(w[j:j + 5]) for j in range(len(w) - 4)}
+        per_doc[i] = grams
+        df.update(grams)
+    for i, grams in per_doc.items():
+        assert out.loc[i, "n_grams"] == len(grams)
+        assert out.loc[i, "n_dup_grams"] == sum(df[g] >= 2 for g in grams)
+    assert set(out.index) == set(per_doc)
+
+
+def test_dedup_keep_canonical(ray_session):
+    import ray.data as rd
+    from jschon_ray.functions.dedup import dedup_keep_canonical
+
+    corpus = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64())})
+    cc = pa.table({"node": pa.array([2, 3, 5], pa.int64()),
+                   "component": pa.array([2, 2, 5], pa.int64())})
+    out = dedup_keep_canonical(rd.from_arrow(corpus), rd.from_arrow(cc),
+                               "doc_id").to_pandas()
+    # 3 removed (non-canonical in cluster {2,3}); 5 canonical survives
+    assert sorted(out["doc_id"]) == [1, 2, 4, 5, 6]
