@@ -448,3 +448,76 @@ def equi_width_histogram(ds, *, value_col: str, lo_e2: int, width_e2: int,
         return t.rename_columns([out_bin, out_count])
 
     return merged.map_batches(rename, batch_format="pyarrow")
+
+
+def aggregate_consistency_violations(detail, master, *, key: str,
+                                     detail_value_col: str,
+                                     master_total_col: str,
+                                     rel_tol: float = 0.01,
+                                     num_buckets: int = 32):
+    """Cross-table aggregate-consistency validation: every master row's
+    stored total must equal the sum of its detail rows' values within
+    `rel_tol` (relative), and every master row must HAVE detail rows.
+    Emits one violation row per failing master:
+    (key, reason 'missing_detail' | 'total_mismatch', diff_cents).
+
+    This is the dataset-scale reading of the reference's dependency
+    checks (`dependentRequired`, vocabulary/validation.py:243-256 — "if
+    this exists, that must exist/agree") lifted across tables.
+
+    Shape: per-block partial sums of the detail value (combiner before
+    the shuffle — the detail table is the big side, and only (key,
+    partial) rows move), one narrow groupby(key), then a bucketed hash
+    join against the master (both sides large => no broadcast).
+
+    Exactness: detail values are rounded to integer cents PER ROW before
+    any summation, so the aggregate is an associative int64 sum —
+    verdicts are bit-stable under any partitioning / summation order
+    (a post-sum float round flips boundary cents between runs; measured
+    3/14890 rows at sf0.01).
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[detail_value_col].to_numpy(zero_copy_only=False) * 100
+        # 2-decimal money times 0.05-step multipliers lands EXACTLY on
+        # half cents; match SQL round()'s half-away-from-zero (np.round
+        # is half-even: measured 6/6000 rows off by one cent)
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        df = pd.DataFrame({key: t[key].to_numpy(zero_copy_only=False),
+                           "_calc_cents": cents}) \
+            .groupby(key, as_index=False)["_calc_cents"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    sums = detail.select_columns([key, detail_value_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).sum("_calc_cents")
+    sums = sums.map_batches(
+        lambda t: t.rename_columns([key, "_calc_cents"]),
+        batch_format="pyarrow")
+
+    from .join import hash_join
+
+    joined = hash_join(
+        master.select_columns([key, master_total_col]), sums,
+        on=key, how="left", num_buckets=num_buckets)
+
+    def _half_away(x):
+        return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+    def verdict(t: pa.Table) -> pa.Table:
+        total = t[master_total_col].to_numpy(zero_copy_only=False)
+        total_cents = _half_away(total * 100)
+        calc = t["_calc_cents"].to_numpy(zero_copy_only=False)
+        missing = np.isnan(calc) if calc.dtype.kind == "f" else \
+            np.asarray(t["_calc_cents"].is_null())
+        calc_i = np.where(missing, 0, calc).astype(np.int64)
+        diff = total_cents - calc_i
+        tol = _half_away(np.abs(total) * rel_tol * 100)
+        bad = missing | (np.abs(diff) > tol)
+        reason = np.where(missing, "missing_detail", "total_mismatch")
+        return pa.table({
+            key: t[key].filter(pa.array(bad)),
+            "reason": pa.array(reason[bad], pa.string()),
+            "diff_cents": pa.array(np.where(missing, 0, diff)[bad],
+                                   pa.int64())})
+
+    return joined.map_batches(verdict, batch_format="pyarrow")

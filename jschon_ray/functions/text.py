@@ -9,6 +9,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -559,3 +560,42 @@ def chunk_documents(ds, *, col: str = "text", id_col: str = "doc_id",
             "chunk_text": pa.array(out_text, pa.string())})
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def lexical_diversity_batch(batch: pa.Table, col: str = "text",
+                            id_col: str = "doc_id") -> pa.Table:
+    """Lexical-diversity quality metrics per document, one vectorized
+    pass: token count, distinct-token count, hapax count (tokens seen
+    exactly once in the doc — hapax/n_tokens is a standard
+    machine-generated-text signal), and Shannon token entropy (base 2,
+    H = log2(n) - Σ c·log2 c / n over the doc's token counts — the
+    identity keeps it one reduceat, matching DuckDB's `entropy()`).
+    Docs with zero tokens (null/empty/whitespace) emit nothing, mirroring
+    the oracle's unnest semantics. Same segmented np.unique skeleton as
+    `repetition_batch`; stateless, fuses with the read."""
+    n = batch.num_rows
+    toks = pc.split_pattern_regex(batch[col], r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep)
+    parents = parents.filter(keep).to_numpy(zero_copy_only=False)
+    n_tokens = np.bincount(parents, minlength=n).astype(np.int64)
+    codes, uniques = pd.factorize(flat.to_numpy(zero_copy_only=False))
+    k = max(len(uniques), 1)
+    pair = parents.astype(np.int64) * k + codes
+    upair, counts = np.unique(pair, return_counts=True)
+    doc_of = (upair // k).astype(np.int64)
+    n_distinct = np.bincount(doc_of, minlength=n).astype(np.int64)
+    n_hapax = np.bincount(doc_of[counts == 1], minlength=n).astype(np.int64)
+    clogc = np.zeros(n, np.float64)
+    np.add.at(clogc, doc_of, counts * np.log2(counts))
+    nz = n_tokens > 0
+    ent = np.zeros(n, np.float64)
+    ent[nz] = np.log2(n_tokens[nz]) - clogc[nz] / n_tokens[nz]
+    ids = batch[id_col].to_numpy(zero_copy_only=False)[nz]
+    return pa.table({id_col: pa.array(ids),
+                     "n_tokens": pa.array(n_tokens[nz]),
+                     "n_distinct": pa.array(n_distinct[nz]),
+                     "n_hapax": pa.array(n_hapax[nz]),
+                     "token_entropy": pa.array(np.round(ent[nz], 4))})

@@ -386,3 +386,53 @@ def event_bigrams(ds, *, user_col: str, ts_col: str, tie_col: str,
                          "n": t["sum(n)"].cast(pa.int64())})
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def keyed_moving_median(ds, *, key_col: str, ts_col: str, tie_col: str,
+                        value_col: str, k: int = 3, num_buckets: int = 64,
+                        decimals: int = 4):
+    """Per-key trailing moving median (robust smoothing): SQL
+    `median(v) OVER (PARTITION BY key ORDER BY ts, tie ROWS BETWEEN
+    k-1 PRECEDING AND CURRENT ROW)` semantics, window truncated at the
+    key's first row. Even windows interpolate (mean of the middle two),
+    matching DuckDB's continuous median.
+
+    Same hash-bucketed shape as `keyed_window_scan` (one narrow shuffle,
+    bounded group count, keys never split). Inside a bucket the window
+    is materialized as a (k, n) lag matrix with NaN outside the frame
+    and reduced with ONE np.nanmedian — vectorized for the small fixed
+    k this op targets; a large-k variant would switch to a sliding
+    two-heap pass instead.
+
+    Emits (key_col, tie_col, med) with `med` rounded to `decimals` so
+    float interpolation hash-matches the oracle.
+    """
+    narrow = ds.select_columns([key_col, ts_col, tie_col, value_col])
+    keyed = narrow.map_batches(
+        functools.partial(_key_bucket, key_col=key_col,
+                          num_buckets=num_buckets),
+        batch_format="pyarrow")
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tie_col], kind="mergesort")
+        n = len(g)
+        v = g[value_col].to_numpy(np.float64)
+        keys = g[key_col].to_numpy()
+        idx = np.arange(n, dtype=np.int64)
+        new_seg = np.empty(n, dtype=bool)
+        if n:
+            new_seg[0] = True
+            new_seg[1:] = keys[1:] != keys[:-1]
+        seg = np.maximum.accumulate(np.where(new_seg, idx, 0))
+        lag = np.full((k, n), np.nan)
+        for j in range(k):                 # k is small and fixed
+            src = idx - j
+            ok = src >= seg
+            lag[j, ok] = v[src[ok]]
+        med = np.round(np.nanmedian(lag, axis=0), decimals)
+        return pd.DataFrame({key_col: keys,
+                             tie_col: g[tie_col].to_numpy(),
+                             "med": med})
+
+    return keyed.groupby("_bucket").map_groups(scan_bucket,
+                                               batch_format="pandas")

@@ -995,6 +995,63 @@ GROUP BY l_returnflag
 """
 
 
+def q_iqr_filter_lineitem(sf_dir):
+    """Tukey-fence outlier REMOVAL per group: exact per-group q1/q3
+    (iterative histogram refinement — fixed-size counts to the driver,
+    the column never shuffles), fences q1/q3 ∓ 1.5*IQR broadcast into a
+    stateless filter pass. Bounds are exact column elements, so the
+    float fence arithmetic is bit-identical to the oracle's."""
+    import ray
+
+    from ..functions.quantiles import grouped_quantile_disc
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_returnflag", "l_extendedprice"])
+    ds = _drop_null_rows(ds, ["l_returnflag", "l_extendedprice"])
+    narrow = ds.materialize()
+    q1 = grouped_quantile_disc(narrow, "l_returnflag", "l_extendedprice",
+                               0.25, bins=512, gather_limit=4096,
+                               materialize=False, out="q1")
+    q3 = grouped_quantile_disc(narrow, "l_returnflag", "l_extendedprice",
+                               0.75, bins=512, gather_limit=4096,
+                               materialize=False, out="q3")
+    b = q1.merge(q3, on="l_returnflag")
+    iqr = b["q3"] - b["q1"]
+    b["lo"] = b["q1"] - 1.5 * iqr
+    b["hi"] = b["q3"] + 1.5 * iqr
+    fences = ray.put({k: (lo, hi) for k, lo, hi
+                      in zip(b["l_returnflag"], b["lo"], b["hi"])})
+
+    def keep(t: pa.Table, fref) -> pa.Table:
+        import ray as _ray
+        f = _ray.get(fref)
+        keys = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        v = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        codes, uni = pd.factorize(keys)   # O(n) C pass + O(groups) python
+        lo = np.array([f[u][0] for u in uni])[codes]
+        hi = np.array([f[u][1] for u in uni])[codes]
+        return t.filter(pa.array((v >= lo) & (v <= hi)))
+
+    return narrow.map_batches(keep, fn_args=(fences,),
+                              batch_format="pyarrow")
+
+
+_IQR_FILTER_SQL = """
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(quantile_disc(l_extendedprice, 0.25) AS DOUBLE) AS q1,
+         CAST(quantile_disc(l_extendedprice, 0.75) AS DOUBLE) AS q3
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY l_returnflag)
+SELECT l.l_returnflag, l.l_extendedprice
+FROM lineitem l JOIN b USING (l_returnflag)
+WHERE l.l_extendedprice IS NOT NULL
+  AND l.l_extendedprice >= q1 - 1.5 * (q3 - q1)
+  AND l.l_extendedprice <= q3 + 1.5 * (q3 - q1)
+"""
+
+
 def q_zscore_lineitem(sf_dir):
     """Distribution-aware outlier scoring: per-row z against the row's
     group stats (two phases — key-count-sized moment shuffle, then a
@@ -2231,6 +2288,55 @@ FROM c
 """
 
 
+def q_order_totals_consistency(sf_dir):
+    """Cross-table aggregate consistency: each order's stored
+    o_totalprice vs the sum of its lineitems' extendedprice*(1-disc)*
+    (1+tax), within 1% relative — plus orders with no lineitems at all.
+    Integer-cents verdicts; the synthetic tables deliberately violate
+    the TPC-H identity, so the violation stream is dense."""
+    from ..functions.relational import aggregate_consistency_violations
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_extendedprice",
+                             "l_discount", "l_tax"])
+
+    def charge(t: pa.Table) -> pa.Table:
+        v = pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pc.add(pa.scalar(1.0), t["l_tax"]))
+        return pa.table({"o_orderkey": t["l_orderkey"], "charge": v})
+
+    detail = li.map_batches(charge, batch_format="pyarrow")
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_totalprice"])
+    return aggregate_consistency_violations(
+        detail, orders, key="o_orderkey", detail_value_col="charge",
+        master_total_col="o_totalprice", rel_tol=0.01)
+
+
+_ORDER_TOTALS_CONSISTENCY_SQL = """
+WITH s AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) *
+                             (1 + l_tax) * 100) AS BIGINT))
+              AS BIGINT) AS calc_cents
+  FROM lineitem GROUP BY l_orderkey),
+j AS (
+  SELECT o_orderkey, o_totalprice, calc_cents,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+         CAST(round(abs(o_totalprice) * 1.0) AS BIGINT) AS tol_cents
+  FROM orders o LEFT JOIN s ON o.o_orderkey = s.l_orderkey)
+SELECT o_orderkey,
+       CASE WHEN calc_cents IS NULL THEN 'missing_detail'
+            ELSE 'total_mismatch' END AS reason,
+       CASE WHEN calc_cents IS NULL THEN 0
+            ELSE total_cents - calc_cents END AS diff_cents
+FROM j
+WHERE calc_cents IS NULL OR abs(total_cents - calc_cents) > tol_cents
+"""
+
+
 def q_dup_ngrams_docs(sf_dir):
     """Cross-document duplicated 5-gram counts per doc (the measurement
     behind exact-substring dedup): distinct word 5-grams per doc, df>=2
@@ -2551,6 +2657,36 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 
+def q_lexdiv_docs(sf_dir):
+    """Lexical-diversity quality metrics (token/distinct/hapax counts +
+    Shannon token entropy): the standard repetitive/generated-text
+    filters. Stateless batch kernel fused with the read."""
+    from ..functions.text import lexical_diversity_batch
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    return ds.map_batches(lexical_diversity_batch, batch_format="pyarrow")
+
+
+_LEXDIV_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+agg AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+ent AS (SELECT doc_id, round(entropy(tok), 4) AS token_entropy
+        FROM toks GROUP BY doc_id)
+SELECT a.doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       any_value(token_entropy) AS token_entropy
+FROM agg a JOIN ent USING (doc_id)
+GROUP BY a.doc_id
+"""
+
+
 def q_pii_docs(sf_dir):
     """PII scan over a deterministically PII-augmented text column (the
     synthetic docs contain no organic PII; both sides build the same
@@ -2756,6 +2892,26 @@ SELECT user_id, event_id,
   CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_n
 FROM v
+"""
+
+
+def q_events_moving_median(sf_dir):
+    """Per-user trailing 3-row moving median of event values (robust
+    smoothing for time series): the lag-matrix nanmedian pass over the
+    same bucketed segmented-scan shuffle as the window aggregates."""
+    from ..functions.windows import keyed_moving_median
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["user_id", "ts", "event_id", "value"])
+    return keyed_moving_median(ds, key_col="user_id", ts_col="ts",
+                               tie_col="event_id", value_col="value", k=3)
+
+
+_EVENTS_MOVING_MEDIAN_SQL = """
+SELECT user_id, event_id,
+       round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS med
+FROM events
 """
 
 
@@ -3094,6 +3250,7 @@ def build_queries() -> dict:
         "orders_broadcast_enrich": q_orders_broadcast_enrich,
         "uniqueness_lineitem_composite": q_uniqueness_lineitem_composite,
         "events_user_windows": q_events_user_windows,
+        "events_moving_median": q_events_moving_median,
         "docs_ntile": q_docs_ntile,
         "custkeys_without_orders": q_custkeys_without_orders,
         "referential_shuffle_lineitem": q_referential_shuffle_lineitem,
@@ -3103,6 +3260,7 @@ def build_queries() -> dict:
         "oov_docs": q_oov_docs,
         "dup_clusters_docs": q_dup_clusters_docs,
         "dup_ngrams_docs": q_dup_ngrams_docs,
+        "order_totals_consistency": q_order_totals_consistency,
         "dedup_corpus_docs": q_dedup_corpus_docs,
         "quantiles_lineitem": q_quantiles_lineitem,
         "lineitem_mode_qty": q_lineitem_mode_qty,
@@ -3120,6 +3278,7 @@ def build_queries() -> dict:
         "interval_join_events": q_interval_join_events,
         "chunk_docs": q_chunk_docs,
         "zscore_lineitem": q_zscore_lineitem,
+        "iqr_filter_lineitem": q_iqr_filter_lineitem,
         "grouped_p90_lineitem": q_grouped_p90_lineitem,
         "mixture_docs": q_mixture_docs,
         "percent_rank_lineitem": q_percent_rank_lineitem,
@@ -3142,6 +3301,7 @@ def build_queries() -> dict:
         "fingerprint_docs": q_fingerprint_docs,
         "normalize_docs": q_normalize_docs,
         "repetition_docs": q_repetition_docs,
+        "lexdiv_docs": q_lexdiv_docs,
         "pii_docs": q_pii_docs,
         "contamination_docs": q_contamination_docs,
         "shuffle_docs": q_shuffle_docs,
@@ -3202,6 +3362,7 @@ def build_oracles() -> dict:
         "orders_broadcast_enrich": _priority_dim_sql(),
         "uniqueness_lineitem_composite": _UNIQUENESS_COMPOSITE_SQL,
         "events_user_windows": _EVENTS_USER_WINDOWS_SQL,
+        "events_moving_median": _EVENTS_MOVING_MEDIAN_SQL,
         "docs_ntile": _DOCS_NTILE_SQL,
         "custkeys_without_orders": _CUSTKEYS_EXCEPT_SQL,
         "referential_shuffle_lineitem": _REFERENTIAL_SHUFFLE_SQL,
@@ -3211,6 +3372,7 @@ def build_oracles() -> dict:
         "oov_docs": _OOV_SQL,
         "dup_clusters_docs": _DUP_CLUSTERS_SQL,
         "dup_ngrams_docs": _DUP_NGRAMS_DOCS_SQL,
+        "order_totals_consistency": _ORDER_TOTALS_CONSISTENCY_SQL,
         "dedup_corpus_docs": _DEDUP_CORPUS_SQL,
         "quantiles_lineitem": _QUANTILES_LINEITEM_SQL,
         "lineitem_mode_qty": _LINEITEM_MODE_SQL,
@@ -3228,6 +3390,7 @@ def build_oracles() -> dict:
         "interval_join_events": _INTERVAL_JOIN_SQL,
         "chunk_docs": _CHUNK_DOCS_SQL,
         "zscore_lineitem": _ZSCORE_SQL,
+        "iqr_filter_lineitem": _IQR_FILTER_SQL,
         "grouped_p90_lineitem": _GROUPED_P90_SQL,
         "mixture_docs": _MIXTURE_SQL,
         "percent_rank_lineitem": _PERCENT_RANK_SQL,
@@ -3250,6 +3413,7 @@ def build_oracles() -> dict:
         "fingerprint_docs": _FINGERPRINT_SQL,
         "normalize_docs": _NORMALIZE_SQL,
         "repetition_docs": _REPETITION_SQL,
+        "lexdiv_docs": _LEXDIV_SQL,
         "pii_docs": _pii_sql(),
         "contamination_docs": _contamination_sql(),
         "shuffle_docs": _SHUFFLE_SQL,

@@ -204,3 +204,27 @@ def test_event_bigrams_vs_duckdb(ray_session):
         ORDER BY prev, next""").df()
     assert (out["prev"].to_numpy() == exp["prev"].to_numpy()).all()
     assert (out["n"].to_numpy() == exp["n"].to_numpy()).all()
+
+
+def test_keyed_moving_median_vs_pandas(ray_session):
+    """Moving median equals pandas rolling(min_periods=1).median per
+    key, for k=3 over shuffled multi-key input."""
+    import ray.data as rd
+    from jschon_ray.functions.windows import keyed_moving_median
+
+    rng = np.random.default_rng(5)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 20, n),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": np.round(rng.normal(0, 10, n), 2)})
+    out = keyed_moving_median(
+        rd.from_pandas(df), key_col="user_id", ts_col="ts",
+        tie_col="event_id", value_col="value", k=3).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    exp = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    exp["med"] = exp.groupby("user_id")["value"].transform(
+        lambda s: s.rolling(3, min_periods=1).median())
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    np.testing.assert_allclose(out["med"], np.round(exp["med"], 4))

@@ -269,3 +269,27 @@ def test_equi_width_histogram_exact_and_clamped(ray_session):
         .set_index("bin")["n"].to_dict()
     # -50 clamps into bin 0; 999 -> bin 4 (in range); 1000/5000 clamp to 4
     assert out == {0: 3, 1: 2, 2: 1, 4: 3}
+
+
+def test_aggregate_consistency_violations(ray_session):
+    """Masters with consistent, off-by-more-than-tol, and missing
+    detail rows; verdicts in exact cents."""
+    import ray.data as rd
+    from jschon_ray.functions.relational import (
+        aggregate_consistency_violations)
+
+    detail = pa.table({"k": pa.array([1, 1, 2, 3], pa.int64()),
+                       "v": pa.array([50.0, 50.25, 10.0, 7.0])})
+    master = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                       "total": pa.array([100.25, 10.05, 9.0, 5.0])})
+    out = aggregate_consistency_violations(
+        rd.from_arrow(detail), rd.from_arrow(master), key="k",
+        detail_value_col="v", master_total_col="total",
+        rel_tol=0.01).to_pandas().set_index("k")
+    # k=1 exact match; k=2 diff 5 cents < tol 10 cents -> consistent;
+    # k=3 diff 200 cents > tol 9 -> mismatch; k=4 no detail rows
+    assert set(out.index) == {3, 4}
+    assert out.loc[3, "reason"] == "total_mismatch"
+    assert out.loc[3, "diff_cents"] == 200
+    assert out.loc[4, "reason"] == "missing_detail"
+    assert out.loc[4, "diff_cents"] == 0

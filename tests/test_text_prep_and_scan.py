@@ -286,3 +286,30 @@ def test_global_value_rank_vs_duckdb(ray_session):
     assert (out["id"].to_numpy() == exp["id"].to_numpy()).all()
     assert (out["rank"].to_numpy() == exp["rank"].to_numpy()).all()
     assert np.allclose(out["pct"], exp["pct"], atol=0)
+
+
+def test_lexical_diversity_hand_computed(ray_session):
+    """Hand-checked entropy/hapax on tiny docs; empty and null docs
+    emit nothing."""
+    import math
+
+    import ray.data as rd
+    from jschon_ray.functions.text import lexical_diversity_batch
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": pa.array(["a a b c", "x x x x", "", None])})
+    out = rd.from_arrow(t).map_batches(
+        lexical_diversity_batch, batch_format="pyarrow") \
+        .to_pandas().set_index("doc_id")
+    assert set(out.index) == {0, 1}
+    # doc 0: counts {a:2, b:1, c:1}; H = 2 - (2*1)/4 = 1.5
+    assert out.loc[0, "n_tokens"] == 4
+    assert out.loc[0, "n_distinct"] == 3
+    assert out.loc[0, "n_hapax"] == 2
+    assert out.loc[0, "token_entropy"] == 1.5
+    # doc 1: single repeated token -> zero entropy, zero hapax
+    assert out.loc[1, "n_distinct"] == 1
+    assert out.loc[1, "n_hapax"] == 0
+    assert out.loc[1, "token_entropy"] == 0.0
+    assert math.isclose(out.loc[0, "token_entropy"],
+                        -(0.5 * math.log2(0.5) + 2 * 0.25 * math.log2(0.25)))
