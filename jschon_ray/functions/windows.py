@@ -436,3 +436,115 @@ def keyed_moving_median(ds, *, key_col: str, ts_col: str, tie_col: str,
 
     return keyed.groupby("_bucket").map_groups(scan_bucket,
                                                batch_format="pandas")
+
+
+def keyed_lag(ds, *, key_col: str, ts_col: str, tie_col: str,
+              value_col: str, num_buckets: int = 64, decimals: int = 4):
+    """Per-key LAG deltas: microsecond gap since the previous row and
+    value change vs the previous row, ordered by (ts, tie) within each
+    key — SQL `x - lag(x) OVER (PARTITION BY key ORDER BY ts, tie)`
+    semantics with NULL on each key's first row.
+
+    Same hash-bucketed segmented-scan shape as `keyed_window_scan`: one
+    narrow shuffle into a bounded number of buckets (keys never split),
+    then a vectorized diff per bucket — no per-key dispatch, no driver
+    loop, and the wide columns never move.
+
+    Emits (key_col, tie_col, gap_us:int64?, value_delta:double?); the
+    delta is rounded to `decimals` so it hash-matches a SQL oracle.
+    """
+    narrow = ds.select_columns([key_col, ts_col, tie_col, value_col])
+    keyed = narrow.map_batches(
+        functools.partial(_key_bucket, key_col=key_col,
+                          num_buckets=num_buckets),
+        batch_format="pyarrow")
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tie_col], kind="mergesort")
+        n = len(g)
+        keys = g[key_col].to_numpy()
+        first = np.empty(n, dtype=bool)
+        if n:
+            first[0] = True
+            first[1:] = keys[1:] != keys[:-1]
+        ts_us = g[ts_col].to_numpy().astype("datetime64[us]") \
+                                    .astype(np.int64)
+        v = g[value_col].to_numpy(np.float64)
+        gap = np.zeros(n, dtype=np.int64)
+        dv = np.zeros(n, dtype=np.float64)
+        if n:
+            gap[1:] = ts_us[1:] - ts_us[:-1]
+            dv[1:] = v[1:] - v[:-1]
+        return pd.DataFrame({
+            key_col: keys,
+            tie_col: g[tie_col].to_numpy(),
+            "gap_us": pd.array(np.where(first, 0, gap), dtype="Int64")
+                      .copy() if n else pd.array([], dtype="Int64"),
+            "value_delta": np.round(dv, decimals),
+            "_first": first,
+        })
+
+    out = keyed.groupby("_bucket").map_groups(scan_bucket,
+                                              batch_format="pandas")
+
+    def null_first(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.invert(t["_first"])
+        gap = pc.if_else(keep, t["gap_us"], pa.nulls(len(t), pa.int64()))
+        dv = pc.if_else(keep, t["value_delta"],
+                        pa.nulls(len(t), pa.float64()))
+        return pa.table({key_col: t[key_col], tie_col: t[tie_col],
+                         "gap_us": gap, "value_delta": dv})
+
+    return out.map_batches(null_first, batch_format="pyarrow")
+
+
+def keyed_throttle(ds, *, key_col: str, ts_col: str, tie_col: str,
+                   min_gap_us: int, num_buckets: int = 64):
+    """LAG-based rate limiting: keep a row iff it is the key's first
+    row or arrived at least `min_gap_us` after the PREVIOUS row (kept
+    or not) — i.e. SQL `lag(ts)`-relative throttling, which stays
+    window-expressible (a kept-relative throttle would be a sequential
+    dependency and lose SQL parity).
+
+    Emits the kept (key_col, tie_col, gap_us) rows; `gap_us` is NULL on
+    first-of-key rows. One narrow bucketed shuffle, vectorized diff.
+    """
+    narrow = ds.select_columns([key_col, ts_col, tie_col])
+    keyed = narrow.map_batches(
+        functools.partial(_key_bucket, key_col=key_col,
+                          num_buckets=num_buckets),
+        batch_format="pyarrow")
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tie_col], kind="mergesort")
+        n = len(g)
+        keys = g[key_col].to_numpy()
+        first = np.empty(n, dtype=bool)
+        if n:
+            first[0] = True
+            first[1:] = keys[1:] != keys[:-1]
+        ts_us = g[ts_col].to_numpy().astype("datetime64[us]") \
+                                    .astype(np.int64)
+        gap = np.zeros(n, dtype=np.int64)
+        if n:
+            gap[1:] = ts_us[1:] - ts_us[:-1]
+        keep = first | (gap >= min_gap_us)
+        out = pd.DataFrame({
+            key_col: keys[keep],
+            tie_col: g[tie_col].to_numpy()[keep],
+            "gap_us": pd.array(gap[keep], dtype="Int64"),
+            "_first": first[keep]})
+        return out
+
+    out = keyed.groupby("_bucket").map_groups(scan_bucket,
+                                              batch_format="pandas")
+
+    def null_first(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        gap = pc.if_else(pc.invert(t["_first"]), t["gap_us"],
+                         pa.nulls(len(t), pa.int64()))
+        return pa.table({key_col: t[key_col], tie_col: t[tie_col],
+                         "gap_us": gap})
+
+    return out.map_batches(null_first, batch_format="pyarrow")

@@ -1199,7 +1199,8 @@ def q_q3_shipping(sf_dir):
         t = t.filter(pc.fill_null(keep, False))
         rev = pc.round(pc.multiply(
             pc.multiply(t["l_extendedprice"], 100.0),
-            pc.subtract(1.0, t["l_discount"]))).cast(pa.int64())
+            pc.subtract(1.0, t["l_discount"])),
+            round_mode="half_towards_infinity").cast(pa.int64())
         return pa.table({"o_orderkey": t["l_orderkey"],
                          "rev_e2": rev})
 
@@ -3307,6 +3308,11 @@ def build_queries() -> dict:
         "shuffle_docs": q_shuffle_docs,
         "pack_docs": q_pack_docs,
         "drift_psi_bins_lineitem": q_drift_psi_bins_lineitem,
+        "events_lag_delta": q_events_lag_delta,
+        "events_throttle": q_events_throttle,
+        "q5_nation_revenue": q_q5_nation_revenue,
+        "q10_returned_revenue": q_q10_returned_revenue,
+        "repeat_customers": q_repeat_customers,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3419,6 +3425,11 @@ def build_oracles() -> dict:
         "shuffle_docs": _SHUFFLE_SQL,
         "pack_docs": _PACK_SQL,
         "drift_psi_bins_lineitem": _DRIFT_PSI_SQL,
+        "events_lag_delta": _EVENTS_LAG_DELTA_SQL,
+        "events_throttle": _EVENTS_THROTTLE_SQL,
+        "q5_nation_revenue": _Q5_NATION_REVENUE_SQL,
+        "q10_returned_revenue": _Q10_RETURNED_REVENUE_SQL,
+        "repeat_customers": _REPEAT_CUSTOMERS_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -3434,3 +3445,301 @@ def build_oracles() -> dict:
             _grouped_stats_codec_sql("/root/testdata/sf0.01"),
     }
     return sql
+
+
+def q_events_lag_delta(sf_dir):
+    """Per-user LAG deltas: microsecond gap and value change vs the
+    previous event ordered by (ts, event_id) — the SQL lag() window
+    recast as a bucketed segmented scan (one narrow shuffle, keys never
+    split across buckets, vectorized diff per bucket)."""
+    from ..functions.windows import keyed_lag
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["user_id", "ts", "event_id", "value"])
+    return keyed_lag(ds, key_col="user_id", ts_col="ts",
+                     tie_col="event_id", value_col="value")
+
+
+_EVENTS_LAG_DELTA_SQL = """
+SELECT user_id, event_id,
+       date_diff('microsecond', lag(ts) OVER w, ts) AS gap_us,
+       round(value - lag(value) OVER w, 4) AS value_delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_events_throttle(sf_dir):
+    """LAG-relative rate limiting: keep an event iff it is the user's
+    first or arrived >= 6h after the previous event (kept or not) —
+    dedup/throttling primitive for event streams, window-expressible so
+    it keeps SQL parity. Same segmented-scan shuffle as keyed_lag."""
+    from ..functions.windows import keyed_throttle
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["user_id", "ts", "event_id"])
+    return keyed_throttle(ds, key_col="user_id", ts_col="ts",
+                          tie_col="event_id",
+                          min_gap_us=21_600_000_000)
+
+
+_EVENTS_THROTTLE_SQL = """
+WITH w AS (
+  SELECT user_id, event_id,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id),
+                   ts) AS gap_us
+  FROM events)
+SELECT user_id, event_id, gap_us
+FROM w
+WHERE gap_us IS NULL OR gap_us >= 21600000000
+"""
+
+
+def q_q5_nation_revenue(sf_dir):
+    """TPC-H Q5 analogue (local supplier volume): revenue per nation for
+    one region + one order year where the supplying nation equals the
+    customer nation. The six-table plan split scale-appropriately:
+    region/nation/supplier are broadcast dims (never shuffled),
+    customer x orders and orders x lineitem are the two large-large
+    bucketed hash joins. Revenue in exact integer cents (per-row round
+    like the oracle) so sums hash-match under any block order.
+
+    Reference analogy: a $ref chain across six schema resources
+    (jschon vocabulary/core.py:82-103) recast as join composition.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.join import broadcast_join, hash_join
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    region = read_table(table_path(sf_dir, "region")).to_pandas()
+    nation = read_table(table_path(sf_dir, "nation")).to_pandas()
+    rkeys = set(region.loc[region.r_name == "ASIA", "r_regionkey"])
+    nat = nation[nation.n_regionkey.isin(rkeys)]
+    nat_keys = pa.array(sorted(int(k) for k in nat.n_nationkey),
+                        pa.int32())
+    nat_names = dict(zip((int(k) for k in nat.n_nationkey), nat.n_name))
+
+    cust = read_table(table_path(sf_dir, "customer"),
+                      columns=["c_custkey", "c_nationkey"])
+
+    def filter_cust(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["c_nationkey"], value_set=nat_keys)
+        t = t.filter(pc.fill_null(keep, False))
+        return pa.table({"o_custkey": t["c_custkey"],
+                         "c_nationkey": t["c_nationkey"]})
+
+    cust = cust.map_batches(filter_cust, batch_format="pyarrow")
+
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi)))
+        return t.filter(pc.fill_null(keep, False)) \
+                .select(["o_orderkey", "o_custkey"])
+
+    orders = orders.map_batches(filter_orders, batch_format="pyarrow")
+    co = hash_join(orders, cust, on="o_custkey", how="inner")
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+
+    def project_li(t: pa.Table) -> pa.Table:
+        rev = pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"], 100.0),
+            pc.subtract(1.0, t["l_discount"])),
+            round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "rev_e2": rev})
+
+    li = li.map_batches(project_li, batch_format="pyarrow")
+    j = hash_join(li, co.select_columns(["o_orderkey", "c_nationkey"]),
+                  on="o_orderkey", how="inner")
+
+    supp = read_table(table_path(sf_dir, "supplier"),
+                      columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = pa.table({"l_suppkey": pa.array(supp.s_suppkey, pa.int64()),
+                     "s_nationkey": pa.array(supp.s_nationkey, pa.int32())})
+    j = broadcast_join(j, supp, on="l_suppkey", how="inner")
+
+    def local_only(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["s_nationkey"].cast(pa.int32()),
+                        t["c_nationkey"].cast(pa.int32()))
+        t = t.filter(pc.fill_null(keep, False))
+        names = pa.array(
+            [nat_names.get(int(k)) if k is not None else None
+             for k in t["s_nationkey"].to_pylist()], pa.string())
+        return pa.table({"n_name": names, "rev_e2": t["rev_e2"]})
+
+    j = j.map_batches(local_only, batch_format="pyarrow")
+    agg = j.groupby("n_name").aggregate(Sum("rev_e2",
+                                            alias_name="revenue_e2"))
+
+    def fix(t: pa.Table) -> pa.Table:
+        col = t["revenue_e2"]
+        if col.type != pa.int64():
+            t = t.set_column(t.schema.get_field_index("revenue_e2"),
+                             "revenue_e2", pc.round(col).cast(pa.int64()))
+        return t
+
+    return agg.map_batches(fix, batch_format="pyarrow") \
+              .sort("revenue_e2", descending=True)
+
+
+_Q5_NATION_REVENUE_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100 * (1 - l_discount))
+                     AS BIGINT)) AS BIGINT) AS revenue_e2
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue_e2 DESC
+"""
+
+
+def q_q10_returned_revenue(sf_dir):
+    """TPC-H Q10 analogue (returned-item reporting): top-20 customers by
+    revenue lost to returns in one quarter. lineitem x orders is the
+    large-large bucketed hash join; the per-customer revenue aggregate
+    is then small and joins customer via a second bucketed join; nation
+    names resolve from a broadcast dict. Deterministic tie-break
+    (revenue DESC, custkey ASC) on both sides keeps the LIMIT exact.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.join import hash_join
+
+    lo = pd.Timestamp("1996-10-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_returnflag",
+                             "l_extendedprice", "l_discount"])
+
+    def filter_li(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["l_returnflag"], "R")
+        t = t.filter(pc.fill_null(keep, False))
+        rev = pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"], 100.0),
+            pc.subtract(1.0, t["l_discount"])),
+            round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"o_orderkey": t["l_orderkey"], "rev_e2": rev})
+
+    li = li.map_batches(filter_li, batch_format="pyarrow")
+
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi)))
+        return t.filter(pc.fill_null(keep, False)) \
+                .select(["o_orderkey", "o_custkey"])
+
+    orders = orders.map_batches(filter_orders, batch_format="pyarrow")
+    j = hash_join(li, orders, on="o_orderkey", how="inner")
+    agg = j.groupby("o_custkey").aggregate(Sum("rev_e2",
+                                               alias_name="revenue_e2"))
+
+    def to_custkey(t: pa.Table) -> pa.Table:
+        col = t["revenue_e2"]
+        if col.type != pa.int64():
+            col = pc.round(col).cast(pa.int64())
+        return pa.table({"c_custkey": t["o_custkey"], "revenue_e2": col})
+
+    agg = agg.map_batches(to_custkey, batch_format="pyarrow")
+
+    cust = read_table(table_path(sf_dir, "customer"),
+                      columns=["c_custkey", "c_name", "c_nationkey"])
+    j2 = hash_join(agg, cust, on="c_custkey", how="inner")
+
+    nation = read_table(table_path(sf_dir, "nation")).to_pandas()
+    nat_names = dict(zip((int(k) for k in nation.n_nationkey),
+                         nation.n_name))
+
+    def add_nation(t: pa.Table) -> pa.Table:
+        names = pa.array(
+            [nat_names.get(int(k)) if k is not None else None
+             for k in t["c_nationkey"].to_pylist()], pa.string())
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "c_name": t["c_name"],
+                         "n_name": names,
+                         "revenue_e2": t["revenue_e2"]})
+
+    return j2.map_batches(add_nation, batch_format="pyarrow") \
+             .sort(["revenue_e2", "c_custkey"],
+                   descending=[True, False]).limit(20)
+
+
+_Q10_RETURNED_REVENUE_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(l_extendedprice * 100 * (1 - l_discount))
+                       AS BIGINT)) AS BIGINT) AS revenue_e2
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-10-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY o_custkey)
+SELECT c_custkey, c_name, n_name, revenue_e2
+FROM rev
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+ORDER BY revenue_e2 DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_repeat_customers(sf_dir):
+    """Customers who ordered in BOTH 1996 and 1997 — SQL INTERSECT via
+    the distributed key-set op: each block reduces to its distinct keys
+    first (payload rows never shuffle), then one keys-only groupby sums
+    per-side presence."""
+    from ..functions.join import key_set_op
+
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_custkey", "o_orderdate"])
+
+    def year(ds, y):
+        lo = pd.Timestamp(f"{y}-01-01")
+        hi = pd.Timestamp(f"{y + 1}-01-01")
+
+        def f(t: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                pc.less(t["o_orderdate"], pa.scalar(hi)))
+            return t.filter(pc.fill_null(keep, False)) \
+                    .select(["o_custkey"])
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    return key_set_op(year(orders, 1996), year(orders, 1997),
+                      on_a="o_custkey", on_b="o_custkey",
+                      op="intersect", out="custkey")
+
+
+_REPEAT_CUSTOMERS_SQL = """
+SELECT o_custkey AS custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+"""

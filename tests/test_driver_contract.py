@@ -132,6 +132,8 @@ def test_entry_smoke(entry_mod):
     "zscore_lineitem", "grouped_p90_lineitem", "mixture_docs",
     "percent_rank_lineitem", "event_bigrams",
     "embedding_dup_clusters",
+    "events_lag_delta", "events_throttle", "q5_nation_revenue",
+    "q10_returned_revenue", "repeat_customers",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()
