@@ -103,3 +103,21 @@ def mixture_resample(ds, *, id_col: str, group_col: str,
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def weighted_sample(batch: pa.Table, *, id_col: str, weight_col: str,
+                    factor: float) -> pa.Table:
+    """Weight-proportional deterministic Bernoulli sample: keep a row iff
+    ``u(id) * factor < weight`` — i.e. with probability min(1, w/factor),
+    reproducibly by id hash (same md5 unit-interval recipe as
+    `assign_split`, so oracles and retried tasks pick the SAME rows).
+
+    Pure per-batch kernel: no shuffle, no global pass; heavier documents
+    are kept proportionally more often, the standard weighted-importance
+    downsample for mixing pretraining corpora.
+    """
+    ids = batch[id_col].to_pylist()
+    u = _unit_hash(ids)
+    w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    keep = (u * factor) < w
+    return batch.filter(pa.array(keep))

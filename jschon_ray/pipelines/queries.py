@@ -3313,6 +3313,9 @@ def build_queries() -> dict:
         "q5_nation_revenue": q_q5_nation_revenue,
         "q10_returned_revenue": q_q10_returned_revenue,
         "repeat_customers": q_repeat_customers,
+        "q13_order_distribution": q_q13_order_distribution,
+        "q18_large_orders": q_q18_large_orders,
+        "weighted_sample_docs": q_weighted_sample_docs,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3430,6 +3433,9 @@ def build_oracles() -> dict:
         "q5_nation_revenue": _Q5_NATION_REVENUE_SQL,
         "q10_returned_revenue": _Q10_RETURNED_REVENUE_SQL,
         "repeat_customers": _REPEAT_CUSTOMERS_SQL,
+        "q13_order_distribution": _Q13_ORDER_DISTRIBUTION_SQL,
+        "q18_large_orders": _Q18_LARGE_ORDERS_SQL,
+        "weighted_sample_docs": _WEIGHTED_SAMPLE_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -3742,4 +3748,132 @@ INTERSECT
 SELECT o_custkey FROM orders
 WHERE o_orderdate >= TIMESTAMP '1997-01-01'
   AND o_orderdate < TIMESTAMP '1998-01-01'
+"""
+
+
+def q_q13_order_distribution(sf_dir):
+    """TPC-H Q13 analogue (customer order-count distribution): how many
+    customers placed exactly k orders, including the zero bucket. Two
+    narrow keys-only aggregations (orders custkey -> per-customer count,
+    then count -> histogram) plus the distinct-key EXCEPT for
+    zero-order customers — payload columns never shuffle, and the
+    second groupby input is at most |customers| rows."""
+    import ray.data
+
+    from ..functions.join import key_set_op
+
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_custkey"])
+    per_cust = orders.groupby("o_custkey").count()
+
+    def to_count(t: pa.Table) -> pa.Table:
+        return pa.table({"c_count": t["count()"].cast(pa.int64())})
+
+    hist = per_cust.map_batches(to_count, batch_format="pyarrow") \
+                   .groupby("c_count").count()
+
+    def to_dist(t: pa.Table) -> pa.Table:
+        return pa.table({"c_count": t["c_count"],
+                         "custdist": t["count()"].cast(pa.int64())})
+
+    hist = hist.map_batches(to_dist, batch_format="pyarrow")
+
+    cust = read_table(table_path(sf_dir, "customer"),
+                      columns=["c_custkey"])
+    n_zero = key_set_op(cust, orders, on_a="c_custkey", on_b="o_custkey",
+                        op="except", out="k").count()
+    if n_zero:
+        zero = ray.data.from_arrow(pa.table(
+            {"c_count": pa.array([0], pa.int64()),
+             "custdist": pa.array([int(n_zero)], pa.int64())}))
+        hist = hist.union(zero)
+    return hist
+
+
+_Q13_ORDER_DISTRIBUTION_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count
+"""
+
+
+def q_q18_large_orders(sf_dir):
+    """TPC-H Q18 analogue (large-volume orders): orders whose total line
+    quantity exceeds 200 units, with the buyer. The quantity rollup is
+    a keys-only shuffle in exact integer units; the HAVING filter runs
+    before the join so only qualifying orders (a tiny fraction) enter
+    the orders-side hash join."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.join import hash_join
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_quantity"])
+
+    def project(t: pa.Table) -> pa.Table:
+        q = pc.round(pc.multiply(t["l_quantity"], 100.0),
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"o_orderkey": t["l_orderkey"], "qty_e2": q})
+
+    agg = li.map_batches(project, batch_format="pyarrow") \
+            .groupby("o_orderkey").aggregate(Sum("qty_e2",
+                                                 alias_name="sum_qty_e2"))
+
+    def having(t: pa.Table) -> pa.Table:
+        col = t["sum_qty_e2"]
+        if col.type != pa.int64():
+            col = pc.round(col).cast(pa.int64())
+        keep = pc.greater(col, 20000)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "sum_qty_e2": col}).filter(
+                             pc.fill_null(keep, False))
+
+    big = agg.map_batches(having, batch_format="pyarrow")
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_custkey"])
+    return hash_join(big, orders, on="o_orderkey", how="inner")
+
+
+_Q18_LARGE_ORDERS_SQL = """
+SELECT l_orderkey AS o_orderkey,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS sum_qty_e2,
+       any_value(o_custkey) AS o_custkey
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY l_orderkey
+HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 20000
+"""
+
+
+def q_weighted_sample_docs(sf_dir):
+    """Weight-proportional deterministic downsample: keep each document
+    with probability min(1, n_tokens/150), reproducibly by md5 id hash
+    (the weighted-importance mix step of a pretraining pipeline). Pure
+    per-batch kernel — no shuffle, identical row set on re-run, retry,
+    or any repartitioning."""
+    from ..functions.split import weighted_sample
+    from ..functions.text import token_count_batch
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow") \
+        .map_batches(functools.partial(
+            weighted_sample, id_col="doc_id", weight_col="n_tokens",
+            factor=150.0), batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_tokens"])
+
+
+_WEIGHTED_SAMPLE_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '')) AS n_tokens,
+         {_U_SQL.format(id='doc_id')} AS u
+  FROM documents)
+SELECT doc_id, n_tokens FROM t WHERE u * 150.0 < n_tokens
 """
