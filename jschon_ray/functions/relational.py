@@ -521,3 +521,117 @@ def aggregate_consistency_violations(detail, master, *, key: str,
                                    pa.int64())})
 
     return joined.map_batches(verdict, batch_format="pyarrow")
+
+
+def copurchase_pairs(ds, *, order_col: str, item_col: str,
+                     min_count: int = 2, num_buckets: int = 64):
+    """Market-basket pair mining: for every unordered item pair, in how
+    many orders do both appear — `SELECT p1, p2, count(*) FROM d a JOIN
+    d b ON same order AND a.item < b.item GROUP BY p1, p2 HAVING
+    count >= min_count` over the DISTINCT (order, item) set.
+
+    Scale shape: orders are hash-bucketed (one narrow shuffle of the two
+    key columns; baskets never split), pairs are built per bucket with a
+    vectorized shifted-compare loop bounded by the LARGEST basket (not
+    the row count), and pre-aggregated per bucket before the second,
+    pair-keyed shuffle — the classic combiner: the exchange carries one
+    row per (bucket, pair), not one per co-occurrence.
+    """
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    from .windows import _key_bucket
+
+    narrow = ds.select_columns([order_col, item_col])
+    keyed = narrow.map_batches(
+        functools.partial(_key_bucket, key_col=order_col,
+                          num_buckets=num_buckets),
+        batch_format="pyarrow")
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([order_col, item_col]) \
+             .sort_values([order_col, item_col], kind="mergesort")
+        n = len(g)
+        ok = g[order_col].to_numpy()
+        it = g[item_col].to_numpy()
+        if n < 2:
+            return pd.DataFrame({"p1": it[:0], "p2": it[:0],
+                                 "n_orders": np.array([], np.int64)})
+        # run length of the largest basket bounds the shift loop
+        seg_start = np.empty(n, dtype=bool)
+        seg_start[0] = True
+        seg_start[1:] = ok[1:] != ok[:-1]
+        starts = np.flatnonzero(seg_start)
+        max_run = int(np.diff(np.append(starts, n)).max())
+        p1_parts, p2_parts = [], []
+        for j in range(1, max_run):
+            i = np.arange(n - j)
+            same = ok[i] == ok[i + j]
+            p1_parts.append(it[i[same]])
+            p2_parts.append(it[i[same] + j])
+        p1 = np.concatenate(p1_parts) if p1_parts else it[:0]
+        p2 = np.concatenate(p2_parts) if p2_parts else it[:0]
+        out = pd.DataFrame({"p1": p1, "p2": p2})
+        out = out.groupby(["p1", "p2"], as_index=False).size() \
+                 .rename(columns={"size": "n_orders"})
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        return out
+
+    partial = keyed.groupby("_bucket").map_groups(pairs_bucket,
+                                                  batch_format="pandas")
+    agg = partial.groupby(["p1", "p2"]).aggregate(
+        Sum("n_orders", alias_name="n_orders_sum"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        col = t["n_orders_sum"]
+        if col.type != pa.int64():
+            col = pc.round(col).cast(pa.int64())
+        keep = pc.greater_equal(col, min_count)
+        return pa.table({"p1": t["p1"], "p2": t["p2"],
+                         "n_orders": col}).filter(
+                             pc.fill_null(keep, False))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_weighted_avg(ds, *, key: str, weight_col: str, value_col: str,
+                         w_scale: float = 100.0, v_scale: float = 100.0):
+    """Weighted average per group in exact integer units: emits the two
+    integer sums plus their ratio, so the ratio divides the SAME two
+    exact integers on both engine and oracle sides (no float-order
+    drift). One partial-aggregated groupby; only the key + two int
+    columns shuffle.
+
+    avg = sum(round(w*w_scale) * round(v*v_scale)) / sum(round(w*w_scale))
+    (ratio in v_scale units).
+    """
+    from ray.data.aggregate import Sum
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        w = pc.round(pc.multiply(t[weight_col], w_scale),
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        v = pc.round(pc.multiply(t[value_col], v_scale),
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({key: t[key], "w_int": w,
+                         "wv_int": pc.multiply(w, v)})
+
+    agg = ds.map_batches(project, batch_format="pyarrow") \
+            .groupby(key).aggregate(Sum("w_int", alias_name="w_sum"),
+                                    Sum("wv_int", alias_name="wv_sum"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        w = t["w_sum"]
+        wv = t["wv_sum"]
+        if w.type != pa.int64():
+            w = pc.round(w).cast(pa.int64())
+        if wv.type != pa.int64():
+            wv = pc.round(wv).cast(pa.int64())
+        ratio = pc.divide(wv.cast(pa.float64()), w.cast(pa.float64()))
+        return pa.table({key: t[key], "w_sum": w, "wv_sum": wv,
+                         "wavg": ratio})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

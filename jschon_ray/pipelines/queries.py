@@ -3316,6 +3316,8 @@ def build_queries() -> dict:
         "q13_order_distribution": q_q13_order_distribution,
         "q18_large_orders": q_q18_large_orders,
         "weighted_sample_docs": q_weighted_sample_docs,
+        "copurchase_parts": q_copurchase_parts,
+        "weighted_avg_lineitem": q_weighted_avg_lineitem,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3436,6 +3438,8 @@ def build_oracles() -> dict:
         "q13_order_distribution": _Q13_ORDER_DISTRIBUTION_SQL,
         "q18_large_orders": _Q18_LARGE_ORDERS_SQL,
         "weighted_sample_docs": _WEIGHTED_SAMPLE_SQL,
+        "copurchase_parts": _COPURCHASE_PARTS_SQL,
+        "weighted_avg_lineitem": _WEIGHTED_AVG_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -3876,4 +3880,56 @@ WITH t AS (
          {_U_SQL.format(id='doc_id')} AS u
   FROM documents)
 SELECT doc_id, n_tokens FROM t WHERE u * 150.0 < n_tokens
+"""
+
+
+def q_copurchase_parts(sf_dir):
+    """Parts bought together: unordered part pairs co-occurring in >= 2
+    orders (market-basket mining). Basket-bucketed pair explosion with
+    a per-bucket combiner before the pair-keyed shuffle."""
+    from ..functions.relational import copurchase_pairs
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_partkey"])
+    return copurchase_pairs(ds, order_col="l_orderkey",
+                            item_col="l_partkey", min_count=2)
+
+
+_COPURCHASE_PARTS_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM d a JOIN d b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+def q_weighted_avg_lineitem(sf_dir):
+    """Quantity-weighted average discount per return flag, in exact
+    integer units: the ratio divides the same two exact integer sums on
+    both sides, so it hash-matches without rounding tricks."""
+    from ..functions.relational import grouped_weighted_avg
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_returnflag", "l_quantity", "l_discount"])
+    return grouped_weighted_avg(ds, key="l_returnflag",
+                                weight_col="l_quantity",
+                                value_col="l_discount")
+
+
+_WEIGHTED_AVG_SQL = """
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100) AS BIGINT) AS w,
+         CAST(round(l_discount * 100) AS BIGINT) AS v
+  FROM lineitem)
+SELECT l_returnflag,
+       CAST(sum(w) AS BIGINT) AS w_sum,
+       CAST(sum(w * v) AS BIGINT) AS wv_sum,
+       CAST(sum(w * v) AS BIGINT) / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE)
+         AS wavg
+FROM t
+GROUP BY l_returnflag
 """

@@ -135,6 +135,7 @@ def test_entry_smoke(entry_mod):
     "events_lag_delta", "events_throttle", "q5_nation_revenue",
     "q10_returned_revenue", "repeat_customers",
     "q13_order_distribution", "q18_large_orders", "weighted_sample_docs",
+    "copurchase_parts", "weighted_avg_lineitem",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()
