@@ -635,3 +635,111 @@ def grouped_weighted_avg(ds, *, key: str, weight_col: str, value_col: str,
                          "wavg": ratio})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_mad(ds, *, key: str, value_col: str):
+    """Median absolute deviation per group (robust spread): median of
+    |x - group_median(x)| — two chained exact grouped medians with the
+    per-group medians broadcast between passes (a dict of one float per
+    key; the rows never re-shuffle for the lookup). Requires the same
+    low-cardinality value domain as `grouped_median_lowcard`.
+
+    Emits (key, median, mad) with DuckDB quantile_cont interpolation
+    semantics on both passes.
+    """
+    import pyarrow.compute as pc
+
+    meds = grouped_median_lowcard(ds, key=key, value_col=value_col) \
+        .to_pandas()
+    med_map = dict(zip(meds[key], meds["median"]))
+
+    def absdev(t: pa.Table) -> pa.Table:
+        m = pa.array([med_map[k] for k in t[key].to_pylist()],
+                     pa.float64())
+        dev = pc.abs(pc.subtract(t[value_col].cast(pa.float64()), m))
+        return pa.table({key: t[key], "dev": dev})
+
+    devs = ds.select_columns([key, value_col]) \
+             .map_batches(absdev, batch_format="pyarrow")
+    mads = grouped_median_lowcard(devs, key=key, value_col="dev",
+                                  out="mad")
+
+    def attach_median(t: pa.Table) -> pa.Table:
+        med = pa.array([med_map[k] for k in t[key].to_pylist()],
+                       pa.float64())
+        return pa.table({key: t[key], "median": med, "mad": t["mad"]})
+
+    return mads.map_batches(attach_median, batch_format="pyarrow")
+
+
+def group_entropy(ds, *, key: str, cat_col: str, decimals: int = 4,
+                  out: str = "entropy"):
+    """Shannon entropy (nats) of a categorical distribution per key:
+    -sum(p * ln p) over the key's category frequencies. One keys-only
+    count shuffle (the per-batch combiner collapses rows to distinct
+    (key, cat) pairs), then a vectorized segmented finish — rows never
+    move."""
+
+    counts = ds.select_columns([key, cat_col]) \
+        .map_batches(
+            lambda t: t.group_by([key, cat_col])
+                       .aggregate([([], "count_all")]),
+            batch_format="pyarrow") \
+        .groupby([key, cat_col]).sum("count_all")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["sum(count_all)"].to_numpy(np.float64)
+        tot = n.sum()
+        p = n / tot
+        ent = float(-np.sum(p * np.log(p)))
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             out: [round(ent, decimals)],
+                             "n_events": [np.int64(tot)]})
+
+    return counts.groupby(key).map_groups(finish, batch_format="pandas")
+
+
+def grouped_vector_mean(ds, *, key: str, vec_col: str,
+                        decimals: int = 4):
+    """Elementwise mean of a list<float> column per group (class
+    centroids): each batch contributes ONE partial (key, dim, sum, n)
+    row per key x dimension — the combiner — so the shuffle carries
+    O(batches x keys x dim) rows regardless of input size; a final
+    keys-only aggregate divides.
+
+    Emits exploded (key, i, c) rows (dimension index, centroid value
+    rounded to `decimals`) so oracles compare without list-format
+    ambiguity.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key].to_numpy(zero_copy_only=False)
+        import numpy as _np
+        vecs = _np.stack(t[vec_col].to_pandas().to_numpy()) \
+                  .astype(_np.float64)
+        d = vecs.shape[1]
+        out_k, out_i, out_s, out_n = [], [], [], []
+        for kv in _np.unique(keys):
+            rows = vecs[keys == kv]
+            out_k.append(_np.full(d, kv))
+            out_i.append(_np.arange(d, dtype=_np.int64))
+            out_s.append(rows.sum(axis=0))
+            out_n.append(_np.full(d, len(rows), _np.int64))
+        return pa.table({key: pa.array(_np.concatenate(out_k)),
+                         "i": pa.array(_np.concatenate(out_i)),
+                         "s": pa.array(_np.concatenate(out_s)),
+                         "n": pa.array(_np.concatenate(out_n))})
+
+    agg = ds.select_columns([key, vec_col]) \
+            .map_batches(partial, batch_format="pyarrow") \
+            .groupby([key, "i"]).sum(["s", "n"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        c = pc.round(pc.divide(t["sum(s)"],
+                               pc.cast(t["sum(n)"], pa.float64())),
+                     ndigits=decimals,
+                     round_mode="half_towards_infinity")
+        return pa.table({key: t[key], "i": t["i"], "c": c})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -3318,6 +3318,9 @@ def build_queries() -> dict:
         "weighted_sample_docs": q_weighted_sample_docs,
         "copurchase_parts": q_copurchase_parts,
         "weighted_avg_lineitem": q_weighted_avg_lineitem,
+        "mad_lineitem": q_mad_lineitem,
+        "user_entropy_events": q_user_entropy_events,
+        "centroids_embeddings": q_centroids_embeddings,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3440,6 +3443,9 @@ def build_oracles() -> dict:
         "weighted_sample_docs": _WEIGHTED_SAMPLE_SQL,
         "copurchase_parts": _COPURCHASE_PARTS_SQL,
         "weighted_avg_lineitem": _WEIGHTED_AVG_SQL,
+        "mad_lineitem": _MAD_LINEITEM_SQL,
+        "user_entropy_events": _USER_ENTROPY_SQL,
+        "centroids_embeddings": _CENTROIDS_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -3932,4 +3938,75 @@ SELECT l_returnflag,
          AS wavg
 FROM t
 GROUP BY l_returnflag
+"""
+
+
+def q_mad_lineitem(sf_dir):
+    """Robust spread per return flag: median absolute deviation of
+    quantity — two chained exact grouped medians with the tiny median
+    map broadcast between passes (rows shuffle as (key, value, count)
+    pairs only)."""
+    from ..functions.relational import grouped_mad
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_returnflag", "l_quantity"])
+    return grouped_mad(ds, key="l_returnflag", value_col="l_quantity")
+
+
+_MAD_LINEITEM_SQL = """
+WITH m AS (
+  SELECT l_returnflag, median(l_quantity) AS med
+  FROM lineitem GROUP BY l_returnflag)
+SELECT m.l_returnflag, med AS median,
+       median(abs(l_quantity - med)) AS mad
+FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+GROUP BY m.l_returnflag, med
+"""
+
+
+def q_user_entropy_events(sf_dir):
+    """Per-user Shannon entropy (nats) of the event-type mix — behavior
+    diversity scoring. One keys-only count shuffle with a per-batch
+    distinct combiner, then a vectorized per-key finish."""
+    from ..functions.relational import group_entropy
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["user_id", "event_type"])
+    return group_entropy(ds, key="user_id", cat_col="event_type")
+
+
+_USER_ENTROPY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type),
+t AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS tot FROM c
+      GROUP BY user_id)
+SELECT c.user_id,
+       round(-sum((n / CAST(tot AS DOUBLE))
+                  * ln(n / CAST(tot AS DOUBLE))), 4) AS entropy,
+       any_value(tot) AS n_events
+FROM c JOIN t ON c.user_id = t.user_id
+GROUP BY c.user_id
+"""
+
+
+def q_centroids_embeddings(sf_dir):
+    """Per-label embedding centroids (class prototypes for few-shot /
+    cluster seeding), exploded as (label, dim, value) rows. Each batch
+    ships one partial sum per label x dim — the combiner — so the
+    shuffle is O(batches x labels x dim) regardless of row count."""
+    from ..functions.relational import grouped_vector_mean
+
+    ds = read_table(table_path(sf_dir, "embeddings"),
+                    columns=["label", "embedding"])
+    return grouped_vector_mean(ds, key="label", vec_col="embedding")
+
+
+_CENTROIDS_SQL = """
+SELECT label, i, round(avg(v), 4) AS c
+FROM (SELECT label,
+             unnest(embedding) AS v,
+             unnest(range(len(embedding))) AS i
+      FROM embeddings)
+GROUP BY label, i
 """

@@ -136,6 +136,7 @@ def test_entry_smoke(entry_mod):
     "q10_returned_revenue", "repeat_customers",
     "q13_order_distribution", "q18_large_orders", "weighted_sample_docs",
     "copurchase_parts", "weighted_avg_lineitem",
+    "mad_lineitem", "user_entropy_events", "centroids_embeddings",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()
