@@ -3321,6 +3321,9 @@ def build_queries() -> dict:
         "mad_lineitem": q_mad_lineitem,
         "user_entropy_events": q_user_entropy_events,
         "centroids_embeddings": q_centroids_embeddings,
+        "customer_spend_deciles": q_customer_spend_deciles,
+        "big_spenders": q_big_spenders,
+        "brand_share": q_brand_share,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3446,6 +3449,9 @@ def build_oracles() -> dict:
         "mad_lineitem": _MAD_LINEITEM_SQL,
         "user_entropy_events": _USER_ENTROPY_SQL,
         "centroids_embeddings": _CENTROIDS_SQL,
+        "customer_spend_deciles": _SPEND_DECILES_SQL,
+        "big_spenders": _BIG_SPENDERS_SQL,
+        "brand_share": _BRAND_SHARE_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -4009,4 +4015,172 @@ FROM (SELECT label,
              unnest(range(len(embedding))) AS i
       FROM embeddings)
 GROUP BY label, i
+"""
+
+
+def _customer_spend(sf_dir):
+    """(o_custkey, spend_e2): per-customer order total in exact cents —
+    one keys-only groupby over two projected columns."""
+    from ray.data.aggregate import Sum
+
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_custkey", "o_totalprice"])
+
+    def project(t: pa.Table) -> pa.Table:
+        e2 = pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                      round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"o_custkey": t["o_custkey"], "e2": e2})
+
+    agg = orders.map_batches(project, batch_format="pyarrow") \
+                .groupby("o_custkey").aggregate(Sum("e2",
+                                                    alias_name="spend_e2"))
+
+    def fix(t: pa.Table) -> pa.Table:
+        col = t["spend_e2"]
+        if col.type != pa.int64():
+            col = pc.round(col).cast(pa.int64())
+        return pa.table({"o_custkey": t["o_custkey"], "spend_e2": col})
+
+    return agg.map_batches(fix, batch_format="pyarrow")
+
+
+def q_customer_spend_deciles(sf_dir):
+    """Customer-value decile assignment (the classic LTV segmentation):
+    spend per customer, then exact NTILE(10) over (spend, custkey) via
+    the range-partitioned global value rank — per-bucket counts give a
+    driver-side cumsum, rows sort once within their range bucket."""
+    from ..functions.scan import _ntile_of_rank, global_value_rank
+
+    spend = _customer_spend(sf_dir)
+    n = spend.count()
+    ranked = global_value_rank(spend, value_col="spend_e2",
+                               tie_cols=("o_custkey",))
+
+    def tile(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tl = _ntile_of_rank(r - 1, n, 10)
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "spend_e2": t["spend_e2"],
+                         "tile": pa.array(tl, pa.int64())})
+
+    return ranked.map_batches(tile, batch_format="pyarrow")
+
+
+_SPEND_DECILES_SQL = """
+WITH s AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_e2
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey, spend_e2,
+       CAST(ntile(10) OVER (ORDER BY spend_e2, o_custkey) AS BIGINT)
+         AS tile
+FROM s
+"""
+
+
+def q_big_spenders(sf_dir):
+    """Customers spending more than 2x the average customer spend — the
+    correlated-scalar HAVING shape, made EXACT by cross-multiplying
+    integers (spend * n > 2 * total) instead of comparing against a
+    float average; the two scalars broadcast, rows never re-shuffle."""
+    from ray.data.aggregate import Sum
+
+    spend = _customer_spend(sf_dir)
+    stats = spend.aggregate(Sum("spend_e2", alias_name="tot"))
+    tot = int(stats["tot"])
+    n = spend.count()
+
+    def keep(t: pa.Table) -> pa.Table:
+        lhs = pc.multiply(t["spend_e2"], np.int64(n))
+        mask = pc.greater(lhs, np.int64(2) * np.int64(tot))
+        return t.filter(pc.fill_null(mask, False))
+
+    return spend.map_batches(keep, batch_format="pyarrow")
+
+
+_BIG_SPENDERS_SQL = """
+WITH s AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_e2
+  FROM orders GROUP BY o_custkey),
+t AS (SELECT CAST(sum(spend_e2) AS BIGINT) AS tot,
+             count(*) AS n FROM s)
+SELECT o_custkey, spend_e2 FROM s, t WHERE spend_e2 * n > 2 * tot
+"""
+
+
+def q_brand_share(sf_dir):
+    """Revenue share of each brand within its part type (ratio-to-parent
+    window): one large-large hash join lineitem x part, a composite-key
+    rollup, then the per-type totals broadcast as a dict (group count is
+    bounded by the brand x type domain, not the data)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.join import hash_join
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_partkey", "l_extendedprice",
+                             "l_discount"])
+
+    def project(t: pa.Table) -> pa.Table:
+        rev = pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"], 100.0),
+            pc.subtract(1.0, t["l_discount"])),
+            round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"l_partkey": t["l_partkey"], "rev_e2": rev})
+
+    li = li.map_batches(project, batch_format="pyarrow")
+
+    part = read_table(table_path(sf_dir, "part"),
+                      columns=["p_partkey", "p_brand", "p_type"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"l_partkey": t["p_partkey"],
+                         "p_brand": t["p_brand"],
+                         "p_type": t["p_type"]})
+
+    part = part.map_batches(rename, batch_format="pyarrow")
+    j = hash_join(li, part, on="l_partkey", how="inner")
+    agg = j.groupby(["p_type", "p_brand"]).aggregate(
+        Sum("rev_e2", alias_name="brand_rev_e2"))
+
+    def fix(t: pa.Table) -> pa.Table:
+        col = t["brand_rev_e2"]
+        if col.type != pa.int64():
+            col = pc.round(col).cast(pa.int64())
+        return pa.table({"p_type": t["p_type"], "p_brand": t["p_brand"],
+                         "brand_rev_e2": col})
+
+    brands = agg.map_batches(fix, batch_format="pyarrow").materialize()
+    totals = {}
+    for b in brands.iter_batches(batch_format="pyarrow"):
+        for ty, rv in zip(b["p_type"].to_pylist(),
+                          b["brand_rev_e2"].to_pylist()):
+            totals[ty] = totals.get(ty, 0) + int(rv)
+
+    def share(t: pa.Table) -> pa.Table:
+        tot = np.array([totals[ty] for ty in t["p_type"].to_pylist()],
+                       np.float64)
+        rv = t["brand_rev_e2"].to_numpy(zero_copy_only=False) \
+              .astype(np.float64)
+        s = np.round(rv / tot, 6)
+        return t.append_column("share", pa.array(s, pa.float64()))
+
+    return brands.map_batches(share, batch_format="pyarrow")
+
+
+_BRAND_SHARE_SQL = """
+WITH b AS (
+  SELECT p_type, p_brand,
+         CAST(sum(CAST(round(l_extendedprice * 100 * (1 - l_discount))
+                       AS BIGINT)) AS BIGINT) AS brand_rev_e2
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY p_type, p_brand)
+SELECT p_type, p_brand, brand_rev_e2,
+       round(brand_rev_e2
+             / CAST(sum(brand_rev_e2) OVER (PARTITION BY p_type)
+                    AS DOUBLE), 6) AS share
+FROM b
 """

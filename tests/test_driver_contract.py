@@ -137,6 +137,7 @@ def test_entry_smoke(entry_mod):
     "q13_order_distribution", "q18_large_orders", "weighted_sample_docs",
     "copurchase_parts", "weighted_avg_lineitem",
     "mad_lineitem", "user_entropy_events", "centroids_embeddings",
+    "customer_spend_deciles", "big_spenders", "brand_share",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()
