@@ -3324,6 +3324,8 @@ def build_queries() -> dict:
         "customer_spend_deciles": q_customer_spend_deciles,
         "big_spenders": q_big_spenders,
         "brand_share": q_brand_share,
+        "weekly_revenue_wow": q_weekly_revenue_wow,
+        "gini_spend": q_gini_spend,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3452,6 +3454,8 @@ def build_oracles() -> dict:
         "customer_spend_deciles": _SPEND_DECILES_SQL,
         "big_spenders": _BIG_SPENDERS_SQL,
         "brand_share": _BRAND_SHARE_SQL,
+        "weekly_revenue_wow": _WEEKLY_WOW_SQL,
+        "gini_spend": _GINI_SPEND_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -4183,4 +4187,102 @@ SELECT p_type, p_brand, brand_rev_e2,
              / CAST(sum(brand_rev_e2) OVER (PARTITION BY p_type)
                     AS DOUBLE), 6) AS share
 FROM b
+"""
+
+
+def q_weekly_revenue_wow(sf_dir):
+    """Week-over-week revenue change: calendar-week rollup (keys-only
+    shuffle) then LAG + percent change over the BOUNDED week series —
+    the series finish is one vectorized pass over at most a few hundred
+    rows, so driver-side is the scale-correct placement."""
+    from ray.data.aggregate import Sum
+
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_orderdate", "o_totalprice"])
+
+    def project(t: pa.Table) -> pa.Table:
+        ts = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+              .astype("datetime64[D]")
+        # Monday-anchored week start (DuckDB date_trunc('week', ...))
+        days = (ts - np.datetime64("1969-12-29")).astype(np.int64)
+        wk = (np.datetime64("1969-12-29")
+              + (days // 7) * np.timedelta64(7, "D")) \
+            .astype("datetime64[us]")
+        e2 = pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                      round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"wk": pa.array(wk), "e2": e2})
+
+    agg = orders.map_batches(project, batch_format="pyarrow") \
+                .groupby("wk").aggregate(Sum("e2", alias_name="rev_e2"))
+    wkly = agg.to_pandas().sort_values("wk").reset_index(drop=True)
+    rev = wkly["rev_e2"].to_numpy(np.int64)
+    n = len(rev)
+    prevf = np.concatenate(([np.nan], rev[:-1].astype(np.float64))) \
+        if n else np.array([], np.float64)
+    wow = np.round((rev - prevf) / prevf, 6)
+    return pd.DataFrame({"wk": wkly["wk"], "rev_e2": rev,
+                         "prev_e2": prevf, "wow": wow})
+
+
+_WEEKLY_WOW_SQL = """
+WITH w AS (
+  SELECT date_trunc('week', o_orderdate) AS wk,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_e2
+  FROM orders GROUP BY wk)
+SELECT CAST(wk AS TIMESTAMP) AS wk, rev_e2,
+       lag(rev_e2) OVER (ORDER BY wk) AS prev_e2,
+       round((rev_e2 - lag(rev_e2) OVER (ORDER BY wk))
+             / CAST(lag(rev_e2) OVER (ORDER BY wk) AS DOUBLE), 6) AS wow
+FROM w
+"""
+
+
+def q_gini_spend(sf_dir):
+    """Gini coefficient of customer spend (inequality of the customer
+    value distribution): rank-weighted integer sums over the
+    range-partitioned exact value rank; the two sums and the count
+    reduce to one driver-side formula. Integer path is exact up to
+    sum(rank * cents) < 2^63 (~sf1 scales; beyond that the rank-sum
+    switches to the oracle's hugeint semantics only)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.scan import global_value_rank
+
+    spend = _customer_spend(sf_dir)
+    ranked = global_value_rank(spend, value_col="spend_e2",
+                               tie_cols=("o_custkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t["spend_e2"].to_numpy(zero_copy_only=False) \
+             .astype(np.int64)
+        return pa.table({"rx": pa.array([int((r * x).sum())], pa.int64()),
+                         "x": pa.array([int(x.sum())], pa.int64()),
+                         "n": pa.array([len(r)], pa.int64())})
+
+    sums = ranked.map_batches(partial, batch_format="pyarrow") \
+        .aggregate(Sum("rx", alias_name="rx"),
+                   Sum("x", alias_name="x"),
+                   Sum("n", alias_name="n"))
+    rx, x, n = int(sums["rx"]), int(sums["x"]), int(sums["n"])
+    gini = round(2.0 * rx / (n * x) - (n + 1.0) / n, 6)
+    return pd.DataFrame({"n": [np.int64(n)], "sum_e2": [np.int64(x)],
+                         "gini": [gini]})
+
+
+_GINI_SPEND_SQL = """
+WITH s AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_e2
+  FROM orders GROUP BY o_custkey),
+r AS (SELECT spend_e2,
+             row_number() OVER (ORDER BY spend_e2, o_custkey) AS rn
+      FROM s)
+SELECT count(*) AS n, CAST(sum(spend_e2) AS BIGINT) AS sum_e2,
+       round(2.0 * CAST(sum(rn * spend_e2) AS BIGINT)
+             / (count(*) * CAST(sum(spend_e2) AS BIGINT))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM r
 """
