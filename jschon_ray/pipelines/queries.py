@@ -3326,6 +3326,7 @@ def build_queries() -> dict:
         "brand_share": q_brand_share,
         "weekly_revenue_wow": q_weekly_revenue_wow,
         "gini_spend": q_gini_spend,
+        "ship_latency_by_priority": q_ship_latency_by_priority,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3456,6 +3457,7 @@ def build_oracles() -> dict:
         "brand_share": _BRAND_SHARE_SQL,
         "weekly_revenue_wow": _WEEKLY_WOW_SQL,
         "gini_spend": _GINI_SPEND_SQL,
+        "ship_latency_by_priority": _SHIP_LATENCY_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -4285,4 +4287,59 @@ SELECT count(*) AS n, CAST(sum(spend_e2) AS BIGINT) AS sum_e2,
              / (count(*) * CAST(sum(spend_e2) AS BIGINT))
              - (count(*) + 1.0) / count(*), 6) AS gini
 FROM r
+"""
+
+
+def q_ship_latency_by_priority(sf_dir):
+    """Order-to-ship latency percentiles per order priority (SLA
+    reporting): one large-large hash join, a per-row day derivation,
+    then two exact grouped quantile_disc passes over the bounded
+    priority domain (fixed-size histogram counts to the driver — rows
+    never leave their blocks after the join)."""
+    from ..functions.join import hash_join
+    from ..functions.quantiles import grouped_quantile_disc
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_shipdate"])
+
+    def li_rename(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "l_shipdate": t["l_shipdate"]})
+
+    li = li.map_batches(li_rename, batch_format="pyarrow")
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"])
+    j = hash_join(li, orders, on="o_orderkey", how="inner")
+
+    def derive(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False) \
+                .astype("datetime64[D]")
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+              .astype("datetime64[D]")
+        d = (ship - od).astype(np.int64)
+        return pa.table({"o_orderpriority": t["o_orderpriority"],
+                         "d": pa.array(d, pa.int64())})
+
+    days = j.map_batches(derive, batch_format="pyarrow").materialize()
+    p50 = grouped_quantile_disc(days, "o_orderpriority", "d", 0.5,
+                                bins=512, gather_limit=4096,
+                                materialize=False, out="p50")
+    p90 = grouped_quantile_disc(days, "o_orderpriority", "d", 0.9,
+                                bins=512, gather_limit=4096,
+                                materialize=False, out="p90")
+    out = p50.merge(p90, on="o_orderpriority")
+    out["p50_days"] = out["p50"].astype(np.int64)
+    out["p90_days"] = out["p90"].astype(np.int64)
+    return out[["o_orderpriority", "p50_days", "p90_days"]]
+
+
+_SHIP_LATENCY_SQL = """
+SELECT o_orderpriority,
+       CAST(quantile_disc(d, 0.5) AS BIGINT) AS p50_days,
+       CAST(quantile_disc(d, 0.9) AS BIGINT) AS p90_days
+FROM (SELECT o_orderpriority,
+             date_diff('day', o_orderdate, l_shipdate) AS d
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
+GROUP BY o_orderpriority
 """
