@@ -548,3 +548,26 @@ def keyed_throttle(ds, *, key_col: str, ts_col: str, tie_col: str,
                          "gap_us": gap})
 
     return out.map_batches(null_first, batch_format="pyarrow")
+
+
+def keyed_latest(ds, *, key_cols: list, ts_col: str, tie_col: str,
+                 num_buckets: int = 64):
+    """Latest row per composite key (the snapshot / type-2-SCD dedup:
+    `row_number() OVER (PARTITION BY keys ORDER BY ts DESC, tie DESC)
+    = 1`). Rows hash-bucket on the FIRST key (composite keys never
+    split), then one sorted keep-last pass per bucket — no per-key
+    dispatch, duplicates collapse inside the bucket so the output is
+    bounded by the key-domain size."""
+    keyed = ds.map_batches(
+        functools.partial(_key_bucket, key_col=key_cols[0],
+                          num_buckets=num_buckets),
+        batch_format="pyarrow")
+
+    def last_per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(key_cols) + [ts_col, tie_col],
+                          kind="mergesort")
+        out = g.drop_duplicates(list(key_cols), keep="last")
+        return out.drop(columns=["_bucket"])
+
+    return keyed.groupby("_bucket").map_groups(last_per_key,
+                                               batch_format="pandas")

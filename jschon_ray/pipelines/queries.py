@@ -3327,6 +3327,7 @@ def build_queries() -> dict:
         "weekly_revenue_wow": q_weekly_revenue_wow,
         "gini_spend": q_gini_spend,
         "ship_latency_by_priority": q_ship_latency_by_priority,
+        "latest_event_per_user_type": q_latest_event_per_user_type,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3458,6 +3459,7 @@ def build_oracles() -> dict:
         "weekly_revenue_wow": _WEEKLY_WOW_SQL,
         "gini_spend": _GINI_SPEND_SQL,
         "ship_latency_by_priority": _SHIP_LATENCY_SQL,
+        "latest_event_per_user_type": _LATEST_EVENT_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -4342,4 +4344,26 @@ FROM (SELECT o_orderpriority,
              date_diff('day', o_orderdate, l_shipdate) AS d
       FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
 GROUP BY o_orderpriority
+"""
+
+
+def q_latest_event_per_user_type(sf_dir):
+    """Latest-record snapshot per (user, event type) — the standard
+    changelog-to-current-state dedup. Bucketed keep-last pass; rows
+    collapse inside their bucket so the exchange output is bounded by
+    the key domain."""
+    from ..functions.windows import keyed_latest
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["user_id", "event_type", "ts",
+                             "event_id", "value"])
+    return keyed_latest(ds, key_cols=["user_id", "event_type"],
+                        ts_col="ts", tie_col="event_id")
+
+
+_LATEST_EVENT_SQL = """
+SELECT user_id, event_type, ts, event_id, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) = 1
 """
