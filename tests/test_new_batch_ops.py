@@ -1,0 +1,162 @@
+"""Edge-case unit tests for the late-session operator batch: lag/throttle/
+latest scans, basket pairs, MAD/entropy/vector-mean, weighted sampling.
+
+Oracle-level parity lives in test_driver_contract.py; these cover the
+degenerate shapes the sf tables don't exercise (single-row keys, empty
+inputs, all-duplicate baskets, one-element vectors).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+
+def _events(rows):
+    return ray.data.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([np.datetime64(r[1], "us") for r in rows]),
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        "value": pa.array([float(r[3]) for r in rows], pa.float64()),
+    }))
+
+
+class TestKeyedLag:
+    def test_single_row_keys_all_null(self, ray_session):
+        from jschon_ray.functions.windows import keyed_lag
+        ds = _events([(1, "2024-01-01T00:00:00", 1, 1.0),
+                      (2, "2024-01-01T00:00:05", 2, 2.0)])
+        out = keyed_lag(ds, key_col="user_id", ts_col="ts",
+                        tie_col="event_id", value_col="value") \
+            .to_pandas().sort_values("event_id")
+        assert out["gap_us"].isna().all()
+        assert out["value_delta"].isna().all()
+
+    def test_gaps_and_deltas(self, ray_session):
+        from jschon_ray.functions.windows import keyed_lag
+        ds = _events([(1, "2024-01-01T00:00:00", 1, 1.0),
+                      (1, "2024-01-01T00:00:02", 2, 3.5),
+                      (1, "2024-01-01T00:00:02", 3, 2.0)])
+        out = keyed_lag(ds, key_col="user_id", ts_col="ts",
+                        tie_col="event_id", value_col="value") \
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        assert pd.isna(out.loc[0, "gap_us"])
+        assert out.loc[1, "gap_us"] == 2_000_000
+        assert out.loc[2, "gap_us"] == 0          # tie ts, ordered by id
+        assert out.loc[1, "value_delta"] == 2.5
+        assert out.loc[2, "value_delta"] == -1.5
+
+
+class TestKeyedThrottle:
+    def test_keeps_first_and_spaced(self, ray_session):
+        from jschon_ray.functions.windows import keyed_throttle
+        ds = _events([(1, "2024-01-01T00:00:00", 1, 0),
+                      (1, "2024-01-01T00:00:01", 2, 0),   # 1s -> dropped
+                      (1, "2024-01-01T00:01:30", 3, 0)])  # 89s -> kept
+        out = keyed_throttle(ds, key_col="user_id", ts_col="ts",
+                             tie_col="event_id",
+                             min_gap_us=60_000_000).to_pandas()
+        assert sorted(out["event_id"]) == [1, 3]
+
+
+class TestKeyedLatest:
+    def test_composite_key_latest(self, ray_session):
+        from jschon_ray.functions.windows import keyed_latest
+        tbl = pa.table({
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "event_type": ["a", "a", "b", "a"],
+            "ts": pa.array([np.datetime64(x, "us") for x in
+                            ["2024-01-01T00:00:00", "2024-01-01T00:00:09",
+                             "2024-01-01T00:00:05", "2024-01-01T00:00:01"]]),
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "value": pa.array([0.0, 1.0, 2.0, 3.0], pa.float64()),
+        })
+        from_arrow = ray.data.from_arrow(tbl)
+        out = keyed_latest(from_arrow,
+                           key_cols=["user_id", "event_type"],
+                           ts_col="ts", tie_col="event_id") \
+            .to_pandas().sort_values(["user_id", "event_type"])
+        assert list(out["event_id"]) == [2, 3, 4]
+
+
+class TestCopurchasePairs:
+    def test_duplicates_collapse_and_min_count(self, ray_session):
+        from jschon_ray.functions.relational import copurchase_pairs
+        # order 1: {10, 20, 20} -> one (10,20); order 2: {10, 20};
+        # order 3: {10, 30} -> (10,30) appears once -> filtered
+        tbl = pa.table({
+            "o": pa.array([1, 1, 1, 2, 2, 3, 3], pa.int64()),
+            "p": pa.array([10, 20, 20, 10, 20, 10, 30], pa.int64())})
+        out = copurchase_pairs(ray.data.from_arrow(tbl), order_col="o",
+                               item_col="p", min_count=2).to_pandas()
+        assert len(out) == 1
+        assert (int(out["p1"].iloc[0]), int(out["p2"].iloc[0]),
+                int(out["n_orders"].iloc[0])) == (10, 20, 2)
+
+    def test_empty_when_no_pairs(self, ray_session):
+        from jschon_ray.functions.relational import copurchase_pairs
+        tbl = pa.table({"o": pa.array([1, 2], pa.int64()),
+                        "p": pa.array([10, 20], pa.int64())})
+        out = copurchase_pairs(ray.data.from_arrow(tbl), order_col="o",
+                               item_col="p", min_count=1).to_pandas()
+        assert len(out) == 0
+
+
+class TestGroupedStats:
+    def test_mad_odd_even(self, ray_session):
+        from jschon_ray.functions.relational import grouped_mad
+        tbl = pa.table({"k": ["a"] * 5 + ["b"] * 4,
+                        "v": pa.array([1, 2, 3, 4, 100, 10, 20, 30, 40],
+                                      pa.float64())})
+        out = grouped_mad(ray.data.from_arrow(tbl), key="k",
+                          value_col="v").to_pandas() \
+            .set_index("k").sort_index()
+        # a: median 3, |dev| = [2,1,0,1,97] -> mad 1
+        assert out.loc["a", "median"] == 3.0
+        assert out.loc["a", "mad"] == 1.0
+        # b: median 25, |dev| = [15,5,5,15] -> mad (5+15)/2 = 10
+        assert out.loc["b", "median"] == 25.0
+        assert out.loc["b", "mad"] == 10.0
+
+    def test_entropy_uniform_and_point(self, ray_session):
+        from jschon_ray.functions.relational import group_entropy
+        tbl = pa.table({"k": [1, 1, 1, 1, 2, 2], 
+                        "c": ["x", "y", "x", "y", "z", "z"]})
+        out = group_entropy(ray.data.from_arrow(tbl), key="k",
+                            cat_col="c").to_pandas().set_index("k")
+        assert out.loc[1, "entropy"] == pytest.approx(np.log(2), abs=1e-4)
+        assert out.loc[2, "entropy"] == 0.0
+
+    def test_vector_mean(self, ray_session):
+        from jschon_ray.functions.relational import grouped_vector_mean
+        tbl = pa.table({
+            "label": pa.array([0, 0, 1], pa.int32()),
+            "embedding": pa.array([[1.0, 3.0], [3.0, 5.0], [7.0, 9.0]],
+                                  pa.list_(pa.float32()))})
+        out = grouped_vector_mean(ray.data.from_arrow(tbl), key="label",
+                                  vec_col="embedding").to_pandas()
+        out = out.sort_values(["label", "i"]).reset_index(drop=True)
+        assert list(out["c"]) == [2.0, 4.0, 7.0, 9.0]
+
+
+class TestWeightedSample:
+    def test_zero_weight_never_full_weight_always(self, ray_session):
+        from jschon_ray.functions.split import weighted_sample
+        tbl = pa.table({"id": pa.array(range(200), pa.int64()),
+                        "w": pa.array([0] * 100 + [10 ** 9] * 100,
+                                      pa.int64())})
+        kept = weighted_sample(tbl, id_col="id", weight_col="w",
+                               factor=100.0)
+        ids = kept["id"].to_numpy()
+        assert (ids >= 100).all() and len(ids) == 100
+
+    def test_deterministic(self, ray_session):
+        from jschon_ray.functions.split import weighted_sample
+        tbl = pa.table({"id": pa.array(range(500), pa.int64()),
+                        "w": pa.array([50] * 500, pa.int64())})
+        a = weighted_sample(tbl, id_col="id", weight_col="w",
+                            factor=100.0)["id"].to_pylist()
+        b = weighted_sample(tbl, id_col="id", weight_col="w",
+                            factor=100.0)["id"].to_pylist()
+        assert a == b and 150 < len(a) < 350
