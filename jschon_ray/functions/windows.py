@@ -571,3 +571,32 @@ def keyed_latest(ds, *, key_cols: list, ts_col: str, tie_col: str,
 
     return keyed.groupby("_bucket").map_groups(last_per_key,
                                                batch_format="pandas")
+
+
+def keyed_distinct_runs(ds, *, key_col: str, ts_col: str, tie_col: str,
+                        run_col: str, num_buckets: int = 64):
+    """Run-length compression of an event stream: keep a row iff it is
+    the key's first row or `run_col` differs from the PREVIOUS row's
+    value (ordered by ts, tie) — `run_col != lag(run_col)` semantics,
+    the dedup used to collapse repeated states/heartbeats into
+    transitions. Same bucketed segmented scan as `keyed_lag`."""
+    narrow = ds.select_columns([key_col, ts_col, tie_col, run_col])
+    keyed = narrow.map_batches(
+        functools.partial(_key_bucket, key_col=key_col,
+                          num_buckets=num_buckets),
+        batch_format="pyarrow")
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tie_col], kind="mergesort")
+        n = len(g)
+        keys = g[key_col].to_numpy()
+        runs = g[run_col].to_numpy()
+        keep = np.empty(n, dtype=bool)
+        if n:
+            keep[0] = True
+            keep[1:] = (keys[1:] != keys[:-1]) | (runs[1:] != runs[:-1])
+        out = g.loc[keep, [key_col, ts_col, tie_col, run_col]]
+        return out
+
+    return keyed.groupby("_bucket").map_groups(scan_bucket,
+                                               batch_format="pandas")

@@ -3328,6 +3328,8 @@ def build_queries() -> dict:
         "gini_spend": q_gini_spend,
         "ship_latency_by_priority": q_ship_latency_by_priority,
         "latest_event_per_user_type": q_latest_event_per_user_type,
+        "events_rle_compress": q_events_rle_compress,
+        "top_event_by_value_per_user": q_top_event_by_value_per_user,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3460,6 +3462,8 @@ def build_oracles() -> dict:
         "gini_spend": _GINI_SPEND_SQL,
         "ship_latency_by_priority": _SHIP_LATENCY_SQL,
         "latest_event_per_user_type": _LATEST_EVENT_SQL,
+        "events_rle_compress": _EVENTS_RLE_SQL,
+        "top_event_by_value_per_user": _TOP_EVENT_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -4366,4 +4370,47 @@ SELECT user_id, event_type, ts, event_id, value
 FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id, event_type
                            ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def q_events_rle_compress(sf_dir):
+    """State-transition compression: drop an event when its type equals
+    the user's previous event type (heartbeat collapse) — keeps only
+    transitions. lag(type)-relative, so SQL-window parity holds."""
+    from ..functions.windows import keyed_distinct_runs
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    return keyed_distinct_runs(ds, key_col="user_id", ts_col="ts",
+                               tie_col="event_id", run_col="event_type")
+
+
+_EVENTS_RLE_SQL = """
+SELECT user_id, ts, event_id, event_type
+FROM (SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events)
+WHERE prev IS NULL OR event_type <> prev
+"""
+
+
+def q_top_event_by_value_per_user(sf_dir):
+    """Per-user argmax row (highest-value event, full row): the
+    keep-last bucketed pass ordered by (value, event_id) — grouped
+    argmax without a row-shuffling window sort."""
+    from ..functions.windows import keyed_latest
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["user_id", "value", "event_id",
+                             "event_type"])
+    return keyed_latest(ds, key_cols=["user_id"], ts_col="value",
+                        tie_col="event_id")
+
+
+_TOP_EVENT_SQL = """
+SELECT user_id, value, event_id, event_type
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY value DESC, event_id DESC) = 1
 """

@@ -139,7 +139,8 @@ def test_entry_smoke(entry_mod):
     "mad_lineitem", "user_entropy_events", "centroids_embeddings",
     "customer_spend_deciles", "big_spenders", "brand_share",
     "weekly_revenue_wow", "gini_spend", "ship_latency_by_priority",
-    "latest_event_per_user_type",
+    "latest_event_per_user_type", "events_rle_compress",
+    "top_event_by_value_per_user",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()
