@@ -600,3 +600,43 @@ def keyed_distinct_runs(ds, *, key_col: str, ts_col: str, tie_col: str,
 
     return keyed.groupby("_bucket").map_groups(scan_bucket,
                                                batch_format="pandas")
+
+
+def keyed_percent_rank(ds, *, key_col: str, value_col: str, tie_col: str,
+                       num_buckets: int = 64):
+    """Per-key exact rank + percent_rank: `percent_rank() OVER
+    (PARTITION BY key ORDER BY value, tie)` — (rank-1)/(n_key-1), 0.0
+    for single-row keys, under a tie-broken total order (so ranks are
+    dense and reproducible). One bucketed shuffle of the three narrow
+    columns; keys never split, so per-key sizes are known inside the
+    bucket and the pct divides two exact integers."""
+    narrow = ds.select_columns([key_col, value_col, tie_col])
+    keyed = narrow.map_batches(
+        functools.partial(_key_bucket, key_col=key_col,
+                          num_buckets=num_buckets),
+        batch_format="pyarrow")
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, value_col, tie_col],
+                          kind="mergesort")
+        n = len(g)
+        keys = g[key_col].to_numpy()
+        idx = np.arange(n, dtype=np.int64)
+        new_seg = np.empty(n, dtype=bool)
+        if n:
+            new_seg[0] = True
+            new_seg[1:] = keys[1:] != keys[:-1]
+        seg = np.maximum.accumulate(np.where(new_seg, idx, 0))
+        rank = idx - seg + 1
+        starts = np.flatnonzero(new_seg)
+        sizes = np.diff(np.append(starts, n))
+        n_key = np.repeat(sizes, sizes)
+        pct = np.where(n_key > 1, (rank - 1) / np.maximum(n_key - 1, 1),
+                       0.0)
+        return pd.DataFrame({key_col: keys,
+                             tie_col: g[tie_col].to_numpy(),
+                             value_col: g[value_col].to_numpy(),
+                             "rnk": rank, "pct": pct})
+
+    return keyed.groupby("_bucket").map_groups(rank_bucket,
+                                               batch_format="pandas")

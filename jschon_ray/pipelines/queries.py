@@ -3330,6 +3330,7 @@ def build_queries() -> dict:
         "latest_event_per_user_type": q_latest_event_per_user_type,
         "events_rle_compress": q_events_rle_compress,
         "top_event_by_value_per_user": q_top_event_by_value_per_user,
+        "docs_percentrank_by_source": q_docs_percentrank_by_source,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3464,6 +3465,7 @@ def build_oracles() -> dict:
         "latest_event_per_user_type": _LATEST_EVENT_SQL,
         "events_rle_compress": _EVENTS_RLE_SQL,
         "top_event_by_value_per_user": _TOP_EVENT_SQL,
+        "docs_percentrank_by_source": _DOCS_PCTRANK_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -4413,4 +4415,26 @@ SELECT user_id, value, event_id, event_type
 FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id
                            ORDER BY value DESC, event_id DESC) = 1
+"""
+
+
+def q_docs_percentrank_by_source(sf_dir):
+    """Per-source percent_rank of document length — grouped order
+    statistics (the within-corpus length percentile used for quality
+    filtering). Exact tie-broken ranks; the pct divides two exact
+    integers, so it hash-matches the window oracle bit-for-bit."""
+    from ..functions.windows import keyed_percent_rank
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["source", "n_chars", "doc_id"])
+    return keyed_percent_rank(ds, key_col="source", value_col="n_chars",
+                              tie_col="doc_id")
+
+
+_DOCS_PCTRANK_SQL = """
+SELECT source, doc_id, n_chars,
+       CAST(row_number() OVER w AS BIGINT) AS rnk,
+       percent_rank() OVER w AS pct
+FROM documents
+WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
 """
