@@ -3331,6 +3331,8 @@ def build_queries() -> dict:
         "events_rle_compress": q_events_rle_compress,
         "top_event_by_value_per_user": q_top_event_by_value_per_user,
         "docs_percentrank_by_source": q_docs_percentrank_by_source,
+        "lineitem_unpivot": q_lineitem_unpivot,
+        "events_conditional_agg": q_events_conditional_agg,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3466,6 +3468,8 @@ def build_oracles() -> dict:
         "events_rle_compress": _EVENTS_RLE_SQL,
         "top_event_by_value_per_user": _TOP_EVENT_SQL,
         "docs_percentrank_by_source": _DOCS_PCTRANK_SQL,
+        "lineitem_unpivot": _LINEITEM_UNPIVOT_SQL,
+        "events_conditional_agg": _EVENTS_COND_AGG_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -4437,4 +4441,94 @@ SELECT source, doc_id, n_chars,
        percent_rank() OVER w AS pct
 FROM documents
 WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+"""
+
+
+def q_lineitem_unpivot(sf_dir):
+    """UNPIVOT / melt: wide metric columns to long (key, metric, value)
+    rows — the reshape feeding generic per-metric pipelines. Stateless
+    per-batch explode (x3 rows), exact integer units; no shuffle."""
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_linenumber", "l_quantity",
+                             "l_extendedprice", "l_discount"])
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ok = t["l_orderkey"]
+        ln = t["l_linenumber"]
+        parts = []
+        for name, col in (("quantity", "l_quantity"),
+                          ("price", "l_extendedprice"),
+                          ("discount", "l_discount")):
+            e2 = pc.round(pc.multiply(t[col], 100.0),
+                          round_mode="half_towards_infinity") \
+                   .cast(pa.int64())
+            parts.append(pa.table({
+                "l_orderkey": ok, "l_linenumber": ln,
+                "metric": pa.array([name] * n, pa.string()),
+                "value_e2": e2}))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+_LINEITEM_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+       CAST(round(l_quantity * 100) AS BIGINT) AS value_e2 FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'price',
+       CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount',
+       CAST(round(l_discount * 100) AS BIGINT) FROM lineitem
+"""
+
+
+def q_events_conditional_agg(sf_dir):
+    """FILTER-clause conditional aggregates per event type: total count,
+    high-value count (value > 3), and their exact-integer share — the
+    per-batch combiner ships three ints per (batch, type)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hi = pc.fill_null(pc.greater(t["value"], 3.0), False) \
+               .cast(pa.int64())
+        tbl = pa.table({"event_type": t["event_type"],
+                        "one": pa.array(np.ones(t.num_rows, np.int64)),
+                        "hi": hi})
+        return tbl.group_by("event_type").aggregate(
+            [("one", "sum"), ("hi", "sum")]) \
+            .rename_columns(["event_type", "n", "n_high"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby("event_type").aggregate(
+                Sum("n", alias_name="n_total"),
+                Sum("n_high", alias_name="n_high"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_total"]
+        h = t["n_high"]
+        if n.type != pa.int64():
+            n = pc.round(n).cast(pa.int64())
+        if h.type != pa.int64():
+            h = pc.round(h).cast(pa.int64())
+        share = pc.divide(h.cast(pa.float64()), n.cast(pa.float64()))
+        return pa.table({"event_type": t["event_type"], "n_total": n,
+                         "n_high": h, "high_share": share})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_EVENTS_COND_AGG_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (WHERE value > 3.0) AS BIGINT) AS n_high,
+       CAST(count(*) FILTER (WHERE value > 3.0) AS BIGINT)
+         / CAST(count(*) AS DOUBLE) AS high_share
+FROM events
+GROUP BY event_type
 """

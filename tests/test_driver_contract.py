@@ -141,6 +141,7 @@ def test_entry_smoke(entry_mod):
     "weekly_revenue_wow", "gini_spend", "ship_latency_by_priority",
     "latest_event_per_user_type", "events_rle_compress",
     "top_event_by_value_per_user", "docs_percentrank_by_source",
+    "lineitem_unpivot", "events_conditional_agg",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()
