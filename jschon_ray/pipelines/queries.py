@@ -3333,6 +3333,8 @@ def build_queries() -> dict:
         "docs_percentrank_by_source": q_docs_percentrank_by_source,
         "lineitem_unpivot": q_lineitem_unpivot,
         "events_conditional_agg": q_events_conditional_agg,
+        "revenue_trend_theilsen": q_revenue_trend_theilsen,
+        "null_profile_lineitem": q_null_profile_lineitem,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3470,6 +3472,8 @@ def build_oracles() -> dict:
         "docs_percentrank_by_source": _DOCS_PCTRANK_SQL,
         "lineitem_unpivot": _LINEITEM_UNPIVOT_SQL,
         "events_conditional_agg": _EVENTS_COND_AGG_SQL,
+        "revenue_trend_theilsen": _THEILSEN_SQL,
+        "null_profile_lineitem": _null_profile_sql(),
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -4532,3 +4536,101 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+def q_revenue_trend_theilsen(sf_dir):
+    """Robust trend of weekly revenue: Theil-Sen estimator (median of
+    all pairwise slopes) over the calendar-week rollup — outlier-proof
+    trend detection. The rollup is the only distributed pass; the slope
+    set is O(weeks^2) on a BOUNDED series, so the finish is driver-side
+    by design."""
+    from ray.data.aggregate import Sum
+
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_orderdate", "o_totalprice"])
+
+    def project(t: pa.Table) -> pa.Table:
+        ts = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+              .astype("datetime64[D]")
+        days = (ts - np.datetime64("1969-12-29")).astype(np.int64)
+        wk = (np.datetime64("1969-12-29")
+              + (days // 7) * np.timedelta64(7, "D")) \
+            .astype("datetime64[us]")
+        e2 = pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                      round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"wk": pa.array(wk), "e2": e2})
+
+    agg = orders.map_batches(project, batch_format="pyarrow") \
+                .groupby("wk").aggregate(Sum("e2", alias_name="rev_e2"))
+    wkly = agg.to_pandas().sort_values("wk").reset_index(drop=True)
+    rev = wkly["rev_e2"].to_numpy(np.float64)
+    day = wkly["wk"].to_numpy().astype("datetime64[D]").astype(np.int64) \
+        .astype(np.float64)
+    i, j = np.triu_indices(len(rev), k=1)
+    slopes = (rev[j] - rev[i]) / (day[j] - day[i])
+    return pd.DataFrame({"n_weeks": [np.int64(len(rev))],
+                         "theil_sen": [round(float(np.median(slopes)), 4)]})
+
+
+_THEILSEN_SQL = """
+WITH w AS (
+  SELECT date_trunc('week', o_orderdate) AS wk,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_e2
+  FROM orders GROUP BY wk),
+p AS (
+  SELECT (b.rev_e2 - a.rev_e2)
+         / CAST(date_diff('day', a.wk, b.wk) AS DOUBLE) AS slope
+  FROM w a JOIN w b ON b.wk > a.wk)
+SELECT (SELECT count(*) FROM w) AS n_weeks,
+       round(median(slope), 4) AS theil_sen
+FROM p
+"""
+
+
+def q_null_profile_lineitem(sf_dir):
+    """Column-completeness profile: per column, how many rows are NULL
+    out of the total — the first data-quality report run on any new
+    table. Per-batch partial null-count vectors (one row per column per
+    batch) reduce through one bounded groupby."""
+    from ray.data.aggregate import Sum
+
+    cols = ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+            "l_discount", "l_returnflag", "l_shipdate"]
+    ds = read_table(table_path(sf_dir, "lineitem"), columns=cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, nulls, tot = [], [], []
+        for c in cols:
+            names.append(c)
+            nulls.append(t[c].null_count)
+            tot.append(t.num_rows)
+        return pa.table({"column": pa.array(names, pa.string()),
+                         "n_null": pa.array(nulls, pa.int64()),
+                         "n_total": pa.array(tot, pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby("column").aggregate(
+                Sum("n_null", alias_name="n_null"),
+                Sum("n_total", alias_name="n_total"))
+
+    def fix(t: pa.Table) -> pa.Table:
+        out = {"column": t["column"]}
+        for c in ("n_null", "n_total"):
+            col = t[c]
+            if col.type != pa.int64():
+                col = pc.round(col).cast(pa.int64())
+            out[c] = col
+        return pa.table(out)
+
+    return agg.map_batches(fix, batch_format="pyarrow")
+
+
+def _null_profile_sql():
+    cols = ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+            "l_discount", "l_returnflag", "l_shipdate"]
+    parts = [(f"SELECT '{c}' AS column, "
+              f"CAST(count(*) - count({c}) AS BIGINT) AS n_null, "
+              f"CAST(count(*) AS BIGINT) AS n_total FROM lineitem")
+             for c in cols]
+    return "\nUNION ALL\n".join(parts)

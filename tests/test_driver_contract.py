@@ -142,6 +142,7 @@ def test_entry_smoke(entry_mod):
     "latest_event_per_user_type", "events_rle_compress",
     "top_event_by_value_per_user", "docs_percentrank_by_source",
     "lineitem_unpivot", "events_conditional_agg",
+    "revenue_trend_theilsen", "null_profile_lineitem",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()
