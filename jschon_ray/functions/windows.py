@@ -640,3 +640,54 @@ def keyed_percent_rank(ds, *, key_col: str, value_col: str, tie_col: str,
 
     return keyed.groupby("_bucket").map_groups(rank_bucket,
                                                batch_format="pandas")
+
+
+def keyed_rolling_stats(ds, *, key_col: str, ts_col: str, tie_col: str,
+                        value_col: str, k: int = 5,
+                        num_buckets: int = 64, decimals: int = 4):
+    """Per-key trailing rolling mean + sample stddev (the anomaly-score
+    inputs): `avg(v) OVER w` / `stddev_samp(v) OVER w` with w = ROWS
+    BETWEEN k-1 PRECEDING AND CURRENT ROW, window truncated at the
+    key's first row; stddev is NULL for single-row windows (SQL
+    stddev_samp semantics).
+
+    Same lag-matrix shape as `keyed_moving_median`: (k, n) with NaN
+    outside the frame, reduced with one nanmean/nanstd pass. Rounded to
+    `decimals` so both stats hash-match a SQL oracle."""
+    import warnings
+
+    narrow = ds.select_columns([key_col, ts_col, tie_col, value_col])
+    keyed = narrow.map_batches(
+        functools.partial(_key_bucket, key_col=key_col,
+                          num_buckets=num_buckets),
+        batch_format="pyarrow")
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tie_col], kind="mergesort")
+        n = len(g)
+        v = g[value_col].to_numpy(np.float64)
+        keys = g[key_col].to_numpy()
+        idx = np.arange(n, dtype=np.int64)
+        new_seg = np.empty(n, dtype=bool)
+        if n:
+            new_seg[0] = True
+            new_seg[1:] = keys[1:] != keys[:-1]
+        seg = np.maximum.accumulate(np.where(new_seg, idx, 0))
+        lag = np.full((k, n), np.nan)
+        for j in range(k):
+            src = idx - j
+            ok = src >= seg
+            lag[j, ok] = v[src[ok]]
+        cnt = np.sum(~np.isnan(lag), axis=0)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            mean = np.nanmean(lag, axis=0)
+            std = np.nanstd(lag, axis=0, ddof=1)
+        std = np.where(cnt > 1, std, np.nan)
+        return pd.DataFrame({key_col: keys,
+                             tie_col: g[tie_col].to_numpy(),
+                             "roll_mean": np.round(mean, decimals),
+                             "roll_std": np.round(std, decimals)})
+
+    return keyed.groupby("_bucket").map_groups(scan_bucket,
+                                               batch_format="pandas")

@@ -3335,6 +3335,7 @@ def build_queries() -> dict:
         "events_conditional_agg": q_events_conditional_agg,
         "revenue_trend_theilsen": q_revenue_trend_theilsen,
         "null_profile_lineitem": q_null_profile_lineitem,
+        "events_rolling_stats": q_events_rolling_stats,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3474,6 +3475,7 @@ def build_oracles() -> dict:
         "events_conditional_agg": _EVENTS_COND_AGG_SQL,
         "revenue_trend_theilsen": _THEILSEN_SQL,
         "null_profile_lineitem": _null_profile_sql(),
+        "events_rolling_stats": _EVENTS_ROLLING_STATS_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -4634,3 +4636,26 @@ def _null_profile_sql():
               f"CAST(count(*) AS BIGINT) AS n_total FROM lineitem")
              for c in cols]
     return "\nUNION ALL\n".join(parts)
+
+
+def q_events_rolling_stats(sf_dir):
+    """Per-user trailing 5-row rolling mean + sample stddev — the
+    anomaly-score inputs (x - mean)/std computed as a windowed scan.
+    Lag-matrix nanmean/nanstd over the bucketed segmented shuffle."""
+    from ..functions.windows import keyed_rolling_stats
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["user_id", "ts", "event_id", "value"])
+    return keyed_rolling_stats(ds, key_col="user_id", ts_col="ts",
+                               tie_col="event_id", value_col="value",
+                               k=5)
+
+
+_EVENTS_ROLLING_STATS_SQL = """
+SELECT user_id, event_id,
+       round(avg(value) OVER w, 4) AS roll_mean,
+       round(stddev_samp(value) OVER w, 4) AS roll_std
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
