@@ -3336,6 +3336,7 @@ def build_queries() -> dict:
         "revenue_trend_theilsen": q_revenue_trend_theilsen,
         "null_profile_lineitem": q_null_profile_lineitem,
         "events_rolling_stats": q_events_rolling_stats,
+        "weekly_hhi_by_segment": q_weekly_hhi_by_segment,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3476,6 +3477,7 @@ def build_oracles() -> dict:
         "revenue_trend_theilsen": _THEILSEN_SQL,
         "null_profile_lineitem": _null_profile_sql(),
         "events_rolling_stats": _EVENTS_ROLLING_STATS_SQL,
+        "weekly_hhi_by_segment": _WEEKLY_HHI_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -4658,4 +4660,66 @@ SELECT user_id, event_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_weekly_hhi_by_segment(sf_dir):
+    """Weekly revenue-concentration index (Herfindahl-Hirschman) across
+    customer segments: join + two-level rollup, then a per-week share-
+    squared sum — market-concentration monitoring. The (week, segment)
+    aggregate is bounded by the calendar x segment domain, so the HHI
+    finish runs on a tiny keyed groupby."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.join import hash_join
+
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_custkey", "o_orderdate",
+                                 "o_totalprice"])
+
+    def project(t: pa.Table) -> pa.Table:
+        ts = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+              .astype("datetime64[D]")
+        days = (ts - np.datetime64("1969-12-29")).astype(np.int64)
+        wk = (np.datetime64("1969-12-29")
+              + (days // 7) * np.timedelta64(7, "D")) \
+            .astype("datetime64[us]")
+        e2 = pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                      round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"c_custkey": t["o_custkey"],
+                         "wk": pa.array(wk), "e2": e2})
+
+    orders = orders.map_batches(project, batch_format="pyarrow")
+    cust = read_table(table_path(sf_dir, "customer"),
+                      columns=["c_custkey", "c_mktsegment"])
+    j = hash_join(orders, cust, on="c_custkey", how="inner")
+    agg = j.groupby(["wk", "c_mktsegment"]).aggregate(
+        Sum("e2", alias_name="rev"))
+
+    def hhi(g: pd.DataFrame) -> pd.DataFrame:
+        rev = g["rev"].to_numpy(np.float64)
+        tot = rev.sum()
+        shares = rev / tot
+        return pd.DataFrame({
+            "wk": [g["wk"].iloc[0]],
+            "n_segments": [np.int64(len(rev))],
+            "hhi": [round(float(np.sum(shares * shares)), 6)]})
+
+    return agg.groupby("wk").map_groups(hhi, batch_format="pandas")
+
+
+_WEEKLY_HHI_SQL = """
+WITH s AS (
+  SELECT date_trunc('week', o_orderdate) AS wk,
+         c_mktsegment AS seg,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY wk, seg),
+t AS (SELECT *, sum(rev) OVER (PARTITION BY wk) AS tot FROM s)
+SELECT CAST(wk AS TIMESTAMP) AS wk,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       round(sum(power(rev / CAST(tot AS DOUBLE), 2)), 6) AS hhi
+FROM t
+GROUP BY wk
 """

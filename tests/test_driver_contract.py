@@ -143,7 +143,7 @@ def test_entry_smoke(entry_mod):
     "top_event_by_value_per_user", "docs_percentrank_by_source",
     "lineitem_unpivot", "events_conditional_agg",
     "revenue_trend_theilsen", "null_profile_lineitem",
-    "events_rolling_stats",
+    "events_rolling_stats", "weekly_hhi_by_segment",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()
