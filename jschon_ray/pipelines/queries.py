@@ -3337,6 +3337,8 @@ def build_queries() -> dict:
         "null_profile_lineitem": q_null_profile_lineitem,
         "events_rolling_stats": q_events_rolling_stats,
         "weekly_hhi_by_segment": q_weekly_hhi_by_segment,
+        "wau_rolling_7d": q_wau_rolling_7d,
+        "chi2_event_weekday": q_chi2_event_weekday,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3478,6 +3480,8 @@ def build_oracles() -> dict:
         "null_profile_lineitem": _null_profile_sql(),
         "events_rolling_stats": _EVENTS_ROLLING_STATS_SQL,
         "weekly_hhi_by_segment": _WEEKLY_HHI_SQL,
+        "wau_rolling_7d": _WAU_ROLLING_SQL,
+        "chi2_event_weekday": _CHI2_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -4722,4 +4726,125 @@ SELECT CAST(wk AS TIMESTAMP) AS wk,
        round(sum(power(rev / CAST(tot AS DOUBLE), 2)), 6) AS hhi
 FROM t
 GROUP BY wk
+"""
+
+
+def q_wau_rolling_7d(sf_dir):
+    """Rolling 7-day active users per observed day — the sliding
+    DISTINCT that resists pre-aggregation: reduce to distinct
+    (day, user) pairs first (per-batch combiner, then one keys-only
+    groupby), explode each pair into the <=7 windows it serves
+    (bounded x7), and count distinct per window day. Every exchange
+    carries (day, user) ids only."""
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["ts", "user_id"])
+
+    def day_pairs(t: pa.Table) -> pa.Table:
+        d = t["ts"].to_numpy(zero_copy_only=False) \
+             .astype("datetime64[D]")
+        tbl = pa.table({"d": pa.array(d),
+                        "user_id": t["user_id"]})
+        return tbl.group_by(["d", "user_id"]).aggregate([]) \
+
+    pairs = ds.map_batches(day_pairs, batch_format="pyarrow") \
+              .groupby(["d", "user_id"]).count()
+
+    observed = set()
+    for b in pairs.select_columns(["d"]).iter_batches(
+            batch_format="pyarrow"):
+        observed.update(b["d"].to_numpy(zero_copy_only=False)
+                        .astype("datetime64[D]").tolist())
+    observed_arr = np.array(sorted(observed), dtype="datetime64[D]")
+
+    def explode(t: pa.Table) -> pa.Table:
+        d = t["d"].to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        parts = []
+        for i in range(7):
+            w = d + np.timedelta64(i, "D")
+            keep = np.isin(w, observed_arr)
+            parts.append(pa.table({
+                "day": pa.array(w[keep].astype("datetime64[us]")),
+                "user_id": pa.array(u[keep])}))
+        return pa.concat_tables(parts)
+
+    wins = pairs.map_batches(explode, batch_format="pyarrow") \
+        .groupby(["day", "user_id"]).count() \
+        .groupby("day").count()
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table({"day": t["day"],
+                         "wau": t["count()"].cast(pa.int64())})
+
+    return wins.map_batches(fix, batch_format="pyarrow")
+
+
+_WAU_ROLLING_SQL = """
+WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events),
+du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events)
+SELECT CAST(days.d AS TIMESTAMP) AS day,
+       CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau
+FROM days JOIN du
+  ON du.d > days.d - INTERVAL 7 DAY AND du.d <= days.d
+GROUP BY days.d
+"""
+
+
+def q_chi2_event_weekday(sf_dir):
+    """Chi-square test of independence between event type and weekday:
+    the contingency table reduces through one bounded keys-only count
+    shuffle (7 x #types cells); expected counts and the statistic are
+    exact-integer-derived on the driver."""
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["ts", "event_type"])
+
+    def project(t: pa.Table) -> pa.Table:
+        d = t["ts"].to_numpy(zero_copy_only=False) \
+             .astype("datetime64[D]").astype(np.int64)
+        # 1970-01-01 was a Thursday; ISO dow Monday=1
+        dow = ((d + 3) % 7 + 1).astype(np.int64)
+        return pa.table({"dow": pa.array(dow),
+                         "event_type": t["event_type"]})
+
+    counts = ds.map_batches(project, batch_format="pyarrow") \
+        .map_batches(lambda t: t.group_by(["dow", "event_type"])
+                     .aggregate([([], "count_all")]),
+                     batch_format="pyarrow") \
+        .groupby(["dow", "event_type"]).sum("count_all").to_pandas()
+
+    piv = counts.pivot_table(index="dow", columns="event_type",
+                             values="sum(count_all)", fill_value=0)
+    obs = piv.to_numpy(np.float64)
+    row = obs.sum(axis=1, keepdims=True)
+    col = obs.sum(axis=0, keepdims=True)
+    tot = obs.sum()
+    exp = row @ col / tot
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    dof = (obs.shape[0] - 1) * (obs.shape[1] - 1)
+    return pd.DataFrame({"n": [np.int64(tot)],
+                         "dof": [np.int64(dof)],
+                         "chi2": [round(chi2, 4)]})
+
+
+_CHI2_SQL = """
+WITH c AS (
+  SELECT isodow(ts) AS dow, event_type, count(*) AS n
+  FROM events GROUP BY dow, event_type),
+grid AS (
+  SELECT d.dow, t.event_type, coalesce(c.n, 0) AS n
+  FROM (SELECT DISTINCT dow FROM c) d
+  CROSS JOIN (SELECT DISTINCT event_type FROM c) t
+  LEFT JOIN c ON c.dow = d.dow AND c.event_type = t.event_type),
+m AS (
+  SELECT grid.*,
+         sum(n) OVER (PARTITION BY dow) AS row_n,
+         sum(n) OVER (PARTITION BY event_type) AS col_n,
+         sum(n) OVER () AS tot
+  FROM grid)
+SELECT CAST(any_value(tot) AS BIGINT) AS n,
+       CAST((count(DISTINCT dow) - 1)
+            * (count(DISTINCT event_type) - 1) AS BIGINT) AS dof,
+       round(sum(power(n - row_n * col_n / CAST(tot AS DOUBLE), 2)
+                 / (row_n * col_n / CAST(tot AS DOUBLE))), 4) AS chi2
+FROM m
 """
