@@ -264,3 +264,64 @@ def broadcast_join(ds, small, *, on: str, how: str = "inner",
         batch_format="pyarrow",
         concurrency=concurrency or default_concurrency(),
     )
+
+
+def salted_hash_join(left, right, *, on: str, hot_keys,
+                     num_salts: int = 8, how: str = "inner",
+                     num_buckets: int = 32, suffixes=("", "_r")):
+    """`hash_join` for SKEWED keys: the named hot keys' build rows are
+    replicated `num_salts` ways and their probe rows scattered across
+    the salts, so one hot key's join work spreads over `num_salts`
+    shuffle buckets instead of serializing on a single straggler task
+    (SURVEY §4 skew row; the join-side complement of the salted
+    grouped-stats aggregate).
+
+    `hot_keys`: iterable of key values to salt (from a heavy-hitter
+    pass, e.g. state.sketches count-min or a groupby count). Join
+    OUTPUT is identical to `hash_join` for any salt assignment, since
+    replicated build rows meet every probe salt — only the physical
+    distribution changes. Cost: |hot build rows| x num_salts extra
+    replicated rows; keep `hot_keys` to true heavy hitters.
+    """
+    import pyarrow.compute as pc
+
+    hot = pa.array(sorted(set(hot_keys)))
+    skey = "__salted_key"
+
+    def salt_left(batch: pa.Table) -> pa.Table:
+        k = batch[on]
+        is_hot = pc.fill_null(pc.is_in(k, value_set=hot), False) \
+                   .to_numpy(zero_copy_only=False)
+        salt = np.zeros(batch.num_rows, np.int64)
+        salt[is_hot] = np.arange(int(is_hot.sum())) % num_salts
+        s = pc.binary_join_element_wise(
+            pc.cast(k, pa.string()),
+            pa.array(salt.astype("U"), pa.string()), "#")
+        return batch.append_column(skey, s)
+
+    def explode_right(batch: pa.Table) -> pa.Table:
+        k = batch[on]
+        is_hot = pc.fill_null(pc.is_in(k, value_set=hot), False)
+        cold = batch.filter(pc.invert(is_hot))
+        hotp = batch.filter(is_hot)
+        zero = pa.array(np.zeros(cold.num_rows, np.int64).astype("U"),
+                        pa.string())
+        parts = [cold.append_column(
+            skey, pc.binary_join_element_wise(
+                pc.cast(cold[on], pa.string()), zero, "#"))]
+        for sgroup in range(num_salts):
+            tag = pa.array(np.full(hotp.num_rows, sgroup,
+                                   np.int64).astype("U"), pa.string())
+            parts.append(hotp.append_column(
+                skey, pc.binary_join_element_wise(
+                    pc.cast(hotp[on], pa.string()), tag, "#")))
+        return pa.concat_tables(parts)
+
+    lefts = left.map_batches(salt_left, batch_format="pyarrow")
+    rights = right.map_batches(explode_right, batch_format="pyarrow") \
+        .map_batches(lambda t: t.drop_columns([on]),
+                     batch_format="pyarrow")
+    joined = hash_join(lefts, rights, on=skey, how=how,
+                       num_buckets=num_buckets, suffixes=suffixes)
+    return joined.map_batches(lambda t: t.drop_columns([skey]),
+                              batch_format="pyarrow")

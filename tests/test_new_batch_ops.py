@@ -160,3 +160,44 @@ class TestWeightedSample:
         b = weighted_sample(tbl, id_col="id", weight_col="w",
                             factor=100.0)["id"].to_pylist()
         assert a == b and 150 < len(a) < 350
+
+
+class TestSaltedHashJoin:
+    def _skewed(self):
+        rng = np.random.default_rng(7)
+        n = 5000
+        keys = np.where(rng.random(n) < 0.9, 7,
+                        rng.integers(0, 50, n)).astype(np.int64)
+        left = pa.table({"k": pa.array(keys),
+                         "payload": pa.array(np.arange(n, dtype=np.int64))})
+        right = pa.table({"k": pa.array(np.arange(50, dtype=np.int64)),
+                          "dim": pa.array([f"d{i}" for i in range(50)])})
+        return left, right
+
+    def test_matches_plain_hash_join(self, ray_session):
+        from jschon_ray.functions.join import hash_join, salted_hash_join
+        left, right = self._skewed()
+        a = salted_hash_join(ray.data.from_arrow(left),
+                             ray.data.from_arrow(right), on="k",
+                             hot_keys=[7], num_salts=4).to_pandas()
+        b = hash_join(ray.data.from_arrow(left),
+                      ray.data.from_arrow(right), on="k").to_pandas()
+        a = a.sort_values(["k", "payload"]).reset_index(drop=True)
+        b = b.sort_values(["k", "payload"]).reset_index(drop=True)
+        assert len(a) == len(b) == 5000
+        pd.testing.assert_frame_equal(a[sorted(a.columns)],
+                                      b[sorted(b.columns)])
+
+    def test_left_join_unmatched_survive(self, ray_session):
+        from jschon_ray.functions.join import salted_hash_join
+        left = pa.table({"k": pa.array([7, 7, 99], pa.int64()),
+                         "payload": pa.array([1, 2, 3], pa.int64())})
+        right = pa.table({"k": pa.array([7], pa.int64()),
+                          "dim": ["hot"]})
+        out = salted_hash_join(ray.data.from_arrow(left),
+                               ray.data.from_arrow(right), on="k",
+                               hot_keys=[7], num_salts=3,
+                               how="left").to_pandas()
+        out = out.sort_values("payload").reset_index(drop=True)
+        assert list(out["dim"]) == ["hot", "hot", None] or \
+               list(out["dim"].fillna("NULL")) == ["hot", "hot", "NULL"]
