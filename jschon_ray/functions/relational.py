@@ -743,3 +743,40 @@ def grouped_vector_mean(ds, *, key: str, vec_col: str,
         return pa.table({key: t[key], "i": t["i"], "c": c})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def heavy_hitters(ds, *, col: str, num: int = 1, den: int = 1000):
+    """Keys whose frequency share exceeds num/den — the exact
+    heavy-hitter pass that feeds skew handling (its output is the
+    `hot_keys` input of `join.salted_hash_join`). Per-batch count
+    combiner, one keys-only groupby, then an exact integer
+    cross-multiplied threshold (count * den > total * num); the total
+    is one scalar aggregate over the already-reduced key counts.
+
+    Complements the approximate count-min path in state.sketches (use
+    that when the key domain itself is too large to groupby)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    counts = ds.select_columns([col]) \
+        .map_batches(
+            lambda t: t.group_by([col]).aggregate([([], "count_all")]),
+            batch_format="pyarrow") \
+        .groupby(col).sum("count_all").materialize()
+
+    def fix(t: pa.Table) -> pa.Table:
+        c = t["sum(count_all)"]
+        if c.type != pa.int64():
+            c = pc.round(c).cast(pa.int64())
+        return pa.table({col: t[col], "n": c})
+
+    counts = counts.map_batches(fix, batch_format="pyarrow")
+    tot = int(counts.aggregate(Sum("n", alias_name="tot"))["tot"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.greater(pc.multiply(t["n"], np.int64(den)),
+                          np.int64(tot) * np.int64(num))
+        return t.filter(pc.fill_null(mask, False))
+
+    return counts.map_batches(keep, batch_format="pyarrow")

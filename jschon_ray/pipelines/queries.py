@@ -3339,6 +3339,7 @@ def build_queries() -> dict:
         "weekly_hhi_by_segment": q_weekly_hhi_by_segment,
         "wau_rolling_7d": q_wau_rolling_7d,
         "chi2_event_weekday": q_chi2_event_weekday,
+        "heavy_hitter_parts": q_heavy_hitter_parts,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3482,6 +3483,7 @@ def build_oracles() -> dict:
         "weekly_hhi_by_segment": _WEEKLY_HHI_SQL,
         "wau_rolling_7d": _WAU_ROLLING_SQL,
         "chi2_event_weekday": _CHI2_SQL,
+        "heavy_hitter_parts": _HEAVY_HITTER_PARTS_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -4847,4 +4849,25 @@ SELECT CAST(any_value(tot) AS BIGINT) AS n,
        round(sum(power(n - row_n * col_n / CAST(tot AS DOUBLE), 2)
                  / (row_n * col_n / CAST(tot AS DOUBLE))), 4) AS chi2
 FROM m
+"""
+
+
+def q_heavy_hitter_parts(sf_dir):
+    """Parts with more than a 1/1500 share of all line items — the exact
+    heavy-hitter pass whose output feeds `salted_hash_join` hot-key
+    salting. Integer cross-multiplied threshold; one keys-only count
+    shuffle plus one scalar aggregate."""
+    from ..functions.relational import heavy_hitters
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_partkey"])
+    return heavy_hitters(ds, col="l_partkey", num=1, den=1500)
+
+
+_HEAVY_HITTER_PARTS_SQL = """
+WITH c AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_partkey),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+SELECT l_partkey, n FROM c, t WHERE n * 1500 > tot * 1
 """

@@ -144,7 +144,7 @@ def test_entry_smoke(entry_mod):
     "lineitem_unpivot", "events_conditional_agg",
     "revenue_trend_theilsen", "null_profile_lineitem",
     "events_rolling_stats", "weekly_hhi_by_segment",
-    "wau_rolling_7d", "chi2_event_weekday",
+    "wau_rolling_7d", "chi2_event_weekday", "heavy_hitter_parts",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()
