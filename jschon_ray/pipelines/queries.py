@@ -3340,6 +3340,7 @@ def build_queries() -> dict:
         "wau_rolling_7d": q_wau_rolling_7d,
         "chi2_event_weekday": q_chi2_event_weekday,
         "heavy_hitter_parts": q_heavy_hitter_parts,
+        "regr_slope_lineitem": q_regr_slope_lineitem,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3484,6 +3485,7 @@ def build_oracles() -> dict:
         "wau_rolling_7d": _WAU_ROLLING_SQL,
         "chi2_event_weekday": _CHI2_SQL,
         "heavy_hitter_parts": _HEAVY_HITTER_PARTS_SQL,
+        "regr_slope_lineitem": _REGR_SLOPE_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -4870,4 +4872,88 @@ WITH c AS (
   FROM lineitem GROUP BY l_partkey),
 t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
 SELECT l_partkey, n FROM c, t WHERE n * 1500 > tot * 1
+"""
+
+
+def q_regr_slope_lineitem(sf_dir):
+    """Per-group OLS fit (price-vs-quantity slope + intercept per return
+    flag): five exact integer moment sums per (batch, flag) — the
+    combiner — then one bounded groupby and a closed-form finish whose
+    double arithmetic is reproduced verbatim in the oracle, so the fit
+    hash-matches without tolerance tricks."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.round(pc.multiply(t["l_quantity"], 100.0),
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        p = pc.round(pc.multiply(t["l_extendedprice"], 100.0),
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        tbl = pa.table({"l_returnflag": t["l_returnflag"],
+                        "n": pa.array(np.ones(t.num_rows, np.int64)),
+                        "sx": q, "sy": p,
+                        "sxy": pc.multiply(q, p),
+                        "sxx": pc.multiply(q, q)})
+        return tbl.group_by("l_returnflag").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum"), ("sxx", "sum")]) \
+            .rename_columns(["l_returnflag", "n", "sx", "sy",
+                             "sxy", "sxx"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby("l_returnflag").aggregate(
+                Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+                Sum("sxx", alias_name="sxx"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in ("n", "sx", "sy", "sxy", "sxx"):
+            col = t[c]
+            if col.type != pa.int64():
+                col = pc.round(col).cast(pa.int64())
+            cols[c] = col.to_numpy(zero_copy_only=False) \
+                         .astype(np.float64)
+        n, sx, sy, sxy, sxx = (cols[c] for c in
+                               ("n", "sx", "sy", "sxy", "sxx"))
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": pa.array(cols["n"].astype(np.int64)),
+            "slope": pa.array(np.round(slope, 6)),
+            "intercept": pa.array(np.round(intercept, 4))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_REGR_SLOPE_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS sx,
+         CAST(sum(p) AS BIGINT) AS sy,
+         CAST(sum(q * p) AS BIGINT) AS sxy,
+         CAST(sum(q * q) AS BIGINT) AS sxx
+  FROM (SELECT l_returnflag,
+               CAST(round(l_quantity * 100) AS BIGINT) AS q,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+        FROM lineitem)
+  GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+       round((CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4)
+         AS intercept
+FROM m
 """

@@ -145,6 +145,7 @@ def test_entry_smoke(entry_mod):
     "revenue_trend_theilsen", "null_profile_lineitem",
     "events_rolling_stats", "weekly_hhi_by_segment",
     "wau_rolling_7d", "chi2_event_weekday", "heavy_hitter_parts",
+    "regr_slope_lineitem",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()
