@@ -3341,6 +3341,8 @@ def build_queries() -> dict:
         "chi2_event_weekday": q_chi2_event_weekday,
         "heavy_hitter_parts": q_heavy_hitter_parts,
         "regr_slope_lineitem": q_regr_slope_lineitem,
+        "orders_with_high_discount": q_orders_with_high_discount,
+        "parts_all_low_discount": q_parts_all_low_discount,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3486,6 +3488,8 @@ def build_oracles() -> dict:
         "chi2_event_weekday": _CHI2_SQL,
         "heavy_hitter_parts": _HEAVY_HITTER_PARTS_SQL,
         "regr_slope_lineitem": _REGR_SLOPE_SQL,
+        "orders_with_high_discount": _ORDERS_HIGH_DISCOUNT_SQL,
+        "parts_all_low_discount": _PARTS_ALL_LOW_DISCOUNT_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -4956,4 +4960,90 @@ SELECT l_returnflag, n,
                 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4)
          AS intercept
 FROM m
+"""
+
+
+def q_orders_with_high_discount(sf_dir):
+    """EXISTS semi-join with a predicate: orders having at least one
+    line with discount >= 0.08. Qualifying orderkeys reduce to per-block
+    DISTINCT before the one keys-only exchange; the orders side then
+    probes the broadcast key set — rows with payloads never shuffle."""
+    from ..functions.join import broadcast_join
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_discount"])
+
+    def qualifying(t: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.greater_equal(t["l_discount"], 0.08),
+                            False)
+        keys = t.filter(keep)["l_orderkey"].unique()
+        return pa.table({"o_orderkey": keys})
+
+    keys = li.map_batches(qualifying, batch_format="pyarrow") \
+             .groupby("o_orderkey").count() \
+             .map_batches(lambda t: t.select(["o_orderkey"]),
+                          batch_format="pyarrow")
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_totalprice"])
+
+    def project(t: pa.Table) -> pa.Table:
+        e2 = pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                      round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "total_e2": e2})
+
+    orders = orders.map_batches(project, batch_format="pyarrow")
+    kt = pa.concat_tables(list(keys.iter_batches(batch_format="pyarrow")))
+    return broadcast_join(orders, kt, on="o_orderkey", how="inner")
+
+
+_ORDERS_HIGH_DISCOUNT_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_e2
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount >= 0.08)
+"""
+
+
+def q_parts_all_low_discount(sf_dir):
+    """ALL-quantified filter: parts whose EVERY line ships with discount
+    < 0.09 (never discounted deeply). One keys-only grouped-max in
+    integer units, then an exact threshold filter — the NOT EXISTS /
+    ALL comparison as a max aggregate."""
+    from ray.data.aggregate import Max
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_partkey", "l_discount"])
+
+    def project(t: pa.Table) -> pa.Table:
+        d = pc.round(pc.multiply(t["l_discount"], 100.0),
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"l_partkey": t["l_partkey"], "d_e2": d})
+
+    agg = li.map_batches(project, batch_format="pyarrow") \
+            .groupby("l_partkey").aggregate(Max("d_e2",
+                                                alias_name="max_d_e2"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        col = t["max_d_e2"]
+        if col.type != pa.int64():
+            col = pc.round(col).cast(pa.int64())
+        mask = pc.less(col, 9)
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "max_d_e2": col}).filter(
+                             pc.fill_null(mask, False))
+
+    return agg.map_batches(keep, batch_format="pyarrow")
+
+
+_PARTS_ALL_LOW_DISCOUNT_SQL = """
+SELECT l_partkey,
+       CAST(max(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS max_d_e2
+FROM lineitem
+GROUP BY l_partkey
+HAVING max(CAST(round(l_discount * 100) AS BIGINT)) < 9
 """
