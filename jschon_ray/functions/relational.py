@@ -260,6 +260,84 @@ def rollup_agg(ds, *, keys: list, value_col: str):
     return out.rename(columns={"s": f"sum_{value_col}"})
 
 
+def cube_agg(ds, *, keys: list, value_col: str):
+    """`GROUP BY CUBE(keys...)`: subtotals at EVERY key subset (2^k
+    grouping sets). Same one-pass shape as `rollup_agg`: per-block
+    partials at the finest level only, one bounded groupby shuffle,
+    then every coarser subset re-aggregated from the finest RESULT —
+    the input is read and shuffled exactly once regardless of k.
+    Returns pandas (keys..., n, sum_value) with None in the rolled-up
+    key slots."""
+    import itertools
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(list(keys) + [value_col]).to_pandas()
+        df["_v"] = df[value_col].astype(np.float64)
+        agg = df.groupby(list(keys), sort=False, dropna=False) \
+            .agg(n=("_v", "size"), s=("_v", "sum")).reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    finest = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(list(keys)).sum(["n", "s"]).to_pandas()
+    finest = finest.rename(columns={"sum(n)": "n", "sum(s)": "s"})
+    finest["n"] = finest["n"].astype(np.int64)
+
+    levels = [finest[list(keys) + ["n", "s"]]]
+    subsets = itertools.chain.from_iterable(
+        itertools.combinations(keys, r) for r in range(len(keys)))
+    for sub in subsets:
+        sub = list(sub)
+        if sub:
+            lv = finest.groupby(sub, dropna=False, sort=False) \
+                .agg(n=("n", "sum"), s=("s", "sum")).reset_index()
+        else:
+            lv = pd.DataFrame({"n": [int(finest["n"].sum())],
+                               "s": [float(finest["s"].sum())]})
+        for miss in keys:
+            if miss not in sub:
+                lv[miss] = None
+        levels.append(lv[list(keys) + ["n", "s"]])
+    out = pd.concat(levels, ignore_index=True)
+    return out.rename(columns={"s": f"sum_{value_col}"})
+
+
+def grouped_percentile_cont_lowcard(ds, *, key: str, value_col: str,
+                                    qs: tuple = (0.25, 0.5, 0.75),
+                                    prefix: str = "p"):
+    """EXACT per-group interpolated percentiles (`percentile_cont` /
+    DuckDB `quantile_cont`) for low-cardinality value domains: shuffle
+    (key, value) COUNT pairs — never rows — then reproduce the standard
+    pos = q*(n-1) linear interpolation per key in float64, matching the
+    SQL engine's arithmetic bit-for-bit on integer domains.
+
+    Output: one row per key, one `{prefix}{q*100:g}` column per q."""
+    counts = ds.select_columns([key, value_col]) \
+        .map_batches(
+            lambda t: t.group_by([key, value_col])
+                       .aggregate([([], "count_all")]),
+            batch_format="pyarrow") \
+        .groupby([key, value_col]).sum("count_all")
+
+    names = [f"{prefix}{q * 100:g}" for q in qs]
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_col, kind="mergesort")
+        w = g["sum(count_all)"].to_numpy(np.int64)
+        v = g[value_col].to_numpy(np.float64)
+        n = int(w.sum())
+        cum = np.cumsum(w)
+        row = {key: [g[key].iloc[0]]}
+        for q, nm in zip(qs, names):
+            pos = q * (n - 1)
+            lo_i, hi_i = int(np.floor(pos)), int(np.ceil(pos))
+            lo = v[np.searchsorted(cum, lo_i + 1)]
+            hi = v[np.searchsorted(cum, hi_i + 1)]
+            row[nm] = [lo + (hi - lo) * (pos - lo_i)]
+        return pd.DataFrame(row)
+
+    return counts.groupby(key).map_groups(finish, batch_format="pandas")
+
+
 def fd_violations(ds, *, determinant: list, dependent: str,
                   out: str = "n_values"):
     """Functional-dependency validation at dataset scale — the

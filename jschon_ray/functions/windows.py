@@ -499,6 +499,58 @@ def keyed_lag(ds, *, key_col: str, ts_col: str, tie_col: str,
     return out.map_batches(null_first, batch_format="pyarrow")
 
 
+def keyed_lead(ds, *, key_col: str, ts_col: str, tie_col: str,
+               value_col: str, num_buckets: int = 64,
+               decimals: int = 4):
+    """Per-key LEAD deltas: microsecond gap UNTIL the next row and value
+    change vs the next row — SQL `lead(x) OVER (PARTITION BY key ORDER
+    BY ts, tie) - x` with NULL on each key's last row (time-to-next-
+    event / churn-gap inputs). Mirror image of `keyed_lag`: same
+    bucketed segmented scan, diff taken forward."""
+    narrow = ds.select_columns([key_col, ts_col, tie_col, value_col])
+    keyed = narrow.map_batches(
+        functools.partial(_key_bucket, key_col=key_col,
+                          num_buckets=num_buckets),
+        batch_format="pyarrow")
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tie_col], kind="mergesort")
+        n = len(g)
+        keys = g[key_col].to_numpy()
+        last = np.empty(n, dtype=bool)
+        if n:
+            last[-1] = True
+            last[:-1] = keys[1:] != keys[:-1]
+        ts_us = g[ts_col].to_numpy().astype("datetime64[us]") \
+                                    .astype(np.int64)
+        v = g[value_col].to_numpy(np.float64)
+        gap = np.zeros(n, dtype=np.int64)
+        dv = np.zeros(n, dtype=np.float64)
+        if n:
+            gap[:-1] = ts_us[1:] - ts_us[:-1]
+            dv[:-1] = v[1:] - v[:-1]
+        return pd.DataFrame({
+            key_col: keys,
+            tie_col: g[tie_col].to_numpy(),
+            "gap_us": gap, "value_delta": np.round(dv, decimals),
+            "_last": last,
+        })
+
+    out = keyed.groupby("_bucket").map_groups(scan_bucket,
+                                              batch_format="pandas")
+
+    def null_last(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.invert(t["_last"])
+        gap = pc.if_else(keep, t["gap_us"], pa.nulls(len(t), pa.int64()))
+        dv = pc.if_else(keep, t["value_delta"],
+                        pa.nulls(len(t), pa.float64()))
+        return pa.table({key_col: t[key_col], tie_col: t[tie_col],
+                         "lead_gap_us": gap, "lead_delta": dv})
+
+    return out.map_batches(null_last, batch_format="pyarrow")
+
+
 def keyed_throttle(ds, *, key_col: str, ts_col: str, tie_col: str,
                    min_gap_us: int, num_buckets: int = 64):
     """LAG-based rate limiting: keep a row iff it is the key's first
@@ -551,13 +603,14 @@ def keyed_throttle(ds, *, key_col: str, ts_col: str, tie_col: str,
 
 
 def keyed_latest(ds, *, key_cols: list, ts_col: str, tie_col: str,
-                 num_buckets: int = 64):
-    """Latest row per composite key (the snapshot / type-2-SCD dedup:
-    `row_number() OVER (PARTITION BY keys ORDER BY ts DESC, tie DESC)
-    = 1`). Rows hash-bucket on the FIRST key (composite keys never
-    split), then one sorted keep-last pass per bucket — no per-key
-    dispatch, duplicates collapse inside the bucket so the output is
-    bounded by the key-domain size."""
+                 num_buckets: int = 64, keep: str = "last"):
+    """Latest (or, with keep='first', earliest) row per composite key
+    (the snapshot / type-2-SCD dedup: `row_number() OVER (PARTITION BY
+    keys ORDER BY ts DESC, tie DESC) = 1`; keep='first' flips to ASC —
+    first-touch attribution). Rows hash-bucket on the FIRST key
+    (composite keys never split), then one sorted keep-last pass per
+    bucket — no per-key dispatch, duplicates collapse inside the
+    bucket so the output is bounded by the key-domain size."""
     keyed = ds.map_batches(
         functools.partial(_key_bucket, key_col=key_cols[0],
                           num_buckets=num_buckets),
@@ -566,7 +619,7 @@ def keyed_latest(ds, *, key_cols: list, ts_col: str, tie_col: str,
     def last_per_key(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(list(key_cols) + [ts_col, tie_col],
                           kind="mergesort")
-        out = g.drop_duplicates(list(key_cols), keep="last")
+        out = g.drop_duplicates(list(key_cols), keep=keep)
         return out.drop(columns=["_bucket"])
 
     return keyed.groupby("_bucket").map_groups(last_per_key,
@@ -639,6 +692,53 @@ def keyed_percent_rank(ds, *, key_col: str, value_col: str, tie_col: str,
                              "rnk": rank, "pct": pct})
 
     return keyed.groupby("_bucket").map_groups(rank_bucket,
+                                               batch_format="pandas")
+
+
+def keyed_cume_dist(ds, *, key_col: str, value_col: str, tie_col: str,
+                    num_buckets: int = 64):
+    """Per-key exact cumulative distribution: `cume_dist() OVER
+    (PARTITION BY key ORDER BY value)` — (# rows with value <= current)
+    / n_key, ties counted together (the SQL tie semantics, unlike
+    percent_rank's tie-broken order). One bucketed shuffle of three
+    narrow columns; each output value divides two exact integers so it
+    hash-matches the oracle bit-for-bit.
+
+    Pass an integer `value_col` (e.g. cents) so tie groups are exact."""
+    narrow = ds.select_columns([key_col, value_col, tie_col])
+    keyed = narrow.map_batches(
+        functools.partial(_key_bucket, key_col=key_col,
+                          num_buckets=num_buckets),
+        batch_format="pyarrow")
+
+    def cd_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, value_col, tie_col], kind="mergesort")
+        n = len(g)
+        keys = g[key_col].to_numpy()
+        vals = g[value_col].to_numpy()
+        idx = np.arange(n, dtype=np.int64)
+        new_seg = np.empty(n, dtype=bool)
+        new_val = np.empty(n, dtype=bool)
+        if n:
+            new_seg[0] = True
+            new_seg[1:] = keys[1:] != keys[:-1]
+            new_val[0] = True
+            new_val[1:] = new_seg[1:] | (vals[1:] != vals[:-1])
+        seg = np.maximum.accumulate(np.where(new_seg, idx, 0))
+        # last index of each value-tie group, broadcast back to rows
+        gid = np.cumsum(new_val) - 1
+        gsize = np.bincount(gid)
+        gend = np.cumsum(gsize) - 1          # last row index per group
+        k_le = gend[gid] - seg + 1           # rows with value <= current
+        starts = np.flatnonzero(new_seg)
+        sizes = np.diff(np.append(starts, n))
+        n_key = np.repeat(sizes, sizes)
+        return pd.DataFrame({key_col: keys,
+                             tie_col: g[tie_col].to_numpy(),
+                             value_col: vals,
+                             "cd": k_le / n_key})
+
+    return keyed.groupby("_bucket").map_groups(cd_bucket,
                                                batch_format="pandas")
 
 

@@ -3343,6 +3343,23 @@ def build_queries() -> dict:
         "regr_slope_lineitem": q_regr_slope_lineitem,
         "orders_with_high_discount": q_orders_with_high_discount,
         "parts_all_low_discount": q_parts_all_low_discount,
+        "q4_late_orders": q_q4_late_orders,
+        "q14_promo_share": q_q14_promo_share,
+        "q17_small_qty_revenue": q_q17_small_qty_revenue,
+        "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
+        "q22_idle_rich_customers": q_q22_idle_rich_customers,
+        "covar_lineitem": q_covar_lineitem,
+        "customer_cume_dist": q_customer_cume_dist,
+        "dense_rank_brands": q_dense_rank_brands,
+        "cube_lineitem": q_cube_lineitem,
+        "percentile_cont_lineitem": q_percentile_cont_lineitem,
+        "events_lead_delta": q_events_lead_delta,
+        "supplier_balance_by_region": q_supplier_balance_by_region,
+        "partkeys_union": q_partkeys_union,
+        "first_event_per_user": q_first_event_per_user,
+        "props_k_stats": q_props_k_stats,
+        "customer_order_gap_median": q_customer_order_gap_median,
+        "events_dow_hour_heatmap": q_events_dow_hour_heatmap,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3490,6 +3507,23 @@ def build_oracles() -> dict:
         "regr_slope_lineitem": _REGR_SLOPE_SQL,
         "orders_with_high_discount": _ORDERS_HIGH_DISCOUNT_SQL,
         "parts_all_low_discount": _PARTS_ALL_LOW_DISCOUNT_SQL,
+        "q4_late_orders": _Q4_LATE_ORDERS_SQL,
+        "q14_promo_share": _Q14_PROMO_SHARE_SQL,
+        "q17_small_qty_revenue": _Q17_SMALL_QTY_SQL,
+        "q19_disjunctive_revenue": _Q19_DISJUNCTIVE_SQL,
+        "q22_idle_rich_customers": _Q22_IDLE_RICH_SQL,
+        "covar_lineitem": _COVAR_SQL,
+        "customer_cume_dist": _CUME_DIST_SQL,
+        "dense_rank_brands": _DENSE_RANK_BRANDS_SQL,
+        "cube_lineitem": _CUBE_LINEITEM_SQL,
+        "percentile_cont_lineitem": _PERCENTILE_CONT_SQL,
+        "events_lead_delta": _EVENTS_LEAD_DELTA_SQL,
+        "supplier_balance_by_region": _SUPPLIER_BALANCE_REGION_SQL,
+        "partkeys_union": _PARTKEYS_UNION_SQL,
+        "first_event_per_user": _FIRST_EVENT_SQL,
+        "props_k_stats": _PROPS_K_STATS_SQL,
+        "customer_order_gap_median": _CUSTOMER_ORDER_GAP_SQL,
+        "events_dow_hour_heatmap": _EVENTS_DOW_HOUR_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -5046,4 +5080,900 @@ SELECT l_partkey,
 FROM lineitem
 GROUP BY l_partkey
 HAVING max(CAST(round(l_discount * 100) AS BIGINT)) < 9
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4/Q14/Q17/Q19/Q22-style adaptations + covariance / cume_dist /
+# dense-rank window family
+
+
+def q_q4_late_orders(sf_dir):
+    """Q4-style priority check (EXISTS rewritten as a grouped max):
+    orders with at least one line shipped >30 days after the order
+    date, counted per priority. The lineitem side reduces to one row
+    per orderkey (per-block partial max, then a keys-only groupby)
+    before joining orders — payload columns never shuffle.
+
+    Reference parity: vocabulary/applicator.py:248-263 `contains`
+    (dataset-level EXISTS) composed with a `maximum` bound
+    (validation.py:78-84) on a derived latency column."""
+    from ray.data.aggregate import Max
+    from ..functions.join import hash_join
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_shipdate"])
+
+    def part_max(t: pa.Table) -> pa.Table:
+        us = t["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        tbl = pa.table({"o_orderkey": t["l_orderkey"], "ship_us": us})
+        return tbl.group_by("o_orderkey").aggregate([("ship_us", "max")]) \
+                  .rename_columns(["o_orderkey", "ship_us"])
+
+    maxship = li.map_batches(part_max, batch_format="pyarrow") \
+                .groupby("o_orderkey") \
+                .aggregate(Max("ship_us", alias_name="ship_us"))
+
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"])
+
+    def proj_orders(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "od_us": us,
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    joined = hash_join(orders.map_batches(proj_orders,
+                                          batch_format="pyarrow"),
+                       maxship, on="o_orderkey", how="inner")
+
+    def late_only(t: pa.Table) -> pa.Table:
+        lim = pc.add(t["od_us"], 30 * 86400 * 1_000_000)
+        mask = pc.fill_null(pc.greater(t["ship_us"], lim), False)
+        return pa.table(
+            {"o_orderpriority": t["o_orderpriority"]}).filter(mask)
+
+    return joined.map_batches(late_only, batch_format="pyarrow") \
+                 .groupby("o_orderpriority").count() \
+                 .map_batches(
+                     lambda t: t.rename_columns(
+                         ["o_orderpriority", "n_late"]),
+                     batch_format="pyarrow")
+
+
+_Q4_LATE_ORDERS_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late
+FROM orders
+JOIN (SELECT l_orderkey, max(l_shipdate) AS ms
+      FROM lineitem GROUP BY 1) li ON li.l_orderkey = o_orderkey
+WHERE ms > o_orderdate + INTERVAL 30 DAY
+GROUP BY 1
+"""
+
+
+def q_q14_promo_share(sf_dir):
+    """Q14-style promo revenue share: broadcast the (partkey, is_promo)
+    dim once, one fused conditional-sum pass over lineitem, exact e4
+    integer revenue (price cents x (1-discount) hundredths), share =
+    division of the two exact integers on both sides."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = read_table(table_path(sf_dir, "part"),
+                      columns=["p_partkey", "p_type"])
+    pt = pa.concat_tables(
+        list(part.iter_batches(batch_format="pyarrow")))
+    promo = pa.table({
+        "l_partkey": pt["p_partkey"],
+        "is_promo": pc.equal(pt["p_type"], "PROMO")})
+    ref = ray.put(promo.combine_chunks())
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_partkey", "l_extendedprice",
+                             "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        dim = _ray.get(ref)
+        j = t.join(dim, keys="l_partkey", join_type="inner")
+        p = pc.round(pc.multiply(j["l_extendedprice"], 100.0),
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        d = pc.round(pc.multiply(pc.subtract(1.0, j["l_discount"]),
+                                 100.0),
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        rev = pc.multiply(p, d)
+        pm = pc.fill_null(j["is_promo"], False)
+        promo_rev = pc.sum(pc.if_else(pm, rev, pa.scalar(0, pa.int64())))
+        return pa.table({
+            "promo_rev_e4": pa.array(
+                [promo_rev.as_py() or 0], pa.int64()),
+            "total_rev_e4": pa.array(
+                [pc.sum(rev).as_py() or 0], pa.int64())})
+
+    agg = li.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("promo_rev_e4", alias_name="promo_rev_e4"),
+        Sum("total_rev_e4", alias_name="total_rev_e4"))
+    pr, tr = int(agg["promo_rev_e4"]), int(agg["total_rev_e4"])
+    return pd.DataFrame({"promo_rev_e4": [pr], "total_rev_e4": [tr],
+                         "promo_share": [pr / tr]})
+
+
+_Q14_PROMO_SHARE_SQL = """
+WITH r AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1 - l_discount) * 100) AS BIGINT) AS rev,
+         (p_type = 'PROMO') AS pm
+  FROM lineitem JOIN part ON p_partkey = l_partkey)
+SELECT CAST(sum(CASE WHEN pm THEN rev ELSE 0 END) AS BIGINT)
+         AS promo_rev_e4,
+       CAST(sum(rev) AS BIGINT) AS total_rev_e4,
+       CAST(sum(CASE WHEN pm THEN rev ELSE 0 END) AS DOUBLE)
+         / CAST(sum(rev) AS DOUBLE) AS promo_share
+FROM r
+"""
+
+
+def q_q17_small_qty_revenue(sf_dir):
+    """Q17-style small-quantity revenue: for one brand's parts, revenue
+    of lines whose quantity is below 20% of that part's average
+    quantity. The correlated AVG subquery becomes a per-partkey (n,
+    sum_qty) aggregate joined back to the same lines; the threshold
+    compare is the exact integer cross-multiplication
+    5*qty*n < sum_qty (quantities are whole), so no float boundary can
+    disagree with the oracle."""
+    from ray.data.aggregate import Sum
+    from ..functions.join import broadcast_join
+
+    part = read_table(table_path(sf_dir, "part"),
+                      columns=["p_partkey", "p_brand"])
+    pt = pa.concat_tables(list(part.iter_batches(batch_format="pyarrow")))
+    brand = pa.table({"l_partkey":
+                      pt.filter(pc.equal(pt["p_brand"],
+                                         "Brand#13"))["p_partkey"]})
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_partkey", "l_quantity",
+                             "l_extendedprice"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        q = pc.round(t["l_quantity"],
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        p = pc.round(pc.multiply(t["l_extendedprice"], 100.0),
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"l_partkey": t["l_partkey"], "qty": q,
+                         "price_e2": p})
+
+    li13 = broadcast_join(li.map_batches(proj, batch_format="pyarrow"),
+                          brand, on="l_partkey", how="inner")
+
+    def part_moments(t: pa.Table) -> pa.Table:
+        tbl = pa.table({"l_partkey": t["l_partkey"],
+                        "n": pa.array(np.ones(t.num_rows, np.int64)),
+                        "sq": t["qty"]})
+        return tbl.group_by("l_partkey").aggregate(
+            [("n", "sum"), ("sq", "sum")]) \
+            .rename_columns(["l_partkey", "n", "sq"])
+
+    mom = li13.map_batches(part_moments, batch_format="pyarrow") \
+              .groupby("l_partkey").aggregate(
+                  Sum("n", alias_name="n"), Sum("sq", alias_name="sq"))
+    mt = pa.concat_tables(list(mom.iter_batches(batch_format="pyarrow")))
+    cols = {}
+    for c in ("n", "sq"):
+        col = mt[c]
+        if col.type != pa.int64():
+            col = pc.round(col).cast(pa.int64())
+        cols[c] = col
+    mt = pa.table({"l_partkey": mt["l_partkey"], "n": cols["n"],
+                   "sq": cols["sq"]})
+
+    probe = broadcast_join(li13, mt, on="l_partkey", how="inner")
+
+    def small_qty(t: pa.Table) -> pa.Table:
+        lhs = pc.multiply(pc.multiply(t["qty"], 5), t["n"])
+        mask = pc.fill_null(pc.less(lhs, t["sq"]), False)
+        kept = t.filter(mask)
+        s = pc.sum(kept["price_e2"]).as_py() or 0
+        return pa.table({"sum_price_e2": pa.array([s], pa.int64())})
+
+    agg = probe.map_batches(small_qty, batch_format="pyarrow") \
+               .aggregate(Sum("sum_price_e2", alias_name="sum_price_e2"))
+    s = int(agg["sum_price_e2"])
+    return pd.DataFrame({"sum_price_e2": [s],
+                         "avg_yearly_e2": [s / 7.0]})
+
+
+_Q17_SMALL_QTY_SQL = """
+WITH li13 AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_e2
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#13'),
+m AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qty) AS BIGINT) AS sq
+  FROM li13 GROUP BY 1)
+SELECT CAST(sum(price_e2) AS BIGINT) AS sum_price_e2,
+       CAST(sum(price_e2) AS DOUBLE) / 7.0 AS avg_yearly_e2
+FROM li13 JOIN m USING (l_partkey)
+WHERE 5 * qty * n < sq
+"""
+
+
+def q_q19_disjunctive_revenue(sf_dir):
+    """Q19-style disjunctive predicate revenue: three (type, size-band,
+    qty-band) conjunctive branches OR-ed together, evaluated as boolean
+    column algebra against one broadcast part dim (SURVEY 2.2 anyOf =
+    OR of child masks). Output = per-branch row count + exact e4
+    revenue."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = read_table(table_path(sf_dir, "part"),
+                      columns=["p_partkey", "p_type", "p_size"])
+    pt = pa.concat_tables(list(part.iter_batches(batch_format="pyarrow")))
+    dim = pa.table({"l_partkey": pt["p_partkey"],
+                    "p_type": pt["p_type"], "p_size": pt["p_size"]})
+    ref = ray.put(dim.combine_chunks())
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_partkey", "l_quantity",
+                             "l_extendedprice", "l_discount"])
+
+    BRANCHES = [("ECONOMY", 1, 5, 1, 11), ("STANDARD", 1, 10, 10, 20),
+                ("LARGE", 1, 15, 20, 30)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        d = _ray.get(ref)
+        j = t.join(d, keys="l_partkey", join_type="inner")
+        qty = pc.round(j["l_quantity"],
+                       round_mode="half_towards_infinity").cast(pa.int64())
+        p = pc.round(pc.multiply(j["l_extendedprice"], 100.0),
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        disc = pc.round(pc.multiply(pc.subtract(1.0, j["l_discount"]),
+                                    100.0),
+                        round_mode="half_towards_infinity") \
+                 .cast(pa.int64())
+        rev = pc.multiply(p, disc)
+        names, ns, revs = [], [], []
+        for name, s_lo, s_hi, q_lo, q_hi in BRANCHES:
+            m = pc.and_(
+                pc.and_(pc.equal(j["p_type"], name),
+                        pc.and_(pc.greater_equal(j["p_size"], s_lo),
+                                pc.less_equal(j["p_size"], s_hi))),
+                pc.and_(pc.greater_equal(qty, q_lo),
+                        pc.less_equal(qty, q_hi)))
+            m = pc.fill_null(m, False)
+            names.append(name)
+            ns.append(pc.sum(m.cast(pa.int64())).as_py() or 0)
+            revs.append(pc.sum(
+                pc.if_else(m, rev, pa.scalar(0, pa.int64()))).as_py()
+                or 0)
+        return pa.table({"branch": pa.array(names),
+                         "n_rows": pa.array(ns, pa.int64()),
+                         "rev_e4": pa.array(revs, pa.int64())})
+
+    return li.map_batches(partial, batch_format="pyarrow") \
+             .groupby("branch").aggregate(
+                 Sum("n_rows", alias_name="n_rows"),
+                 Sum("rev_e4", alias_name="rev_e4"))
+
+
+_Q19_DISJUNCTIVE_SQL = """
+WITH j AS (
+  SELECT p_type, p_size,
+         CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1 - l_discount) * 100) AS BIGINT) AS rev
+  FROM lineitem JOIN part ON p_partkey = l_partkey),
+b(branch, s_lo, s_hi, q_lo, q_hi) AS (VALUES
+  ('ECONOMY', 1, 5, 1, 11), ('STANDARD', 1, 10, 10, 20),
+  ('LARGE', 1, 15, 20, 30))
+SELECT branch,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(rev) AS BIGINT) AS rev_e4
+FROM j JOIN b ON p_type = branch
+  AND p_size BETWEEN s_lo AND s_hi AND qty BETWEEN q_lo AND q_hi
+GROUP BY 1
+"""
+
+
+def q_q22_idle_rich_customers(sf_dir):
+    """Q22-style: customers with above-average positive balance and NO
+    order since 2000-01-01 (lapsed accounts), aggregated per nation.
+    The global AVG threshold is one tiny two-integer aggregate (compare
+    bal_e2 * n_pos > sum_e2 — exact, no float boundary); the
+    predicated NOT EXISTS is the keys-only EXCEPT path over the
+    date-filtered orders (payloads never shuffle); the survivor set is
+    small, so the final enrich is a broadcast probe."""
+    from ray.data.aggregate import Sum
+    from ..functions.join import key_set_op, broadcast_join
+
+    cust = read_table(table_path(sf_dir, "customer"),
+                      columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        bal = pc.round(pc.multiply(t["c_acctbal"], 100.0),
+                       round_mode="half_towards_infinity") \
+                .cast(pa.int64())
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "c_nationkey": t["c_nationkey"],
+                         "bal_e2": bal})
+
+    cust = cust.map_batches(proj, batch_format="pyarrow")
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t["bal_e2"], 0))
+        return pa.table({
+            "n_pos": pa.array([pos.num_rows], pa.int64()),
+            "sum_pos": pa.array(
+                [pc.sum(pos["bal_e2"]).as_py() or 0], pa.int64())})
+
+    g = cust.map_batches(pos_partial, batch_format="pyarrow").aggregate(
+        Sum("n_pos", alias_name="n_pos"),
+        Sum("sum_pos", alias_name="sum_pos"))
+    n_pos, sum_pos = int(g["n_pos"]), int(g["sum_pos"])
+
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_custkey", "o_orderdate"])
+    cutoff_us = int(pd.Timestamp("2000-01-01").value // 1000)
+
+    def recent_only(t: pa.Table) -> pa.Table:
+        us = t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        mask = pc.fill_null(pc.greater_equal(us, cutoff_us), False)
+        return pa.table({"o_custkey": t["o_custkey"]}).filter(mask)
+
+    recent = orders.map_batches(recent_only, batch_format="pyarrow")
+    idle = key_set_op(cust, recent, on_a="c_custkey", on_b="o_custkey",
+                      op="except", out="c_custkey")
+    it = pa.concat_tables(list(idle.iter_batches(batch_format="pyarrow")))
+
+    def rich_only(t: pa.Table) -> pa.Table:
+        lhs = pc.multiply(t["bal_e2"], n_pos)
+        mask = pc.fill_null(pc.greater(lhs, sum_pos), False)
+        return t.filter(mask)
+
+    rich_idle = broadcast_join(
+        cust.map_batches(rich_only, batch_format="pyarrow"),
+        it, on="c_custkey", how="inner")
+
+    def per_nation(t: pa.Table) -> pa.Table:
+        tbl = pa.table({"c_nationkey": t["c_nationkey"],
+                        "n_cust": pa.array(
+                            np.ones(t.num_rows, np.int64)),
+                        "sum_bal_e2": t["bal_e2"]})
+        return tbl.group_by("c_nationkey").aggregate(
+            [("n_cust", "sum"), ("sum_bal_e2", "sum")]) \
+            .rename_columns(["c_nationkey", "n_cust", "sum_bal_e2"])
+
+    return rich_idle.map_batches(per_nation, batch_format="pyarrow") \
+                    .groupby("c_nationkey").aggregate(
+                        Sum("n_cust", alias_name="n_cust"),
+                        Sum("sum_bal_e2", alias_name="sum_bal_e2"))
+
+
+_Q22_IDLE_RICH_SQL = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_e2
+  FROM customer),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pos,
+         CAST(sum(bal_e2) AS BIGINT) AS sum_pos
+  FROM c WHERE bal_e2 > 0)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(bal_e2) AS BIGINT) AS sum_bal_e2
+FROM c, g
+WHERE bal_e2 * n_pos > sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+"""
+
+
+def q_covar_lineitem(sf_dir):
+    """Grouped sample + population covariance of (quantity, price) per
+    return flag from four exact integer moment sums, closed-form finish
+    reproduced verbatim in the oracle (regr_slope pattern,
+    functions/relational.py grouped_corr sibling)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.round(pc.multiply(t["l_quantity"], 100.0),
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        p = pc.round(pc.multiply(t["l_extendedprice"], 100.0),
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        tbl = pa.table({"l_returnflag": t["l_returnflag"],
+                        "n": pa.array(np.ones(t.num_rows, np.int64)),
+                        "sx": q, "sy": p, "sxy": pc.multiply(q, p)})
+        return tbl.group_by("l_returnflag").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum")]) \
+            .rename_columns(["l_returnflag", "n", "sx", "sy", "sxy"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby("l_returnflag").aggregate(
+                Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in ("n", "sx", "sy", "sxy"):
+            col = t[c]
+            if col.type != pa.int64():
+                col = pc.round(col).cast(pa.int64())
+            cols[c] = col.to_numpy(zero_copy_only=False) \
+                         .astype(np.float64)
+        n, sx, sy, sxy = (cols[c] for c in ("n", "sx", "sy", "sxy"))
+        # moments are e2-scaled: covar of raw units = e4 moment / 1e4
+        cpop = (sxy - sx * sy / n) / n / 1e4
+        csamp = (sxy - sx * sy / n) / (n - 1) / 1e4
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": pa.array(cols["n"].astype(np.int64)),
+            "covar_pop": pa.array(np.round(cpop, 4)),
+            "covar_samp": pa.array(np.round(csamp, 4))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_COVAR_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS sx,
+         CAST(sum(p) AS BIGINT) AS sy,
+         CAST(sum(q * p) AS BIGINT) AS sxy
+  FROM (SELECT l_returnflag,
+               CAST(round(l_quantity * 100) AS BIGINT) AS q,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+        FROM lineitem)
+  GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       round((CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             / CAST(n AS DOUBLE) / 1e4, 4) AS covar_pop,
+       round((CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             / CAST(n - 1 AS DOUBLE) / 1e4, 4) AS covar_samp
+FROM m
+"""
+
+
+def q_customer_cume_dist(sf_dir):
+    """cume_dist() OVER (PARTITION BY mktsegment ORDER BY balance):
+    tie-inclusive cumulative distribution per segment, every output a
+    division of two exact integers (functions/windows.keyed_cume_dist;
+    percent_rank's tie-counting sibling)."""
+    from ..functions.windows import keyed_cume_dist
+
+    cust = read_table(table_path(sf_dir, "customer"),
+                      columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        bal = pc.round(pc.multiply(t["c_acctbal"], 100.0),
+                       round_mode="half_towards_infinity") \
+                .cast(pa.int64())
+        return pa.table({"c_mktsegment": t["c_mktsegment"],
+                         "c_custkey": t["c_custkey"], "bal_e2": bal})
+
+    return keyed_cume_dist(cust.map_batches(proj, batch_format="pyarrow"),
+                           key_col="c_mktsegment", value_col="bal_e2",
+                           tie_col="c_custkey")
+
+
+_CUME_DIST_SQL = """
+SELECT c_mktsegment, c_custkey,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_e2,
+       cume_dist() OVER (PARTITION BY c_mktsegment
+                         ORDER BY CAST(round(c_acctbal * 100) AS BIGINT))
+         AS cd
+FROM customer
+"""
+
+
+def q_dense_rank_brands(sf_dir):
+    """Top-3 brands per part type by exact e4 revenue with DENSE_RANK
+    tie semantics. The wide work is one broadcast-dim conditional
+    aggregate (partial per block, then a bounded groupby of
+    types x brands rows); the rank itself runs on that tiny aggregate."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = read_table(table_path(sf_dir, "part"),
+                      columns=["p_partkey", "p_type", "p_brand"])
+    pt = pa.concat_tables(list(part.iter_batches(batch_format="pyarrow")))
+    dim = pa.table({"l_partkey": pt["p_partkey"],
+                    "p_type": pt["p_type"], "p_brand": pt["p_brand"]})
+    ref = ray.put(dim.combine_chunks())
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_partkey", "l_extendedprice",
+                             "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        d = _ray.get(ref)
+        j = t.join(d, keys="l_partkey", join_type="inner")
+        p = pc.round(pc.multiply(j["l_extendedprice"], 100.0),
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        disc = pc.round(pc.multiply(pc.subtract(1.0, j["l_discount"]),
+                                    100.0),
+                        round_mode="half_towards_infinity") \
+                 .cast(pa.int64())
+        tbl = pa.table({"p_type": j["p_type"], "p_brand": j["p_brand"],
+                        "rev_e4": pc.multiply(p, disc)})
+        return tbl.group_by(["p_type", "p_brand"]).aggregate(
+            [("rev_e4", "sum")]) \
+            .rename_columns(["p_type", "p_brand", "rev_e4"])
+
+    agg = li.map_batches(partial, batch_format="pyarrow") \
+            .groupby(["p_type", "p_brand"]).aggregate(
+                Sum("rev_e4", alias_name="rev_e4"))
+    df = agg.to_pandas()
+    df["rev_e4"] = df["rev_e4"].round().astype("int64")
+    df = df.sort_values(["p_type", "rev_e4"],
+                        ascending=[True, False], kind="mergesort")
+    # dense rank: position of the value among distinct values, desc
+    df["rnk"] = df.groupby("p_type")["rev_e4"] \
+                  .rank(method="dense", ascending=False).astype("int64")
+    out = df[df["rnk"] <= 3].reset_index(drop=True)
+    return out[["p_type", "p_brand", "rev_e4", "rnk"]]
+
+
+_DENSE_RANK_BRANDS_SQL = """
+WITH a AS (
+  SELECT p_type, p_brand,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round((1 - l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS rev_e4
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2),
+r AS (
+  SELECT *, CAST(dense_rank() OVER (PARTITION BY p_type
+                                    ORDER BY rev_e4 DESC) AS BIGINT)
+              AS rnk
+  FROM a)
+SELECT p_type, p_brand, rev_e4, rnk FROM r WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE / percentile_cont / lead / dim-chain / set-op-union batch
+
+
+def q_cube_lineitem(sf_dir):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): all four grouping
+    sets from ONE finest-level shuffle; coarser subsets re-aggregated
+    from the finest result (functions/relational.py::cube_agg, the
+    rollup_agg sibling)."""
+    from ..functions.relational import cube_agg
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_returnflag", "l_linestatus",
+                             "l_quantity"])
+    ds = _drop_null_rows(ds, ["l_returnflag", "l_linestatus",
+                              "l_quantity"])
+    out = cube_agg(ds, keys=["l_returnflag", "l_linestatus"],
+                   value_col="l_quantity")
+    out["sum_l_quantity"] = out["sum_l_quantity"].round(4)
+    return out
+
+
+_CUBE_LINEITEM_SQL = """
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 4) AS sum_l_quantity
+FROM lineitem
+WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+  AND l_quantity IS NOT NULL
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+def q_percentile_cont_lineitem(sf_dir):
+    """Interpolated grouped percentiles (percentile_cont 0.25/0.5/0.75
+    of quantity per return flag): (key, value) COUNT pairs shuffle —
+    never rows — then the pos = q*(n-1) interpolation reproduced
+    exactly per key (quantity's whole-number domain keeps both sides
+    bit-identical)."""
+    from ..functions.relational import grouped_percentile_cont_lowcard
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_returnflag", "l_quantity"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        q = pc.round(t["l_quantity"],
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"l_returnflag": t["l_returnflag"], "qty": q})
+
+    return grouped_percentile_cont_lowcard(
+        ds.map_batches(proj, batch_format="pyarrow"),
+        key="l_returnflag", value_col="qty")
+
+
+_PERCENTILE_CONT_SQL = """
+SELECT l_returnflag,
+       quantile_cont(CAST(round(l_quantity) AS BIGINT), 0.25) AS p25,
+       quantile_cont(CAST(round(l_quantity) AS BIGINT), 0.5) AS p50,
+       quantile_cont(CAST(round(l_quantity) AS BIGINT), 0.75) AS p75
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def q_events_lead_delta(sf_dir):
+    """Per-user LEAD deltas (time-to-next-event + next-value change),
+    NULL on each user's last event — keyed_lag's mirror scan
+    (functions/windows.py::keyed_lead)."""
+    from ..functions.windows import keyed_lead
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["user_id", "ts", "event_id", "value"])
+    return keyed_lead(ds, key_col="user_id", ts_col="ts",
+                      tie_col="event_id", value_col="value")
+
+
+_EVENTS_LEAD_DELTA_SQL = """
+SELECT user_id, event_id,
+       date_diff('microsecond', ts, lead(ts) OVER w) AS lead_gap_us,
+       round(lead(value) OVER w - value, 4) AS lead_delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_supplier_balance_by_region(sf_dir):
+    """Supplier account balance rolled up region-wise through the
+    nation->region dim chain: two tiny broadcast probes composed into
+    one map stage (dims join driver-side first — the $ref chain of
+    SURVEY 2.3 resolved at compile time), then a bounded groupby."""
+    from ray.data.aggregate import Sum
+    from ..functions.join import broadcast_join
+
+    nation = read_table(table_path(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_regionkey"])
+    region = read_table(table_path(sf_dir, "region"),
+                        columns=["r_regionkey", "r_name"])
+    nt = pa.concat_tables(list(nation.iter_batches(
+        batch_format="pyarrow")))
+    rt = pa.concat_tables(list(region.iter_batches(
+        batch_format="pyarrow")))
+    dim = nt.join(rt, keys="n_regionkey", right_keys="r_regionkey",
+                  join_type="inner") \
+            .select(["n_nationkey", "r_name"]) \
+            .rename_columns(["s_nationkey", "r_name"])
+
+    sup = read_table(table_path(sf_dir, "supplier"),
+                     columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        bal = pc.round(pc.multiply(t["s_acctbal"], 100.0),
+                       round_mode="half_towards_infinity") \
+                .cast(pa.int64())
+        return pa.table({
+            "s_nationkey": t["s_nationkey"].cast(pa.int32()),
+            "n_sup": pa.array(np.ones(t.num_rows, np.int64)),
+            "bal_e2": bal})
+
+    joined = broadcast_join(sup.map_batches(proj,
+                                            batch_format="pyarrow"),
+                            dim, on="s_nationkey", how="inner")
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by("r_name").aggregate(
+            [("n_sup", "sum"), ("bal_e2", "sum")]) \
+            .rename_columns(["r_name", "n_sup", "bal_e2"])
+
+    return joined.map_batches(partial, batch_format="pyarrow") \
+                 .groupby("r_name").aggregate(
+                     Sum("n_sup", alias_name="n_sup"),
+                     Sum("bal_e2", alias_name="sum_bal_e2"))
+
+
+_SUPPLIER_BALANCE_REGION_SQL = """
+SELECT r_name, CAST(count(*) AS BIGINT) AS n_sup,
+       CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS sum_bal_e2
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY 1
+"""
+
+
+def q_partkeys_union(sf_dir):
+    """SQL UNION (distinct) of two key columns — completes the
+    INTERSECT / EXCEPT / UNION family over
+    functions/join.py::key_set_op's distinct-presence shuffle: part
+    keys appearing in the catalog or in any line."""
+    from ..functions.join import key_set_op
+
+    part = read_table(table_path(sf_dir, "part"), columns=["p_partkey"])
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_partkey"])
+    out = key_set_op(part, li, on_a="p_partkey", on_b="l_partkey",
+                     op="union").to_pandas()
+    return _ensure_columns(out, {"key": "int64"})
+
+
+_PARTKEYS_UNION_SQL = """
+SELECT p_partkey AS key FROM part
+UNION
+SELECT l_partkey AS key FROM lineitem
+"""
+
+
+def q_first_event_per_user(sf_dir):
+    """First-touch attribution: each user's earliest event —
+    keyed_latest with keep='first' (row_number ASC = 1). Same bounded
+    bucketed keep-pass as the snapshot dedup."""
+    from ..functions.windows import keyed_latest
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["user_id", "ts", "event_id", "event_type",
+                             "value"])
+    return keyed_latest(ds, key_cols=["user_id"], ts_col="ts",
+                        tie_col="event_id", keep="first")
+
+
+_FIRST_EVENT_SQL = """
+SELECT user_id, ts, event_id, event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) = 1
+"""
+
+
+def q_props_k_stats(sf_dir):
+    """Nested-JSON field aggregation: props is a JSON string column;
+    one vectorized NDJSON parse per block (functions/text.py::
+    parse_json_column — reference json.py:120-151 tree walk recast as
+    a batch C++ parse) feeds an integer-exact grouped min/max/sum of
+    the extracted field."""
+    import functools as _ft
+    from ray.data.aggregate import Sum, Min, Max
+    from ..functions.text import parse_json_column
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["event_type", "props"])
+    parsed = ds.map_batches(
+        _ft.partial(parse_json_column, col="props", out="_props"),
+        batch_format="pyarrow")
+
+    def extract(t: pa.Table) -> pa.Table:
+        k = pc.struct_field(t["_props"], "k").cast(pa.int64())
+        tbl = pa.table({"event_type": t["event_type"], "k": k,
+                        "n": pa.array(np.ones(t.num_rows, np.int64))})
+        return tbl.group_by("event_type").aggregate(
+            [("n", "sum"), ("k", "sum"), ("k", "min"), ("k", "max")]) \
+            .rename_columns(["event_type", "n", "sum_k", "min_k",
+                             "max_k"])
+
+    return parsed.map_batches(extract, batch_format="pyarrow") \
+                 .groupby("event_type").aggregate(
+                     Sum("n", alias_name="n"),
+                     Sum("sum_k", alias_name="sum_k"),
+                     Min("min_k", alias_name="min_k"),
+                     Max("max_k", alias_name="max_k"))
+
+
+_PROPS_K_STATS_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k
+FROM events
+GROUP BY 1
+"""
+
+
+def q_customer_order_gap_median(sf_dir):
+    """Median inter-order gap per customer (repeat-purchase cadence):
+    LAG day-diff composed with an exact per-key median in one bucketed
+    segmented scan — keys never split, so both the diff and the median
+    finish inside the bucket without a second exchange."""
+    import functools as _ft
+    from ..functions.windows import _key_bucket
+
+    ds = read_table(table_path(sf_dir, "orders"),
+                    columns=["o_custkey", "o_orderdate", "o_orderkey"])
+    keyed = ds.map_batches(
+        _ft.partial(_key_bucket, key_col="o_custkey", num_buckets=64),
+        batch_format="pyarrow")
+
+    def med_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        days = g["o_orderdate"].to_numpy().astype("datetime64[D]") \
+                               .astype(np.int64)
+        keys = g["o_custkey"].to_numpy()
+        gap = np.diff(days, prepend=days[:1]).astype(np.float64)
+        same = np.zeros(len(g), dtype=bool)
+        if len(g):
+            same[1:] = keys[1:] == keys[:-1]
+        df = pd.DataFrame({"o_custkey": keys, "gap": gap})[same]
+        if not len(df):
+            return pd.DataFrame({"o_custkey": pd.Series([], "int64"),
+                                 "n_gaps": pd.Series([], "int64"),
+                                 "med_gap_days": pd.Series([],
+                                                           "float64")})
+        out = df.groupby("o_custkey")["gap"] \
+                .agg(n_gaps="size", med_gap_days="median") \
+                .reset_index()
+        out["n_gaps"] = out["n_gaps"].astype("int64")
+        return out
+
+    return keyed.groupby("_bucket").map_groups(med_bucket,
+                                               batch_format="pandas")
+
+
+_CUSTOMER_ORDER_GAP_SQL = """
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate,
+                                                   o_orderkey),
+                   o_orderdate) AS gap
+  FROM orders)
+SELECT o_custkey, CAST(count(gap) AS BIGINT) AS n_gaps,
+       CAST(median(gap) AS DOUBLE) AS med_gap_days
+FROM g WHERE gap IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_events_dow_hour_heatmap(sf_dir):
+    """Traffic heatmap: event count + exact cents sum per (day-of-week,
+    hour-of-day) — calendar-part extraction as pure pyarrow kernels,
+    one fused per-block partial into a 7x24-bounded groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        # arrow day_of_week: 0=Mon..6=Sun -> SQL dow: 0=Sun..6=Sat
+        dow = pc.add(pc.day_of_week(t["ts"]), 1)
+        dow = pc.if_else(pc.equal(dow, 7),
+                         pa.scalar(0, pa.int64()),
+                         dow.cast(pa.int64()))
+        hour = pc.hour(t["ts"]).cast(pa.int64())
+        cents = pc.round(pc.multiply(t["value"], 100.0),
+                         round_mode="half_towards_infinity") \
+                  .cast(pa.int64())
+        tbl = pa.table({"dow": dow, "hour": hour,
+                        "n": pa.array(np.ones(t.num_rows, np.int64)),
+                        "cents": cents})
+        return tbl.group_by(["dow", "hour"]).aggregate(
+            [("n", "sum"), ("cents", "sum")]) \
+            .rename_columns(["dow", "hour", "n", "sum_cents"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby(["dow", "hour"]).aggregate(
+                 Sum("n", alias_name="n"),
+                 Sum("sum_cents", alias_name="sum_cents"))
+
+
+_EVENTS_DOW_HOUR_SQL = """
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events
+GROUP BY 1, 2
 """

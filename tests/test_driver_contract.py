@@ -146,6 +146,14 @@ def test_entry_smoke(entry_mod):
     "events_rolling_stats", "weekly_hhi_by_segment",
     "wau_rolling_7d", "chi2_event_weekday", "heavy_hitter_parts",
     "regr_slope_lineitem",
+    "orders_with_high_discount", "parts_all_low_discount",
+    "q4_late_orders", "q14_promo_share", "q17_small_qty_revenue",
+    "q19_disjunctive_revenue", "q22_idle_rich_customers",
+    "covar_lineitem", "customer_cume_dist", "dense_rank_brands",
+    "cube_lineitem", "percentile_cont_lineitem", "events_lead_delta",
+    "supplier_balance_by_region", "partkeys_union",
+    "first_event_per_user", "props_k_stats",
+    "customer_order_gap_median", "events_dow_hour_heatmap",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()

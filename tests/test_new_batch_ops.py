@@ -201,3 +201,149 @@ class TestSaltedHashJoin:
         out = out.sort_values("payload").reset_index(drop=True)
         assert list(out["dim"]) == ["hot", "hot", None] or \
                list(out["dim"].fillna("NULL")) == ["hot", "hot", "NULL"]
+
+
+class TestKeyedCumeDist:
+    def test_ties_counted_together(self, ray_session):
+        from jschon_ray.functions.windows import keyed_cume_dist
+        ds = ray.data.from_arrow(pa.table({
+            "seg": pa.array(["a"] * 4, pa.string()),
+            "v": pa.array([10, 20, 20, 30], pa.int64()),
+            "id": pa.array([1, 2, 3, 4], pa.int64())}))
+        out = keyed_cume_dist(ds, key_col="seg", value_col="v",
+                              tie_col="id").to_pandas() \
+            .sort_values("id").reset_index(drop=True)
+        # cume_dist: 10 -> 1/4; both 20s -> 3/4; 30 -> 4/4
+        assert out["cd"].tolist() == [0.25, 0.75, 0.75, 1.0]
+
+    def test_single_row_key_is_one(self, ray_session):
+        from jschon_ray.functions.windows import keyed_cume_dist
+        ds = ray.data.from_arrow(pa.table({
+            "seg": pa.array(["a", "b"], pa.string()),
+            "v": pa.array([5, 7], pa.int64()),
+            "id": pa.array([1, 2], pa.int64())}))
+        out = keyed_cume_dist(ds, key_col="seg", value_col="v",
+                              tie_col="id").to_pandas()
+        assert (out["cd"] == 1.0).all()
+
+    def test_all_equal_values(self, ray_session):
+        from jschon_ray.functions.windows import keyed_cume_dist
+        ds = ray.data.from_arrow(pa.table({
+            "seg": pa.array(["a"] * 3, pa.string()),
+            "v": pa.array([9, 9, 9], pa.int64()),
+            "id": pa.array([1, 2, 3], pa.int64())}))
+        out = keyed_cume_dist(ds, key_col="seg", value_col="v",
+                              tie_col="id").to_pandas()
+        assert (out["cd"] == 1.0).all()
+
+
+class TestKeyedLead:
+    def test_last_of_key_null(self, ray_session):
+        from jschon_ray.functions.windows import keyed_lead
+        ds = _events([(1, "2024-01-01T00:00:00", 1, 1.0),
+                      (1, "2024-01-01T00:00:03", 2, 4.0),
+                      (2, "2024-01-01T00:00:05", 3, 2.0)])
+        out = keyed_lead(ds, key_col="user_id", ts_col="ts",
+                         tie_col="event_id", value_col="value") \
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        assert out["lead_gap_us"].tolist()[0] == 3_000_000
+        assert out["lead_delta"].tolist()[0] == 3.0
+        assert pd.isna(out["lead_gap_us"].iloc[1])   # last of user 1
+        assert pd.isna(out["lead_gap_us"].iloc[2])   # single-row user 2
+
+
+class TestCubeAgg:
+    def test_all_grouping_sets(self, ray_session):
+        from jschon_ray.functions.relational import cube_agg
+        ds = ray.data.from_arrow(pa.table({
+            "a": pa.array(["x", "x", "y"], pa.string()),
+            "b": pa.array(["p", "q", "p"], pa.string()),
+            "v": pa.array([1.0, 2.0, 4.0], pa.float64())}))
+        out = cube_agg(ds, keys=["a", "b"], value_col="v")
+        # 3 finest + 2 (a,*) + 2 (*,b) + 1 total = 8 rows
+        assert len(out) == 8
+        total = out[out["a"].isna() & out["b"].isna()]
+        assert total["n"].iloc[0] == 3
+        assert total["sum_v"].iloc[0] == 7.0
+        b_only = out[out["a"].isna() & (out["b"] == "p")]
+        assert b_only["sum_v"].iloc[0] == 5.0
+
+
+class TestPercentileContLowcard:
+    def test_interpolation_matches_numpy(self, ray_session):
+        from jschon_ray.functions.relational import (
+            grouped_percentile_cont_lowcard)
+        vals = [1, 2, 2, 3, 10, 10, 10, 50]
+        ds = ray.data.from_arrow(pa.table({
+            "g": pa.array(["a"] * len(vals), pa.string()),
+            "v": pa.array(vals, pa.int64())}))
+        out = grouped_percentile_cont_lowcard(
+            ds, key="g", value_col="v").to_pandas()
+        for q, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+            assert out[col].iloc[0] == np.quantile(
+                np.array(vals, np.float64), q)
+
+
+class TestKeyedLatestKeepFirst:
+    def test_first_touch(self, ray_session):
+        from jschon_ray.functions.windows import keyed_latest
+        ds = _events([(1, "2024-01-01T00:00:05", 2, 5.0),
+                      (1, "2024-01-01T00:00:00", 1, 1.0),
+                      (2, "2024-01-01T00:00:09", 3, 9.0)])
+        out = keyed_latest(ds, key_cols=["user_id"], ts_col="ts",
+                           tie_col="event_id", keep="first") \
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        assert out["event_id"].tolist() == [1, 3]
+        assert out["value"].tolist() == [1.0, 9.0]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cume_dist_fuzz_vs_duckdb(ray_session, seed):
+    import duckdb
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(5, 200))
+    df = pd.DataFrame({
+        "seg": rng.choice(["a", "b", "c"], n),
+        "v": rng.integers(-5, 5, n).astype("int64"),
+        "id": np.arange(n, dtype="int64")})
+    from jschon_ray.functions.windows import keyed_cume_dist
+    got = keyed_cume_dist(ray.data.from_pandas(df), key_col="seg",
+                          value_col="v", tie_col="id") \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    want = duckdb.sql("""
+        SELECT seg, id, v,
+               cume_dist() OVER (PARTITION BY seg ORDER BY v) AS cd
+        FROM df ORDER BY id""").df()
+    assert np.array_equal(got["cd"].to_numpy(),
+                          want["cd"].to_numpy())
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_keyed_lead_fuzz_vs_duckdb(ray_session, seed):
+    import duckdb
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(5, 150))
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 8, n).astype("int64"),
+        "ts": pd.to_datetime(rng.integers(0, 10**7, n), unit="us"),
+        "event_id": np.arange(n, dtype="int64"),
+        "value": np.round(rng.normal(0, 3, n), 3)})
+    from jschon_ray.functions.windows import keyed_lead
+    got = keyed_lead(ray.data.from_pandas(df), key_col="user_id",
+                     ts_col="ts", tie_col="event_id",
+                     value_col="value") \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    want = duckdb.sql("""
+        SELECT event_id,
+               date_diff('microsecond', ts, lead(ts) OVER w)
+                 AS lead_gap_us,
+               round(lead(value) OVER w - value, 4) AS lead_delta
+        FROM df
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id""").df()
+    gg = got["lead_gap_us"].to_numpy(dtype="float64", na_value=np.nan)
+    wg = want["lead_gap_us"].to_numpy(dtype="float64", na_value=np.nan)
+    assert np.array_equal(gg, wg, equal_nan=True)
+    gd = got["lead_delta"].to_numpy(dtype="float64", na_value=np.nan)
+    wd = want["lead_delta"].to_numpy(dtype="float64", na_value=np.nan)
+    assert np.array_equal(gd, wd, equal_nan=True)
