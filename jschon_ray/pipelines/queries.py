@@ -3360,6 +3360,9 @@ def build_queries() -> dict:
         "props_k_stats": q_props_k_stats,
         "customer_order_gap_median": q_customer_order_gap_median,
         "events_dow_hour_heatmap": q_events_dow_hour_heatmap,
+        "part_color_counts": q_part_color_counts,
+        "priority_label_counts": q_priority_label_counts,
+        "quarterly_revenue": q_quarterly_revenue,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3524,6 +3527,9 @@ def build_oracles() -> dict:
         "props_k_stats": _PROPS_K_STATS_SQL,
         "customer_order_gap_median": _CUSTOMER_ORDER_GAP_SQL,
         "events_dow_hour_heatmap": _EVENTS_DOW_HOUR_SQL,
+        "part_color_counts": _PART_COLOR_SQL,
+        "priority_label_counts": _PRIORITY_LABEL_SQL,
+        "quarterly_revenue": _QUARTERLY_REVENUE_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -5976,4 +5982,118 @@ SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
          AS sum_cents
 FROM events
 GROUP BY 1, 2
+"""
+
+
+def q_part_color_counts(sf_dir):
+    """String tokenization aggregate: first word of p_name (the color)
+    via one vectorized split kernel per block, then a bounded groupby —
+    split_part semantics without any Python row loop."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(table_path(sf_dir, "part"), columns=["p_name"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        first = pc.list_element(pc.split_pattern(t["p_name"], " "), 0)
+        tbl = pa.table({"color": first,
+                        "n": pa.array(np.ones(t.num_rows, np.int64))})
+        return tbl.group_by("color").aggregate([("n", "sum")]) \
+                  .rename_columns(["color", "n"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby("color").aggregate(Sum("n", alias_name="n"))
+
+
+_PART_COLOR_SQL = """
+SELECT split_part(p_name, ' ', 1) AS color,
+       CAST(count(*) AS BIGINT) AS n
+FROM part
+GROUP BY 1
+"""
+
+
+def q_priority_label_counts(sf_dir):
+    """Split a composite code column ('1-URGENT' -> numeric rank +
+    label) with vectorized split + cast kernels; per-label counts and
+    exact cents revenue."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(table_path(sf_dir, "orders"),
+                    columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["o_orderpriority"], "-",
+                                 max_splits=1)
+        num = pc.list_element(parts, 0).cast(pa.int64())
+        label = pc.list_element(parts, 1)
+        cents = pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                         round_mode="half_towards_infinity") \
+                  .cast(pa.int64())
+        tbl = pa.table({"prio_num": num, "label": label,
+                        "n": pa.array(np.ones(t.num_rows, np.int64)),
+                        "cents": cents})
+        return tbl.group_by(["prio_num", "label"]).aggregate(
+            [("n", "sum"), ("cents", "sum")]) \
+            .rename_columns(["prio_num", "label", "n", "sum_price_e2"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby(["prio_num", "label"]).aggregate(
+                 Sum("n", alias_name="n"),
+                 Sum("sum_price_e2", alias_name="sum_price_e2"))
+
+
+_PRIORITY_LABEL_SQL = """
+SELECT CAST(split_part(o_orderpriority, '-', 1) AS BIGINT) AS prio_num,
+       split_part(o_orderpriority, '-', 2) AS label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_e2
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+def q_quarterly_revenue(sf_dir):
+    """Quarterly revenue roll-up: floor_temporal(quarter) as a pure
+    arrow kernel, per-block partials into a bounded (years x 4)
+    groupby — the date_trunc seasonality report."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(table_path(sf_dir, "orders"),
+                    columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.floor_temporal(t["o_orderdate"], unit="quarter")
+        cents = pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                         round_mode="half_towards_infinity") \
+                  .cast(pa.int64())
+        tbl = pa.table({"quarter": q,
+                        "n": pa.array(np.ones(t.num_rows, np.int64)),
+                        "cents": cents})
+        return tbl.group_by("quarter").aggregate(
+            [("n", "sum"), ("cents", "sum")]) \
+            .rename_columns(["quarter", "n", "sum_price_e2"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby("quarter").aggregate(
+                Sum("n", alias_name="n"),
+                Sum("sum_price_e2", alias_name="sum_price_e2"))
+
+    def to_us(t: pa.Table) -> pa.Table:
+        # ray's pandas-backed aggregate downcasts the key to seconds;
+        # restore the driver-visible microsecond unit
+        return t.set_column(t.schema.get_field_index("quarter"),
+                            "quarter",
+                            t["quarter"].cast(pa.timestamp("us")))
+
+    return agg.map_batches(to_us, batch_format="pyarrow")
+
+
+_QUARTERLY_REVENUE_SQL = """
+SELECT date_trunc('quarter', o_orderdate) AS quarter,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_e2
+FROM orders
+GROUP BY 1
 """

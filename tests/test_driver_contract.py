@@ -154,6 +154,7 @@ def test_entry_smoke(entry_mod):
     "supplier_balance_by_region", "partkeys_union",
     "first_event_per_user", "props_k_stats",
     "customer_order_gap_median", "events_dow_hour_heatmap",
+    "part_color_counts", "priority_label_counts", "quarterly_revenue",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()
