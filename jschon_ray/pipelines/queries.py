@@ -3363,6 +3363,7 @@ def build_queries() -> dict:
         "part_color_counts": q_part_color_counts,
         "priority_label_counts": q_priority_label_counts,
         "quarterly_revenue": q_quarterly_revenue,
+        "embedding_component_stats": q_embedding_component_stats,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3530,6 +3531,7 @@ def build_oracles() -> dict:
         "part_color_counts": _PART_COLOR_SQL,
         "priority_label_counts": _PRIORITY_LABEL_SQL,
         "quarterly_revenue": _QUARTERLY_REVENUE_SQL,
+        "embedding_component_stats": _EMBEDDING_COMPONENT_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -6096,4 +6098,62 @@ SELECT date_trunc('quarter', o_orderdate) AS quarter,
          AS sum_price_e2
 FROM orders
 GROUP BY 1
+"""
+
+
+def q_embedding_component_stats(sf_dir):
+    """List-column scalar derivations: per row, the first embedding
+    component and the component sum (fixed-size-list -> one zero-copy
+    (n, dim) numpy view per block, no per-row loop), rounded to e6
+    integers so the grouped min/max/sum stay exact across engines."""
+    from ray.data.aggregate import Sum, Min, Max
+
+    ds = read_table(table_path(sf_dir, "embeddings"),
+                    columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0)
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+                  .astype(np.float64)
+        dim = len(flat) // max(t.num_rows, 1)
+        mat = flat.reshape(t.num_rows, dim) if t.num_rows else \
+            flat.reshape(0, 0)
+        first_e6 = np.round(mat[:, 0] * 1e6).astype(np.int64) \
+            if t.num_rows else np.zeros(0, np.int64)
+        csum_e6 = np.round(mat.sum(axis=1) * 1e6).astype(np.int64) \
+            if t.num_rows else np.zeros(0, np.int64)
+        tbl = pa.table({"label": t["label"].cast(pa.int64()),
+                        "n": pa.array(np.ones(t.num_rows, np.int64)),
+                        "first_e6": pa.array(first_e6),
+                        "csum_e6": pa.array(csum_e6)})
+        return tbl.group_by("label").aggregate(
+            [("n", "sum"), ("first_e6", "min"), ("first_e6", "max"),
+             ("csum_e6", "sum")]) \
+            .rename_columns(["label", "n", "min_first_e6",
+                             "max_first_e6", "sum_csum_e6"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby("label").aggregate(
+                 Sum("n", alias_name="n"),
+                 Min("min_first_e6", alias_name="min_first_e6"),
+                 Max("max_first_e6", alias_name="max_first_e6"),
+                 Sum("sum_csum_e6", alias_name="sum_csum_e6"))
+
+
+_EMBEDDING_COMPONENT_SQL = """
+WITH r AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT)
+           AS first_e6,
+         CAST(round(list_sum(list_transform(
+                embedding, x -> CAST(x AS DOUBLE))) * 1e6) AS BIGINT)
+           AS csum_e6
+  FROM embeddings)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(first_e6) AS BIGINT) AS min_first_e6,
+       CAST(max(first_e6) AS BIGINT) AS max_first_e6,
+       CAST(sum(csum_e6) AS BIGINT) AS sum_csum_e6
+FROM r GROUP BY 1
 """
