@@ -9,6 +9,8 @@ by the OUTPUT size, not the input size.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -336,6 +338,69 @@ def grouped_percentile_cont_lowcard(ds, *, key: str, value_col: str,
         return pd.DataFrame(row)
 
     return counts.groupby(key).map_groups(finish, batch_format="pandas")
+
+
+def grouped_spearman(ds, *, key: str, x_col: str, y_col: str,
+                     decimals: int = 6, num_buckets: int = 32):
+    """Per-group Spearman rank correlation: average-rank transform of
+    both variables inside each group, then Pearson over the ranks from
+    EXACT integer moments (doubled average ranks are whole numbers, so
+    ties cost no float error). Groups hash-bucket whole (keys never
+    split); the closed-form finish's double arithmetic is meant to be
+    mirrored verbatim in a SQL oracle.
+
+    Integer-moment overflow bound: sum(rank2^2) <= n*(2n)^2 per group —
+    int64-safe to ~1.5e6 rows per group; beyond that switch the moment
+    dtype to float128/object (documented deviation)."""
+    from .windows import _key_bucket
+
+    narrow = ds.select_columns([key, x_col, y_col])
+    keyed = narrow.map_batches(
+        functools.partial(_key_bucket, key_col=key,
+                          num_buckets=num_buckets),
+        batch_format="pyarrow")
+
+    def _rank2(v: np.ndarray) -> np.ndarray:
+        # 2 * average rank (1-based), whole-number ints even with ties
+        order = np.argsort(v, kind="mergesort")
+        sv = v[order]
+        new = np.empty(len(v), dtype=bool)
+        if len(v):
+            new[0] = True
+            new[1:] = sv[1:] != sv[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(v)))
+        # min rank (1-based) of each tie group; avg2 = 2*min + size - 1
+        min_rank = starts + 1
+        avg2_group = 2 * min_rank + sizes - 1
+        avg2_sorted = np.repeat(avg2_group, sizes)
+        out = np.empty(len(v), np.int64)
+        out[order] = avg2_sorted
+        return out
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        for k, sub in g.groupby(key, sort=False):
+            x = sub[x_col].to_numpy(np.float64)
+            y = sub[y_col].to_numpy(np.float64)
+            rx = _rank2(x)
+            ry = _rank2(y)
+            n = len(sub)
+            sx, sy = int(rx.sum()), int(ry.sum())
+            sxy = int((rx * ry).sum())
+            sxx = int((rx * rx).sum())
+            syy = int((ry * ry).sum())
+            nf = float(n)
+            num = nf * sxy - float(sx) * float(sy)
+            den = np.sqrt((nf * sxx - float(sx) ** 2)
+                          * (nf * syy - float(sy) ** 2))
+            rho = num / den if den > 0 else np.nan
+            out_rows.append({key: k, "n": n,
+                             "rho": np.round(rho, decimals)})
+        return pd.DataFrame(out_rows)
+
+    return keyed.groupby("_bucket").map_groups(per_group,
+                                               batch_format="pandas")
 
 
 def fd_violations(ds, *, determinant: list, dependent: str,

@@ -3364,6 +3364,7 @@ def build_queries() -> dict:
         "priority_label_counts": q_priority_label_counts,
         "quarterly_revenue": q_quarterly_revenue,
         "embedding_component_stats": q_embedding_component_stats,
+        "spearman_lineitem": q_spearman_lineitem,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3532,6 +3533,7 @@ def build_oracles() -> dict:
         "priority_label_counts": _PRIORITY_LABEL_SQL,
         "quarterly_revenue": _QUARTERLY_REVENUE_SQL,
         "embedding_component_stats": _EMBEDDING_COMPONENT_SQL,
+        "spearman_lineitem": _SPEARMAN_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -6156,4 +6158,60 @@ SELECT label, CAST(count(*) AS BIGINT) AS n,
        CAST(max(first_e6) AS BIGINT) AS max_first_e6,
        CAST(sum(csum_e6) AS BIGINT) AS sum_csum_e6
 FROM r GROUP BY 1
+"""
+
+
+def q_spearman_lineitem(sf_dir):
+    """Grouped Spearman rank correlation of (quantity, price) per
+    return flag: doubled average-rank transform (whole integers even
+    under ties) + exact integer moments, finish arithmetic mirrored
+    verbatim in the oracle (functions/relational.py::grouped_spearman;
+    regr_slope/covar's rank-domain sibling)."""
+    from ..functions.relational import grouped_spearman
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        q = pc.round(pc.multiply(t["l_quantity"], 100.0),
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        p = pc.round(pc.multiply(t["l_extendedprice"], 100.0),
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "q": q, "p": p})
+
+    return grouped_spearman(ds.map_batches(proj, batch_format="pyarrow"),
+                            key="l_returnflag", x_col="q", y_col="p")
+
+
+_SPEARMAN_SQL = """
+WITH r AS (
+  SELECT l_returnflag,
+         2 * rank() OVER (PARTITION BY l_returnflag ORDER BY q)
+           + count(*) OVER (PARTITION BY l_returnflag, q) - 1 AS rx,
+         2 * rank() OVER (PARTITION BY l_returnflag ORDER BY p)
+           + count(*) OVER (PARTITION BY l_returnflag, p) - 1 AS ry
+  FROM (SELECT l_returnflag,
+               CAST(round(l_quantity * 100) AS BIGINT) AS q,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+        FROM lineitem)),
+m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rx) AS BIGINT) AS sx,
+         CAST(sum(ry) AS BIGINT) AS sy,
+         CAST(sum(rx * ry) AS BIGINT) AS sxy,
+         CAST(sum(rx * rx) AS BIGINT) AS sxx,
+         CAST(sum(ry * ry) AS BIGINT) AS syy
+  FROM r GROUP BY 1)
+SELECT l_returnflag, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS rho
+FROM m
 """

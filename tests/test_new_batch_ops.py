@@ -347,3 +347,19 @@ def test_keyed_lead_fuzz_vs_duckdb(ray_session, seed):
     gd = got["lead_delta"].to_numpy(dtype="float64", na_value=np.nan)
     wd = want["lead_delta"].to_numpy(dtype="float64", na_value=np.nan)
     assert np.array_equal(gd, wd, equal_nan=True)
+
+
+class TestGroupedSpearman:
+    def test_monotonic_and_ties(self, ray_session):
+        from jschon_ray.functions.relational import grouped_spearman
+        ds = ray.data.from_arrow(pa.table({
+            "g": pa.array(["up"] * 5 + ["down"] * 5 + ["tie"] * 4),
+            "x": pa.array([1, 2, 3, 4, 5, 1, 2, 3, 4, 5,
+                           1, 1, 2, 2], pa.int64()),
+            "y": pa.array([10, 20, 30, 40, 50, 50, 40, 30, 20, 10,
+                           5, 5, 9, 9], pa.int64())}))
+        out = grouped_spearman(ds, key="g", x_col="x", y_col="y") \
+            .to_pandas().set_index("g")
+        assert out.loc["up", "rho"] == 1.0
+        assert out.loc["down", "rho"] == -1.0
+        assert out.loc["tie", "rho"] == 1.0  # ties aligned in both vars
