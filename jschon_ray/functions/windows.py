@@ -65,6 +65,59 @@ def session_counts(ds, *, key_col="user_id", ts_col="ts",
         .groupby(key_col).map_groups(per_key, batch_format="pandas")
 
 
+def session_stats(ds, *, key_col="user_id", ts_col="ts",
+                  tie_col="event_id", gap_minutes=30,
+                  num_buckets: int = 64):
+    """Per-SESSION rows (key, session_idx, n_events, dur_us): a new
+    session opens when the gap since the previous event exceeds
+    `gap_minutes`; duration = last-minus-first event time inside the
+    session (exact microseconds). Unlike `session_counts` (one row per
+    key), this materializes the session table itself — the input to
+    engagement/duration analytics — while staying a bucketed segmented
+    scan: keys never split, one narrow shuffle, vectorized boundary
+    detection and reduceat inside the bucket."""
+    gap_us = int(gap_minutes) * 60_000_000
+
+    narrow = ds.select_columns([key_col, ts_col, tie_col])
+    keyed = narrow.map_batches(
+        functools.partial(_key_bucket, key_col=key_col,
+                          num_buckets=num_buckets),
+        batch_format="pyarrow")
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tie_col], kind="mergesort")
+        n = len(g)
+        keys = g[key_col].to_numpy()
+        ts_us = g[ts_col].to_numpy().astype("datetime64[us]") \
+                                    .astype(np.int64)
+        new_key = np.empty(n, dtype=bool)
+        if n:
+            new_key[0] = True
+            new_key[1:] = keys[1:] != keys[:-1]
+        gap = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            gap[1:] = ts_us[1:] - ts_us[:-1]
+        new_sess = new_key | (gap > gap_us)
+        starts = np.flatnonzero(new_sess)
+        sizes = np.diff(np.append(starts, n))
+        first = ts_us[starts]
+        last = ts_us[np.append(starts[1:], n) - 1]
+        # 1-based session index within each key
+        key_start = np.flatnonzero(new_key[starts])
+        sess_per_key = np.diff(np.append(key_start, len(starts)))
+        idx = np.concatenate([np.arange(1, c + 1)
+                              for c in sess_per_key]) \
+            if len(starts) else np.zeros(0, np.int64)
+        return pd.DataFrame({
+            key_col: keys[starts],
+            "session_idx": idx.astype("int64"),
+            "n_events": sizes.astype("int64"),
+            "dur_us": (last - first).astype("int64")})
+
+    return keyed.groupby("_bucket").map_groups(scan_bucket,
+                                               batch_format="pandas")
+
+
 def _key_bucket(batch: pa.Table, *, key_col: str,
                 num_buckets: int) -> pa.Table:
     """Append a deterministic hash bucket of the key column. The bucket

@@ -3365,6 +3365,7 @@ def build_queries() -> dict:
         "quarterly_revenue": q_quarterly_revenue,
         "embedding_component_stats": q_embedding_component_stats,
         "spearman_lineitem": q_spearman_lineitem,
+        "session_duration_stats": q_session_duration_stats,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3534,6 +3535,7 @@ def build_oracles() -> dict:
         "quarterly_revenue": _QUARTERLY_REVENUE_SQL,
         "embedding_component_stats": _EMBEDDING_COMPONENT_SQL,
         "spearman_lineitem": _SPEARMAN_SQL,
+        "session_duration_stats": _SESSION_DURATION_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -6214,4 +6216,38 @@ SELECT l_returnflag, n,
                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
          AS rho
 FROM m
+"""
+
+
+def q_session_duration_stats(sf_dir):
+    """The session TABLE itself (one row per 30-minute-gap session:
+    user, 1-based index, event count, exact microsecond duration) —
+    functions/windows.py::session_stats, the engagement-analytics
+    input that session_counts only summarizes."""
+    from ..functions.windows import session_stats
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["user_id", "ts", "event_id"])
+    return session_stats(ds, gap_minutes=30)
+
+
+_SESSION_DURATION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM marked)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       date_diff('microsecond', min(ts), max(ts)) AS dur_us
+FROM sess
+GROUP BY 1, 2
 """

@@ -363,3 +363,18 @@ class TestGroupedSpearman:
         assert out.loc["up", "rho"] == 1.0
         assert out.loc["down", "rho"] == -1.0
         assert out.loc["tie", "rho"] == 1.0  # ties aligned in both vars
+
+
+class TestSessionStats:
+    def test_boundaries_and_durations(self, ray_session):
+        from jschon_ray.functions.windows import session_stats
+        ds = _events([(1, "2024-01-01T00:00:00", 1, 0),
+                      (1, "2024-01-01T00:10:00", 2, 0),
+                      (1, "2024-01-01T01:00:00", 3, 0),   # >30m gap
+                      (2, "2024-01-01T05:00:00", 4, 0)])
+        out = session_stats(ds, gap_minutes=30).to_pandas() \
+            .sort_values(["user_id", "session_idx"]) \
+            .reset_index(drop=True)
+        assert out["session_idx"].tolist() == [1, 2, 1]
+        assert out["n_events"].tolist() == [2, 1, 1]
+        assert out["dur_us"].tolist() == [600_000_000, 0, 0]
