@@ -386,6 +386,11 @@ def grouped_spearman(ds, *, key: str, x_col: str, y_col: str,
             rx = _rank2(x)
             ry = _rank2(y)
             n = len(sub)
+            if n > 1_500_000:
+                # sum(rank2^2) would wrap int64; extended precision
+                # keeps the moments faithful (documented deviation)
+                rx = rx.astype(np.longdouble)
+                ry = ry.astype(np.longdouble)
             sx, sy = int(rx.sum()), int(ry.sum())
             sxy = int((rx * ry).sum())
             sxx = int((rx * rx).sum())

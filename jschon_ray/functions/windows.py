@@ -757,7 +757,13 @@ def keyed_cume_dist(ds, *, key_col: str, value_col: str, tie_col: str,
     narrow columns; each output value divides two exact integers so it
     hash-matches the oracle bit-for-bit.
 
-    Pass an integer `value_col` (e.g. cents) so tie groups are exact."""
+    Pass an integer `value_col` (e.g. cents) so tie groups are exact.
+
+    Partitioning assumption: a key's rows fit one bucket task (same as
+    keyed_percent_rank). For low-cardinality keys over huge tables the
+    scale path is a value-histogram CDF instead (the
+    grouped_percentile_cont_lowcard shape) — counts shuffle, rows
+    don't."""
     narrow = ds.select_columns([key_col, value_col, tie_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,

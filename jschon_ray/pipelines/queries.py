@@ -5368,10 +5368,20 @@ def q_q19_disjunctive_revenue(sf_dir):
                          "n_rows": pa.array(ns, pa.int64()),
                          "rev_e4": pa.array(revs, pa.int64())})
 
-    return li.map_batches(partial, batch_format="pyarrow") \
-             .groupby("branch").aggregate(
-                 Sum("n_rows", alias_name="n_rows"),
-                 Sum("rev_e4", alias_name="rev_e4"))
+    agg = li.map_batches(partial, batch_format="pyarrow") \
+            .groupby("branch").aggregate(
+                Sum("n_rows", alias_name="n_rows"),
+                Sum("rev_e4", alias_name="rev_e4"))
+
+    def drop_empty(t: pa.Table) -> pa.Table:
+        # the oracle's inner join emits no row for a branch with zero
+        # matches; mirror that so the row sets stay equal on any data
+        n = t["n_rows"]
+        if n.type != pa.int64():
+            n = pc.round(n).cast(pa.int64())
+        return t.filter(pc.greater(n, 0))
+
+    return agg.map_batches(drop_empty, batch_format="pyarrow")
 
 
 _Q19_DISJUNCTIVE_SQL = """
@@ -5415,7 +5425,10 @@ def q_q22_idle_rich_customers(sf_dir):
                          "c_nationkey": t["c_nationkey"],
                          "bal_e2": bal})
 
-    cust = cust.map_batches(proj, batch_format="pyarrow")
+    # three consumers (global aggregate, EXCEPT tag pass, broadcast
+    # probe) would each re-run the read+projection lineage; pin the
+    # narrow projected blocks once instead
+    cust = cust.map_batches(proj, batch_format="pyarrow").materialize()
 
     def pos_partial(t: pa.Table) -> pa.Table:
         pos = t.filter(pc.greater(t["bal_e2"], 0))
@@ -5852,14 +5865,13 @@ def q_props_k_stats(sf_dir):
     parse_json_column — reference json.py:120-151 tree walk recast as
     a batch C++ parse) feeds an integer-exact grouped min/max/sum of
     the extracted field."""
-    import functools as _ft
     from ray.data.aggregate import Sum, Min, Max
     from ..functions.text import parse_json_column
 
     ds = read_table(table_path(sf_dir, "events"),
                     columns=["event_type", "props"])
     parsed = ds.map_batches(
-        _ft.partial(parse_json_column, col="props", out="_props"),
+        functools.partial(parse_json_column, col="props", out="_props"),
         batch_format="pyarrow")
 
     def extract(t: pa.Table) -> pa.Table:
@@ -5897,13 +5909,12 @@ def q_customer_order_gap_median(sf_dir):
     LAG day-diff composed with an exact per-key median in one bucketed
     segmented scan — keys never split, so both the diff and the median
     finish inside the bucket without a second exchange."""
-    import functools as _ft
     from ..functions.windows import _key_bucket
 
     ds = read_table(table_path(sf_dir, "orders"),
                     columns=["o_custkey", "o_orderdate", "o_orderkey"])
     keyed = ds.map_batches(
-        _ft.partial(_key_bucket, key_col="o_custkey", num_buckets=64),
+        functools.partial(_key_bucket, key_col="o_custkey", num_buckets=64),
         batch_format="pyarrow")
 
     def med_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -5918,10 +5929,10 @@ def q_customer_order_gap_median(sf_dir):
             same[1:] = keys[1:] == keys[:-1]
         df = pd.DataFrame({"o_custkey": keys, "gap": gap})[same]
         if not len(df):
-            return pd.DataFrame({"o_custkey": pd.Series([], "int64"),
-                                 "n_gaps": pd.Series([], "int64"),
-                                 "med_gap_days": pd.Series([],
-                                                           "float64")})
+            return pd.DataFrame({
+                "o_custkey": pd.Series([], dtype="int64"),
+                "n_gaps": pd.Series([], dtype="int64"),
+                "med_gap_days": pd.Series([], dtype="float64")})
         out = df.groupby("o_custkey")["gap"] \
                 .agg(n_gaps="size", med_gap_days="median") \
                 .reset_index()
