@@ -340,6 +340,37 @@ def grouped_percentile_cont_lowcard(ds, *, key: str, value_col: str,
     return counts.groupby(key).map_groups(finish, batch_format="pandas")
 
 
+def grouped_weighted_median_lowcard(ds, *, key: str, value_col: str,
+                                    weight_col: str,
+                                    out: str = "wmedian"):
+    """EXACT per-group weighted median over a low-cardinality value
+    domain: the smallest value whose cumulative weight reaches half the
+    group's total (lower weighted median — deterministic, no
+    interpolation, so integer weights keep both engines identical).
+    Shuffles (key, value, weight-sum) partial rows — never inputs."""
+    def partial(t: pa.Table) -> pa.Table:
+        return t.select([key, value_col, weight_col]) \
+            .group_by([key, value_col]) \
+            .aggregate([(weight_col, "sum")]) \
+            .rename_columns([key, value_col, "w"])
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([key, value_col]).sum("w")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_col, kind="mergesort")
+        w = g["sum(w)"].to_numpy(np.int64)
+        v = g[value_col].to_numpy()
+        cum = np.cumsum(w)
+        total = int(cum[-1])
+        # smallest v with 2*cumw >= total (integer compare, no halves)
+        i = int(np.searchsorted(2 * cum, total))
+        return pd.DataFrame({key: [g[key].iloc[0]], out: [v[i]],
+                             "total_w": [total]})
+
+    return counts.groupby(key).map_groups(finish, batch_format="pandas")
+
+
 def grouped_spearman(ds, *, key: str, x_col: str, y_col: str,
                      decimals: int = 6, num_buckets: int = 32):
     """Per-group Spearman rank correlation: average-rank transform of

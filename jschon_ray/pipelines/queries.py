@@ -3366,6 +3366,7 @@ def build_queries() -> dict:
         "embedding_component_stats": q_embedding_component_stats,
         "spearman_lineitem": q_spearman_lineitem,
         "session_duration_stats": q_session_duration_stats,
+        "weighted_median_qty": q_weighted_median_qty,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3536,6 +3537,7 @@ def build_oracles() -> dict:
         "embedding_component_stats": _EMBEDDING_COMPONENT_SQL,
         "spearman_lineitem": _SPEARMAN_SQL,
         "session_duration_stats": _SESSION_DURATION_SQL,
+        "weighted_median_qty": _WEIGHTED_MEDIAN_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -6261,4 +6263,49 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        date_diff('microsecond', min(ts), max(ts)) AS dur_us
 FROM sess
 GROUP BY 1, 2
+"""
+
+
+def q_weighted_median_qty(sf_dir):
+    """Revenue-weighted median quantity per return flag: smallest
+    quantity whose cumulative cents-weight reaches half the group total
+    (lower weighted median — integer compares only, no interpolation).
+    (key, value, weight-sum) partials shuffle; inputs never do
+    (functions/relational.py::grouped_weighted_median_lowcard)."""
+    from ..functions.relational import grouped_weighted_median_lowcard
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        v = pc.round(t["l_quantity"],
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        w = pc.round(pc.multiply(t["l_extendedprice"], 100.0),
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "qty": v, "w": w})
+
+    return grouped_weighted_median_lowcard(
+        ds.map_batches(proj, batch_format="pyarrow"),
+        key="l_returnflag", value_col="qty", weight_col="w")
+
+
+_WEIGHTED_MEDIAN_SQL = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS BIGINT) AS v,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2),
+cw AS (
+  SELECT l_returnflag, v,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(w) OVER (PARTITION BY l_returnflag) AS total
+  FROM c)
+SELECT l_returnflag, CAST(min(v) AS BIGINT) AS wmedian,
+       CAST(max(total) AS BIGINT) AS total_w
+FROM cw WHERE 2 * cum >= total
+GROUP BY 1
 """

@@ -156,7 +156,7 @@ def test_entry_smoke(entry_mod):
     "customer_order_gap_median", "events_dow_hour_heatmap",
     "part_color_counts", "priority_label_counts", "quarterly_revenue",
     "embedding_component_stats", "spearman_lineitem",
-    "session_duration_stats",
+    "session_duration_stats", "weighted_median_qty",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()

@@ -378,3 +378,80 @@ class TestSessionStats:
         assert out["session_idx"].tolist() == [1, 2, 1]
         assert out["n_events"].tolist() == [2, 1, 1]
         assert out["dur_us"].tolist() == [600_000_000, 0, 0]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_cube_agg_fuzz_vs_duckdb(ray_session, seed):
+    import duckdb
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(5, 100))
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], n),
+        "b": rng.choice(["p", "q"], n),
+        "v": rng.integers(0, 20, n).astype("float64")})
+    from jschon_ray.functions.relational import cube_agg
+    got = cube_agg(ray.data.from_pandas(df), keys=["a", "b"],
+                   value_col="v")
+    want = duckdb.sql("""
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n, sum(v) AS sum_v
+        FROM df GROUP BY CUBE(a, b)""").df()
+    key = lambda d: d.fillna("<N>").sort_values(["a", "b"]) \
+        .reset_index(drop=True)
+    g, w = key(got), key(want)
+    assert g.shape == w.shape
+    assert (g["n"].to_numpy() == w["n"].to_numpy()).all()
+    assert np.allclose(g["sum_v"], w["sum_v"])
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_percentile_cont_fuzz_vs_duckdb(ray_session, seed):
+    import duckdb
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(4, 200))
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], n),
+        "v": rng.integers(-30, 30, n).astype("int64")})
+    from jschon_ray.functions.relational import (
+        grouped_percentile_cont_lowcard)
+    got = grouped_percentile_cont_lowcard(
+        ray.data.from_pandas(df), key="g", value_col="v") \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    want = duckdb.sql("""
+        SELECT g, quantile_cont(v, 0.25) AS p25,
+               quantile_cont(v, 0.5) AS p50,
+               quantile_cont(v, 0.75) AS p75
+        FROM df GROUP BY 1 ORDER BY g""").df()
+    for c in ("p25", "p50", "p75"):
+        assert np.array_equal(got[c].to_numpy(), want[c].to_numpy())
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_weighted_median_fuzz_vs_duckdb(ray_session, seed):
+    import duckdb
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(4, 150))
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], n),
+        "v": rng.integers(0, 10, n).astype("int64"),
+        "w": rng.integers(1, 100, n).astype("int64")})
+    from jschon_ray.functions.relational import (
+        grouped_weighted_median_lowcard)
+    got = grouped_weighted_median_lowcard(
+        ray.data.from_pandas(df), key="g", value_col="v",
+        weight_col="w") \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    want = duckdb.sql("""
+        WITH c AS (SELECT g, v, CAST(sum(w) AS BIGINT) w
+                   FROM df GROUP BY 1, 2),
+        cw AS (SELECT g, v,
+                      sum(w) OVER (PARTITION BY g ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING) cum,
+                      sum(w) OVER (PARTITION BY g) total
+               FROM c)
+        SELECT g, CAST(min(v) AS BIGINT) AS wmedian,
+               CAST(max(total) AS BIGINT) AS total_w
+        FROM cw WHERE 2 * cum >= total GROUP BY 1 ORDER BY g""").df()
+    assert got["wmedian"].astype("int64").equals(
+        want["wmedian"].astype("int64"))
+    assert got["total_w"].astype("int64").equals(
+        want["total_w"].astype("int64"))
