@@ -42,8 +42,11 @@ def hash_join(left, right, *, on: str, how: str = "inner",
               num_buckets: int = 32, suffixes=("", "_r")):
     """Join two Datasets on one key column. Returns a lazy Dataset.
 
-    how: 'inner' | 'left'. Column collisions get `suffixes` applied to the
-    right side (the join key stays unsuffixed).
+    how: 'inner' | 'left' | 'full'. Column collisions get `suffixes`
+    applied to the right side (the join key stays unsuffixed). 'full'
+    keeps unmatched rows of BOTH sides (nulls on the absent side) —
+    same one-shuffle bucketed plan, since a key's rows from either side
+    land in the same bucket.
     """
     lsch = left.schema()
     rsch = right.schema()
@@ -72,7 +75,8 @@ def hash_join(left, right, *, on: str, how: str = "inner",
 
     lnames = [on] + [n for n, _ in lcols if n != on]
     rnames = [n for n, _ in rcols]
-    join_type = {"inner": "inner", "left": "left outer"}[how]
+    join_type = {"inner": "inner", "left": "left outer",
+                 "full": "full outer"}[how]
 
     def join_bucket(g: pa.Table) -> pa.Table:
         # arrow-native per-bucket join: typed nulls never widen int64 ->

@@ -3367,6 +3367,7 @@ def build_queries() -> dict:
         "spearman_lineitem": q_spearman_lineitem,
         "session_duration_stats": q_session_duration_stats,
         "weighted_median_qty": q_weighted_median_qty,
+        "order_line_coverage": q_order_line_coverage,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3538,6 +3539,7 @@ def build_oracles() -> dict:
         "spearman_lineitem": _SPEARMAN_SQL,
         "session_duration_stats": _SESSION_DURATION_SQL,
         "weighted_median_qty": _WEIGHTED_MEDIAN_SQL,
+        "order_line_coverage": _ORDER_LINE_COVERAGE_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -6308,4 +6310,51 @@ SELECT l_returnflag, CAST(min(v) AS BIGINT) AS wmedian,
        CAST(max(total) AS BIGINT) AS total_w
 FROM cw WHERE 2 * cum >= total
 GROUP BY 1
+"""
+
+
+def q_order_line_coverage(sf_dir):
+    """FULL OUTER join coverage report: every orderkey seen on either
+    side with its line count (0 when the order has no lines, null
+    status when a line references no order). The lineitem side reduces
+    to one count row per key before the single bucketed exchange
+    (functions/join.py::hash_join how='full')."""
+    from ray.data.aggregate import Sum
+    from ..functions.join import hash_join
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey"])
+
+    def part_counts(t: pa.Table) -> pa.Table:
+        tbl = pa.table({"o_orderkey": t["l_orderkey"],
+                        "n": pa.array(np.ones(t.num_rows, np.int64))})
+        return tbl.group_by("o_orderkey").aggregate([("n", "sum")]) \
+                  .rename_columns(["o_orderkey", "n"])
+
+    counts = li.map_batches(part_counts, batch_format="pyarrow") \
+               .groupby("o_orderkey").aggregate(Sum("n", alias_name="n"))
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_orderstatus"])
+    joined = hash_join(orders, counts, on="o_orderkey", how="full")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"]
+        if n.type != pa.int64():
+            n = pc.round(n).cast(pa.int64())
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_orderstatus": t["o_orderstatus"],
+            "n_lines": pc.fill_null(n, 0)})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+_ORDER_LINE_COVERAGE_SQL = """
+SELECT COALESCE(o.o_orderkey, c.l_orderkey) AS o_orderkey,
+       o.o_orderstatus,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_lines
+FROM orders o
+FULL JOIN (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1) c
+  ON o.o_orderkey = c.l_orderkey
 """

@@ -1,5 +1,6 @@
 """broadcast_join + composite-key uniqueness."""
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
@@ -39,3 +40,28 @@ def test_uniqueness_composite_key(ray_session):
                                 ["a", "b"]).to_pandas()
     got = sorted(zip(out["a"], out["b"], out["n_rows"]))
     assert got == [(1, "x", 2), (2, "x", 2)]
+
+
+class TestHashJoinFullOuter:
+    def test_orphans_both_sides(self, ray_session):
+        import duckdb
+        import ray.data
+        from jschon_ray.functions.join import hash_join
+        lt = pd.DataFrame({"k": [1, 2, 3], "a": [10, 20, 30]})
+        rt = pd.DataFrame({"k": [2, 3, 4, 5], "b": ["x", "y", "z",
+                                                    "w"]})
+        got = hash_join(
+            ray.data.from_arrow(pa.Table.from_pandas(lt)),
+            ray.data.from_arrow(pa.Table.from_pandas(rt)),
+            on="k", how="full").to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        want = duckdb.sql("""
+            SELECT COALESCE(l.k, r.k) AS k, a, b
+            FROM lt l FULL JOIN rt r ON l.k = r.k
+            ORDER BY k""").df()
+        assert got["k"].tolist() == want["k"].tolist()
+        ga = got["a"].to_numpy(dtype="float64", na_value=np.nan)
+        wa = want["a"].to_numpy(dtype="float64", na_value=np.nan)
+        assert np.array_equal(ga, wa, equal_nan=True)
+        assert got["b"].fillna("<N>").tolist() == \
+            want["b"].fillna("<N>").tolist()
