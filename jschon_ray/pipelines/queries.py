@@ -3368,6 +3368,7 @@ def build_queries() -> dict:
         "session_duration_stats": q_session_duration_stats,
         "weighted_median_qty": q_weighted_median_qty,
         "order_line_coverage": q_order_line_coverage,
+        "orders_above_segment_avg": q_orders_above_segment_avg,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3540,6 +3541,7 @@ def build_oracles() -> dict:
         "session_duration_stats": _SESSION_DURATION_SQL,
         "weighted_median_qty": _WEIGHTED_MEDIAN_SQL,
         "order_line_coverage": _ORDER_LINE_COVERAGE_SQL,
+        "orders_above_segment_avg": _ORDERS_ABOVE_SEG_AVG_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -6357,4 +6359,77 @@ FROM orders o
 FULL JOIN (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
            FROM lineitem GROUP BY 1) c
   ON o.o_orderkey = c.l_orderkey
+"""
+
+
+def q_orders_above_segment_avg(sf_dir):
+    """Orders priced above their market segment's average: one bucketed
+    hash join tags each order with its segment, the narrow
+    (orderkey, seg, cents) join output is pinned ONCE, its 5-row
+    segment stats broadcast back as an exact integer threshold
+    (e2 x n_seg > sum_seg — the correlated scalar subquery without a
+    second join pass)."""
+    from ray.data.aggregate import Sum
+    from ..functions.join import hash_join
+
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_totalprice"])
+    cust = read_table(table_path(sf_dir, "customer"),
+                      columns=["c_custkey", "c_mktsegment"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        e2 = pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                      round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "o_orderkey": t["o_orderkey"],
+                         "price_e2": e2})
+
+    def rekey(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["o_custkey", "c_mktsegment"])
+
+    joined = hash_join(
+        orders.map_batches(to_cents, batch_format="pyarrow"),
+        cust.map_batches(rekey, batch_format="pyarrow"),
+        on="o_custkey", how="inner").materialize()
+
+    def seg_partial(t: pa.Table) -> pa.Table:
+        tbl = pa.table({"c_mktsegment": t["c_mktsegment"],
+                        "n": pa.array(np.ones(t.num_rows, np.int64)),
+                        "s": t["price_e2"]})
+        return tbl.group_by("c_mktsegment").aggregate(
+            [("n", "sum"), ("s", "sum")]) \
+            .rename_columns(["c_mktsegment", "n", "s"])
+
+    stats = joined.map_batches(seg_partial, batch_format="pyarrow") \
+                  .groupby("c_mktsegment").aggregate(
+                      Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+    sd = stats.to_pandas()
+    n_by = dict(zip(sd["c_mktsegment"], sd["n"].astype("int64")))
+    s_by = dict(zip(sd["c_mktsegment"], sd["s"].astype("int64")))
+
+    def above(t: pa.Table) -> pa.Table:
+        segs = t["c_mktsegment"].to_pylist()
+        n = np.array([n_by.get(x, 0) for x in segs], np.int64)
+        s = np.array([s_by.get(x, 0) for x in segs], np.int64)
+        e2 = t["price_e2"].to_numpy(zero_copy_only=False)
+        mask = e2 * n > s
+        return t.select(["o_orderkey", "c_mktsegment",
+                         "price_e2"]).filter(pa.array(mask))
+
+    return joined.map_batches(above, batch_format="pyarrow")
+
+
+_ORDERS_ABOVE_SEG_AVG_SQL = """
+WITH j AS (
+  SELECT o_orderkey, c_mktsegment,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_e2
+  FROM orders JOIN customer ON c_custkey = o_custkey),
+g AS (
+  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(price_e2) AS BIGINT) AS s
+  FROM j GROUP BY 1)
+SELECT o_orderkey, c_mktsegment, price_e2
+FROM j JOIN g USING (c_mktsegment)
+WHERE price_e2 * n > s
 """

@@ -157,7 +157,7 @@ def test_entry_smoke(entry_mod):
     "part_color_counts", "priority_label_counts", "quarterly_revenue",
     "embedding_component_stats", "spearman_lineitem",
     "session_duration_stats", "weighted_median_qty",
-    "order_line_coverage",
+    "order_line_coverage", "orders_above_segment_avg",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()
