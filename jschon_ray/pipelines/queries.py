@@ -5174,7 +5174,10 @@ def q_q14_promo_share(sf_dir):
     """Q14-style promo revenue share: broadcast the (partkey, is_promo)
     dim once, one fused conditional-sum pass over lineitem, exact e4
     integer revenue (price cents x (1-discount) hundredths), share =
-    division of the two exact integers on both sides."""
+    division of the two exact integers on both sides. Scale posture:
+    the (partkey, is_promo) dim rides the object store; when part
+    outgrows the store budget this degrades to hash_join on
+    l_partkey (same result, one extra exchange)."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -5325,7 +5328,8 @@ def q_q19_disjunctive_revenue(sf_dir):
     qty-band) conjunctive branches OR-ed together, evaluated as boolean
     column algebra against one broadcast part dim (SURVEY 2.2 anyOf =
     OR of child masks). Output = per-branch row count + exact e4
-    revenue."""
+    revenue. Same broadcast-dim scale posture as q14_promo_share
+    (hash_join fallback when part outgrows the object store)."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -5617,7 +5621,9 @@ def q_dense_rank_brands(sf_dir):
     """Top-3 brands per part type by exact e4 revenue with DENSE_RANK
     tie semantics. The wide work is one broadcast-dim conditional
     aggregate (partial per block, then a bounded groupby of
-    types x brands rows); the rank itself runs on that tiny aggregate."""
+    types x brands rows); the rank itself runs on that tiny aggregate.
+    Same broadcast-dim scale posture as q14_promo_share (hash_join
+    fallback when part outgrows the object store)."""
     import ray
     from ray.data.aggregate import Sum
 
