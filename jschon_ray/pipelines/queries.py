@@ -3369,6 +3369,7 @@ def build_queries() -> dict:
         "weighted_median_qty": q_weighted_median_qty,
         "order_line_coverage": q_order_line_coverage,
         "orders_above_segment_avg": q_orders_above_segment_avg,
+        "user_twap_value": q_user_twap_value,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3542,6 +3543,7 @@ def build_oracles() -> dict:
         "weighted_median_qty": _WEIGHTED_MEDIAN_SQL,
         "order_line_coverage": _ORDER_LINE_COVERAGE_SQL,
         "orders_above_segment_avg": _ORDERS_ABOVE_SEG_AVG_SQL,
+        "user_twap_value": _USER_TWAP_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -6438,4 +6440,68 @@ g AS (
 SELECT o_orderkey, c_mktsegment, price_e2
 FROM j JOIN g USING (c_mktsegment)
 WHERE price_e2 * n > s
+"""
+
+
+def q_user_twap_value(sf_dir):
+    """Per-user time-weighted average value (TWAP): each event's value
+    holds until the next event; weights are exact millisecond gaps and
+    values exact cents, so both integer sums — and therefore the final
+    division — are engine-identical. One bucketed segmented scan (keys
+    never split), per-key integer reduceat, no second exchange."""
+    from ..functions.windows import _key_bucket
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["user_id", "ts", "event_id", "value"])
+    keyed = ds.map_batches(
+        functools.partial(_key_bucket, key_col="user_id",
+                          num_buckets=64),
+        batch_format="pyarrow")
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        n = len(g)
+        keys = g["user_id"].to_numpy()
+        ts_ms = g["ts"].to_numpy().astype("datetime64[ms]") \
+                       .astype(np.int64)
+        cents = np.round(g["value"].to_numpy(np.float64) * 100.0) \
+                  .astype(np.int64)
+        last = np.empty(n, dtype=bool)
+        if n:
+            last[-1] = True
+            last[:-1] = keys[1:] != keys[:-1]
+        w = np.zeros(n, np.int64)
+        if n > 1:
+            w[:-1] = ts_ms[1:] - ts_ms[:-1]
+        w[last] = 0
+        seg = ~last
+        df = pd.DataFrame({"user_id": keys[seg],
+                           "num": cents[seg] * w[seg],
+                           "den": w[seg]})
+        out = df.groupby("user_id").agg(
+            n_segments=("den", "size"), num=("num", "sum"),
+            den=("den", "sum")).reset_index()
+        out["twap_cents"] = out["num"].astype("float64") \
+            / out["den"].astype("float64")
+        out["n_segments"] = out["n_segments"].astype("int64")
+        return out[["user_id", "n_segments", "twap_cents"]]
+
+    return keyed.groupby("_bucket").map_groups(scan_bucket,
+                                               batch_format="pandas")
+
+
+_USER_TWAP_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         date_diff('millisecond', ts,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)) AS w
+  FROM events)
+SELECT user_id, CAST(count(w) AS BIGINT) AS n_segments,
+       CAST(sum(cents * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+         AS twap_cents
+FROM g WHERE w IS NOT NULL
+GROUP BY 1
 """
