@@ -3370,6 +3370,8 @@ def build_queries() -> dict:
         "order_line_coverage": q_order_line_coverage,
         "orders_above_segment_avg": q_orders_above_segment_avg,
         "user_twap_value": q_user_twap_value,
+        "events_ohlc_hourly": q_events_ohlc_hourly,
+        "user_growth_daily": q_user_growth_daily,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3544,6 +3546,8 @@ def build_oracles() -> dict:
         "order_line_coverage": _ORDER_LINE_COVERAGE_SQL,
         "orders_above_segment_avg": _ORDERS_ABOVE_SEG_AVG_SQL,
         "user_twap_value": _USER_TWAP_SQL,
+        "events_ohlc_hourly": _EVENTS_OHLC_SQL,
+        "user_growth_daily": _USER_GROWTH_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -6504,4 +6508,140 @@ SELECT user_id, CAST(count(w) AS BIGINT) AS n_segments,
          AS twap_cents
 FROM g WHERE w IS NOT NULL
 GROUP BY 1
+"""
+
+
+def q_events_ohlc_hourly(sf_dir):
+    """OHLC bars: per (event_type, hour) the first/last/min/max value in
+    exact cents under the (ts, event_id) total order. Each block emits
+    one candidate row per touched bar (open/close carry their ordering
+    key), so the exchange is bounded by bars x blocks and the merge is
+    an associative first/last/min/max reduce."""
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["event_type", "ts", "event_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour") \
+                 .cast(pa.timestamp("us")).cast(pa.int64())
+        cents = pc.round(pc.multiply(t["value"], 100.0),
+                         round_mode="half_towards_infinity") \
+                  .cast(pa.int64())
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_pylist(),
+            "hour_us": hour.to_numpy(zero_copy_only=False),
+            "ts_us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+                            .to_numpy(zero_copy_only=False),
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+            "cents": cents.to_numpy(zero_copy_only=False)})
+        df = df.sort_values(["event_type", "hour_us", "ts_us",
+                             "event_id"], kind="mergesort")
+        g = df.groupby(["event_type", "hour_us"], sort=False)
+        out = g.agg(n=("cents", "size"), low=("cents", "min"),
+                    high=("cents", "max"),
+                    open_ts=("ts_us", "first"),
+                    open_eid=("event_id", "first"),
+                    open_c=("cents", "first"),
+                    close_ts=("ts_us", "last"),
+                    close_eid=("event_id", "last"),
+                    close_c=("cents", "last")).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        go = g.sort_values(["open_ts", "open_eid"],
+                           kind="mergesort").iloc[0]
+        gc = g.sort_values(["close_ts", "close_eid"],
+                           kind="mergesort").iloc[-1]
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "hour_us": [int(g["hour_us"].iloc[0])],
+            "n": [int(g["n"].sum())],
+            "open_c": [int(go["open_c"])],
+            "high": [int(g["high"].max())],
+            "low": [int(g["low"].min())],
+            "close_c": [int(gc["close_c"])]})
+
+    return parts.groupby(["event_type", "hour_us"]) \
+                .map_groups(merge, batch_format="pandas")
+
+
+_EVENTS_OHLC_SQL = """
+WITH b AS (
+  SELECT event_type,
+         CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         first_value(CAST(round(value * 100) AS BIGINT)) OVER w
+           AS open_c,
+         last_value(CAST(round(value * 100) AS BIGINT)) OVER
+           (PARTITION BY event_type, date_trunc('hour', ts)
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS close_c
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts, event_id))
+SELECT event_type, hour_us, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(open_c) AS BIGINT) AS open_c,
+       CAST(max(cents) AS BIGINT) AS high,
+       CAST(min(cents) AS BIGINT) AS low,
+       CAST(min(close_c) AS BIGINT) AS close_c
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_user_growth_daily(sf_dir):
+    """Daily new-user and cumulative-user growth curve: per-user
+    first-seen day is a keys-only grouped min, the per-day count is
+    bounded by the calendar, and the running total accumulates on that
+    tiny result (never on raw events)."""
+    from ray.data.aggregate import Min, Sum
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["user_id", "ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day") \
+                .cast(pa.timestamp("us")).cast(pa.int64())
+        tbl = pa.table({"user_id": t["user_id"], "day_us": day})
+        return tbl.group_by("user_id").aggregate([("day_us", "min")]) \
+                  .rename_columns(["user_id", "day_us"])
+
+    first_day = ds.map_batches(to_day, batch_format="pyarrow") \
+                  .groupby("user_id") \
+                  .aggregate(Min("day_us", alias_name="day_us"))
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        day = t["day_us"]
+        if day.type != pa.int64():
+            day = pc.round(day).cast(pa.int64())
+        tbl = pa.table({"day_us": day,
+                        "n_new": pa.array(
+                            np.ones(t.num_rows, np.int64))})
+        return tbl.group_by("day_us").aggregate([("n_new", "sum")]) \
+                  .rename_columns(["day_us", "n_new"])
+
+    per_day = first_day.map_batches(day_counts, batch_format="pyarrow") \
+                       .groupby("day_us") \
+                       .aggregate(Sum("n_new", alias_name="n_new"))
+    df = per_day.to_pandas().sort_values("day_us").reset_index(drop=True)
+    df["n_new"] = df["n_new"].astype("int64")
+    df["day_us"] = df["day_us"].astype("int64")
+    df["cum_users"] = df["n_new"].cumsum().astype("int64")
+    return df
+
+
+_USER_GROWTH_SQL = """
+WITH f AS (
+  SELECT user_id,
+         CAST(epoch_us(min(date_trunc('day', ts))) AS BIGINT) AS day_us
+  FROM events GROUP BY 1),
+d AS (
+  SELECT day_us, CAST(count(*) AS BIGINT) AS n_new
+  FROM f GROUP BY 1)
+SELECT day_us, n_new,
+       CAST(sum(n_new) OVER (ORDER BY day_us
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM d
 """

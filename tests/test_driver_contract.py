@@ -158,7 +158,7 @@ def test_entry_smoke(entry_mod):
     "embedding_component_stats", "spearman_lineitem",
     "session_duration_stats", "weighted_median_qty",
     "order_line_coverage", "orders_above_segment_avg",
-    "user_twap_value",
+    "user_twap_value", "events_ohlc_hourly", "user_growth_daily",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()
