@@ -303,6 +303,82 @@ def cube_agg(ds, *, keys: list, value_col: str):
     return out.rename(columns={"s": f"sum_{value_col}"})
 
 
+def grouping_sets_agg(ds, *, keys: list, sets: list, value_col: str):
+    """`GROUP BY GROUPING SETS (...)`: arbitrary subset list, same
+    one-pass shape as rollup_agg/cube_agg — finest-level partials
+    shuffle once, every requested set re-aggregates from that result.
+    `sets` is a list of key subsets (tuples/lists, may be empty for the
+    grand total); each must be a subset of `keys`."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(list(keys) + [value_col]).to_pandas()
+        df["_v"] = df[value_col].astype(np.float64)
+        agg = df.groupby(list(keys), sort=False, dropna=False) \
+            .agg(n=("_v", "size"), s=("_v", "sum")).reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    finest = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(list(keys)).sum(["n", "s"]).to_pandas()
+    finest = finest.rename(columns={"sum(n)": "n", "sum(s)": "s"})
+    finest["n"] = finest["n"].astype(np.int64)
+
+    levels = []
+    for sub in sets:
+        sub = list(sub)
+        if any(k not in keys for k in sub):
+            raise ValueError(f"grouping set {sub!r} not a subset of "
+                             f"{keys!r}")
+        if sub == list(keys):
+            lv = finest.copy()
+        elif sub:
+            lv = finest.groupby(sub, dropna=False, sort=False) \
+                .agg(n=("n", "sum"), s=("s", "sum")).reset_index()
+        else:
+            lv = pd.DataFrame({"n": [int(finest["n"].sum())],
+                               "s": [float(finest["s"].sum())]})
+        for miss in keys:
+            if miss not in sub:
+                lv[miss] = None
+        levels.append(lv[list(keys) + ["n", "s"]])
+    out = pd.concat(levels, ignore_index=True)
+    return out.rename(columns={"s": f"sum_{value_col}"})
+
+
+def grouped_trimmed_mean_lowcard(ds, *, key: str, value_col: str,
+                                 trim: float = 0.1,
+                                 out: str = "trimmed_mean"):
+    """EXACT per-group trimmed mean over a low-cardinality integer
+    domain: drop floor(trim*n) observations from each tail, average the
+    rest. Works on (key, value) COUNT pairs — the kept multiset is
+    computed by clipping the cumulative counts, so equal values trim
+    identically in any engine and the mean divides two exact
+    integers."""
+    counts = ds.select_columns([key, value_col]) \
+        .map_batches(
+            lambda t: t.group_by([key, value_col])
+                       .aggregate([([], "count_all")]),
+            batch_format="pyarrow") \
+        .groupby([key, value_col]).sum("count_all")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_col, kind="mergesort")
+        w = g["sum(count_all)"].to_numpy(np.int64)
+        v = g[value_col].to_numpy(np.int64)
+        n = int(w.sum())
+        k = int(np.floor(trim * n))
+        cum = np.cumsum(w)
+        lo = cum - w  # exclusive prefix
+        # kept copies of each value after trimming k from both tails
+        kept = np.minimum(cum, n - k) - np.maximum(lo, k)
+        kept = np.clip(kept, 0, None)
+        total = int(kept.sum())
+        s = int((kept * v).sum())
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "n_kept": [total],
+                             out: [s / total if total else np.nan]})
+
+    return counts.groupby(key).map_groups(finish, batch_format="pandas")
+
+
 def grouped_percentile_cont_lowcard(ds, *, key: str, value_col: str,
                                     qs: tuple = (0.25, 0.5, 0.75),
                                     prefix: str = "p"):

@@ -3372,6 +3372,8 @@ def build_queries() -> dict:
         "user_twap_value": q_user_twap_value,
         "events_ohlc_hourly": q_events_ohlc_hourly,
         "user_growth_daily": q_user_growth_daily,
+        "grouping_sets_lineitem": q_grouping_sets_lineitem,
+        "trimmed_mean_qty": q_trimmed_mean_qty,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3548,6 +3550,8 @@ def build_oracles() -> dict:
         "user_twap_value": _USER_TWAP_SQL,
         "events_ohlc_hourly": _EVENTS_OHLC_SQL,
         "user_growth_daily": _USER_GROWTH_SQL,
+        "grouping_sets_lineitem": _GROUPING_SETS_SQL,
+        "trimmed_mean_qty": _TRIMMED_MEAN_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -6644,4 +6648,73 @@ SELECT day_us, n_new,
                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
          AS cum_users
 FROM d
+"""
+
+
+def q_grouping_sets_lineitem(sf_dir):
+    """GROUP BY GROUPING SETS ((returnflag), (linestatus)): the
+    arbitrary-subset sibling of rollup/cube, still one finest-level
+    shuffle with every requested set re-aggregated from that bounded
+    result (functions/relational.py::grouping_sets_agg)."""
+    from ..functions.relational import grouping_sets_agg
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_returnflag", "l_linestatus",
+                             "l_quantity"])
+    ds = _drop_null_rows(ds, ["l_returnflag", "l_linestatus",
+                              "l_quantity"])
+    out = grouping_sets_agg(ds, keys=["l_returnflag", "l_linestatus"],
+                            sets=[("l_returnflag",), ("l_linestatus",)],
+                            value_col="l_quantity")
+    out["sum_l_quantity"] = out["sum_l_quantity"].round(4)
+    return out
+
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 4) AS sum_l_quantity
+FROM lineitem
+WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+  AND l_quantity IS NOT NULL
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+def q_trimmed_mean_qty(sf_dir):
+    """10%-trimmed mean quantity per return flag: the kept multiset is
+    derived by clipping cumulative (key, value) COUNTS — no engine ever
+    orders raw rows, ties trim identically everywhere, and the mean is
+    one exact integer division
+    (functions/relational.py::grouped_trimmed_mean_lowcard)."""
+    from ..functions.relational import grouped_trimmed_mean_lowcard
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_returnflag", "l_quantity"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        q = pc.round(t["l_quantity"],
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"l_returnflag": t["l_returnflag"], "qty": q})
+
+    return grouped_trimmed_mean_lowcard(
+        ds.map_batches(proj, batch_format="pyarrow"),
+        key="l_returnflag", value_col="qty", trim=0.1)
+
+
+_TRIMMED_MEAN_SQL = """
+WITH r AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS BIGINT) AS qty,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY CAST(round(l_quantity) AS BIGINT))
+           AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(qty) AS DOUBLE) / count(*) AS trimmed_mean
+FROM r
+WHERE rn > CAST(floor(0.1 * n) AS BIGINT)
+  AND rn <= n - CAST(floor(0.1 * n) AS BIGINT)
+GROUP BY 1
 """
