@@ -3374,6 +3374,7 @@ def build_queries() -> dict:
         "user_growth_daily": q_user_growth_daily,
         "grouping_sets_lineitem": q_grouping_sets_lineitem,
         "trimmed_mean_qty": q_trimmed_mean_qty,
+        "orders_1997_high_value": q_orders_1997_high_value,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3552,6 +3553,7 @@ def build_oracles() -> dict:
         "user_growth_daily": _USER_GROWTH_SQL,
         "grouping_sets_lineitem": _GROUPING_SETS_SQL,
         "trimmed_mean_qty": _TRIMMED_MEAN_SQL,
+        "orders_1997_high_value": _ORDERS_1997_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -6716,5 +6718,55 @@ SELECT l_returnflag,
 FROM r
 WHERE rn > CAST(floor(0.1 * n) AS BIGINT)
   AND rn <= n - CAST(floor(0.1 * n) AS BIGINT)
+GROUP BY 1
+"""
+
+
+def q_orders_1997_high_value(sf_dir):
+    """Predicate-pushdown showcase: the year + price filter is a
+    pyarrow dataset expression handed to read_parquet, so row groups
+    whose min/max statistics exclude the band never leave storage
+    ("prune at the read"); the surviving rows take one bounded
+    month-grouped partial."""
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    lo = pd.Timestamp("1997-01-01").to_pydatetime()
+    hi = pd.Timestamp("1998-01-01").to_pydatetime()
+    expr = ((pads.field("o_orderdate") >= lo)
+            & (pads.field("o_orderdate") < hi)
+            & (pads.field("o_totalprice") > 200000.0))
+    ds = read_table(table_path(sf_dir, "orders"),
+                    columns=["o_orderdate", "o_totalprice"],
+                    filter=expr)
+
+    def partial(t: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(t["o_orderdate"], unit="month") \
+                  .cast(pa.timestamp("us")).cast(pa.int64())
+        e2 = pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                      round_mode="half_towards_infinity").cast(pa.int64())
+        tbl = pa.table({"month_us": month,
+                        "n": pa.array(np.ones(t.num_rows, np.int64)),
+                        "e2": e2})
+        return tbl.group_by("month_us").aggregate(
+            [("n", "sum"), ("e2", "sum")]) \
+            .rename_columns(["month_us", "n", "sum_price_e2"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby("month_us").aggregate(
+                 Sum("n", alias_name="n"),
+                 Sum("sum_price_e2", alias_name="sum_price_e2"))
+
+
+_ORDERS_1997_SQL = """
+SELECT CAST(epoch_us(date_trunc('month', o_orderdate)) AS BIGINT)
+         AS month_us,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_e2
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND o_totalprice > 200000
 GROUP BY 1
 """
