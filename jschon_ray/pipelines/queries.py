@@ -3375,6 +3375,8 @@ def build_queries() -> dict:
         "grouping_sets_lineitem": q_grouping_sets_lineitem,
         "trimmed_mean_qty": q_trimmed_mean_qty,
         "orders_1997_high_value": q_orders_1997_high_value,
+        "join_skew_profile": q_join_skew_profile,
+        "events_type_share_daily": q_events_type_share_daily,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3554,6 +3556,8 @@ def build_oracles() -> dict:
         "grouping_sets_lineitem": _GROUPING_SETS_SQL,
         "trimmed_mean_qty": _TRIMMED_MEAN_SQL,
         "orders_1997_high_value": _ORDERS_1997_SQL,
+        "join_skew_profile": _JOIN_SKEW_SQL,
+        "events_type_share_daily": _EVENTS_TYPE_SHARE_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -6769,4 +6773,94 @@ WHERE o_orderdate >= TIMESTAMP '1997-01-01'
   AND o_orderdate < TIMESTAMP '1998-01-01'
   AND o_totalprice > 200000
 GROUP BY 1
+"""
+
+
+def q_join_skew_profile(sf_dir):
+    """Join-skew diagnostics: per hash bucket of the join key, row
+    counts on both sides of the lineitem-orders join — the report that
+    feeds salted_hash_join's hot-key decisions (SURVEY §4 skew
+    handling made explicit). Both sides reduce to 64 partial rows per
+    block before the bounded merge."""
+    from ray.data.aggregate import Sum
+
+    def side_counts(ds, keycol, out):
+        def partial(t: pa.Table) -> pa.Table:
+            b = pc.bit_wise_and(t[keycol].cast(pa.int64()), 63)
+            tbl = pa.table({"bucket": b,
+                            out: pa.array(np.ones(t.num_rows,
+                                                  np.int64))})
+            return tbl.group_by("bucket").aggregate([(out, "sum")]) \
+                      .rename_columns(["bucket", out])
+        return ds.map_batches(partial, batch_format="pyarrow") \
+                 .groupby("bucket").aggregate(Sum(out, alias_name=out))
+
+    li = side_counts(read_table(table_path(sf_dir, "lineitem"),
+                                columns=["l_orderkey"]),
+                     "l_orderkey", "n_lineitem").to_pandas()
+    od = side_counts(read_table(table_path(sf_dir, "orders"),
+                                columns=["o_orderkey"]),
+                     "o_orderkey", "n_orders").to_pandas()
+    out = li.merge(od, on="bucket", how="outer").fillna(0)
+    out["bucket"] = out["bucket"].astype("int64")
+    out["n_lineitem"] = out["n_lineitem"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+_JOIN_SKEW_SQL = """
+WITH l AS (
+  SELECT l_orderkey & 63 AS bucket,
+         CAST(count(*) AS BIGINT) AS n_lineitem
+  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+o AS (
+  SELECT o_orderkey & 63 AS bucket,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1)
+SELECT CAST(COALESCE(l.bucket, o.bucket) AS BIGINT) AS bucket,
+       CAST(COALESCE(n_lineitem, 0) AS BIGINT) AS n_lineitem,
+       CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders
+FROM l FULL JOIN o ON l.bucket = o.bucket
+"""
+
+
+def q_events_type_share_daily(sf_dir):
+    """Percent-of-total window: each event type's share of its day's
+    traffic — two bounded aggregates (day x type, then day), the share
+    dividing the same two exact integers in both engines."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(table_path(sf_dir, "events"), columns=["ts",
+                                                           "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day") \
+                .cast(pa.timestamp("us")).cast(pa.int64())
+        tbl = pa.table({"day_us": day, "event_type": t["event_type"],
+                        "n": pa.array(np.ones(t.num_rows, np.int64))})
+        return tbl.group_by(["day_us", "event_type"]).aggregate(
+            [("n", "sum")]).rename_columns(["day_us", "event_type",
+                                            "n"])
+
+    per = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby(["day_us", "event_type"]) \
+            .aggregate(Sum("n", alias_name="n")).to_pandas()
+    per["n"] = per["n"].astype("int64")
+    per["day_us"] = per["day_us"].astype("int64")
+    tot = per.groupby("day_us")["n"].transform("sum")
+    per["share"] = per["n"] / tot
+    return per.sort_values(["day_us", "event_type"]) \
+              .reset_index(drop=True)
+
+
+_EVENTS_TYPE_SHARE_SQL = """
+SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) AS DOUBLE)
+         / CAST(sum(count(*)) OVER (PARTITION BY
+                                    date_trunc('day', ts)) AS DOUBLE)
+         AS share
+FROM events
+GROUP BY 1, 2, date_trunc('day', ts)
 """

@@ -160,7 +160,8 @@ def test_entry_smoke(entry_mod):
     "order_line_coverage", "orders_above_segment_avg",
     "user_twap_value", "events_ohlc_hourly", "user_growth_daily",
     "grouping_sets_lineitem", "trimmed_mean_qty",
-    "orders_1997_high_value",
+    "orders_1997_high_value", "join_skew_profile",
+    "events_type_share_daily",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()
