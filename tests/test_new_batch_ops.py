@@ -455,3 +455,41 @@ def test_weighted_median_fuzz_vs_duckdb(ray_session, seed):
         want["wmedian"].astype("int64"))
     assert got["total_w"].astype("int64").equals(
         want["total_w"].astype("int64"))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_session_stats_fuzz_vs_duckdb(ray_session, seed):
+    import duckdb
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(5, 200))
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 6, n).astype("int64"),
+        "ts": pd.to_datetime(rng.integers(0, 3 * 3600 * 10**6, n),
+                             unit="us"),
+        "event_id": np.arange(n, dtype="int64")})
+    from jschon_ray.functions.windows import session_stats
+    got = session_stats(ray.data.from_arrow(
+        pa.Table.from_pandas(df)), gap_minutes=30).to_pandas() \
+        .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    want = duckdb.sql("""
+        WITH marked AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM df
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, ts,
+                 sum(new_sess) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING)
+                   AS session_idx
+          FROM marked)
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               CAST(count(*) AS BIGINT) AS n_events,
+               date_diff('microsecond', min(ts), max(ts)) AS dur_us
+        FROM sess GROUP BY 1, 2
+        ORDER BY user_id, session_idx""").df()
+    for c in ("user_id", "session_idx", "n_events", "dur_us"):
+        assert got[c].astype("int64").equals(want[c].astype("int64")), c
