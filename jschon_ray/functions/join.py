@@ -225,7 +225,10 @@ class _BroadcastJoiner:
         self.small = ray.get(small_ref) \
             if isinstance(small_ref, ray.ObjectRef) else small_ref
         self.on = on
-        self.how = "left outer" if how == "left" else "inner"
+        # per-batch probes cannot express full/right outer (unmatched
+        # small-side rows would repeat once per batch) — reject rather
+        # than silently degrade
+        self.how = {"left": "left outer", "inner": "inner"}[how]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return batch.join(self.small, keys=self.on, join_type=self.how)
@@ -286,8 +289,19 @@ def salted_hash_join(left, right, *, on: str, hot_keys,
     replicated build rows meet every probe salt — only the physical
     distribution changes. Cost: |hot build rows| x num_salts extra
     replicated rows; keep `hot_keys` to true heavy hitters.
+
+    how: 'inner' | 'left' only. 'full' is rejected: replicated build
+    rows would surface as duplicate unmatched copies (a hot right-only
+    key appears once per salt), so full-outer must go through plain
+    `hash_join`.
     """
     import pyarrow.compute as pc
+
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_hash_join supports how='inner'|'left', got {how!r};"
+            " use hash_join(how='full') — salting replicates build rows"
+            " and would emit duplicate unmatched copies under full-outer")
 
     hot = pa.array(sorted(set(hot_keys)))
     skey = "__salted_key"

@@ -423,7 +423,9 @@ def grouped_weighted_median_lowcard(ds, *, key: str, value_col: str,
     domain: the smallest value whose cumulative weight reaches half the
     group's total (lower weighted median — deterministic, no
     interpolation, so integer weights keep both engines identical).
-    Shuffles (key, value, weight-sum) partial rows — never inputs."""
+    Shuffles (key, value, weight-sum) partial rows — never inputs.
+    Weights must be non-negative (cumulative weight would be unsorted
+    otherwise); enforced per group."""
     def partial(t: pa.Table) -> pa.Table:
         return t.select([key, value_col, weight_col]) \
             .group_by([key, value_col]) \
@@ -436,6 +438,11 @@ def grouped_weighted_median_lowcard(ds, *, key: str, value_col: str,
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(value_col, kind="mergesort")
         w = g["sum(w)"].to_numpy(np.int64)
+        if (w < 0).any():
+            raise ValueError(
+                "grouped_weighted_median_lowcard requires non-negative "
+                f"weights; key {g[key].iloc[0]!r} has a negative "
+                "per-value weight sum")
         v = g[value_col].to_numpy()
         cum = np.cumsum(w)
         total = int(cum[-1])

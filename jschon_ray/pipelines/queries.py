@@ -6006,12 +6006,10 @@ def q_events_dow_hour_heatmap(sf_dir):
         cents = pc.round(pc.multiply(t["value"], 100.0),
                          round_mode="half_towards_infinity") \
                   .cast(pa.int64())
-        tbl = pa.table({"dow": dow, "hour": hour,
-                        "n": pa.array(np.ones(t.num_rows, np.int64)),
-                        "cents": cents})
+        tbl = pa.table({"dow": dow, "hour": hour, "cents": cents})
         return tbl.group_by(["dow", "hour"]).aggregate(
-            [("n", "sum"), ("cents", "sum")]) \
-            .rename_columns(["dow", "hour", "n", "sum_cents"])
+            [("cents", "sum"), ([], "count_all")]) \
+            .rename_columns(["dow", "hour", "sum_cents", "n"])
 
     return ds.map_batches(partial, batch_format="pyarrow") \
              .groupby(["dow", "hour"]).aggregate(
@@ -6350,9 +6348,8 @@ def q_order_line_coverage(sf_dir):
                     columns=["l_orderkey"])
 
     def part_counts(t: pa.Table) -> pa.Table:
-        tbl = pa.table({"o_orderkey": t["l_orderkey"],
-                        "n": pa.array(np.ones(t.num_rows, np.int64))})
-        return tbl.group_by("o_orderkey").aggregate([("n", "sum")]) \
+        tbl = pa.table({"o_orderkey": t["l_orderkey"]})
+        return tbl.group_by("o_orderkey").aggregate([([], "count_all")]) \
                   .rename_columns(["o_orderkey", "n"])
 
     counts = li.map_batches(part_counts, batch_format="pyarrow") \
@@ -6417,23 +6414,29 @@ def q_orders_above_segment_avg(sf_dir):
 
     def seg_partial(t: pa.Table) -> pa.Table:
         tbl = pa.table({"c_mktsegment": t["c_mktsegment"],
-                        "n": pa.array(np.ones(t.num_rows, np.int64)),
                         "s": t["price_e2"]})
         return tbl.group_by("c_mktsegment").aggregate(
-            [("n", "sum"), ("s", "sum")]) \
-            .rename_columns(["c_mktsegment", "n", "s"])
+            [("s", "sum"), ([], "count_all")]) \
+            .rename_columns(["c_mktsegment", "s", "n"])
 
     stats = joined.map_batches(seg_partial, batch_format="pyarrow") \
                   .groupby("c_mktsegment").aggregate(
                       Sum("n", alias_name="n"), Sum("s", alias_name="s"))
     sd = stats.to_pandas()
-    n_by = dict(zip(sd["c_mktsegment"], sd["n"].astype("int64")))
-    s_by = dict(zip(sd["c_mktsegment"], sd["s"].astype("int64")))
+    seg_arr = pa.array(sd["c_mktsegment"].tolist(), pa.string())
+    n_arr = sd["n"].to_numpy(dtype="int64")
+    s_arr = sd["s"].to_numpy(dtype="int64")
 
     def above(t: pa.Table) -> pa.Table:
-        segs = t["c_mktsegment"].to_pylist()
-        n = np.array([n_by.get(x, 0) for x in segs], np.int64)
-        s = np.array([s_by.get(x, 0) for x in segs], np.int64)
+        # vectorized 5-entry lookup: index_in against the tiny stats
+        # table, then np.take — no per-row Python
+        idx = pc.fill_null(
+            pc.index_in(t["c_mktsegment"], value_set=seg_arr), -1) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        found = idx >= 0
+        safe = np.where(found, idx, 0)
+        n = np.where(found, n_arr[safe], 0)
+        s = np.where(found, s_arr[safe], 0)
         e2 = t["price_e2"].to_numpy(zero_copy_only=False)
         mask = e2 * n > s
         return t.select(["o_orderkey", "c_mktsegment",
@@ -6479,8 +6482,10 @@ def q_user_twap_value(sf_dir):
         keys = g["user_id"].to_numpy()
         ts_ms = g["ts"].to_numpy().astype("datetime64[ms]") \
                        .astype(np.int64)
-        cents = np.round(g["value"].to_numpy(np.float64) * 100.0) \
-                  .astype(np.int64)
+        # half-away-from-zero, matching SQL round() (np.round is
+        # banker's and would diverge on exact .5 cents)
+        v = g["value"].to_numpy(np.float64) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
         last = np.empty(n, dtype=bool)
         if n:
             last[-1] = True
@@ -6625,10 +6630,8 @@ def q_user_growth_daily(sf_dir):
         day = t["day_us"]
         if day.type != pa.int64():
             day = pc.round(day).cast(pa.int64())
-        tbl = pa.table({"day_us": day,
-                        "n_new": pa.array(
-                            np.ones(t.num_rows, np.int64))})
-        return tbl.group_by("day_us").aggregate([("n_new", "sum")]) \
+        tbl = pa.table({"day_us": day})
+        return tbl.group_by("day_us").aggregate([([], "count_all")]) \
                   .rename_columns(["day_us", "n_new"])
 
     per_day = first_day.map_batches(day_counts, batch_format="pyarrow") \
@@ -6787,10 +6790,8 @@ def q_join_skew_profile(sf_dir):
     def side_counts(ds, keycol, out):
         def partial(t: pa.Table) -> pa.Table:
             b = pc.bit_wise_and(t[keycol].cast(pa.int64()), 63)
-            tbl = pa.table({"bucket": b,
-                            out: pa.array(np.ones(t.num_rows,
-                                                  np.int64))})
-            return tbl.group_by("bucket").aggregate([(out, "sum")]) \
+            tbl = pa.table({"bucket": b})
+            return tbl.group_by("bucket").aggregate([([], "count_all")]) \
                       .rename_columns(["bucket", out])
         return ds.map_batches(partial, batch_format="pyarrow") \
                  .groupby("bucket").aggregate(Sum(out, alias_name=out))
@@ -6836,11 +6837,10 @@ def q_events_type_share_daily(sf_dir):
     def partial(t: pa.Table) -> pa.Table:
         day = pc.floor_temporal(t["ts"], unit="day") \
                 .cast(pa.timestamp("us")).cast(pa.int64())
-        tbl = pa.table({"day_us": day, "event_type": t["event_type"],
-                        "n": pa.array(np.ones(t.num_rows, np.int64))})
+        tbl = pa.table({"day_us": day, "event_type": t["event_type"]})
         return tbl.group_by(["day_us", "event_type"]).aggregate(
-            [("n", "sum")]).rename_columns(["day_us", "event_type",
-                                            "n"])
+            [([], "count_all")]).rename_columns(["day_us", "event_type",
+                                                 "n"])
 
     per = ds.map_batches(partial, batch_format="pyarrow") \
             .groupby(["day_us", "event_type"]) \

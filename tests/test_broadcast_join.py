@@ -65,3 +65,12 @@ class TestHashJoinFullOuter:
         assert np.array_equal(ga, wa, equal_nan=True)
         assert got["b"].fillna("<N>").tolist() == \
             want["b"].fillna("<N>").tolist()
+
+
+class TestSaltedJoinFullRejected:
+    def test_full_outer_raises(self, ray_session):
+        from jschon_ray.functions.join import salted_hash_join
+        ds = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                     "a": pa.array([1], pa.int64())}))
+        with pytest.raises(ValueError, match="full"):
+            salted_hash_join(ds, ds, on="k", hot_keys=[1], how="full")
