@@ -137,3 +137,69 @@ def kmeans_assign(ds, centroids: np.ndarray, *, id_col: str,
                          "dist": pa.array(np.sqrt(d2))})
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def pca_fit(ds, *, vec_col: str = "embedding", n_components: int = 8):
+    """Distributed PCA in ONE streaming pass: every block contributes
+    (n, sum(x), X^T X) partials — a (dim+1)^2-sized message regardless
+    of block row count — merged on the driver into the covariance
+    matrix, then a local eigendecomposition. No shuffle, no second
+    data pass; the only driver-side object is dim x dim.
+
+    Returns dict with 'mean' (dim,), 'components' (n_components, dim;
+    rows are unit eigenvectors, sign-normalized so the largest-|coord|
+    entry is positive), 'explained_variance' and
+    'explained_variance_ratio' (descending). Population covariance
+    (ddof=0) so tiny groups stay defined."""
+    def partials(t: pa.Table) -> pa.Table:
+        x = _batch_matrix(t, vec_col).astype(np.float64)
+        n, d = x.shape
+        s = x.sum(axis=0)
+        g = x.T @ x
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "d": pa.array([d], pa.int64()),
+            "sum": pa.array([s.tobytes()], pa.binary()),
+            "gram": pa.array([g.tobytes()], pa.binary())})
+
+    rows = ds.map_batches(partials, batch_format="pyarrow") \
+             .take_all()  # one tiny row per block
+    n_tot = sum(r["n"] for r in rows)
+    d = int(rows[0]["d"])
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for r in rows:
+        s += np.frombuffer(r["sum"], np.float64)
+        g += np.frombuffer(r["gram"], np.float64).reshape(d, d)
+    mean = s / n_tot
+    cov = g / n_tot - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)      # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    ev = np.clip(evals[order], 0.0, None)
+    comps = evecs[:, order].T
+    # deterministic sign: largest-|coord| entry positive per component
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total = float(np.clip(evals, 0.0, None).sum()) or 1.0
+    return {"mean": mean, "components": comps,
+            "explained_variance": ev,
+            "explained_variance_ratio": ev / total,
+            "n": int(n_tot)}
+
+
+def pca_transform(ds, model, *, id_col: str, vec_col: str = "embedding",
+                  out: str = "pc"):
+    """Project vectors onto fitted components: stateless per-batch
+    matmul against the broadcast (n_components, dim) matrix."""
+    mean = np.asarray(model["mean"], np.float64)
+    comps = np.asarray(model["components"], np.float64)
+
+    def project(t: pa.Table) -> pa.Table:
+        x = _batch_matrix(t, vec_col).astype(np.float64)
+        z = (x - mean) @ comps.T
+        return pa.table({id_col: t[id_col],
+                         out: pa.array(list(z.astype(np.float32)))})
+
+    return ds.map_batches(project, batch_format="pyarrow")

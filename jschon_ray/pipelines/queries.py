@@ -3377,6 +3377,7 @@ def build_queries() -> dict:
         "orders_1997_high_value": q_orders_1997_high_value,
         "join_skew_profile": q_join_skew_profile,
         "events_type_share_daily": q_events_type_share_daily,
+        "embedding_pca_evr": q_embedding_pca_evr,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -6864,3 +6865,22 @@ SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
 FROM events
 GROUP BY 1, 2, date_trunc('day', ts)
 """
+
+
+def q_embedding_pca_evr(sf_dir):
+    """Distributed PCA over the embedding table (single streaming pass
+    of (dim+1)^2-sized block partials, driver-side eigh — see
+    functions/clustering.py::pca_fit). Rows-only entry: SQL has no
+    eigendecomposition; determinism is guaranteed by exact partial
+    sums + a fixed eigensolver, and asserted against full in-memory
+    numpy PCA in tests/test_clustering.py."""
+    from ..functions.clustering import pca_fit
+
+    ds = read_table(table_path(sf_dir, "embeddings"),
+                    columns=["embedding"])
+    m = pca_fit(ds, vec_col="embedding", n_components=8)
+    return pd.DataFrame({
+        "component": np.arange(8, dtype="int64"),
+        "explained_variance_ratio": np.round(
+            m["explained_variance_ratio"], 9),
+        "n": np.full(8, m["n"], dtype="int64")})

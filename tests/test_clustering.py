@@ -1,5 +1,6 @@
 """Distributed k-means vs ground-truth blobs and a local Lloyd oracle."""
 
+import pyarrow as pa
 import numpy as np
 import pandas as pd
 import pytest
@@ -59,3 +60,49 @@ def test_assign_distances_are_euclidean(ray_session):
         .to_pandas().sort_values("vec_id")
     assert out["cluster"].tolist() == [0, 0]
     assert np.allclose(out["dist"].to_numpy(), [0.0, 5.0])
+
+
+class TestPCA:
+    def test_matches_full_numpy_pca(self, ray_session):
+        import ray.data
+        rng = np.random.default_rng(7)
+        # anisotropic gaussian so components are well separated
+        x = (rng.normal(0, 1, (300, 6))
+             * np.array([5.0, 3.0, 2.0, 1.0, 0.5, 0.1])).astype(
+                 np.float32)
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(300), pa.int64()),
+            "embedding": pa.array(list(x))}))
+        from jschon_ray.functions.clustering import pca_fit, \
+            pca_transform
+        m = pca_fit(ds, vec_col="embedding", n_components=3)
+        xf = x.astype(np.float64)
+        cov = np.cov(xf, rowvar=False, bias=True)
+        evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+        assert np.allclose(m["explained_variance"], evals[:3],
+                           rtol=1e-8)
+        assert np.allclose(m["explained_variance_ratio"].sum(),
+                           evals[:3].sum() / evals.sum(), rtol=1e-8)
+        # components are orthonormal
+        c = m["components"]
+        assert np.allclose(c @ c.T, np.eye(3), atol=1e-10)
+        # projection variance per component equals the eigenvalue
+        z = pca_transform(ds, m, id_col="vec_id").to_pandas()
+        zm = np.stack(z.sort_values("vec_id")["pc"].to_numpy())
+        assert np.allclose(zm.var(axis=0, ddof=0),
+                           m["explained_variance"], rtol=1e-4)
+
+    def test_partials_split_invariance(self, ray_session):
+        import ray.data
+        rng = np.random.default_rng(3)
+        x = rng.normal(0, 1, (100, 4)).astype(np.float32)
+        t = pa.table({"vec_id": pa.array(np.arange(100), pa.int64()),
+                      "embedding": pa.array(list(x))})
+        from jschon_ray.functions.clustering import pca_fit
+        one = pca_fit(ray.data.from_arrow(t), n_components=2)
+        many = pca_fit(
+            ray.data.from_arrow(t).repartition(7), n_components=2)
+        assert np.allclose(one["explained_variance"],
+                           many["explained_variance"], rtol=1e-9)
+        assert np.allclose(one["components"], many["components"],
+                           atol=1e-9)
