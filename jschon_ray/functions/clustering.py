@@ -203,3 +203,78 @@ def pca_transform(ds, model, *, id_col: str, vec_col: str = "embedding",
                          out: pa.array(list(z.astype(np.float32)))})
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def linear_probe_fit(ds, *, vec_col: str = "embedding",
+                     label_col: str = "label", ridge: float = 1e-3):
+    """Closed-form one-vs-rest ridge probe — the standard 'how good are
+    these embeddings' measurement — in ONE streaming pass: blocks
+    contribute (n, X^T X, X^T Y, per-class counts); the driver solves
+    (X^T X + ridge*n*I) W = X^T Y. Message size is dim^2 + dim*k per
+    block, independent of rows; no shuffle.
+
+    Returns {'classes', 'W' (dim+1, k; last row is the bias via an
+    appended ones-feature), 'n'}."""
+    def partials(t: pa.Table) -> pa.Table:
+        x = _batch_matrix(t, vec_col).astype(np.float64)
+        n = x.shape[0]
+        x1 = np.concatenate([x, np.ones((n, 1))], axis=1)
+        y = np.asarray(t[label_col].to_pylist())
+        classes, inv = np.unique(y, return_inverse=True)
+        yh = np.zeros((n, len(classes)))
+        yh[np.arange(n), inv] = 1.0
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "d1": pa.array([x1.shape[1]], pa.int64()),
+            "classes": pa.array([classes.astype(np.int64).tobytes()],
+                                pa.binary()),
+            "gram": pa.array([(x1.T @ x1).tobytes()], pa.binary()),
+            "xty": pa.array([(x1.T @ yh).tobytes()], pa.binary())})
+
+    rows = ds.map_batches(partials, batch_format="pyarrow").take_all()
+    d1 = int(rows[0]["d1"])
+    all_classes = sorted({c for r in rows
+                          for c in np.frombuffer(r["classes"],
+                                                 np.int64)})
+    cindex = {c: i for i, c in enumerate(all_classes)}
+    k = len(all_classes)
+    gram = np.zeros((d1, d1))
+    xty = np.zeros((d1, k))
+    n_tot = 0
+    for r in rows:
+        n_tot += int(r["n"])
+        gram += np.frombuffer(r["gram"], np.float64).reshape(d1, d1)
+        local = np.frombuffer(r["classes"], np.int64)
+        part = np.frombuffer(r["xty"], np.float64) \
+            .reshape(d1, len(local))
+        for j, c in enumerate(local):
+            xty[:, cindex[int(c)]] += part[:, j]
+    reg = ridge * n_tot * np.eye(d1)
+    reg[-1, -1] = 0.0  # don't penalize the bias
+    w = np.linalg.solve(gram + reg, xty)
+    return {"classes": np.asarray(all_classes, np.int64), "W": w,
+            "n": int(n_tot)}
+
+
+def linear_probe_score(ds, model, *, vec_col: str = "embedding",
+                       label_col: str = "label"):
+    """Training accuracy of the fitted probe: stateless per-batch
+    argmax scoring against the broadcast weight matrix; per-block
+    (correct, total) partials merge to one exact fraction."""
+    w = np.asarray(model["W"], np.float64)
+    classes = np.asarray(model["classes"], np.int64)
+
+    def score(t: pa.Table) -> pa.Table:
+        x = _batch_matrix(t, vec_col).astype(np.float64)
+        x1 = np.concatenate([x, np.ones((x.shape[0], 1))], axis=1)
+        pred = classes[np.argmax(x1 @ w, axis=1)]
+        y = np.asarray(t[label_col].to_pylist(), np.int64)
+        return pa.table({
+            "correct": pa.array([int((pred == y).sum())], pa.int64()),
+            "total": pa.array([len(y)], pa.int64())})
+
+    rows = ds.map_batches(score, batch_format="pyarrow").take_all()
+    c = sum(r["correct"] for r in rows)
+    t = sum(r["total"] for r in rows)
+    return {"correct": int(c), "total": int(t),
+            "accuracy": c / t if t else float("nan")}

@@ -3378,6 +3378,7 @@ def build_queries() -> dict:
         "join_skew_profile": q_join_skew_profile,
         "events_type_share_daily": q_events_type_share_daily,
         "embedding_pca_evr": q_embedding_pca_evr,
+        "embedding_linear_probe": q_embedding_linear_probe,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -6884,3 +6885,24 @@ def q_embedding_pca_evr(sf_dir):
         "explained_variance_ratio": np.round(
             m["explained_variance_ratio"], 9),
         "n": np.full(8, m["n"], dtype="int64")})
+
+
+def q_embedding_linear_probe(sf_dir):
+    """Embedding-quality linear probe: closed-form one-vs-rest ridge in
+    one streaming pass of dim^2-sized block partials + a stateless
+    scoring pass — the standard 'are these embeddings any good'
+    measurement for a training-data pipeline. Rows-only (SQL has no
+    linear solve); numpy-parity in tests/test_clustering.py."""
+    from ..functions.clustering import linear_probe_fit, \
+        linear_probe_score
+
+    ds = read_table(table_path(sf_dir, "embeddings"),
+                    columns=["embedding", "label"])
+    m = linear_probe_fit(ds)
+    s = linear_probe_score(read_table(table_path(sf_dir, "embeddings"),
+                                      columns=["embedding", "label"]),
+                           m)
+    return pd.DataFrame({
+        "n": [s["total"]], "n_correct": [s["correct"]],
+        "train_accuracy": [round(s["accuracy"], 9)],
+        "n_classes": [len(m["classes"])]})

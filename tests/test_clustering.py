@@ -106,3 +106,30 @@ class TestPCA:
                            many["explained_variance"], rtol=1e-9)
         assert np.allclose(one["components"], many["components"],
                            atol=1e-9)
+
+
+class TestLinearProbe:
+    def test_matches_numpy_ridge(self, ray_session):
+        import ray.data
+        rng = np.random.default_rng(11)
+        n, d, k = 240, 5, 3
+        centers = rng.normal(0, 4, (k, d))
+        y = rng.integers(0, k, n)
+        x = (centers[y] + rng.normal(0, 1, (n, d))).astype(np.float32)
+        ds = ray.data.from_arrow(pa.table({
+            "embedding": pa.array(list(x)),
+            "label": pa.array(y.astype(np.int32))})).repartition(5)
+        from jschon_ray.functions.clustering import (
+            linear_probe_fit, linear_probe_score)
+        m = linear_probe_fit(ds, ridge=1e-3)
+        # reference: full-batch closed form
+        xf = np.concatenate([x.astype(np.float64),
+                             np.ones((n, 1))], axis=1)
+        yh = np.zeros((n, k)); yh[np.arange(n), y] = 1.0
+        reg = 1e-3 * n * np.eye(d + 1); reg[-1, -1] = 0.0
+        w_ref = np.linalg.solve(xf.T @ xf + reg, xf.T @ yh)
+        assert np.allclose(m["W"], w_ref, rtol=1e-8, atol=1e-10)
+        s = linear_probe_score(ds, m)
+        pred = np.argmax(xf @ w_ref, axis=1)
+        assert s["correct"] == int((pred == y).sum())
+        assert s["accuracy"] > 0.8  # separable clusters
