@@ -3379,6 +3379,7 @@ def build_queries() -> dict:
         "events_type_share_daily": q_events_type_share_daily,
         "embedding_pca_evr": q_embedding_pca_evr,
         "embedding_linear_probe": q_embedding_linear_probe,
+        "corr_matrix_lineitem": q_corr_matrix_lineitem,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3560,6 +3561,7 @@ def build_oracles() -> dict:
         "orders_1997_high_value": _ORDERS_1997_SQL,
         "join_skew_profile": _JOIN_SKEW_SQL,
         "events_type_share_daily": _EVENTS_TYPE_SHARE_SQL,
+        "corr_matrix_lineitem": _CORR_MATRIX_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -6906,3 +6908,109 @@ def q_embedding_linear_probe(sf_dir):
         "n": [s["total"]], "n_correct": [s["correct"]],
         "train_accuracy": [round(s["accuracy"], 9)],
         "n_classes": [len(m["classes"])]})
+
+
+def q_corr_matrix_lineitem(sf_dir):
+    """Full pairwise correlation matrix of the four numeric lineitem
+    measures in ONE pass: every block emits the 14 exact integer
+    moments (4 sums, 4 sum-of-squares, 6 cross-products in e2 units),
+    the driver finishes the 6 Pearson coefficients with the same
+    closed form the oracle spells out. No shuffle at all — the partial
+    is a single row per block."""
+    from ray.data.aggregate import Sum
+
+    COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    NAMES = ["qty", "price", "disc", "tax"]
+
+    ds = read_table(table_path(sf_dir, "lineitem"), columns=COLS)
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = []
+        for c in COLS:
+            e2 = pc.round(pc.multiply(t[c], 100.0),
+                          round_mode="half_towards_infinity") \
+                   .cast(pa.int64())
+            vals.append(e2.to_numpy(zero_copy_only=False))
+        row = {"n": pa.array([t.num_rows], pa.int64())}
+        for i, ni in enumerate(NAMES):
+            row[f"s_{ni}"] = pa.array([int(vals[i].sum())], pa.int64())
+            for j in range(i, len(NAMES)):
+                row[f"p_{ni}_{NAMES[j]}"] = pa.array(
+                    [int((vals[i] * vals[j]).sum())], pa.int64())
+        return pa.table(row)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    aggs = [Sum("n", alias_name="n")]
+    for i, ni in enumerate(NAMES):
+        aggs.append(Sum(f"s_{ni}", alias_name=f"s_{ni}"))
+        for j in range(i, len(NAMES)):
+            nm = f"p_{ni}_{NAMES[j]}"
+            aggs.append(Sum(nm, alias_name=nm))
+    g = parts.aggregate(*aggs)
+    n = float(g["n"])
+    out_rows = []
+    for i, ni in enumerate(NAMES):
+        for j in range(i + 1, len(NAMES)):
+            nj = NAMES[j]
+            sx, sy = float(g[f"s_{ni}"]), float(g[f"s_{nj}"])
+            sxy = float(g[f"p_{ni}_{nj}"])
+            sxx = float(g[f"p_{ni}_{ni}"])
+            syy = float(g[f"p_{nj}_{nj}"])
+            r = (n * sxy - sx * sy) / np.sqrt(
+                (n * sxx - sx * sx) * (n * syy - sy * sy))
+            out_rows.append({"col_x": ni, "col_y": nj,
+                             "corr": round(r, 9)})
+    return pd.DataFrame(out_rows)
+
+
+_CORR_MATRIX_SQL = """
+WITH e AS (
+  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc,
+         CAST(round(l_tax * 100) AS BIGINT) AS tax
+  FROM lineitem),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(qty) AS DOUBLE) AS s_qty,
+         CAST(sum(price) AS DOUBLE) AS s_price,
+         CAST(sum(disc) AS DOUBLE) AS s_disc,
+         CAST(sum(tax) AS DOUBLE) AS s_tax,
+         CAST(sum(qty * qty) AS DOUBLE) AS p_qty_qty,
+         CAST(sum(price * price) AS DOUBLE) AS p_price_price,
+         CAST(sum(disc * disc) AS DOUBLE) AS p_disc_disc,
+         CAST(sum(tax * tax) AS DOUBLE) AS p_tax_tax,
+         CAST(sum(qty * price) AS DOUBLE) AS p_qty_price,
+         CAST(sum(qty * disc) AS DOUBLE) AS p_qty_disc,
+         CAST(sum(qty * tax) AS DOUBLE) AS p_qty_tax,
+         CAST(sum(price * disc) AS DOUBLE) AS p_price_disc,
+         CAST(sum(price * tax) AS DOUBLE) AS p_price_tax,
+         CAST(sum(disc * tax) AS DOUBLE) AS p_disc_tax
+  FROM e)
+SELECT * FROM (
+  SELECT 'qty' AS col_x, 'price' AS col_y,
+         round((n*p_qty_price - s_qty*s_price)
+               / sqrt((n*p_qty_qty - s_qty*s_qty)
+                      * (n*p_price_price - s_price*s_price)), 9)
+           AS corr FROM m
+  UNION ALL SELECT 'qty', 'disc',
+         round((n*p_qty_disc - s_qty*s_disc)
+               / sqrt((n*p_qty_qty - s_qty*s_qty)
+                      * (n*p_disc_disc - s_disc*s_disc)), 9) FROM m
+  UNION ALL SELECT 'qty', 'tax',
+         round((n*p_qty_tax - s_qty*s_tax)
+               / sqrt((n*p_qty_qty - s_qty*s_qty)
+                      * (n*p_tax_tax - s_tax*s_tax)), 9) FROM m
+  UNION ALL SELECT 'price', 'disc',
+         round((n*p_price_disc - s_price*s_disc)
+               / sqrt((n*p_price_price - s_price*s_price)
+                      * (n*p_disc_disc - s_disc*s_disc)), 9) FROM m
+  UNION ALL SELECT 'price', 'tax',
+         round((n*p_price_tax - s_price*s_tax)
+               / sqrt((n*p_price_price - s_price*s_price)
+                      * (n*p_tax_tax - s_tax*s_tax)), 9) FROM m
+  UNION ALL SELECT 'disc', 'tax',
+         round((n*p_disc_tax - s_disc*s_tax)
+               / sqrt((n*p_disc_disc - s_disc*s_disc)
+                      * (n*p_tax_tax - s_tax*s_tax)), 9) FROM m)
+"""

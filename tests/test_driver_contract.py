@@ -162,7 +162,7 @@ def test_entry_smoke(entry_mod):
     "user_twap_value", "events_ohlc_hourly", "user_growth_daily",
     "grouping_sets_lineitem", "trimmed_mean_qty",
     "orders_1997_high_value", "join_skew_profile",
-    "events_type_share_daily",
+    "events_type_share_daily", "corr_matrix_lineitem",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()
