@@ -3380,6 +3380,7 @@ def build_queries() -> dict:
         "embedding_pca_evr": q_embedding_pca_evr,
         "embedding_linear_probe": q_embedding_linear_probe,
         "corr_matrix_lineitem": q_corr_matrix_lineitem,
+        "mutual_info_flag_status": q_mutual_info_flag_status,
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -3562,6 +3563,7 @@ def build_oracles() -> dict:
         "join_skew_profile": _JOIN_SKEW_SQL,
         "events_type_share_daily": _EVENTS_TYPE_SHARE_SQL,
         "corr_matrix_lineitem": _CORR_MATRIX_SQL,
+        "mutual_info_flag_status": _MUTUAL_INFO_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
@@ -7013,4 +7015,63 @@ SELECT * FROM (
          round((n*p_disc_tax - s_disc*s_tax)
                / sqrt((n*p_disc_disc - s_disc*s_disc)
                       * (n*p_tax_tax - s_tax*s_tax)), 9) FROM m)
+"""
+
+
+def q_mutual_info_flag_status(sf_dir):
+    """Mutual information (nats) between return flag and line status
+    from the exact contingency counts: per-block (flag, status)
+    partials into a 3x2-bounded groupby, MI/H(X)/H(Y) finished with
+    the same log expression the oracle spells out over the same
+    integers, rounded to 9 decimals both sides."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_returnflag", "l_linestatus"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_returnflag", "l_linestatus"]) \
+                .aggregate([([], "count_all")]) \
+                .rename_columns(["l_returnflag", "l_linestatus", "n"])
+
+    cells = ds.map_batches(partial, batch_format="pyarrow") \
+              .groupby(["l_returnflag", "l_linestatus"]) \
+              .aggregate(Sum("n", alias_name="n")).to_pandas()
+    cells["n"] = cells["n"].astype("int64")
+    cells = cells.sort_values(["l_returnflag", "l_linestatus"]) \
+                 .reset_index(drop=True)
+    n = float(cells["n"].sum())
+    px = cells.groupby("l_returnflag")["n"].transform("sum") / n
+    py = cells.groupby("l_linestatus")["n"].transform("sum") / n
+    p = cells["n"] / n
+    mi = float((p * np.log(p / (px * py))).sum())
+    hx = -float((cells.groupby("l_returnflag")["n"].sum() / n)
+                .pipe(lambda s: (s * np.log(s)).sum()))
+    hy = -float((cells.groupby("l_linestatus")["n"].sum() / n)
+                .pipe(lambda s: (s * np.log(s)).sum()))
+    return pd.DataFrame({"mi_nats": [round(mi, 9)],
+                         "h_flag": [round(hx, 9)],
+                         "h_status": [round(hy, 9)],
+                         "n": [int(n)]})
+
+
+_MUTUAL_INFO_SQL = """
+WITH c AS (
+  SELECT l_returnflag AS f, l_linestatus AS s,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM lineitem GROUP BY 1, 2),
+tot AS (SELECT sum(n) AS n FROM c),
+fx AS (SELECT f, sum(n) AS nf FROM c GROUP BY 1),
+sy AS (SELECT s, sum(n) AS ns FROM c GROUP BY 1)
+SELECT
+  round((SELECT sum((c.n / tot.n)
+                    * ln((c.n / tot.n)
+                         / ((fx.nf / tot.n) * (sy.ns / tot.n))))
+         FROM c, tot, fx, sy
+         WHERE c.f = fx.f AND c.s = sy.s), 9) AS mi_nats,
+  round((SELECT -sum((nf / tot.n) * ln(nf / tot.n))
+         FROM fx, tot), 9) AS h_flag,
+  round((SELECT -sum((ns / tot.n) * ln(ns / tot.n))
+         FROM sy, tot), 9) AS h_status,
+  CAST((SELECT n FROM tot) AS BIGINT) AS n
 """

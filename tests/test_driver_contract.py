@@ -163,6 +163,7 @@ def test_entry_smoke(entry_mod):
     "grouping_sets_lineitem", "trimmed_mean_qty",
     "orders_1997_high_value", "join_skew_profile",
     "events_type_share_daily", "corr_matrix_lineitem",
+    "mutual_info_flag_status",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()
