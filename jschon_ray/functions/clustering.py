@@ -164,6 +164,11 @@ def pca_fit(ds, *, vec_col: str = "embedding", n_components: int = 8):
 
     rows = ds.map_batches(partials, batch_format="pyarrow") \
              .take_all()  # one tiny row per block
+    # 0-row blocks (post-filter/repartition) emit degenerate d=0
+    # partials; they carry no mass, so drop them before merging.
+    rows = [r for r in rows if r["n"] > 0]
+    if not rows:
+        raise ValueError("pca_fit: dataset is empty")
     n_tot = sum(r["n"] for r in rows)
     d = int(rows[0]["d"])
     s = np.zeros(d)
@@ -232,6 +237,9 @@ def linear_probe_fit(ds, *, vec_col: str = "embedding",
             "xty": pa.array([(x1.T @ yh).tobytes()], pa.binary())})
 
     rows = ds.map_batches(partials, batch_format="pyarrow").take_all()
+    rows = [r for r in rows if r["n"] > 0]  # drop 0-row-block partials
+    if not rows:
+        raise ValueError("linear_probe_fit: dataset is empty")
     d1 = int(rows[0]["d1"])
     all_classes = sorted({c for r in rows
                           for c in np.frombuffer(r["classes"],

@@ -225,6 +225,19 @@ def grouped_corr(ds, *, key: str, x_col: str, y_col: str,
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def _assert_keys_nonnull(t: pa.Table, keys, fn: str) -> None:
+    """rollup/cube/grouping-sets mark rolled-up slots with None, so a
+    NULL key value would be indistinguishable from a subtotal row (no
+    GROUPING() indicator column). Reject NULL keys loudly instead of
+    silently conflating the two — callers must pre-drop or fill them."""
+    for k in keys:
+        if t[k].null_count:
+            raise ValueError(
+                f"{fn}: key column {k!r} contains NULLs, which would be "
+                "indistinguishable from rolled-up subtotal markers; "
+                "drop or fill NULL keys before aggregating")
+
+
 def rollup_agg(ds, *, keys: list, value_col: str):
     """`GROUP BY ROLLUP(keys...)`: subtotals at every key prefix plus the
     grand total. ONE input-sized pass builds per-block partials for the
@@ -233,8 +246,10 @@ def rollup_agg(ds, *, keys: list, value_col: str):
     RESULT — output-bounded work, the input is never re-read or
     re-shuffled per level. Returns a pandas DataFrame (keys..., n,
     sum_value) with None in rolled-up key slots, finest-to-total order.
+    Key columns must be non-NULL (see `_assert_keys_nonnull`).
     """
     def partial(t: pa.Table) -> pa.Table:
+        _assert_keys_nonnull(t, keys, "rollup_agg")
         df = t.select(list(keys) + [value_col]).to_pandas()
         df["_v"] = df[value_col].astype(np.float64)
         agg = df.groupby(list(keys), sort=False, dropna=False) \
@@ -269,10 +284,12 @@ def cube_agg(ds, *, keys: list, value_col: str):
     then every coarser subset re-aggregated from the finest RESULT —
     the input is read and shuffled exactly once regardless of k.
     Returns pandas (keys..., n, sum_value) with None in the rolled-up
-    key slots."""
+    key slots. Key columns must be non-NULL (see
+    `_assert_keys_nonnull`)."""
     import itertools
 
     def partial(t: pa.Table) -> pa.Table:
+        _assert_keys_nonnull(t, keys, "cube_agg")
         df = t.select(list(keys) + [value_col]).to_pandas()
         df["_v"] = df[value_col].astype(np.float64)
         agg = df.groupby(list(keys), sort=False, dropna=False) \
@@ -308,8 +325,10 @@ def grouping_sets_agg(ds, *, keys: list, sets: list, value_col: str):
     one-pass shape as rollup_agg/cube_agg — finest-level partials
     shuffle once, every requested set re-aggregates from that result.
     `sets` is a list of key subsets (tuples/lists, may be empty for the
-    grand total); each must be a subset of `keys`."""
+    grand total); each must be a subset of `keys`. Key columns must be
+    non-NULL (see `_assert_keys_nonnull`)."""
     def partial(t: pa.Table) -> pa.Table:
+        _assert_keys_nonnull(t, keys, "grouping_sets_agg")
         df = t.select(list(keys) + [value_col]).to_pandas()
         df["_v"] = df[value_col].astype(np.float64)
         agg = df.groupby(list(keys), sort=False, dropna=False) \

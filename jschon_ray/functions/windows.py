@@ -42,27 +42,52 @@ def tumbling_agg(ds, *, key_cols=("event_type",), ts_col="ts",
 
 
 def session_counts(ds, *, key_col="user_id", ts_col="ts",
-                   tie_col="event_id", gap_minutes=30):
+                   tie_col="event_id", gap_minutes=30,
+                   num_buckets: int = 64):
     """Sessions per key: a new session starts when the gap since the
     previous event (ordered by (ts, tie)) exceeds `gap_minutes`.
 
-    groupby(key).map_groups with a sorted pandas pass — the per-key state
-    never leaves one group task. Returns (key, n_events, n_sessions).
+    Bucketed segmented scan (same shape as `session_stats`): keys hash
+    into `num_buckets` groups, each group is one sorted vectorized pass
+    that emits final per-key rows — groups stay bounded at scale (vs
+    one pandas group per key) and no second shuffle is needed. Returns
+    (key, n_events, n_sessions).
     """
-    gap = pd.Timedelta(minutes=gap_minutes)
+    gap_us = int(gap_minutes) * 60_000_000
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, tie_col])
-        ts = pd.to_datetime(g[ts_col])
-        new_session = ts.diff().isna() | (ts.diff() > gap)
+    narrow = ds.select_columns([key_col, ts_col, tie_col])
+    keyed = narrow.map_batches(
+        functools.partial(_key_bucket, key_col=key_col,
+                          num_buckets=num_buckets),
+        batch_format="pyarrow")
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tie_col], kind="mergesort")
+        n = len(g)
+        keys = g[key_col].to_numpy()
+        ts_us = g[ts_col].to_numpy().astype("datetime64[us]") \
+                                    .astype(np.int64)
+        new_key = np.empty(n, dtype=bool)
+        if n:
+            new_key[0] = True
+            new_key[1:] = keys[1:] != keys[:-1]
+        gap = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            gap[1:] = ts_us[1:] - ts_us[:-1]
+        new_sess = new_key | (gap > gap_us)
+        key_starts = np.flatnonzero(new_key)
+        n_events = np.diff(np.append(key_starts, n))
+        # sessions per key = count of new_sess flags inside each segment
+        csum = np.concatenate([[0], np.cumsum(new_sess)])
+        n_sessions = csum[np.append(key_starts[1:], n)] \
+            - csum[key_starts]
         return pd.DataFrame({
-            key_col: [g[key_col].iloc[0]],
-            "n_events": [len(g)],
-            "n_sessions": [int(new_session.sum())],
-        })
+            key_col: keys[key_starts],
+            "n_events": n_events.astype("int64"),
+            "n_sessions": n_sessions.astype("int64")})
 
-    return ds.select_columns([key_col, ts_col, tie_col]) \
-        .groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return keyed.groupby("_bucket").map_groups(scan_bucket,
+                                               batch_format="pandas")
 
 
 def session_stats(ds, *, key_col="user_id", ts_col="ts",
@@ -118,6 +143,14 @@ def session_stats(ds, *, key_col="user_id", ts_col="ts",
                                                batch_format="pandas")
 
 
+def _round_half_away(a: np.ndarray, decimals: int) -> np.ndarray:
+    """SQL round() semantics (half away from zero) — np.round is
+    banker's half-to-even, which diverges on representable .5
+    boundaries."""
+    s = 10.0 ** decimals
+    return np.sign(a) * np.floor(np.abs(a) * s + 0.5) / s
+
+
 def _key_bucket(batch: pa.Table, *, key_col: str,
                 num_buckets: int) -> pa.Table:
     """Append a deterministic hash bucket of the key column. The bucket
@@ -129,10 +162,9 @@ def _key_bucket(batch: pa.Table, *, key_col: str,
         mixed = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
         b = (mixed % np.uint64(num_buckets)).astype(np.int32)
     else:
-        import zlib
-        b = np.fromiter(
-            (zlib.crc32(str(v).encode()) % num_buckets
-             for v in col.to_pylist()), dtype=np.int32, count=len(col))
+        from ..state.sketches import hash_array
+        h = hash_array(col.to_pandas()).astype(np.uint64)
+        b = (h % np.uint64(num_buckets)).astype(np.int32)
     return batch.append_column("_bucket", pa.array(b))
 
 
@@ -533,7 +565,7 @@ def keyed_lag(ds, *, key_col: str, ts_col: str, tie_col: str,
             tie_col: g[tie_col].to_numpy(),
             "gap_us": pd.array(np.where(first, 0, gap), dtype="Int64")
                       .copy() if n else pd.array([], dtype="Int64"),
-            "value_delta": np.round(dv, decimals),
+            "value_delta": _round_half_away(dv, decimals),
             "_first": first,
         })
 
@@ -585,7 +617,7 @@ def keyed_lead(ds, *, key_col: str, ts_col: str, tie_col: str,
         return pd.DataFrame({
             key_col: keys,
             tie_col: g[tie_col].to_numpy(),
-            "gap_us": gap, "value_delta": np.round(dv, decimals),
+            "gap_us": gap, "value_delta": _round_half_away(dv, decimals),
             "_last": last,
         })
 

@@ -1776,7 +1776,10 @@ def q_audio_features_clips(sf_dir):
     from ..sources.clips import clips_cache_dir
     from ..stages.features import audio_features
 
-    ds = read_table(clips_cache_dir(sf_dir))
+    # pruned read: transcript/dur_ms must not ride through the
+    # payload-heavy FFT actor stage (VERDICT r1 "what's wrong" #3)
+    ds = read_table(clips_cache_dir(sf_dir),
+                    columns=["clip_id", "bytes", "sr_hz", "codec"])
     out = audio_features(ds, batch_size=512)
     return out.select_columns(
         ["clip_id", "feat_ok", "zcr", "energy_db", "spec_centroid_hz",
@@ -2496,9 +2499,16 @@ def q_clips_decode(sf_dir):
 
     d = clips_cache_dir(sf_dir)
     out = clip_validation_pipeline(d, decode=True)
-    df = out["verdicts"].select_columns(
-        ["clip_id", "valid", "decode_ok"]).to_pandas()
-    agg = df.groupby(["valid", "decode_ok"]).size().reset_index(name="n")
+    # aggregate IN Ray (per-block partial counts -> tiny groupby); only
+    # the <=4-row result lands on the driver — never O(rows)
+    counts = out["verdicts"].select_columns(["valid", "decode_ok"]) \
+        .map_batches(
+            lambda t: t.group_by(["valid", "decode_ok"])
+                       .aggregate([([], "count_all")]),
+            batch_format="pyarrow") \
+        .groupby(["valid", "decode_ok"]).sum("count_all")
+    agg = counts.to_pandas().rename(columns={"sum(count_all)": "n"})
+    agg["n"] = agg["n"].astype("int64")
     return agg.sort_values(["valid", "decode_ok"]).reset_index(drop=True)
 
 
@@ -5040,9 +5050,17 @@ FROM m
 def q_orders_with_high_discount(sf_dir):
     """EXISTS semi-join with a predicate: orders having at least one
     line with discount >= 0.08. Qualifying orderkeys reduce to per-block
-    DISTINCT before the one keys-only exchange; the orders side then
-    probes the broadcast key set — rows with payloads never shuffle."""
-    from ..functions.join import broadcast_join
+    DISTINCT before the one keys-only exchange.
+
+    Scale posture: with TPC-H's uniform 0-0.10 discounts MOST orders
+    qualify, so the "small" side is O(|orders|) — NOT broadcast-small.
+    The key set is therefore materialized keys-only and COUNTED first:
+    under `_BROADCAST_KEYS_MAX` it broadcasts (one ray.put, payload rows
+    never shuffle); above it, it falls back to a bucketed `hash_join`
+    semi-join so the driver never holds O(|orders|) keys."""
+    from ..functions.join import broadcast_join, hash_join
+
+    _BROADCAST_KEYS_MAX = 2_000_000  # ~16 MB of int64 keys
 
     li = read_table(table_path(sf_dir, "lineitem"),
                     columns=["l_orderkey", "l_discount"])
@@ -5069,8 +5087,12 @@ def q_orders_with_high_discount(sf_dir):
                          "total_e2": e2})
 
     orders = orders.map_batches(project, batch_format="pyarrow")
-    kt = pa.concat_tables(list(keys.iter_batches(batch_format="pyarrow")))
-    return broadcast_join(orders, kt, on="o_orderkey", how="inner")
+    keyset = keys.materialize()
+    if keyset.count() <= _BROADCAST_KEYS_MAX:
+        kt = pa.concat_tables(
+            list(keyset.iter_batches(batch_format="pyarrow")))
+        return broadcast_join(orders, kt, on="o_orderkey", how="inner")
+    return hash_join(orders, keyset, on="o_orderkey", how="inner")
 
 
 _ORDERS_HIGH_DISCOUNT_SQL = """
@@ -6918,13 +6940,34 @@ def q_corr_matrix_lineitem(sf_dir):
     moments (4 sums, 4 sum-of-squares, 6 cross-products in e2 units),
     the driver finishes the 6 Pearson coefficients with the same
     closed form the oracle spells out. No shuffle at all — the partial
-    is a single row per block."""
-    from ray.data.aggregate import Sum
+    is a single row per block.
 
+    Overflow posture: sum(price_e2^2) is ~1.45e13 PER ROW, so an int64
+    accumulator wraps silently at ~640k rows (a single large block is
+    enough). Each block therefore sums its cross-products in
+    dynamically-sized chunks guaranteed to fit int64, accumulates the
+    chunk totals in arbitrary-precision Python ints, and ships the
+    moments as decimal STRINGS; the driver merges them with Python-int
+    addition (exact at any scale, matching DuckDB's BIGINT→HUGEINT
+    sums). One tiny string row per block — no shuffle, O(blocks)
+    driver work, same posture as pca_fit."""
     COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     NAMES = ["qty", "price", "disc", "tax"]
 
     ds = read_table(table_path(sf_dir, "lineitem"), columns=COLS)
+
+    def _exact_prod_sum(a: np.ndarray, b: np.ndarray) -> int:
+        """Exact sum(a*b) for int64 arrays whose elementwise product
+        fits int64, via chunked int64 sums merged as Python ints."""
+        if len(a) == 0:
+            return 0
+        hi = int(np.abs(a).max()) * int(np.abs(b).max())
+        chunk = max(1, int((2**62) // max(hi, 1)))
+        tot = 0
+        for k in range(0, len(a), chunk):
+            tot += int((a[k:k + chunk] * b[k:k + chunk])
+                       .sum(dtype=np.int64))
+        return tot
 
     def partial(t: pa.Table) -> pa.Table:
         vals = []
@@ -6935,20 +6978,17 @@ def q_corr_matrix_lineitem(sf_dir):
             vals.append(e2.to_numpy(zero_copy_only=False))
         row = {"n": pa.array([t.num_rows], pa.int64())}
         for i, ni in enumerate(NAMES):
-            row[f"s_{ni}"] = pa.array([int(vals[i].sum())], pa.int64())
+            row[f"s_{ni}"] = pa.array([str(int(vals[i].sum()))])
             for j in range(i, len(NAMES)):
                 row[f"p_{ni}_{NAMES[j]}"] = pa.array(
-                    [int((vals[i] * vals[j]).sum())], pa.int64())
+                    [str(_exact_prod_sum(vals[i], vals[j]))])
         return pa.table(row)
 
-    parts = ds.map_batches(partial, batch_format="pyarrow")
-    aggs = [Sum("n", alias_name="n")]
-    for i, ni in enumerate(NAMES):
-        aggs.append(Sum(f"s_{ni}", alias_name=f"s_{ni}"))
-        for j in range(i, len(NAMES)):
-            nm = f"p_{ni}_{NAMES[j]}"
-            aggs.append(Sum(nm, alias_name=nm))
-    g = parts.aggregate(*aggs)
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    g = {"n": sum(r["n"] for r in rows)}
+    for key in rows[0]:
+        if key != "n":
+            g[key] = sum(int(r[key]) for r in rows)
     n = float(g["n"])
     out_rows = []
     for i, ni in enumerate(NAMES):
