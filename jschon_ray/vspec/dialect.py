@@ -133,18 +133,71 @@ STATIC_KEYWORDS_2019 = frozenset(
 )
 
 
+# --- draft-next dialect (/root/reference/jschon/catalog/_next.py,
+# vocabulary/future.py:11-25): identical keyword surface to 2020-12; the
+# only behavioral delta in the reference is IdKeyword_Next, whose ``$id``
+# must be fragment-free (URI(value).validate(allow_fragment=False)).
+KEYWORDS_NEXT = KEYWORDS
+STATIC_KEYWORDS_NEXT = STATIC_KEYWORDS
+
+# --- custom dialects (vocabulary bundles / user metaschemas) -------------
+# name (usually the metaschema URI) -> (keyword_table, static_set, base)
+# where base is the standard dialect whose behavioral branches apply
+# (items semantics etc.). Populated by vocabulary.create_metaschema — the
+# analogue of the reference's per-metaschema kwclass binding
+# (/root/reference/jschon/catalog/__init__.py:165-238).
+_CUSTOM_DIALECTS: dict[str, tuple[dict, frozenset, str]] = {}
+
+
+def register_dialect(name: str, table: dict, static: frozenset,
+                     base: str = "2020-12") -> None:
+    _CUSTOM_DIALECTS[name] = (dict(table), frozenset(static), base)
+
+
+def unregister_dialect(name: str) -> None:
+    _CUSTOM_DIALECTS.pop(name, None)
+
+
+def dialect_base(dialect: str) -> str:
+    """The standard dialect whose behavioral branches (array-form items,
+    $recursiveRef, ...) govern ``dialect``."""
+    custom = _CUSTOM_DIALECTS.get(dialect)
+    if custom is not None:
+        return custom[2]
+    return dialect
+
+
 def infer_dialect(schema_uri: str | None) -> str:
     """Dialect from a ``$schema`` URI (jschon keys keyword classes off the
     metaschema, /root/reference/jschon/jsonschema.py:110-114)."""
+    if schema_uri and schema_uri.rstrip("#") in _CUSTOM_DIALECTS:
+        return schema_uri.rstrip("#")
     if schema_uri and "2019-09" in schema_uri:
         return "2019-09"
+    if schema_uri and "/draft/next/" in schema_uri:
+        return "next"
     return "2020-12"
 
 
 def dialect_tables(dialect: str) -> tuple[dict, frozenset]:
+    custom = _CUSTOM_DIALECTS.get(dialect)
+    if custom is not None:
+        return custom[0], custom[1]
     if dialect == "2019-09":
         return KEYWORDS_2019, STATIC_KEYWORDS_2019
+    if dialect == "next":
+        return KEYWORDS_NEXT, STATIC_KEYWORDS_NEXT
     return KEYWORDS, STATIC_KEYWORDS
+
+
+def validate_id_for_dialect(value: str, dialect: str) -> None:
+    """draft-next forbids ANY fragment in ``$id`` (reference
+    vocabulary/future.py:18 — allow_fragment=False); 2019-09/2020-12
+    tolerate an empty one."""
+    if dialect_base(dialect) == "next" and "#" in value:
+        raise ValueError(
+            f'"$id" must be fragment-free in the draft-next dialect: '
+            f"{value!r}")
 
 ANNOTATION_KEYWORDS = frozenset(
     {"title", "description", "default", "deprecated", "readOnly", "writeOnly",

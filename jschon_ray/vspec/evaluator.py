@@ -45,8 +45,10 @@ from .catalog import SpecCatalog, SpecError
 from .dialect import (
     KEYWORDS,
     STATIC_KEYWORDS,
+    dialect_base,
     dialect_tables,
     infer_dialect,
+    validate_id_for_dialect,
     json_str,
     keyword_order,
     tuplify,
@@ -1793,6 +1795,10 @@ class Compiler:
         base, sptr = site.base, site.sptr
         if "$id" in spec and isinstance(spec["$id"], str):
             from urllib.parse import urldefrag, urljoin
+            # a resource root's own $schema governs its $id rules
+            eff = infer_dialect(spec["$schema"]) \
+                if isinstance(spec.get("$schema"), str) else self.dialect
+            validate_id_for_dialect(spec["$id"], eff)
             base = urldefrag(urljoin(base or spec["$id"], spec["$id"])).url
             sptr = ""
             site = site.child("", site.seq, base=base, sptr=sptr,
@@ -1835,8 +1841,10 @@ class Compiler:
     # -- keywords ---------------------------------------------------------
     def compile_keyword(self, key, kval, schema, site: Site) -> CKw | None:
         if key not in dialect_tables(self.dialect)[0]:
-            # out-of-dialect keyword: plugin or annotation-only
-            return self._compile_unknown(key, kval, site)
+            # out-of-dialect keywords degrade to annotations — a plugin is
+            # only active in dialects whose keyword table lists it
+            # ($vocabulary gating; jschon vocabulary/__init__.py:100-107)
+            return None
         jt = site.jt
         simple = {
             "type": TypeCKw, "enum": EnumCKw, "const": ConstCKw,
@@ -1893,7 +1901,7 @@ class Compiler:
         if key == "prefixItems":
             return self._compile_prefix_items(kval, site)
         if key == "items":
-            if self.dialect == "2019-09":
+            if dialect_base(self.dialect) == "2019-09":
                 # legacy forms (/root/reference/jschon/vocabulary/legacy.py:
                 # 57-87): array form == positional; schema form applies to
                 # every element with no index-list error of its own; boolean

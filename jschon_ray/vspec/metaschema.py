@@ -16,6 +16,10 @@ from .row_oracle import RowEvaluator, output_basic
 
 VSPEC_METASCHEMA_ID = "https://jschon-ray.dev/meta/2020-12"
 
+# subschema recursion re-enters at the dynamic "meta" anchor, so a user
+# metaschema that $refs this one has its OWN constraints applied at every
+# subschema node (official 2020-12 metaschema behavior; reference
+# tests/test_metaschema.py relies on this for custom-keyword syntax).
 _SCHEMA_REF = {"$dynamicRef": "#meta"}
 
 VSPEC_METASCHEMA = {
@@ -31,31 +35,31 @@ VSPEC_METASCHEMA = {
         "$dynamicRef": {"type": "string"},
         "$comment": {"type": "string"},
         "$defs": {"type": "object",
-                  "additionalProperties": {"$ref": "#"}},
+                  "additionalProperties": _SCHEMA_REF},
         "$vocabulary": {"type": "object",
                         "additionalProperties": {"type": "boolean"}},
         # applicators
         "allOf": {"$ref": "#/$defs/schemaArray"},
         "anyOf": {"$ref": "#/$defs/schemaArray"},
         "oneOf": {"$ref": "#/$defs/schemaArray"},
-        "not": {"$ref": "#"},
-        "if": {"$ref": "#"},
-        "then": {"$ref": "#"},
-        "else": {"$ref": "#"},
+        "not": _SCHEMA_REF,
+        "if": _SCHEMA_REF,
+        "then": _SCHEMA_REF,
+        "else": _SCHEMA_REF,
         "dependentSchemas": {"type": "object",
-                             "additionalProperties": {"$ref": "#"}},
+                             "additionalProperties": _SCHEMA_REF},
         "prefixItems": {"$ref": "#/$defs/schemaArray"},
-        "items": {"$ref": "#"},
-        "contains": {"$ref": "#"},
+        "items": _SCHEMA_REF,
+        "contains": _SCHEMA_REF,
         "properties": {"type": "object",
-                       "additionalProperties": {"$ref": "#"}},
+                       "additionalProperties": _SCHEMA_REF},
         "patternProperties": {"type": "object",
-                              "additionalProperties": {"$ref": "#"},
+                              "additionalProperties": _SCHEMA_REF,
                               "propertyNames": {"format": "regex"}},
-        "additionalProperties": {"$ref": "#"},
-        "propertyNames": {"$ref": "#"},
-        "unevaluatedItems": {"$ref": "#"},
-        "unevaluatedProperties": {"$ref": "#"},
+        "additionalProperties": _SCHEMA_REF,
+        "propertyNames": _SCHEMA_REF,
+        "unevaluatedItems": _SCHEMA_REF,
+        "unevaluatedProperties": _SCHEMA_REF,
         # validation
         "type": {"anyOf": [
             {"$ref": "#/$defs/simpleType"},
@@ -94,11 +98,11 @@ VSPEC_METASCHEMA = {
         "format": {"type": "string"},
         "contentMediaType": {"type": "string"},
         "contentEncoding": {"type": "string"},
-        "contentSchema": {"$ref": "#"},
+        "contentSchema": _SCHEMA_REF,
     },
     "$defs": {
         "schemaArray": {"type": "array", "minItems": 1,
-                        "items": {"$ref": "#"}},
+                        "items": _SCHEMA_REF},
         "stringArray": {"type": "array", "items": {"type": "string"},
                         "uniqueItems": True},
         "nonNegativeInteger": {"type": "integer", "minimum": 0},
@@ -117,8 +121,8 @@ VSPEC_METASCHEMA_2019_ID = "https://jschon-ray.dev/meta/2019-09"
 _K2019 = {k: v for k, v in VSPEC_METASCHEMA["properties"].items()
           if k not in ("prefixItems", "$dynamicRef", "$dynamicAnchor")}
 _K2019.update({
-    "items": {"anyOf": [{"$ref": "#"}, {"$ref": "#/$defs/schemaArray"}]},
-    "additionalItems": {"$ref": "#"},
+    "items": {"anyOf": [_SCHEMA_REF, {"$ref": "#/$defs/schemaArray"}]},
+    "additionalItems": _SCHEMA_REF,
     "$recursiveRef": {"const": "#"},
     "$recursiveAnchor": {"type": "boolean"},
 })
@@ -144,16 +148,38 @@ class SpecValidationError(ValueError):
 def validate_spec(spec) -> None:
     """Raise SpecValidationError unless ``spec`` conforms to its dialect's
     metaschema (selected by the spec's own ``$schema``, like the
-    reference's per-metaschema keyword binding)."""
-    from .dialect import infer_dialect
+    reference's per-metaschema keyword binding).  A ``$schema`` naming a
+    metaschema created via ``vocabulary.create_metaschema`` validates
+    against that metaschema document instead (reference
+    catalog/__init__.py:191-238)."""
+    from .dialect import dialect_base, infer_dialect
     from .formats import enabled_formats
+    from .vocabulary import get_metaschema_doc
 
-    dialect = infer_dialect(spec.get("$schema")) \
-        if isinstance(spec, dict) else "2020-12"
-    meta = VSPEC_METASCHEMA_2019 if dialect == "2019-09" \
-        else VSPEC_METASCHEMA
+    schema_uri = spec.get("$schema") if isinstance(spec, dict) else None
+    dialect = infer_dialect(schema_uri)
+    custom = get_metaschema_doc(schema_uri) \
+        if isinstance(schema_uri, str) else None
+
+    meta = VSPEC_METASCHEMA_2019 \
+        if dialect_base(dialect) == "2019-09" else VSPEC_METASCHEMA
     cat = SpecCatalog()
-    cat.register(meta)
+    cat.register(VSPEC_METASCHEMA)
+    cat.register(VSPEC_METASCHEMA_2019)
+    # official-URI aliases so user metaschemas can $ref the standard
+    # metaschemas (jschon serves these from its bundled submodule files)
+    for official, doc in [
+        ("https://json-schema.org/draft/2020-12/schema", VSPEC_METASCHEMA),
+        ("https://json-schema.org/draft/next/schema", VSPEC_METASCHEMA),
+        ("https://json-schema.org/draft/2019-09/schema",
+         VSPEC_METASCHEMA_2019),
+    ]:
+        cat.register({**doc, "$id": official})
+    if custom is not None:
+        # a self-referential metaschema validates against itself, like
+        # the reference's Metaschema.validate()
+        meta = custom
+        cat.register(custom)
     ev = RowEvaluator(cat, enabled_formats("regex"))
     root = ev.evaluate(meta, spec)
     if not root.valid:

@@ -33,8 +33,10 @@ from .dialect import (
     ANNOTATION_KEYWORDS,
     KEYWORDS,
     STATIC_KEYWORDS,
+    dialect_base,
     dialect_tables,
     infer_dialect,
+    validate_id_for_dialect,
     json_str,
     keyword_order,
     tuplify,
@@ -230,6 +232,10 @@ class RowEvaluator:
 
         if "$id" in schema and isinstance(schema["$id"], str):
             from urllib.parse import urldefrag, urljoin
+            # a resource root's own $schema governs its $id rules
+            eff = infer_dialect(schema["$schema"]) \
+                if isinstance(schema.get("$schema"), str) else self.dialect
+            validate_id_for_dialect(schema["$id"], eff)
             base = urldefrag(urljoin(base or schema["$id"], schema["$id"])).url
             sptr = ""
             # embedded resource root: this node's identity (and its place in
@@ -272,8 +278,14 @@ class RowEvaluator:
         # the metaschema supplied no class for them (jschon
         # vocabulary/__init__.py:100-107)
         in_dialect = key in dialect_tables(self.dialect)[0]
-        m = getattr(self, "_kw_" + re.sub(r"[^A-Za-z]", "_", key), None) \
-            if in_dialect else None
+        if not in_dialect:
+            # out-of-dialect keywords degrade to annotations even when a
+            # plugin exists for the name ($vocabulary gating; jschon
+            # vocabulary/__init__.py:100-107)
+            node.annotation = kval
+            node.asserting = False
+            return
+        m = getattr(self, "_kw_" + re.sub(r"[^A-Za-z]", "_", key), None)
         if m is not None:
             m(schema, kval, instance, ipath, node, parent, base, sptr)
             return
@@ -570,7 +582,7 @@ class RowEvaluator:
             node.annotation = annotation
 
     def _kw_items(self, schema, kval, instance, ipath, node, parent, base, sptr):
-        if self.dialect == "2019-09":
+        if dialect_base(self.dialect) == "2019-09":
             return self._kw_items_2019(schema, kval, instance, ipath, node,
                                        parent, base, sptr)
         prefix = parent.children.get(("prefixItems", ipath))
@@ -800,7 +812,7 @@ class RowEvaluator:
     def _kw_unevaluatedItems(self, schema, kval, instance, ipath, node,
                              parent, base, sptr):
         # /root/reference/jschon/vocabulary/applicator.py:190-245
-        if self.dialect == "2019-09":
+        if dialect_base(self.dialect) == "2019-09":
             return self._kw_unevaluatedItems_2019(schema, kval, instance,
                                                   ipath, node, parent, base,
                                                   sptr)

@@ -149,6 +149,13 @@ def _patch_local_source(jcat):
         try:
             return orig_call(self, relative_path)
         except Exception:
+            if "json-schema-next" in str(self.base_dir):
+                uri = "https://json-schema.org/draft/next/" + relative_path
+                return {
+                    "$schema": "https://json-schema.org/draft/next/schema",
+                    "$id": uri,
+                    "$dynamicAnchor": "meta",
+                }
             if "2019-09" in str(self.base_dir):
                 uri = "https://json-schema.org/draft/2019-09/" + relative_path
                 return {
