@@ -41,6 +41,38 @@ class LocalSource:
             return json.load(f)
 
 
+def _default_transport(url: str):
+    """Fetch + parse JSON over HTTP(S) (the reference's json_loadr,
+    /root/reference/jschon/utils.py). Kept as a module-level seam so
+    tests (and the no-network sandbox) inject a fake transport."""
+    import json
+    from urllib.request import urlopen
+    with urlopen(url) as resp:  # pragma: no cover - no network in CI
+        return json.load(resp)
+
+
+class RemoteSource:
+    """Load spec documents from a URL prefix.
+
+    The analogue of the reference's RemoteSource
+    (/root/reference/jschon/catalog/__init__.py:57-67): callable with the
+    URI's path relative to the registered prefix; the document is fetched
+    from ``base_url + relative_path + suffix``.  ``transport`` is any
+    callable ``(url) -> spec dict`` — defaults to a urllib fetch, and is
+    injectable so offline environments can serve fakes."""
+
+    def __init__(self, base_url: str, suffix: str = "", transport=None):
+        if not base_url.endswith("/"):
+            raise SpecError('base_url must end with "/"')
+        self.base_url = base_url
+        self.suffix = suffix
+        self.transport = transport or _default_transport
+
+    def __call__(self, relative_path: str):
+        return self.transport(
+            urljoin(self.base_url, relative_path) + self.suffix)
+
+
 class SpecCatalog:
     def __init__(self):
         # base_uri (no fragment) -> {"doc": spec, "anchors": {name: ptr}}
@@ -166,6 +198,43 @@ class SpecCatalog:
         if ptr is None:
             raise SpecError(f"unknown anchor {frag!r} in {target_base!r}")
         return jptr.evaluate(ptr, res["doc"]), target_base, ptr
+
+    def cache(self):
+        """Context manager for a throwaway registration namespace.
+
+        The analogue of the reference's ``Catalog.cache``
+        (/root/reference/jschon/catalog/__init__.py:370-391): resources
+        registered inside the ``with`` block are popped on exit, so
+        temporary specs (ad-hoc validation runs, tests) don't pollute a
+        long-lived catalog.
+
+        Example::
+
+            with catalog.cache():
+                catalog.register(tmp_spec)
+                ...  # resolve/evaluate against tmp_spec
+            # tmp_spec (and anything it pulled in) is gone
+        """
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cache():
+            # snapshot existing entries too: registering inside the block
+            # can fill a pre-existing stub's doc or add anchors to it
+            before = {k: (res["doc"], dict(res["anchors"]))
+                      for k, res in self._resources.items()}
+            try:
+                yield self
+            finally:
+                for k in set(self._resources) - set(before):
+                    del self._resources[k]
+                for k, (doc, anchors) in before.items():
+                    res = self._resources.get(k)
+                    if res is not None:
+                        res["doc"] = doc
+                        res["anchors"] = anchors
+
+        return _cache()
 
     def resource_root(self, base: str):
         """Root schema document of a registered resource, or None."""

@@ -86,3 +86,109 @@ def test_errors(spec_dir):
             "properties": {"x": {"$ref": "missing-doc"}}}
     with pytest.raises(SpecError):
         ev.evaluate(spec, {"x": 1})
+
+
+# --- RemoteSource (injectable transport) ---------------------------------
+# /root/reference/jschon/catalog/__init__.py:57-67; the sandbox has no
+# network, so a fake transport stands in for urllib.
+
+
+def test_remote_source_fetches_through_transport():
+    from jschon_ray.vspec.catalog import RemoteSource
+
+    fetched = []
+    docs = {"https://remote.example/specs/rate.json": {"minimum": 8000},
+            "https://remote.example/specs/sub/dir.json": {"type": "string"}}
+
+    def fake_transport(url):
+        fetched.append(url)
+        return docs[url]
+
+    cat = SpecCatalog()
+    cat.add_uri_source(
+        "https://remote.example/specs/",
+        RemoteSource("https://remote.example/specs/", suffix=".json",
+                     transport=fake_transport))
+    assert cat.load_json("https://remote.example/specs/rate") == \
+        {"minimum": 8000}
+    assert cat.load_json("https://remote.example/specs/sub/dir") == \
+        {"type": "string"}
+    assert fetched == ["https://remote.example/specs/rate.json",
+                       "https://remote.example/specs/sub/dir.json"]
+
+
+def test_remote_source_ref_resolution_end_to_end():
+    from jschon_ray.vspec.catalog import RemoteSource
+
+    def fake_transport(url):
+        assert url == "https://remote.example/specs/positive"
+        return {"exclusiveMinimum": 0}
+
+    cat = SpecCatalog()
+    cat.add_uri_source(
+        "https://remote.example/specs/",
+        RemoteSource("https://remote.example/specs/",
+                     transport=fake_transport))
+    ev = RowEvaluator(cat)
+    spec = {"$id": "https://remote.example/main",
+            "properties": {"x": {"$ref": "specs/positive"}}}
+    assert ev.evaluate(dict(spec), {"x": 3}).passed
+    assert not ev.evaluate(dict(spec), {"x": -1}).passed
+
+
+def test_remote_source_transport_error_wrapped():
+    from jschon_ray.vspec.catalog import RemoteSource
+
+    def failing_transport(url):
+        raise OSError("connection refused")
+
+    cat = SpecCatalog()
+    cat.add_uri_source("https://down.example/",
+                       RemoteSource("https://down.example/",
+                                    transport=failing_transport))
+    with pytest.raises(SpecError, match="failed to load"):
+        cat.load_json("https://down.example/spec")
+
+
+def test_remote_source_requires_trailing_slash():
+    from jschon_ray.vspec.catalog import RemoteSource
+
+    with pytest.raises(SpecError):
+        RemoteSource("https://remote.example/specs")
+
+
+# --- Catalog.cache session namespaces ------------------------------------
+# /root/reference/jschon/catalog/__init__.py:370-391.
+
+
+def test_cache_pops_resources_registered_inside():
+    cat = SpecCatalog()
+    cat.register({"$id": "https://keep.example/s", "minimum": 1})
+    with cat.cache():
+        cat.register({"$id": "https://tmp.example/s", "maximum": 9})
+        assert cat.resource_root("https://tmp.example/s") is not None
+    assert cat.resource_root("https://tmp.example/s") is None
+    assert cat.resource_root("https://keep.example/s") is not None
+
+
+def test_cache_restores_mutated_existing_entries():
+    cat = SpecCatalog()
+    cat.register({"$id": "https://keep.example/s", "minimum": 1})
+    before = cat.resource_root("https://keep.example/s")
+    with cat.cache():
+        # re-register the same URI with different content inside the block
+        cat.register({"$id": "https://keep.example/s", "maximum": 2})
+        assert cat.resource_root("https://keep.example/s")["maximum"] == 2
+    assert cat.resource_root("https://keep.example/s") is before
+
+
+def test_cache_evaluation_inside_block():
+    cat = SpecCatalog()
+    ev = RowEvaluator(cat)
+    with cat.cache():
+        spec = {"$id": "https://tmp.example/r",
+                "properties": {"x": {"$ref": "#/$defs/pos"}},
+                "$defs": {"pos": {"exclusiveMinimum": 0}}}
+        assert ev.evaluate(spec, {"x": 1}).passed
+        assert not ev.evaluate(spec, {"x": 0}).passed
+    assert cat.resource_root("https://tmp.example/r") is None
