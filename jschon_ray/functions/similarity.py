@@ -333,3 +333,175 @@ def ann_topk_ivf(ds, queries: dict, *, id_col="vec_id",
 
     return parts.groupby("query_id").map_groups(final_topk,
                                                 batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# persisted / partitioned IVF index — build once, probe with pruned reads
+
+
+def build_ivf_index(ds, index_dir: str, *, id_col="vec_id",
+                    emb_col="embedding", n_centroids=16, centroids=None,
+                    train_kwargs=None) -> dict:
+    """Build a persisted IVF index in ONE pass over ``ds``.
+
+    Layout (the on-disk analogue of the reference's in-memory catalog
+    state — index artifacts survive the run, so queries never retrain):
+
+      index_dir/centroids.parquet          (cell, centroid: list<double>)
+      index_dir/cells/cell=<c>/*.parquet   ((id_col, emb_col, cell_id))
+      index_dir/manifest.json              (dims, counts, column names)
+
+    100 TB posture: the build is a single streaming pass — assignment is
+    one (batch x C) matmul against a broadcast centroid matrix, and
+    ``write_parquet(partition_cols=["cell"])`` lays rows out hive-style
+    by cell so probing reads ONLY nprobe/C of the data from storage.
+    ``cell_id`` is duplicated inside the files so probing doesn't depend
+    on hive-partition parsing. Returns the manifest dict.
+    """
+    import json
+    import os
+
+    import pyarrow.parquet as pqt
+
+    if centroids is None:
+        centroids = train_centroids(ds, emb_col=emb_col,
+                                    n_centroids=n_centroids,
+                                    **(train_kwargs or {}))
+    centroids = _normalize(np.asarray(centroids, np.float64))
+    cent_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        m = _normalize(_embedding_matrix(batch, emb_col))
+        cell = np.argmax(m @ cent.T, axis=1).astype(np.int32)
+        batch = batch.select([id_col, emb_col])
+        batch = batch.append_column("cell_id", pa.array(cell))
+        return batch.append_column("cell", pa.array(cell))
+
+    cells_dir = os.path.join(index_dir, "cells")
+    os.makedirs(cells_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow") \
+        .write_parquet(cells_dir, partition_cols=["cell"])
+
+    pqt.write_table(
+        pa.table({"cell": pa.array(range(len(centroids)), pa.int32()),
+                  "centroid": pa.array(list(centroids),
+                                       pa.list_(pa.float64()))}),
+        os.path.join(index_dir, "centroids.parquet"))
+    manifest = {"n_centroids": int(len(centroids)),
+                "dim": int(centroids.shape[1]),
+                "id_col": id_col, "emb_col": emb_col}
+    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+class _IndexedIVFScorer:
+    """map_batches actor over index cells: rows carry their cell_id, so
+    each row scores only against the queries probing that cell."""
+
+    def __init__(self, state_ref, id_col, emb_col, k, round_decimals):
+        st = ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) \
+            else state_ref
+        self.qids = st["qids"]
+        self.qmat = st["qmat"]
+        self.cell_queries = st["cell_queries"]  # cell -> query index array
+        self.id_col = id_col
+        self.emb_col = emb_col
+        self.k = k
+        self.round = round_decimals
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        cells = batch["cell_id"].to_numpy(zero_copy_only=False)
+        m = _normalize(_embedding_matrix(batch, self.emb_col))
+        rows_q, rows_n, rows_s = [], [], []
+        for cell in np.unique(cells):
+            qidx = self.cell_queries.get(int(cell))
+            if qidx is None or not len(qidx):
+                continue
+            sel = cells == cell
+            sims_all = m[sel] @ self.qmat[qidx].T        # (rows, q)
+            sub_ids = ids[sel]
+            for j, qi in enumerate(qidx):
+                sims = sims_all[:, j]
+                if self.round is not None:
+                    sims = np.round(sims, self.round)
+                k = min(self.k, len(sims))
+                part = np.argpartition(-sims, k - 1)[:k]
+                rows_q.append(np.full(k, self.qids[qi]))
+                rows_n.append(sub_ids[part])
+                rows_s.append(sims[part])
+        if not rows_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(rows_q)),
+            "neighbor_id": pa.array(np.concatenate(rows_n)),
+            "sim": pa.array(np.concatenate(rows_s)),
+        })
+
+
+def ann_topk_ivf_from_index(index_dir: str, queries: dict, *, k=5,
+                            nprobe=4, round_decimals=6):
+    """Probe a PERSISTED IVF index (see ``build_ivf_index``).
+
+    Reads ONLY the cell partitions some query probes — at 10^12 rows the
+    unprobed (C - nprobe)/C of the table never leaves storage, which is
+    the point of persisting the index rather than retraining per run.
+    ``nprobe == n_centroids`` reads everything and reproduces the exact
+    scan bit-for-bit (same rounding + (-sim, neighbor_id) tie-break).
+    Returns (query_id, neighbor_id, rank) like ``ann_topk``.
+    """
+    import json
+    import os
+
+    import pyarrow.parquet as pqt
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    cent_t = pqt.read_table(os.path.join(index_dir, "centroids.parquet"))
+    order = np.argsort(cent_t["cell"].to_numpy(zero_copy_only=False))
+    centroids = _embedding_matrix(cent_t.take(order), "centroid")
+
+    qmat = _normalize(np.asarray(queries["matrix"], np.float64))
+    qids = np.asarray(queries["ids"])
+    nprobe = min(nprobe, len(centroids))
+    probe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+
+    cell_queries: dict[int, list] = {}
+    for qi in range(len(qids)):
+        for cell in probe[qi]:
+            cell_queries.setdefault(int(cell), []).append(qi)
+    cell_queries = {c: np.asarray(v) for c, v in cell_queries.items()}
+
+    # pruned read: only files under probed cell directories
+    dirs = [os.path.join(index_dir, "cells", f"cell={c}")
+            for c in sorted(cell_queries)]
+    files = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    ds = ray.data.read_parquet(
+        files, columns=[manifest["id_col"], manifest["emb_col"], "cell_id"])
+
+    state = ray.put({"qids": qids, "qmat": qmat,
+                     "cell_queries": cell_queries})
+    parts = ds.map_batches(
+        _IndexedIVFScorer,
+        fn_constructor_kwargs=dict(state_ref=state,
+                                   id_col=manifest["id_col"],
+                                   emb_col=manifest["emb_col"], k=k,
+                                   round_decimals=round_decimals),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return parts.groupby("query_id").map_groups(final_topk,
+                                                batch_format="pandas")

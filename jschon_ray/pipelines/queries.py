@@ -2074,6 +2074,38 @@ def q_ann_topk_ivf(sf_dir):
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_ann_topk_ivf_persisted(sf_dir):
+    """IVF probe from a PERSISTED index: built once per sf_dir under
+    /tmp (one streaming pass, hive-partitioned by cell), then probed
+    exhaustively so the result is bit-identical to the exact scan and
+    shares the ANN oracle. Pruned-probe recall + read-pruning proof live
+    in tests/test_dedup_similarity.py. 100 TB posture: the index build is
+    the only full pass; every query run after it reads only probed cell
+    partitions from storage (functions/similarity.py:build_ivf_index)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..functions.similarity import (_embedding_matrix,
+                                        ann_topk_ivf_from_index,
+                                        build_ivf_index)
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/jschon_ray_ivf/{tag}-c12-u1"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        ds = read_table(table_path(sf_dir, "embeddings"))
+        os.makedirs(idx, exist_ok=True)
+        build_ivf_index(ds, idx, n_centroids=12)
+    qt = pq.read_table(table_path(sf_dir, "embeddings"),
+                       filters=[("vec_id", "<", 10)])
+    queries = {"ids": qt["vec_id"].to_numpy(zero_copy_only=False),
+               "matrix": _embedding_matrix(qt, "embedding")}
+    out = ann_topk_ivf_from_index(idx, queries, k=5, nprobe=12)
+    df = out.to_pandas()
+    df["rank"] = df["rank"].astype("int64")
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 _ANN_TOPK_SQL = """
 SELECT query_id, neighbor_id, rank FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -3394,6 +3426,7 @@ def build_queries() -> dict:
         # embeddings
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_ivf_persisted": q_ann_topk_ivf_persisted,
         "embedding_neardup": q_embedding_neardup,
         # clips flagship (oracle-checked against the same /tmp cache)
         "clips_validation": q_clips_validation,
@@ -3576,6 +3609,7 @@ def build_oracles() -> dict:
         "mutual_info_flag_status": _MUTUAL_INFO_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
+        "ann_topk_ivf_persisted": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         # flagship clips oracles read the deterministic /tmp cache; the
         # driver runs side-by-side correctness at sf0.01 (driver contract),

@@ -326,3 +326,88 @@ def test_dedup_keep_canonical(ray_session):
                                "doc_id").to_pandas()
     # 3 removed (non-canonical in cluster {2,3}); 5 canonical survives
     assert sorted(out["doc_id"]) == [1, 2, 4, 5, 6]
+
+
+def test_ivf_persisted_index_exact_when_probing_all(ray_session, tmp_path):
+    """A saved index probed exhaustively reproduces the exact scan."""
+    import pandas as pd
+    import ray.data as rd
+    from jschon_ray.functions.similarity import (_embedding_matrix,
+                                                 ann_topk,
+                                                 ann_topk_ivf_from_index,
+                                                 build_ivf_index)
+
+    t = embeddings_with_dups()
+    idx = str(tmp_path / "ivf")
+    manifest = build_ivf_index(rd.from_arrow(t), idx, n_centroids=8)
+    assert manifest["n_centroids"] == 8
+
+    q = {"ids": np.array([10, 20, 77]),
+         "matrix": np.vstack([_embedding_matrix(t.slice(i, 1), "embedding")
+                              for i in (10, 20, 77)])}
+    exact = ann_topk(rd.from_arrow(t), q, k=5).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    got = ann_topk_ivf_from_index(idx, q, k=5, nprobe=8).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(exact, got)
+
+
+def test_ivf_persisted_index_pruned_recall_and_read(ray_session, tmp_path):
+    """Pruned probing from the saved index keeps recall AND provably
+    skips unprobed cell partitions at the read."""
+    import os
+
+    import ray.data as rd
+    from jschon_ray.functions.similarity import (_embedding_matrix,
+                                                 ann_topk,
+                                                 ann_topk_ivf_from_index,
+                                                 build_ivf_index)
+
+    t = embeddings_with_dups(n=300)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(rd.from_arrow(t), idx, n_centroids=10)
+    cells = sorted(os.listdir(os.path.join(idx, "cells")))
+    assert len(cells) >= 5  # data actually spread over cells
+
+    ids = [10, 20, 150]
+    q = {"ids": np.array(ids),
+         "matrix": np.vstack([_embedding_matrix(t.slice(i, 1), "embedding")
+                              for i in ids])}
+    exact = ann_topk(rd.from_arrow(t), q, k=5).to_pandas()
+    got = ann_topk_ivf_from_index(idx, q, k=5, nprobe=3).to_pandas()
+    recall = len(set(map(tuple, got[["query_id", "neighbor_id"]].values)) &
+                 set(map(tuple, exact[["query_id", "neighbor_id"]].values))) \
+        / len(exact)
+    assert recall >= 0.6, recall
+    # with 3 queries * nprobe 3 <= 9 probed cells of >= 10, at least one
+    # partition must remain unread; verify the probe set is pruned
+    import json
+
+    import numpy as np_
+    import pyarrow.parquet as pqt
+    cent_t = pqt.read_table(os.path.join(idx, "centroids.parquet"))
+    order = np_.argsort(cent_t["cell"].to_numpy(zero_copy_only=False))
+    from jschon_ray.functions.similarity import _normalize
+    cents = np_.vstack([np_.asarray(v, float)
+                        for v in cent_t.take(order)["centroid"].to_pylist()])
+    qm = _normalize(np_.asarray(q["matrix"], float))
+    probe = np_.argsort(-(qm @ cents.T), axis=1)[:, :3]
+    assert len(set(probe.ravel().tolist())) < len(cells)
+
+
+def test_ivf_persisted_index_rebuild_reuses_layout(ray_session, tmp_path):
+    """Index artifacts are self-describing: a second probe run needs only
+    the directory (no retraining, no original dataset)."""
+    import ray.data as rd
+    from jschon_ray.functions.similarity import (_embedding_matrix,
+                                                 ann_topk_ivf_from_index,
+                                                 build_ivf_index)
+
+    t = embeddings_with_dups()
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(rd.from_arrow(t), idx, n_centroids=6)
+    q = {"ids": np.array([5]),
+         "matrix": _embedding_matrix(t.slice(5, 1), "embedding")}
+    a = ann_topk_ivf_from_index(idx, q, k=3, nprobe=6).to_pandas()
+    b = ann_topk_ivf_from_index(idx, q, k=3, nprobe=6).to_pandas()
+    assert a.equals(b) and len(a) == 3
