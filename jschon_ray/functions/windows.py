@@ -43,7 +43,7 @@ def tumbling_agg(ds, *, key_cols=("event_type",), ts_col="ts",
 
 def session_counts(ds, *, key_col="user_id", ts_col="ts",
                    tie_col="event_id", gap_minutes=30,
-                   num_buckets: int = 64):
+                   num_buckets: int | None = None):
     """Sessions per key: a new session starts when the gap since the
     previous event (ordered by (ts, tie)) exceeds `gap_minutes`.
 
@@ -58,7 +58,7 @@ def session_counts(ds, *, key_col="user_id", ts_col="ts",
     narrow = ds.select_columns([key_col, ts_col, tie_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
-                          num_buckets=num_buckets),
+                          num_buckets=_resolve_buckets(ds, num_buckets)),
         batch_format="pyarrow")
 
     def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -92,7 +92,7 @@ def session_counts(ds, *, key_col="user_id", ts_col="ts",
 
 def session_stats(ds, *, key_col="user_id", ts_col="ts",
                   tie_col="event_id", gap_minutes=30,
-                  num_buckets: int = 64):
+                  num_buckets: int | None = None):
     """Per-SESSION rows (key, session_idx, n_events, dur_us): a new
     session opens when the gap since the previous event exceeds
     `gap_minutes`; duration = last-minus-first event time inside the
@@ -106,7 +106,7 @@ def session_stats(ds, *, key_col="user_id", ts_col="ts",
     narrow = ds.select_columns([key_col, ts_col, tie_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
-                          num_buckets=num_buckets),
+                          num_buckets=_resolve_buckets(ds, num_buckets)),
         batch_format="pyarrow")
 
     def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -151,6 +151,29 @@ def _round_half_away(a: np.ndarray, decimals: int) -> np.ndarray:
     return np.sign(a) * np.floor(np.abs(a) * s + 0.5) / s
 
 
+def _resolve_buckets(ds, num_buckets, *, row_bytes: int = 64,
+                     target_bytes: int = 256 << 20, lo: int = 16,
+                     hi: int = 65536) -> int:
+    """Auto-size hash buckets when the caller passes None: one bucket's
+    pandas frame should stay ~``target_bytes`` (default 256 MB), so group
+    tasks are memory-bounded at any input size — 10M rows of a ~64-byte
+    narrow scan stay at the ``lo`` floor (parallelism), 10^12 rows hit
+    ~240k raw and clamp to ``hi``. Exactness never depends on the bucket
+    count (keys don't split across buckets), so the estimate only needs
+    to be order-of-magnitude right. ``ds.count()`` on the usual fresh
+    parquet read resolves from file metadata; if counting fails, fall
+    back to the historical default of 64.
+    """
+    if num_buckets is not None:
+        return num_buckets
+    try:
+        n = ds.count()
+    except Exception:
+        return 64
+    import math
+    return int(min(hi, max(lo, math.ceil(n * row_bytes / target_bytes))))
+
+
 def _key_bucket(batch: pa.Table, *, key_col: str,
                 num_buckets: int) -> pa.Table:
     """Append a deterministic hash bucket of the key column. The bucket
@@ -169,7 +192,7 @@ def _key_bucket(batch: pa.Table, *, key_col: str,
 
 
 def keyed_window_scan(ds, *, key_col: str, ts_col: str, tie_col: str,
-                      value_col: str, k: int = 5, num_buckets: int = 64,
+                      value_col: str, k: int = 5, num_buckets: int | None = None,
                       to_int=None):
     """Per-key ordered window pass: running (cumulative) sum, rolling
     k-row sum and rolling count over rows ordered by (ts, tie) within
@@ -192,7 +215,7 @@ def keyed_window_scan(ds, *, key_col: str, ts_col: str, tie_col: str,
     narrow = ds.select_columns([key_col, ts_col, tie_col, value_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
-                          num_buckets=num_buckets),
+                          num_buckets=_resolve_buckets(ds, num_buckets)),
         batch_format="pyarrow")
 
     def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -263,7 +286,7 @@ def hopping_agg(ds, *, key_cols=("event_type",), ts_col="ts",
 
 def funnel_conversion(ds, *, user_col: str, ts_col: str, type_col: str,
                       step_a: str, step_b: str, within,
-                      num_buckets: int = 64):
+                      num_buckets: int | None = None):
     """Per-user funnel analysis: did any `step_a` event lead to a
     `step_b` event at-or-after it within `within`? The product-analytics
     primitive (click -> purchase conversion) as ONE bounded shuffle.
@@ -297,7 +320,7 @@ def funnel_conversion(ds, *, user_col: str, ts_col: str, type_col: str,
 
     keyed = narrow.map_batches(prefilter, batch_format="pyarrow") \
         .map_batches(functools.partial(_key_bucket, key_col=user_col,
-                                       num_buckets=num_buckets),
+                                       num_buckets=_resolve_buckets(ds, num_buckets)),
                      batch_format="pyarrow")
 
     def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -363,7 +386,7 @@ def _to_us_windows(value) -> int:
 
 
 def retention_cohorts(ds, *, user_col: str, ts_col: str,
-                      unit: str = "week", num_buckets: int = 64):
+                      unit: str = "week", num_buckets: int | None = None):
     """Cohort retention matrix: users grouped by their FIRST activity
     bucket (the cohort), counted in every later bucket they return —
     the standard growth-analytics rollup.
@@ -396,7 +419,7 @@ def retention_cohorts(ds, *, user_col: str, ts_col: str,
 
     keyed = narrow.map_batches(pairs, batch_format="pyarrow") \
         .map_batches(functools.partial(_key_bucket, key_col=user_col,
-                                       num_buckets=num_buckets),
+                                       num_buckets=_resolve_buckets(ds, num_buckets)),
                      batch_format="pyarrow")
 
     step = {"W": 7 * 86400, "D": 86400, "h": 3600}[freq]
@@ -425,7 +448,7 @@ def retention_cohorts(ds, *, user_col: str, ts_col: str,
 
 
 def event_bigrams(ds, *, user_col: str, ts_col: str, tie_col: str,
-                  type_col: str, num_buckets: int = 64):
+                  type_col: str, num_buckets: int | None = None):
     """Per-key consecutive-event transition counts (path analysis):
     how often does event type A immediately precede B within a user's
     (ts, tie)-ordered stream — SQL `lag() OVER (PARTITION BY user ORDER
@@ -447,7 +470,7 @@ def event_bigrams(ds, *, user_col: str, ts_col: str, tie_col: str,
 
     keyed = narrow.map_batches(prefilter, batch_format="pyarrow") \
         .map_batches(functools.partial(_key_bucket, key_col=user_col,
-                                       num_buckets=num_buckets),
+                                       num_buckets=_resolve_buckets(ds, num_buckets)),
                      batch_format="pyarrow")
 
     def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -474,7 +497,7 @@ def event_bigrams(ds, *, user_col: str, ts_col: str, tie_col: str,
 
 
 def keyed_moving_median(ds, *, key_col: str, ts_col: str, tie_col: str,
-                        value_col: str, k: int = 3, num_buckets: int = 64,
+                        value_col: str, k: int = 3, num_buckets: int | None = None,
                         decimals: int = 4):
     """Per-key trailing moving median (robust smoothing): SQL
     `median(v) OVER (PARTITION BY key ORDER BY ts, tie ROWS BETWEEN
@@ -495,7 +518,7 @@ def keyed_moving_median(ds, *, key_col: str, ts_col: str, tie_col: str,
     narrow = ds.select_columns([key_col, ts_col, tie_col, value_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
-                          num_buckets=num_buckets),
+                          num_buckets=_resolve_buckets(ds, num_buckets)),
         batch_format="pyarrow")
 
     def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -524,7 +547,7 @@ def keyed_moving_median(ds, *, key_col: str, ts_col: str, tie_col: str,
 
 
 def keyed_lag(ds, *, key_col: str, ts_col: str, tie_col: str,
-              value_col: str, num_buckets: int = 64, decimals: int = 4):
+              value_col: str, num_buckets: int | None = None, decimals: int = 4):
     """Per-key LAG deltas: microsecond gap since the previous row and
     value change vs the previous row, ordered by (ts, tie) within each
     key — SQL `x - lag(x) OVER (PARTITION BY key ORDER BY ts, tie)`
@@ -541,7 +564,7 @@ def keyed_lag(ds, *, key_col: str, ts_col: str, tie_col: str,
     narrow = ds.select_columns([key_col, ts_col, tie_col, value_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
-                          num_buckets=num_buckets),
+                          num_buckets=_resolve_buckets(ds, num_buckets)),
         batch_format="pyarrow")
 
     def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -585,7 +608,7 @@ def keyed_lag(ds, *, key_col: str, ts_col: str, tie_col: str,
 
 
 def keyed_lead(ds, *, key_col: str, ts_col: str, tie_col: str,
-               value_col: str, num_buckets: int = 64,
+               value_col: str, num_buckets: int | None = None,
                decimals: int = 4):
     """Per-key LEAD deltas: microsecond gap UNTIL the next row and value
     change vs the next row — SQL `lead(x) OVER (PARTITION BY key ORDER
@@ -595,7 +618,7 @@ def keyed_lead(ds, *, key_col: str, ts_col: str, tie_col: str,
     narrow = ds.select_columns([key_col, ts_col, tie_col, value_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
-                          num_buckets=num_buckets),
+                          num_buckets=_resolve_buckets(ds, num_buckets)),
         batch_format="pyarrow")
 
     def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -637,7 +660,7 @@ def keyed_lead(ds, *, key_col: str, ts_col: str, tie_col: str,
 
 
 def keyed_throttle(ds, *, key_col: str, ts_col: str, tie_col: str,
-                   min_gap_us: int, num_buckets: int = 64):
+                   min_gap_us: int, num_buckets: int | None = None):
     """LAG-based rate limiting: keep a row iff it is the key's first
     row or arrived at least `min_gap_us` after the PREVIOUS row (kept
     or not) — i.e. SQL `lag(ts)`-relative throttling, which stays
@@ -650,7 +673,7 @@ def keyed_throttle(ds, *, key_col: str, ts_col: str, tie_col: str,
     narrow = ds.select_columns([key_col, ts_col, tie_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
-                          num_buckets=num_buckets),
+                          num_buckets=_resolve_buckets(ds, num_buckets)),
         batch_format="pyarrow")
 
     def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -688,7 +711,7 @@ def keyed_throttle(ds, *, key_col: str, ts_col: str, tie_col: str,
 
 
 def keyed_latest(ds, *, key_cols: list, ts_col: str, tie_col: str,
-                 num_buckets: int = 64, keep: str = "last"):
+                 num_buckets: int | None = None, keep: str = "last"):
     """Latest (or, with keep='first', earliest) row per composite key
     (the snapshot / type-2-SCD dedup: `row_number() OVER (PARTITION BY
     keys ORDER BY ts DESC, tie DESC) = 1`; keep='first' flips to ASC —
@@ -698,7 +721,7 @@ def keyed_latest(ds, *, key_cols: list, ts_col: str, tie_col: str,
     bucket so the output is bounded by the key-domain size."""
     keyed = ds.map_batches(
         functools.partial(_key_bucket, key_col=key_cols[0],
-                          num_buckets=num_buckets),
+                          num_buckets=_resolve_buckets(ds, num_buckets)),
         batch_format="pyarrow")
 
     def last_per_key(g: pd.DataFrame) -> pd.DataFrame:
@@ -712,7 +735,7 @@ def keyed_latest(ds, *, key_cols: list, ts_col: str, tie_col: str,
 
 
 def keyed_distinct_runs(ds, *, key_col: str, ts_col: str, tie_col: str,
-                        run_col: str, num_buckets: int = 64):
+                        run_col: str, num_buckets: int | None = None):
     """Run-length compression of an event stream: keep a row iff it is
     the key's first row or `run_col` differs from the PREVIOUS row's
     value (ordered by ts, tie) — `run_col != lag(run_col)` semantics,
@@ -721,7 +744,7 @@ def keyed_distinct_runs(ds, *, key_col: str, ts_col: str, tie_col: str,
     narrow = ds.select_columns([key_col, ts_col, tie_col, run_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
-                          num_buckets=num_buckets),
+                          num_buckets=_resolve_buckets(ds, num_buckets)),
         batch_format="pyarrow")
 
     def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -741,7 +764,7 @@ def keyed_distinct_runs(ds, *, key_col: str, ts_col: str, tie_col: str,
 
 
 def keyed_percent_rank(ds, *, key_col: str, value_col: str, tie_col: str,
-                       num_buckets: int = 64):
+                       num_buckets: int | None = None):
     """Per-key exact rank + percent_rank: `percent_rank() OVER
     (PARTITION BY key ORDER BY value, tie)` — (rank-1)/(n_key-1), 0.0
     for single-row keys, under a tie-broken total order (so ranks are
@@ -751,7 +774,7 @@ def keyed_percent_rank(ds, *, key_col: str, value_col: str, tie_col: str,
     narrow = ds.select_columns([key_col, value_col, tie_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
-                          num_buckets=num_buckets),
+                          num_buckets=_resolve_buckets(ds, num_buckets)),
         batch_format="pyarrow")
 
     def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -781,7 +804,7 @@ def keyed_percent_rank(ds, *, key_col: str, value_col: str, tie_col: str,
 
 
 def keyed_cume_dist(ds, *, key_col: str, value_col: str, tie_col: str,
-                    num_buckets: int = 64):
+                    num_buckets: int | None = None):
     """Per-key exact cumulative distribution: `cume_dist() OVER
     (PARTITION BY key ORDER BY value)` — (# rows with value <= current)
     / n_key, ties counted together (the SQL tie semantics, unlike
@@ -799,7 +822,7 @@ def keyed_cume_dist(ds, *, key_col: str, value_col: str, tie_col: str,
     narrow = ds.select_columns([key_col, value_col, tie_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
-                          num_buckets=num_buckets),
+                          num_buckets=_resolve_buckets(ds, num_buckets)),
         batch_format="pyarrow")
 
     def cd_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -835,7 +858,7 @@ def keyed_cume_dist(ds, *, key_col: str, value_col: str, tie_col: str,
 
 def keyed_rolling_stats(ds, *, key_col: str, ts_col: str, tie_col: str,
                         value_col: str, k: int = 5,
-                        num_buckets: int = 64, decimals: int = 4):
+                        num_buckets: int | None = None, decimals: int = 4):
     """Per-key trailing rolling mean + sample stddev (the anomaly-score
     inputs): `avg(v) OVER w` / `stddev_samp(v) OVER w` with w = ROWS
     BETWEEN k-1 PRECEDING AND CURRENT ROW, window truncated at the
@@ -850,7 +873,7 @@ def keyed_rolling_stats(ds, *, key_col: str, ts_col: str, tie_col: str,
     narrow = ds.select_columns([key_col, ts_col, tie_col, value_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
-                          num_buckets=num_buckets),
+                          num_buckets=_resolve_buckets(ds, num_buckets)),
         batch_format="pyarrow")
 
     def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
