@@ -36,6 +36,7 @@ STATUS_PATH = pathlib.Path(__file__).parent / "suite_status.json"
 META_URI = {
     "2020-12": "https://json-schema.org/draft/2020-12/schema",
     "2019-09": "https://json-schema.org/draft/2019-09/schema",
+    "next": "https://json-schema.org/draft/next/schema",
 }
 
 with open(STATUS_PATH) as f:
@@ -156,7 +157,7 @@ def test_reference_agrees_with_corpus():
     oracle here, not the system under test."""
     from ref_oracle import evaluate_with_reference, load_reference
 
-    handles = {v: load_reference(v) for v in ("2020-12", "2019-09")}
+    handles = {v: load_reference(v) for v in ("2020-12", "2019-09", "next")}
     if any(h is None for h in handles.values()):
         pytest.skip("reference evaluator unavailable")
 
