@@ -52,19 +52,43 @@ def _status(version, fname, case_desc, test_desc):
     )
 
 
+# 2020-12 corpus files whose keywords behave identically in 2019-09 —
+# re-run under the 2019-09 dialect too, like the official suite's
+# per-draft file duplication. Excludes files touching prefixItems,
+# 2020-12 items, $dynamicRef, or unevaluated* interplay.
+SHARED_WITH_2019 = {
+    "type.json", "enum.json", "const.json", "multipleOf.json",
+    "maximum.json", "minimum.json", "exclusiveMaximum.json",
+    "exclusiveMinimum.json", "maxLength.json", "minLength.json",
+    "pattern.json", "required.json", "maxProperties.json",
+    "minProperties.json", "dependentRequired.json", "maxItems.json",
+    "minItems.json", "contains.json", "maxContains.json",
+    "minContains.json", "properties.json", "patternProperties.json",
+    "additionalProperties.json", "propertyNames.json",
+    "dependentSchemas.json", "allOf.json", "anyOf.json", "oneOf.json",
+    "not.json", "if-then-else.json", "boolean_schema.json",
+    "format.json", "content.json", "annotations.json", "default.json",
+    "defs.json", "infinite-loop-detection.json",
+}
+
+
 def _collect():
     params = []
+    file_sets = []
     for vdir in sorted(CORPUS_DIR.iterdir()):
         if not vdir.is_dir():
             continue
-        version = vdir.name
         for path in sorted(vdir.glob("*.json")):
+            file_sets.append((vdir.name, path, ""))
+            if vdir.name == "2020-12" and path.name in SHARED_WITH_2019:
+                file_sets.append(("2019-09", path, "shared/"))
+    for version, path, tag in file_sets:
             with open(path) as f:
                 cases = json.load(f)
             for case in cases:
                 for test in case["tests"]:
                     tid = (
-                        f"{version}/{path.name}::{case['description']}"
+                        f"{version}/{tag}{path.name}::{case['description']}"
                         f"::{test['description']}"
                     )
                     st = _status(
@@ -189,3 +213,68 @@ def test_vectorized_cross_check_coverage():
     vectorized engine, not just the row oracle."""
     n = sum(1 for p in _PARAMS if _arrow_representable(p.values[2]))
     assert n >= 150, n
+
+
+# --- optional/format — assertion mode ------------------------------------
+# The official suite's optional/format files run with format assertion
+# enabled; the repo registers json-pointer and regex validators
+# (vspec/formats.py). Cases modeled on the suite's
+# optional/format/{json-pointer,regex}.json.
+
+_FORMAT_CASES = [
+    ("json-pointer", "", True),
+    ("json-pointer", "/foo/bar", True),
+    ("json-pointer", "/foo/0", True),
+    ("json-pointer", "/", True),
+    ("json-pointer", "/a~1b", True),
+    ("json-pointer", "/c%d", True),
+    ("json-pointer", "/e^f", True),
+    ("json-pointer", "/g|h", True),
+    ("json-pointer", "/i\\j", True),
+    ("json-pointer", "/k\"l", True),
+    ("json-pointer", "/ ", True),
+    ("json-pointer", "/m~0n", True),
+    ("json-pointer", "/foo/-", True),
+    ("json-pointer", "/~1~0~0~1~1", True),
+    ("json-pointer", "/~1.1", True),
+    ("json-pointer", "/~0.1", True),
+    ("json-pointer", "#", False),           # URI fragment form, not a pointer
+    ("json-pointer", "#/", False),
+    ("json-pointer", "/~", False),          # bare tilde
+    ("json-pointer", "/~2", False),         # bad escape
+    ("json-pointer", "/~-1", False),
+    ("json-pointer", "a/b", False),         # missing leading slash
+    ("json-pointer", "0", False),
+    ("json-pointer", "a", False),
+    ("regex", "([abc])+\\s+$", True),
+    ("regex", "^(abc]", False),             # unbalanced bracket
+    ("regex", "(", False),
+    ("regex", ".*", True),
+    ("regex", "^a*$", True),
+]
+
+
+@pytest.mark.parametrize("fmt,data,valid", _FORMAT_CASES,
+                         ids=[f"{f}:{d!r}" for f, d, _ in _FORMAT_CASES])
+def test_format_assertion_cases(fmt, data, valid):
+    from jschon_ray.vspec.formats import enabled_formats
+
+    formats = enabled_formats(fmt)
+    schema = {"$schema": META_URI["2020-12"], "format": fmt}
+    ev = RowEvaluator(SpecCatalog(), formats)
+    assert ev.evaluate(schema, data,
+                       uri="https://suite.jschon-ray.local/fmt").passed \
+        == valid
+
+    # non-strings are never format-failed
+    ev2 = RowEvaluator(SpecCatalog(), formats)
+    assert ev2.evaluate(dict(schema), 12,
+                        uri="https://suite.jschon-ray.local/fmt2").passed
+
+
+def test_format_annotation_mode_never_fails():
+    # without the registry, the same bad values pass (annotation-only)
+    ev = RowEvaluator(SpecCatalog())
+    for fmt, data, valid in _FORMAT_CASES:
+        if not valid:
+            assert ev.evaluate({"format": fmt}, data).passed
