@@ -239,3 +239,52 @@ def global_value_rank(ds, *, value_col: str, tie_cols=(),
 
     return keyed.groupby("_bucket").map_groups(rank_group,
                                                batch_format="pandas")
+
+
+def weighted_sample_topk(ds, *, id_col: str, weight_col: str, k: int,
+                    seed: int = 42):
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    each row draws key = ln(u)/w with u a seeded md5-derived uniform in
+    (0,1]; the k LARGEST keys are the sample. Inclusion probability is
+    proportional to weight, exactly as if drawing k times without
+    replacement — the data-mixing primitive (sample k docs with
+    source/length weights) at any scale.
+
+    Scale shape: per-block partial top-k (combiner) means only k
+    candidates per block ever leave a task; the final merge sees
+    k x num_blocks rows (bounded, tiny) — no shuffle of non-candidates.
+    Deterministic for any partitioning: u depends only on (id, seed), so
+    the same rows win on 1 core or 1000 nodes, and any SQL engine can
+    reproduce the draw from the same md5 expression. Rows with
+    non-positive or null weight are excluded (they'd never be drawn).
+
+    Emits (id_col, weight_col) for the k sampled rows.
+    """
+    _SCALE = float(16 ** 15)  # 15 hex chars fit a double exactly
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = np.array(
+            [int(hashlib.md5(f"{v}:{seed}".encode()).hexdigest()[:15], 16)
+             for v in ids], dtype=np.float64) / _SCALE
+        ok = np.isfinite(w) & (w > 0) & (u > 0)
+        key = np.full(len(w), -np.inf)
+        key[ok] = np.log(u[ok]) / w[ok]
+        order = np.argsort(-key, kind="stable")[:k]
+        order = order[np.isfinite(key[order])]
+        return pa.table({
+            id_col: pa.array([ids[i] for i in order]),
+            weight_col: t[weight_col].take(pa.array(order, pa.int64())),
+            "_key": pa.array(key[order]),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    # k per block -> the candidate set is tiny; one driver-side merge
+    cand = pa.concat_tables(
+        list(parts.iter_batches(batch_format="pyarrow")))
+    key = cand["_key"].to_numpy(zero_copy_only=False)
+    ids = cand[id_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -key))[:k]
+    out = cand.take(pa.array(np.sort(order), pa.int64()))
+    return out.drop_columns(["_key"])

@@ -2828,6 +2828,35 @@ FROM documents
 """
 
 
+def q_weighted_topk_docs(sf_dir):
+    """Weighted sampling WITHOUT replacement (A-ES top-k): exactly 100
+    docs drawn with probability proportional to n_chars, deterministic
+    from (doc_id, seed) so any engine reproduces the draw. Complements
+    the Bernoulli `weighted_sample_docs` (expected-k, per-batch): this
+    one is exact-k via a per-block top-k combiner — only candidates
+    leave a block (functions/scan.py:weighted_sample_topk)."""
+    from ..functions.scan import weighted_sample_topk
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "n_chars"])
+    out = weighted_sample_topk(ds, id_col="doc_id", weight_col="n_chars",
+                               k=100, seed=42)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return df
+
+
+_WEIGHTED_TOPK_SQL = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+    ln(CAST(CAST(concat('0x', substr(md5(doc_id::VARCHAR || ':42'), 1, 15))
+             AS UBIGINT) AS DOUBLE) / 1152921504606846976.0)
+      / CAST(n_chars AS DOUBLE) AS key
+  FROM documents WHERE n_chars > 0
+  ORDER BY key DESC, doc_id LIMIT 100)
+ORDER BY doc_id
+"""
+
+
 def q_pack_docs(sf_dir):
     from ..functions.scan import pack_sequences
     from ..functions.text import token_count_batch
@@ -3348,6 +3377,7 @@ def build_queries() -> dict:
         "pii_docs": q_pii_docs,
         "contamination_docs": q_contamination_docs,
         "shuffle_docs": q_shuffle_docs,
+        "weighted_topk_docs": q_weighted_topk_docs,
         "pack_docs": q_pack_docs,
         "drift_psi_bins_lineitem": q_drift_psi_bins_lineitem,
         "events_lag_delta": q_events_lag_delta,
@@ -3534,6 +3564,7 @@ def build_oracles() -> dict:
         "pii_docs": _pii_sql(),
         "contamination_docs": _contamination_sql(),
         "shuffle_docs": _SHUFFLE_SQL,
+        "weighted_topk_docs": _WEIGHTED_TOPK_SQL,
         "pack_docs": _PACK_SQL,
         "drift_psi_bins_lineitem": _DRIFT_PSI_SQL,
         "events_lag_delta": _EVENTS_LAG_DELTA_SQL,
