@@ -505,3 +505,70 @@ def ann_topk_ivf_from_index(index_dir: str, queries: dict, *, k=5,
 
     return parts.groupby("query_id").map_groups(final_topk,
                                                 batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style): cluster, then prune near-dups per cluster
+
+
+def semantic_dedup(ds, *, id_col="vec_id", emb_col="embedding",
+                   n_clusters=16, threshold=0.95, centroids=None,
+                   train_kwargs=None, max_cluster=200_000):
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): spherical k-means clusters the embedding space,
+    then WITHIN each cluster rows whose cosine similarity to an
+    already-kept row exceeds ``threshold`` are dropped (greedy in id
+    order, so the survivor set is deterministic).
+
+    Scale shape: the all-pairs work is confined to clusters (the paper's
+    core trick) — one broadcast-centroid assignment pass, one
+    groupby(cluster) shuffle of (id, embedding), then a vectorized
+    greedy scan per cluster. Per-cluster cost is O(c^2) dot products;
+    ``max_cluster`` guards the degenerate all-in-one-cluster case
+    (raise n_clusters for bigger data — the paper uses
+    n_clusters ~ sqrt(N)).
+
+    Emits (id_col, cluster, keep: bool).
+    """
+    if centroids is None:
+        centroids = train_centroids(ds, emb_col=emb_col,
+                                    n_centroids=n_clusters,
+                                    **(train_kwargs or {}))
+    centroids = _normalize(np.asarray(centroids, np.float64))
+    cent_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        m = _normalize(_embedding_matrix(batch, emb_col))
+        cell = np.argmax(m @ cent.T, axis=1).astype(np.int32)
+        return pa.table({id_col: batch[id_col], emb_col: batch[emb_col],
+                         "cluster": pa.array(cell)})
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n > max_cluster:
+            raise ValueError(
+                f"cluster of {n} rows exceeds max_cluster={max_cluster}; "
+                "raise n_clusters (SemDeDup uses ~sqrt(N))")
+        order = np.argsort(g[id_col].to_numpy(), kind="stable")
+        ids = g[id_col].to_numpy()[order]
+        m = _normalize(np.vstack(g[emb_col].to_numpy()[order]).astype(
+            np.float64))
+        keep = np.zeros(n, dtype=bool)
+        kept_rows = []
+        for i in range(n):
+            if kept_rows:
+                sims = np.asarray(kept_rows) @ m[i]
+                if sims.max() > threshold:
+                    continue
+            keep[i] = True
+            kept_rows.append(m[i])
+        return pd.DataFrame({
+            id_col: ids,
+            "cluster": np.full(n, int(g["cluster"].iloc[0]),
+                               dtype=np.int64),
+            "keep": keep})
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return assigned.groupby("cluster").map_groups(dedup_cluster,
+                                                  batch_format="pandas")

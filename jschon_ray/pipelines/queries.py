@@ -2120,6 +2120,21 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+def q_semantic_dedup_embeddings(sf_dir):
+    """SemDeDup-shaped semantic dedup (rows-only: k-means training is not
+    SQL-expressible): cluster the embedding space, prune cosine>0.92
+    near-dups within clusters, keep the lowest id. Deterministic given
+    the seeded sample (functions/similarity.py:semantic_dedup)."""
+    from ..functions.similarity import semantic_dedup
+
+    ds = read_table(table_path(sf_dir, "embeddings"))
+    out = semantic_dedup(ds, n_clusters=12, threshold=0.92)
+    df = out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    df["vec_id"] = df["vec_id"].astype("int64")
+    df["cluster"] = df["cluster"].astype("int64")
+    return df
+
+
 def q_embedding_neardup(sf_dir):
     from ..functions.similarity import embedding_neardup_exact
 
@@ -3457,6 +3472,7 @@ def build_queries() -> dict:
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_ivf_persisted": q_ann_topk_ivf_persisted,
+        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "embedding_neardup": q_embedding_neardup,
         # clips flagship (oracle-checked against the same /tmp cache)
         "clips_validation": q_clips_validation,

@@ -411,3 +411,36 @@ def test_ivf_persisted_index_rebuild_reuses_layout(ray_session, tmp_path):
     a = ann_topk_ivf_from_index(idx, q, k=3, nprobe=6).to_pandas()
     b = ann_topk_ivf_from_index(idx, q, k=3, nprobe=6).to_pandas()
     assert a.equals(b) and len(a) == 3
+
+
+def test_semantic_dedup_drops_planted_dups(ray_session):
+    """SemDeDup-shaped pruning: the near-dup (10,50) and exact-dup
+    (20,60) pairs each lose their HIGHER id; everything else survives."""
+    import ray.data as rd
+    from jschon_ray.functions.similarity import semantic_dedup
+
+    t = embeddings_with_dups(n=200)
+    out = semantic_dedup(rd.from_arrow(t), n_clusters=8,
+                         threshold=0.95).to_pandas()
+    assert len(out) == 200
+    kept = set(out[out.keep]["vec_id"])
+    assert 10 in kept and 50 not in kept      # near-dup: lowest id wins
+    assert 20 in kept and 60 not in kept      # exact dup
+    # random gaussian vectors in 32-d are nowhere near cos>0.95
+    assert len(kept) == 198
+
+
+def test_semantic_dedup_deterministic_and_cluster_bounded(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+    from jschon_ray.functions.similarity import semantic_dedup
+
+    t = embeddings_with_dups(n=150)
+    a = semantic_dedup(rd.from_arrow(t), n_clusters=6, threshold=0.95) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    b = semantic_dedup(rd.from_arrow(t), n_clusters=6, threshold=0.95) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)
+    with _pytest.raises(Exception, match="max_cluster"):
+        semantic_dedup(rd.from_arrow(t), n_clusters=1, threshold=0.95,
+                       max_cluster=10).to_pandas()
