@@ -135,7 +135,10 @@ class RNode:
 
     # -- jschon Result API analogues ------------------------------------
     def child(self, key: str, ipath: str, base=None, sptr=None) -> "RNode":
-        c = RNode(
+        # type(self), not RNode: a custom result class propagates to the
+        # whole subtree, like jschon's result_class constructor threading
+        # (/root/reference/jschon/jsonschema.py:407,419 + :373-380)
+        c = type(self)(
             key=key,
             path=jptr.join(self.path, key),
             ipath=ipath,
@@ -206,12 +209,17 @@ class RowEvaluator:
         return rx
 
     # -- entry point ----------------------------------------------------
-    def evaluate(self, spec, instance, uri: str | None = None) -> RNode:
+    def evaluate(self, spec, instance, uri: str | None = None,
+                 result_class: type | None = None) -> RNode:
+        """Evaluate; ``result_class`` (an RNode subclass) customizes the
+        result tree — the analogue of JSONSchema.evaluate's result_class
+        (/root/reference/jschon/jsonschema.py:191,407,419). The class
+        threads to every child node via ``RNode.child``."""
         if isinstance(spec, dict) and ("$id" in spec or uri):
             base = self.catalog.register(spec, uri)
         else:
             base = uri
-        root = RNode(base=base, sptr="")
+        root = (result_class or RNode)(base=base, sptr="")
         self.eval_schema(spec, instance, "", root, base, "")
         return root
 

@@ -206,3 +206,49 @@ def test_metaschema_rejects_bad_pattern():
     from jschon_ray.vspec.metaschema import SpecValidationError, validate_spec
     with pytest.raises(SpecValidationError):
         validate_spec({"properties": {"s": {"pattern": "(["}}})
+
+
+def test_custom_result_class_threads_to_subtree():
+    """Custom Result subclass analogue (reference jsonschema.py:407,419):
+    an RNode subclass passed as result_class customizes behavior for the
+    WHOLE result tree."""
+    from jschon_ray.vspec.catalog import SpecCatalog
+    from jschon_ray.vspec.row_oracle import RNode, RowEvaluator
+
+    failures = []
+
+    class AuditResult(RNode):
+        __slots__ = ()
+
+        def fail(self, error=None):
+            super().fail(error)
+            failures.append((self.path, error))
+
+    spec = {"$id": "https://x/audit",
+            "properties": {"a": {"type": "integer", "minimum": 5},
+                           "b": {"pattern": "^x"}},
+            "required": ["c"]}
+    ev = RowEvaluator(SpecCatalog())
+    root = ev.evaluate(spec, {"a": 3, "b": "nope"},
+                       result_class=AuditResult)
+    assert not root.valid
+    assert type(root) is AuditResult
+    # every node in the tree is the subclass
+    def walk(n):
+        yield n
+        for c in n.children.values():
+            yield from walk(c)
+    assert all(type(n) is AuditResult for n in walk(root))
+    paths = {p for p, _ in failures}
+    assert "/properties/a/minimum" in paths
+    assert "/properties/b/pattern" in paths
+    assert "/required" in paths
+
+
+def test_default_result_class_unchanged():
+    from jschon_ray.vspec.catalog import SpecCatalog
+    from jschon_ray.vspec.row_oracle import RNode, RowEvaluator
+
+    root = RowEvaluator(SpecCatalog()).evaluate(
+        {"$id": "https://x/plain", "minimum": 3}, 5)
+    assert type(root) is RNode and root.valid
