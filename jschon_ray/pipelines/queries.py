@@ -1794,15 +1794,14 @@ def q_audio_resample_vad_clips(sf_dir):
     scalar-only."""
     from ..sources.clips import clips_cache_dir
     from ..stages.audio_ops import AudioResampler, VADSegments
-    from .validate import default_concurrency
+    from ..stages.taskpool import stage_fn
 
     ds = read_table(clips_cache_dir(sf_dir),
                     columns=["clip_id", "bytes", "sr_hz", "codec"])
-    out = ds.map_batches(AudioResampler, batch_format="pyarrow",
-                         batch_size=256, concurrency=default_concurrency(),
-                         fn_constructor_kwargs=dict(target_sr=16000)) \
-            .map_batches(VADSegments, batch_format="pyarrow",
-                         batch_size=256, concurrency=default_concurrency())
+    out = ds.map_batches(stage_fn(AudioResampler, target_sr=16000),
+                         batch_format="pyarrow", batch_size=256) \
+            .map_batches(stage_fn(VADSegments),
+                         batch_format="pyarrow", batch_size=256)
     return out.select_columns(["clip_id", "resample_ok", "n_samples",
                                "vad_ok", "n_segments", "speech_ratio"])
 
@@ -1814,16 +1813,14 @@ def q_audio_mel_clips(sf_dir):
     scalar-typed."""
     from ..sources.clips import clips_cache_dir
     from ..stages.audio_ops import AudioResampler, MelSpectrogram
-    from .validate import default_concurrency
+    from ..stages.taskpool import stage_fn
 
     ds = read_table(clips_cache_dir(sf_dir),
                     columns=["clip_id", "bytes", "sr_hz", "codec"])
-    out = ds.map_batches(AudioResampler, batch_format="pyarrow",
-                         batch_size=256, concurrency=default_concurrency(),
-                         fn_constructor_kwargs=dict(target_sr=16000)) \
-            .map_batches(MelSpectrogram, batch_format="pyarrow",
-                         batch_size=256, concurrency=default_concurrency(),
-                         fn_constructor_kwargs=dict(sr=16000))
+    out = ds.map_batches(stage_fn(AudioResampler, target_sr=16000),
+                         batch_format="pyarrow", batch_size=256) \
+            .map_batches(stage_fn(MelSpectrogram, sr=16000),
+                         batch_format="pyarrow", batch_size=256)
 
     def project(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -1851,18 +1848,15 @@ def q_audio_neardup_clips(sf_dir):
     from ..functions.similarity import embedding_neardup_exact
     from ..sources.clips import clips_cache_dir
     from ..stages.audio_ops import AudioResampler, MelSpectrogram
-    from .validate import default_concurrency
+    from ..stages.taskpool import stage_fn
 
     ds = read_table(clips_cache_dir(sf_dir),
                     columns=["clip_id", "bytes", "sr_hz", "codec"])
-    feats = ds.map_batches(AudioResampler, batch_format="pyarrow",
-                           batch_size=256,
-                           concurrency=default_concurrency(),
-                           fn_constructor_kwargs=dict(target_sr=16000)) \
-        .map_batches(MelSpectrogram, batch_format="pyarrow",
-                     batch_size=256, concurrency=default_concurrency(),
-                     fn_constructor_kwargs=dict(sr=16000, frame_len=2048,
-                                                n_mels=128))
+    feats = ds.map_batches(stage_fn(AudioResampler, target_sr=16000),
+                           batch_format="pyarrow", batch_size=256) \
+        .map_batches(stage_fn(MelSpectrogram, sr=16000, frame_len=2048,
+                                                n_mels=128),
+                     batch_format="pyarrow", batch_size=256)
 
     def keep_ok(t: pa.Table) -> pa.Table:
         t = t.filter(t["mel_ok"].combine_chunks()
@@ -1897,18 +1891,15 @@ def q_audio_prep_segments(sf_dir):
     from ..stages.audio_ops import (AudioAugmenter, AudioResampler,
                                     LoudnessNormalizer, SegmentExtractor,
                                     VADSegments)
-    from .validate import default_concurrency
+    from ..stages.taskpool import stage_fn
 
     ds = read_table(clips_cache_dir(sf_dir),
                     columns=["clip_id", "bytes", "sr_hz", "codec"])
-    segs = ds.map_batches(AudioResampler, batch_format="pyarrow",
-                          batch_size=256,
-                          concurrency=default_concurrency(),
-                          fn_constructor_kwargs=dict(target_sr=16000)) \
-        .map_batches(VADSegments, batch_format="pyarrow", batch_size=256,
-                     concurrency=default_concurrency()) \
-        .map_batches(SegmentExtractor, batch_format="pyarrow",
-                     batch_size=256, concurrency=default_concurrency())
+    segs = ds.map_batches(stage_fn(AudioResampler, target_sr=16000),
+                          batch_format="pyarrow", batch_size=256) \
+        .map_batches(stage_fn(VADSegments), batch_format="pyarrow", batch_size=256) \
+        .map_batches(stage_fn(SegmentExtractor), batch_format="pyarrow",
+                     batch_size=256)
     segs = segs.map_batches(lambda t: t.append_column(
         "codec", pa.array(["pcm_s16le"] * t.num_rows)),
         batch_format="pyarrow")
@@ -3182,18 +3173,14 @@ def q_audio_cmvn_clips(sf_dir):
     from ..sources.clips import clips_cache_dir
     from ..stages.audio_ops import AudioResampler, MelSpectrogram
     from ..stages.features import apply_cmvn, cmvn_stats
-    from .validate import default_concurrency
+    from ..stages.taskpool import stage_fn
 
     ds = read_table(clips_cache_dir(sf_dir),
                     columns=["clip_id", "bytes", "sr_hz", "codec"])
-    mels = ds.map_batches(AudioResampler, batch_format="pyarrow",
-                          batch_size=256,
-                          concurrency=default_concurrency(),
-                          fn_constructor_kwargs=dict(target_sr=16000)) \
-             .map_batches(MelSpectrogram, batch_format="pyarrow",
-                          batch_size=256,
-                          concurrency=default_concurrency(),
-                          fn_constructor_kwargs=dict(sr=16000)) \
+    mels = ds.map_batches(stage_fn(AudioResampler, target_sr=16000),
+                          batch_format="pyarrow", batch_size=256) \
+             .map_batches(stage_fn(MelSpectrogram, sr=16000),
+                          batch_format="pyarrow", batch_size=256) \
              .select_columns(["clip_id", "mel_ok", "mel_mean"])
     # consumed twice (stats pass + normalize pass): materialize the
     # narrow feature projection, not the payload table
@@ -3253,23 +3240,16 @@ def q_audio_specaugment_clips(sf_dir):
     from ..sources.clips import clips_cache_dir
     from ..stages.audio_ops import (AudioResampler, MelSpectrogram,
                                     SpecAugment)
-    from .validate import default_concurrency
+    from ..stages.taskpool import stage_fn
 
     ds = read_table(clips_cache_dir(sf_dir),
                     columns=["clip_id", "bytes", "sr_hz", "codec"])
-    out = ds.map_batches(AudioResampler, batch_format="pyarrow",
-                         batch_size=256,
-                         concurrency=default_concurrency(),
-                         fn_constructor_kwargs=dict(target_sr=16000)) \
-            .map_batches(MelSpectrogram, batch_format="pyarrow",
-                         batch_size=256,
-                         concurrency=default_concurrency(),
-                         fn_constructor_kwargs=dict(sr=16000,
-                                                    emit="frames")) \
-            .map_batches(SpecAugment, batch_format="pyarrow",
-                         batch_size=256,
-                         concurrency=default_concurrency(),
-                         fn_constructor_kwargs=dict(variants=2))
+    out = ds.map_batches(stage_fn(AudioResampler, target_sr=16000),
+                         batch_format="pyarrow", batch_size=256) \
+            .map_batches(stage_fn(MelSpectrogram, sr=16000, emit="frames"),
+                         batch_format="pyarrow", batch_size=256) \
+            .map_batches(stage_fn(SpecAugment, variants=2),
+                         batch_format="pyarrow", batch_size=256)
 
     def project(t: pa.Table) -> pa.Table:
         fb = t["mel_fbank"].to_pylist()

@@ -386,9 +386,14 @@ def clip_validation_pipeline(clips_path, *, spec=None, decode=False,
         checked = validate_dataset(ds, spec, batch_size=batch_size,
                                    concurrency=concurrency)
         from ..stages.decode import ClipDecoder
+        from ..stages.taskpool import stage_fn
+
+        # task pool, not actors: ClipDecoder's only state is tol_ms, and
+        # the task form lets Ray fuse it with the read->validate stage so
+        # payload bytes never take an object-store hop (taskpool.py)
         checked = checked.map_batches(
-            ClipDecoder, batch_format="pyarrow", batch_size=1024,
-            concurrency=concurrency or default_concurrency())
+            stage_fn(ClipDecoder), batch_format="pyarrow",
+            batch_size=1024)
         verdicts = checked
     else:
         # verdict-only runs should not scan the audio payload just to

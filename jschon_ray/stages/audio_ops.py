@@ -279,7 +279,10 @@ class MelSpectrogram:
             rows.append(i)
 
         if rows:
-            stack = np.concatenate(frames) * self.window
+            # float64 cast first — np.fft's float32 input path is ~100x
+            # slower for identical (double-precision) results
+            stack = (np.concatenate(frames) * self.window) \
+                .astype(np.float64)
             power = np.abs(np.fft.rfft(stack, axis=1)) ** 2
             logmel = np.log10(power @ self.fb.T + 1e-10)   # (frames, M)
             offsets = np.zeros(len(rows), np.int64)

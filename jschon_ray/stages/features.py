@@ -93,7 +93,11 @@ class AudioFeatures:
             ok[i] = True
 
         if rows:
-            stack = np.concatenate(frames) * self.window
+            # float64 cast first: np.fft's float32 input path is ~100x
+            # slower (measured 8.3s vs 0.07s for 20k x 512 frames) and the
+            # transform is computed in double either way (bit-identical)
+            stack = (np.concatenate(frames) * self.window) \
+                .astype(np.float64)
             mag = np.abs(np.fft.rfft(stack, axis=1))
             offsets = np.zeros(len(rows), np.int64)
             np.cumsum(frame_counts[:-1], out=offsets[1:])
@@ -129,13 +133,23 @@ class AudioFeatures:
 
 
 def audio_features(ds, *, concurrency=None, batch_size: int = 512,
-                   frame_len: int = 512):
-    from ..pipelines.validate import default_concurrency
+                   frame_len: int = 512, use_actors: bool = False):
+    """Feature stage. Task pool by default — AudioFeatures' state is a
+    512-float window, and the actor boundary measurably dominated the
+    stage (see stages/taskpool.py); pass use_actors=True to get the
+    actor-pool form (e.g. when subclassing with heavy state)."""
+    if use_actors:
+        from ..pipelines.validate import default_concurrency
+
+        return ds.map_batches(
+            AudioFeatures, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency or default_concurrency(),
+            fn_constructor_kwargs={"frame_len": frame_len})
+    from .taskpool import stage_fn
 
     return ds.map_batches(
-        AudioFeatures, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency or default_concurrency(),
-        fn_constructor_kwargs={"frame_len": frame_len})
+        stage_fn(AudioFeatures, frame_len=frame_len),
+        batch_format="pyarrow", batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------
@@ -197,7 +211,10 @@ class PitchEstimator:
             rows.append(i)
 
         if rows:
-            stack = np.concatenate(frames) * self.window
+            # float64 cast first — see AudioFeatures; the f32 FFT path is
+            # ~100x slower for identical (double) results
+            stack = (np.concatenate(frames) * self.window) \
+                .astype(np.float64)
             # autocorrelation of every frame in two batched FFTs
             spec = np.fft.rfft(stack, n=2 * L, axis=1)
             ac = np.fft.irfft(spec.real ** 2 + spec.imag ** 2,
