@@ -256,12 +256,13 @@ class PitchEstimator:
 
 def pitch_features(ds, *, concurrency=None, batch_size: int = 512,
                    frame_len: int = 1024):
-    from ..pipelines.validate import default_concurrency
+    # task pool (see stages/taskpool.py): window-only state, fuses with
+    # the read so payload bytes skip the object-store hop
+    from .taskpool import stage_fn
 
     return ds.map_batches(
-        PitchEstimator, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency or default_concurrency(),
-        fn_constructor_kwargs={"frame_len": frame_len})
+        stage_fn(PitchEstimator, frame_len=frame_len),
+        batch_format="pyarrow", batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------

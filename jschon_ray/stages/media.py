@@ -291,38 +291,39 @@ class FrameSampler:
 # pipeline helpers (actor pools wired with media-appropriate batch sizes)
 
 
+# task pools (stages/taskpool.py): the decode stubs hold no heavy state —
+# a REAL codec-library build would flip these back to actor pools whose
+# __init__ loads the codec once per worker.
+
+
 def image_features(ds, *, concurrency=None, batch_size: int = 64,
                    deterministic_fake: bool = False):
-    from ..pipelines.validate import default_concurrency
+    from .taskpool import stage_fn
 
     return ds.map_batches(
-        ImageDecoder, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency or default_concurrency(),
-        fn_constructor_kwargs={"deterministic_fake": deterministic_fake})
+        stage_fn(ImageDecoder, deterministic_fake=deterministic_fake),
+        batch_format="pyarrow", batch_size=batch_size)
 
 
 def resize_images(ds, out_w: int, out_h: int, *, concurrency=None,
                   batch_size: int = 32, deterministic_fake: bool = False):
-    from ..pipelines.validate import default_concurrency
+    from .taskpool import stage_fn
 
     return ds.map_batches(
-        ImageResizer, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency or default_concurrency(),
-        fn_constructor_args=(out_w, out_h),
-        fn_constructor_kwargs={"deterministic_fake": deterministic_fake})
+        stage_fn(ImageResizer, out_w=out_w, out_h=out_h,
+                 deterministic_fake=deterministic_fake),
+        batch_format="pyarrow", batch_size=batch_size)
 
 
 def sample_frames(ds, every_k: int = 10, *, id_col: str = "clip_id",
                   concurrency=None, batch_size: int = 8,
                   deterministic_fake: bool = False):
-    from ..pipelines.validate import default_concurrency
+    from .taskpool import stage_fn
 
     return ds.map_batches(
-        FrameSampler, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency or default_concurrency(),
-        fn_constructor_args=(every_k,),
-        fn_constructor_kwargs={"id_col": id_col,
-                               "deterministic_fake": deterministic_fake})
+        stage_fn(FrameSampler, every_k=every_k, id_col=id_col,
+                 deterministic_fake=deterministic_fake),
+        batch_format="pyarrow", batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------
