@@ -244,6 +244,15 @@ class RowEvaluator:
             eff = infer_dialect(schema["$schema"]) \
                 if isinstance(schema.get("$schema"), str) else self.dialect
             validate_id_for_dialect(schema["$id"], eff)
+            # the KEYWORD node addressing an embedded resource keeps its
+            # PARENT-resource display location (jschon builds the Result's
+            # absoluteKeywordLocation from the parent schema's canonical
+            # URI + key, jsonschema.py:505-512); a $ref arriving here
+            # overwrites this with the refschema override afterwards
+            if node.parent is not None and node.base and \
+                    node._abs_override is None:
+                node._abs_override = node.base + "#" \
+                    + jptr.uri_fragment(node.sptr)
             base = urldefrag(urljoin(base or schema["$id"], schema["$id"])).url
             sptr = ""
             # embedded resource root: this node's identity (and its place in

@@ -278,3 +278,45 @@ def test_format_annotation_mode_never_fails():
     for fmt, data, valid in _FORMAT_CASES:
         if not valid:
             assert ev.evaluate({"format": fmt}, data).passed
+
+
+def test_output_basic_byte_parity_with_reference():
+    """Beyond the valid flag: the row oracle's output('basic') must be
+    BYTE-IDENTICAL to the reference evaluator's over the whole corpus
+    (error strings, keyword/instance/absolute locations, ordering) —
+    the conformance-scale extension of tests/test_reference_parity.py's
+    golden corpus."""
+    from ref_oracle import evaluate_with_reference, load_reference
+    from jschon_ray.vspec.row_oracle import output_basic
+
+    handles = {v: load_reference(v) for v in ("2020-12", "2019-09")}
+    if any(h is None for h in handles.values()):
+        pytest.skip("reference evaluator unavailable")
+
+    n = match = skip = 0
+    mismatches = []
+    for p in _PARAMS:
+        version, schema, data, valid = p.values
+        if version not in handles:
+            continue
+        schema = _inject_dialect(schema, version)
+        n += 1
+        if isinstance(schema, dict) and "$id" not in schema:
+            schema = {**schema,
+                      "$id": f"https://parity.jschon-ray.local/{n}"}
+        try:
+            ref_out = evaluate_with_reference(schema, data,
+                                              handle=handles[version])
+        except Exception:
+            skip += 1  # constructs the shimmed reference can't load
+            continue
+        ev = RowEvaluator(SpecCatalog())
+        ev.dialect = version
+        ours = output_basic(ev.evaluate(
+            dict(schema) if isinstance(schema, dict) else schema, data))
+        if ours == ref_out:
+            match += 1
+        else:
+            mismatches.append(p.id)
+    assert not mismatches, mismatches[:10]
+    assert match >= 1200, (match, skip)
