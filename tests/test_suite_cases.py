@@ -167,11 +167,26 @@ def test_suite_case(version, schema, data, valid):
     try:
         cs = compile_spec(schema, table.schema, uri=uri,
                           catalog=SpecCatalog())
-        vvalid, _ = cs.evaluate_table(table)
+        vvalid, vviols = cs.evaluate_table(table)
     except NotImplementedError:
         return  # engine explicitly defers this construct to the oracle
     assert bool(vvalid[0]) == valid, (
         f"vectorized: expected valid={valid}, got {bool(vvalid[0])}")
+    if not valid:
+        # violation rows must carry the row oracle's exact errors
+        # (error values json-encoded for non-strings, like the
+        # three-way parity suite's mapping)
+        from jschon_ray.vspec.row_oracle import output_basic
+
+        def enc(v):
+            return v if isinstance(v, str) \
+                else json.dumps(v, ensure_ascii=False)
+
+        expected = [{**e, "error": enc(e["error"])}
+                    for e in output_basic(result)["errors"]]
+        assert vviols[0] == expected, (
+            f"vectorized violations diverge from the row oracle\n"
+            f" got: {vviols[0]}\n exp: {expected}")
 
 
 def test_reference_agrees_with_corpus():
