@@ -2111,6 +2111,35 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+def q_infer_spec_orders(sf_dir):
+    """Spec inference (vspec/infer.py): profile the orders table in one
+    streaming pass and emit the learned per-column contract as rows
+    (column, type, required, numeric bounds, enum/length band). The
+    engine validates the source clean against this spec — tested in
+    tests/test_infer_spec.py. Rows-only (dict-shaped output)."""
+    import json as _json
+
+    from ..vspec.infer import infer_spec
+
+    ds = read_table(table_path(sf_dir, "orders"))
+    spec = infer_spec(ds)
+    rows = []
+    req = set(spec["required"])
+    for col in sorted(spec["properties"]):
+        sub = spec["properties"][col]
+        rows.append({
+            "column": col,
+            "jtype": sub.get("type"),
+            "required": col in req,
+            "min_v": float(sub["minimum"]) if "minimum" in sub else None,
+            "max_v": float(sub["maximum"]) if "maximum" in sub else None,
+            "enum_json": _json.dumps(sub["enum"]) if "enum" in sub else None,
+            "min_len": sub.get("minLength"),
+            "max_len": sub.get("maxLength"),
+        })
+    return pd.DataFrame(rows)
+
+
 def q_semantic_dedup_embeddings(sf_dir):
     """SemDeDup-shaped semantic dedup (rows-only: k-means training is not
     SQL-expressible): cluster the embedding space, prune cosine>0.92
@@ -3453,6 +3482,7 @@ def build_queries() -> dict:
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_ivf_persisted": q_ann_topk_ivf_persisted,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+        "infer_spec_orders": q_infer_spec_orders,
         "embedding_neardup": q_embedding_neardup,
         # clips flagship (oracle-checked against the same /tmp cache)
         "clips_validation": q_clips_validation,
