@@ -3260,6 +3260,30 @@ def q_cluster_balanced_sample(sf_dir):
                            tie_cols=("vec_id",))
 
 
+def q_audio_fingerprint_dedup_clips(sf_dir):
+    """Content-based audio dedup, the 100 TB scale path: constellation
+    (peak-pair) landmark hashes -> bucketed hash groupby -> offset-
+    consistency vote. Unlike q_audio_neardup_clips' exact all-pairs
+    cosine (an O(N^2) oracle), both shuffles here move only small
+    integer rows — never payload bytes, never embeddings. Runs over
+    the planted-duplicates chord corpus (sources/clips.py
+    generate_fp_clips; the main tone corpus has only ~64 distinct
+    spectral contents, so every hash there is a stop-hash).
+    min_matches=48 sits in the measured gap between planted duplicates
+    (>=69 shared-offset votes) and ambient single-segment collisions
+    (<=30). Rows-only: DSP is not SQL-expressible."""
+    from ..sources.clips import fp_corpus_cache_dir
+    from ..stages.fingerprint import (AudioFingerprinter,
+                                      fingerprint_match_pairs)
+    from ..stages.taskpool import stage_fn
+
+    ds = read_table(fp_corpus_cache_dir(sf_dir),
+                    columns=["clip_id", "bytes", "codec"])
+    lm = ds.map_batches(stage_fn(AudioFingerprinter),
+                        batch_format="pyarrow", batch_size=128)
+    return fingerprint_match_pairs(lm, min_matches=48)
+
+
 def q_audio_specaugment_clips(sf_dir):
     """ASR augmentation chain: resample -> per-frame log-mel
     (emit="frames") -> seeded SpecAugment time/freq masking (2 variants,
@@ -3498,6 +3522,7 @@ def build_queries() -> dict:
         "audio_resample_vad_clips": q_audio_resample_vad_clips,
         "audio_mel_clips": q_audio_mel_clips,
         "audio_neardup_clips": q_audio_neardup_clips,
+        "audio_fingerprint_dedup": q_audio_fingerprint_dedup_clips,
         "audio_prep_segments": q_audio_prep_segments,
         "audio_pitch_clips": q_audio_pitch_clips,
         "audio_cmvn_clips": q_audio_cmvn_clips,

@@ -194,3 +194,109 @@ def clips_cache_dir(sf_dir: str, n: int | None = None, seed: int = 42) -> str:
         with open(done, "w") as f:
             f.write("ok")
     return out
+
+
+# --------------------------------------------------------------------------
+# Fingerprint corpus: high-entropy content with PLANTED duplicates.
+#
+# The main clips table draws each clip's content from ~1000 pure tones —
+# at 100k rows every tone is shared by ~100 clips, so every constellation
+# hash is a stop-hash and content fingerprinting degenerates. Audio
+# dedup needs a corpus where content collisions are PLANTED, not ambient:
+# each clip here is a seed-derived 3-segment tone sequence (360^3 distinct
+# contents), and ~2% of rows copy an earlier clip's waveform (half of them
+# time-shifted by whole frames) under a fresh clip_id.
+# Same CLIPS_SCHEMA shape (input_hint), all 16 kHz / pcm_s16le.
+
+FP_FRAME = 1024          # matches stages/fingerprint.py's default frame_len
+FP_SEGMENTS = 3
+FP_FRAMES_PER_SEG = 3
+
+
+def synth_fp_pcm(clip_id: str, sr_hz: int = 16000) -> np.ndarray:
+    """Seed-derived chord-sequence waveform: FP_SEGMENTS segments of
+    FP_FRAMES_PER_SEG x FP_FRAME samples, each a TWO-tone chord.
+
+    Two tones per segment, not one: single tones drawn from ~360 values
+    birthday-collide across a corpus (two clips sharing one segment tone
+    share that segment's whole stationary hash set), while an unordered
+    tone PAIR has ~360^2/2 values, so cross-clip segment collisions are
+    rare and planted duplicates dominate the match-score distribution."""
+    h = clip_seed(clip_id)
+    seg_len = FP_FRAMES_PER_SEG * FP_FRAME
+    rng = np.random.default_rng(h & 0xFFFFFFFF)
+    t = np.arange(seg_len, dtype=np.float64) / sr_hz
+    parts = []
+    for k in range(FP_SEGMENTS):
+        v1 = (h >> (12 * k)) % 360
+        v2 = (h >> (12 * k + 17)) % 360
+        if v2 == v1:
+            v2 = (v2 + 180) % 360
+        f1 = 200.0 + v1 * 15.5
+        f2 = 200.0 + v2 * 15.5 + 7.75
+        parts.append(0.3 * np.sin(2 * np.pi * f1 * t)
+                     + 0.3 * np.sin(2 * np.pi * f2 * t))
+    sig = np.concatenate(parts) + 0.005 * rng.standard_normal(
+        seg_len * FP_SEGMENTS)
+    return np.clip(sig * 32767, -32768, 32767).astype("<i2")
+
+
+def generate_fp_clips(n: int, seed: int = 42, *, dup_rate: float = 0.02,
+                      sr_hz: int = 16000):
+    """(table, truth) where truth is the sorted list of planted duplicate
+    pairs (id_a, id_b) with id_a < id_b. Half the duplicates are shifted
+    by 1-2 whole frames of leading silence (offset-consistency must still
+    match them); content is otherwise byte-identical."""
+    rng = np.random.default_rng(seed)
+    ids = [f"fp-{seed}-{i:06d}" for i in range(n)]
+    pcms = [synth_fp_pcm(cid, sr_hz) for cid in ids]
+    truth = []
+    if n > 4:
+        n_dup = max(1, int(n * dup_rate))
+        for i in rng.choice(np.arange(1, n), n_dup, replace=False):
+            src = int(rng.integers(0, i))
+            pcm = pcms[src]
+            if rng.random() < 0.5:
+                shift = int(rng.integers(1, 3)) * FP_FRAME
+                pcm = np.concatenate(
+                    [np.zeros(shift, "<i2"), pcm[:-shift]])
+            pcms[int(i)] = pcm
+            truth.append(tuple(sorted((ids[src], ids[int(i)]))))
+    dur_ms = int(FP_SEGMENTS * FP_FRAMES_PER_SEG * FP_FRAME * 1000 / sr_hz)
+    table = pa.table({
+        "clip_id": pa.array(ids, pa.string()),
+        "bytes": pa.array([p.tobytes() for p in pcms], pa.binary()),
+        "sr_hz": pa.array([sr_hz] * n, pa.int32()),
+        "dur_ms": pa.array([dur_ms] * n, pa.int32()),
+        "codec": pa.array(["pcm_s16le"] * n, pa.string()),
+        "transcript": pa.array([""] * n, pa.string()),
+    })
+    return table, sorted(set(truth))
+
+
+def fp_corpus_cache_dir(sf_dir: str, n: int | None = None,
+                        seed: int = 17) -> str:
+    """Deterministic per-sf fingerprint corpus under /tmp (sharded parquet,
+    ~18 KB payload per clip — counts are lower than clips_cache_dir's so
+    the cache stays a few hundred MB at sf0.1)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    if n is None:
+        n = {"sf0.001": 500, "sf0.01": 5000, "sf0.1": 20000}.get(tag, 500)
+    shards = max(4, min(32, n // 1000))
+    out = f"/tmp/jschon_ray_fpclips/{tag}-n{n}-s{seed}-p{shards}-u1"
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        table, _ = generate_fp_clips(n, seed=seed)
+        per = max(1, n // shards)
+        for s in range(shards):
+            lo = s * per
+            hi = n if s == shards - 1 else min(n, lo + per)
+            if hi <= lo:
+                continue
+            pq.write_table(table.slice(lo, hi - lo),
+                           os.path.join(out, f"part-{s:04d}.parquet"),
+                           compression="NONE")
+        with open(done, "w") as f:
+            f.write("ok")
+    return out
