@@ -3260,6 +3260,48 @@ def q_cluster_balanced_sample(sf_dir):
                            tie_cols=("vec_id",))
 
 
+def q_audio_mfcc_clips(sf_dir):
+    """MFCC features: resample -> per-frame log-mel -> DCT-II cepstra
+    (stages/audio_ops.py MFCC), pooled mean/std per clip. Payload bytes
+    stop at the mel stage; the MFCC stage moves only feature floats.
+    Projects scalar summaries (c0 + L2 norms) so the result is a compact
+    per-clip row. Rows-only: DSP is not SQL-expressible."""
+    import numpy as np
+
+    from ..sources.clips import clips_cache_dir
+    from ..stages.audio_ops import MFCC, AudioResampler, MelSpectrogram
+    from ..stages.taskpool import stage_fn
+
+    ds = read_table(clips_cache_dir(sf_dir),
+                    columns=["clip_id", "bytes", "sr_hz", "codec"])
+    out = ds.map_batches(stage_fn(AudioResampler, target_sr=16000),
+                         batch_format="pyarrow", batch_size=256) \
+        .map_batches(stage_fn(MelSpectrogram, sr=16000, frame_len=512,
+                              n_mels=40, emit="frames"),
+                     batch_format="pyarrow", batch_size=256) \
+        .map_batches(stage_fn(MFCC, n_mels=40, n_mfcc=13),
+                     batch_format="pyarrow", batch_size=1024)
+
+    def project(t: pa.Table) -> pa.Table:
+        means = t["mfcc_mean"].to_pylist()
+        stds = t["mfcc_std"].to_pylist()
+        c0 = [float(m[0]) if m is not None else None for m in means]
+        mnorm = [float(np.linalg.norm(m)) if m is not None else None
+                 for m in means]
+        snorm = [float(np.linalg.norm(s)) if s is not None else None
+                 for s in stds]
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "mfcc_ok": t["mfcc_ok"],
+            "mel_frames": t["mel_frames"],
+            "c0_mean": pa.array(c0, pa.float64()),
+            "mfcc_norm": pa.array(mnorm, pa.float64()),
+            "mfcc_std_norm": pa.array(snorm, pa.float64()),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def q_audio_fingerprint_dedup_clips(sf_dir):
     """Content-based audio dedup, the 100 TB scale path: constellation
     (peak-pair) landmark hashes -> bucketed hash groupby -> offset-
@@ -3523,6 +3565,7 @@ def build_queries() -> dict:
         "audio_mel_clips": q_audio_mel_clips,
         "audio_neardup_clips": q_audio_neardup_clips,
         "audio_fingerprint_dedup": q_audio_fingerprint_dedup_clips,
+        "audio_mfcc_clips": q_audio_mfcc_clips,
         "audio_prep_segments": q_audio_prep_segments,
         "audio_pitch_clips": q_audio_pitch_clips,
         "audio_cmvn_clips": q_audio_cmvn_clips,

@@ -314,6 +314,82 @@ class MelSpectrogram:
         return pa.table(cols)
 
 
+class MFCC:
+    """Mel-frequency cepstral coefficients: orthonormal DCT-II over the
+    per-frame log-mel matrix, keeping the first `n_mfcc` coefficients —
+    the classic compact ASR/speaker feature.
+
+    Consumes MelSpectrogram(emit="frames") output (`mel_fbank` flattened
+    (n_frames x n_mels) + `mel_frames` + `mel_ok`) — NO re-decode; payload
+    bytes were already dropped upstream, so this stage moves only feature
+    floats. The DCT matrix is built once per worker; per batch the work is
+    one matmul over all frames of all clips plus `np.add.reduceat`
+    mean/std pooling (no per-frame Python loop — the MelSpectrogram
+    recipe). Cepstra are computed from the log10-mel energies the mel
+    stage emits (a constant ln(10) scale vs natural-log HTK cepstra;
+    deterministic and documented rather than silently rescaled).
+
+    Emits mfcc_mean / mfcc_std as fixed list<float32>[n_mfcc] plus
+    mfcc_ok; rows with mel_ok=false get nulls. Drops mel_fbank by default
+    (`keep_fbank=True` retains it for chained SpecAugment).
+    """
+
+    def __init__(self, n_mels: int = 40, n_mfcc: int = 13,
+                 keep_fbank: bool = False):
+        self.n_mels = int(n_mels)
+        self.n_mfcc = int(n_mfcc)
+        self.keep_fbank = keep_fbank
+        k = np.arange(self.n_mfcc)[:, None]
+        n = np.arange(self.n_mels)[None, :]
+        d = np.cos(np.pi * k * (2 * n + 1) / (2 * self.n_mels)) \
+            * np.sqrt(2.0 / self.n_mels)
+        d[0] *= np.sqrt(0.5)
+        self.dct = d                       # (n_mfcc, n_mels), rows o.n.
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        fb = batch["mel_fbank"].to_pylist()
+        ok_in = batch["mel_ok"].to_pylist()
+        mean = [None] * n
+        std = [None] * n
+        ok = np.zeros(n, bool)
+
+        mats, counts, rows = [], [], []
+        for i in range(n):
+            if not ok_in[i] or fb[i] is None:
+                continue
+            m = np.asarray(fb[i], np.float64)
+            if m.size == 0 or m.size % self.n_mels:
+                continue
+            mats.append(m.reshape(-1, self.n_mels))
+            counts.append(m.size // self.n_mels)
+            rows.append(i)
+
+        if rows:
+            stack = np.concatenate(mats)            # (frames, n_mels)
+            cep = stack @ self.dct.T                # (frames, n_mfcc)
+            offsets = np.zeros(len(rows), np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            cnt = np.asarray(counts, np.float64)[:, None]
+            mu = np.add.reduceat(cep, offsets, axis=0) / cnt
+            ex2 = np.add.reduceat(cep * cep, offsets, axis=0) / cnt
+            sd = np.sqrt(np.maximum(ex2 - mu * mu, 0.0))
+            for j, i in enumerate(rows):
+                mean[i] = mu[j].astype(np.float32)
+                std[i] = sd[j].astype(np.float32)
+                ok[i] = True
+
+        cols = {name: batch[name] for name in batch.column_names
+                if self.keep_fbank or name != "mel_fbank"}
+        t = pa.list_(pa.float32(), self.n_mfcc)
+        cols["mfcc_mean"] = pa.array(
+            [m.tolist() if m is not None else None for m in mean], t)
+        cols["mfcc_std"] = pa.array(
+            [s.tolist() if s is not None else None for s in std], t)
+        cols["mfcc_ok"] = pa.array(ok)
+        return pa.table(cols)
+
+
 class SegmentExtractor:
     """Explode clips into one row PER SPEECH SEGMENT (the ASR-training
     prep step): expects VADSegments output columns (bytes + segments) and

@@ -282,3 +282,55 @@ def test_full_audio_prep_chain(ray_session):
     assert t.num_rows % 2 == 0                 # 2 variants per segment
     assert all(c.endswith(("#aug0", "#aug1"))
                for c in t["clip_id"].to_pylist())
+
+
+def test_mfcc_matches_per_clip_reference():
+    from jschon_ray.stages.audio_ops import MFCC, MelSpectrogram
+
+    t = generate_clips(40, seed=21, dirty=False)
+    res = AudioResampler(target_sr=16000)(
+        t.select(["clip_id", "bytes", "sr_hz", "codec"]))
+    mel = MelSpectrogram(sr=16000, frame_len=512, n_mels=40,
+                         emit="frames")(res)
+    out = MFCC(n_mels=40, n_mfcc=13)(mel)
+
+    # independent per-clip reference: explicit DCT-II loop over frames
+    k = np.arange(13)[:, None]
+    nn = np.arange(40)[None, :]
+    D = np.cos(np.pi * k * (2 * nn + 1) / 80.0) * np.sqrt(2.0 / 40)
+    D[0] *= np.sqrt(0.5)
+    fb = mel["mel_fbank"].to_pylist()
+    oks = out["mfcc_ok"].to_pylist()
+    means = out["mfcc_mean"].to_pylist()
+    stds = out["mfcc_std"].to_pylist()
+    checked = 0
+    for i, ok in enumerate(oks):
+        if not ok:
+            assert means[i] is None and stds[i] is None
+            continue
+        m = np.asarray(fb[i], np.float64).reshape(-1, 40)
+        cep = np.stack([D @ fr for fr in m])
+        np.testing.assert_allclose(means[i], cep.mean(0), rtol=1e-5,
+                                   atol=1e-5)
+        np.testing.assert_allclose(stds[i], cep.std(0), rtol=1e-4,
+                                   atol=1e-4)
+        checked += 1
+    assert checked >= 30
+    assert "mel_fbank" not in out.column_names     # payload-class dropped
+
+
+def test_mfcc_propagates_mel_failure():
+    from jschon_ray.stages.audio_ops import MFCC, MelSpectrogram
+
+    t = _table([("good", _tone(16000, 100, 440).tobytes(), 16000,
+                 "pcm_s16le"),
+                ("badcodec", b"FAKEamr\0\0\0\0\0xyz", 16000, "amr")])
+    mel = MelSpectrogram(sr=16000, frame_len=512, n_mels=40,
+                         emit="frames")(t)
+    out = MFCC(n_mels=40, n_mfcc=13)(mel)
+    got = dict(zip(out["clip_id"].to_pylist(), out["mfcc_ok"].to_pylist()))
+    assert got == {"good": True, "badcodec": False}
+    # DCT rows orthonormal -> energy of cepstra bounded by frame energy
+    mm = dict(zip(out["clip_id"].to_pylist(),
+                  out["mfcc_mean"].to_pylist()))
+    assert mm["badcodec"] is None and mm["good"] is not None
