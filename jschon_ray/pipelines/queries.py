@@ -3326,6 +3326,26 @@ def q_audio_fingerprint_dedup_clips(sf_dir):
     return fingerprint_match_pairs(lm, min_matches=48)
 
 
+def q_audio_fingerprint_clusters(sf_dir):
+    """Full audio dedup decision: constellation-fingerprint match pairs
+    (q_audio_fingerprint_dedup_clips) -> distributed connected
+    components (functions/graph.py) -> per-cluster canonical = min
+    clip_id. Output is one row per clip that belongs to a duplicate
+    cluster with its component label; downstream dedup keeps rows where
+    clip_id == component. Rows-only."""
+    import ray.data
+
+    from ..functions.graph import connected_components
+
+    pairs = q_audio_fingerprint_dedup_clips(sf_dir)
+    if not len(pairs):
+        return pd.DataFrame({"clip_id": pd.Series([], dtype=object),
+                             "component": pd.Series([], dtype=object)})
+    eds = ray.data.from_pandas(pairs[["id_a", "id_b"]])
+    cc = connected_components(eds, out_node="clip_id")
+    return cc.to_pandas().sort_values("clip_id").reset_index(drop=True)
+
+
 def q_audio_specaugment_clips(sf_dir):
     """ASR augmentation chain: resample -> per-frame log-mel
     (emit="frames") -> seeded SpecAugment time/freq masking (2 variants,
@@ -3566,6 +3586,7 @@ def build_queries() -> dict:
         "audio_neardup_clips": q_audio_neardup_clips,
         "audio_fingerprint_dedup": q_audio_fingerprint_dedup_clips,
         "audio_mfcc_clips": q_audio_mfcc_clips,
+        "audio_fingerprint_clusters": q_audio_fingerprint_clusters,
         "audio_prep_segments": q_audio_prep_segments,
         "audio_pitch_clips": q_audio_pitch_clips,
         "audio_cmvn_clips": q_audio_cmvn_clips,

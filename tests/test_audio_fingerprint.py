@@ -104,3 +104,24 @@ def test_stop_hash_buckets_dropped(ray_session):
                         batch_format="pyarrow", batch_size=8)
     pairs = fingerprint_match_pairs(lm, min_matches=10, max_bucket=8)
     assert len(pairs) == 0
+
+
+def test_fingerprint_clusters_canonical_keep(ray_session):
+    # chain: planted pairs -> connected components -> canonical = min id
+    import ray.data
+
+    from jschon_ray.functions.graph import connected_components
+
+    t, truth = generate_fp_clips(200, seed=7)
+    ds = ray.data.from_arrow(
+        t.select(["clip_id", "bytes", "codec"])).repartition(4)
+    lm = ds.map_batches(stage_fn(AudioFingerprinter),
+                        batch_format="pyarrow", batch_size=64)
+    pairs = fingerprint_match_pairs(lm, min_matches=48)
+    assert len(pairs) == len(truth) >= 2
+    eds = ray.data.from_pandas(pairs[["id_a", "id_b"]])
+    cc = connected_components(eds, out_node="clip_id").to_pandas()
+    # every planted pair sits in one component labelled by its min id
+    comp = dict(zip(cc["clip_id"], cc["component"]))
+    for a, b in truth:
+        assert comp[a] == comp[b] == min(comp[a], a)
