@@ -58,12 +58,13 @@ def run_benchmarks() -> dict:
         clip_validation_pipeline,
         summarize_verdicts,
     )
-    from jschon_ray.sources.clips import clips_cache_dir
+    from jschon_ray.sources.clips import clips_cache_dir, fp_corpus_cache_dir
 
     # ---- inputs (clips synthesized once per sf, cached under /tmp) -------
     clips_n = os.environ.get("GRAFT_CLIPS_N")
     clips_dir = clips_cache_dir(SF_DIR, n=int(clips_n)) if clips_n \
         else clips_cache_dir(SF_DIR)
+    fp_dir = fp_corpus_cache_dir(SF_DIR)   # build cached corpus up front
 
     # warm the OS page cache so we measure compute + shuffle, not first
     # read; skip the (possibly multi-GB) payload files when the scaling
@@ -71,6 +72,7 @@ def run_benchmarks() -> dict:
     import glob
 
     warm = glob.glob(os.path.join(SF_DIR, "*.parquet"))
+    warm += glob.glob(os.path.join(fp_dir, "*.parquet"))
     if os.environ.get("GRAFT_SCALE_DECODE", "1") != "0":
         warm += glob.glob(os.path.join(clips_dir, "*.parquet"))
     for path in warm:
@@ -192,6 +194,12 @@ def run_benchmarks() -> dict:
     timed("dup_clusters_docs", lambda: len(Q.q_dup_clusters_docs(SF_DIR)))
     timed("kmeans_embeddings",
           lambda: Q.q_kmeans_embeddings(SF_DIR).count())
+
+    # 11. audio content dedup at scale: constellation landmarks (one rfft
+    # per batch) -> coarse-bucket hash co-pairs -> offset-consistency
+    # votes; both shuffles move only small integer rows
+    timed("audio_fingerprint_dedup",
+          lambda: len(Q.q_audio_fingerprint_dedup_clips(SF_DIR)))
 
     total = round(sum(timings.values()), 3)
     return {

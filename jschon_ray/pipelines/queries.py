@@ -2892,6 +2892,78 @@ ORDER BY doc_id
 """
 
 
+def q_snapshot_diff_orders(sf_dir):
+    """Snapshot diff (functions/diff.py): added/removed/changed orders
+    between the base table and a deterministically perturbed delivery
+    (drop key%97==0, +1.00 price on key%89==0, status 'X' on key%83==0,
+    re-keyed copies of key%101==0 appended). One narrow keys+compared
+    columns shuffle; unchanged keys emit nothing."""
+    import numpy as np
+
+    from ..functions.diff import snapshot_diff
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    old = read_table(table_path(sf_dir, "orders"), columns=cols)
+
+    def perturb(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy()
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        status = np.asarray(t["o_orderstatus"].to_pylist(), object)
+        new_price = np.where((k % 89) == 0, price + 1.0, price)
+        new_status = np.where((k % 83) == 0, "X", status)
+        keep = (k % 97) != 0
+        base = pa.table({
+            "o_orderkey": pa.array(k[keep]),
+            "o_totalprice": pa.array(new_price[keep]),
+            "o_orderstatus": pa.array(new_status[keep].tolist(),
+                                      pa.string()),
+        })
+        add = (k % 101) == 0
+        added = pa.table({
+            "o_orderkey": pa.array(k[add] + 100000000),
+            "o_totalprice": pa.array(price[add]),
+            "o_orderstatus": pa.array(status[add].tolist(), pa.string()),
+        })
+        return pa.concat_tables([base, added])
+
+    new = read_table(table_path(sf_dir, "orders"), columns=cols) \
+        .map_batches(perturb, batch_format="pyarrow")
+    out = snapshot_diff(old, new, key_col="o_orderkey",
+                        compare_cols=["o_totalprice", "o_orderstatus"])
+    df = out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    # coalesce absent-side values to sentinels (the oracle does the same):
+    # value-hash comparison should not depend on NaN-vs-None encodings
+    return df.fillna({"o_totalprice_old": -1.0, "o_totalprice_new": -1.0,
+                      "o_orderstatus_old": "", "o_orderstatus_new": ""})
+
+
+_SNAPSHOT_DIFF_SQL = r"""
+WITH new_snap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 83 = 0 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 101 = 0
+)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       coalesce(o.o_totalprice, -1.0)  AS o_totalprice_old,
+       coalesce(n.o_totalprice, -1.0)  AS o_totalprice_new,
+       coalesce(o.o_orderstatus, '')   AS o_orderstatus_old,
+       coalesce(n.o_orderstatus, '')   AS o_orderstatus_new
+FROM orders o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+"""
+
+
 def q_pack_docs(sf_dir):
     from ..functions.scan import pack_sequences
     from ..functions.text import token_count_batch
@@ -3489,6 +3561,7 @@ def build_queries() -> dict:
         "shuffle_docs": q_shuffle_docs,
         "weighted_topk_docs": q_weighted_topk_docs,
         "pack_docs": q_pack_docs,
+        "snapshot_diff_orders": q_snapshot_diff_orders,
         "drift_psi_bins_lineitem": q_drift_psi_bins_lineitem,
         "events_lag_delta": q_events_lag_delta,
         "events_throttle": q_events_throttle,
@@ -3681,6 +3754,7 @@ def build_oracles() -> dict:
         "shuffle_docs": _SHUFFLE_SQL,
         "weighted_topk_docs": _WEIGHTED_TOPK_SQL,
         "pack_docs": _PACK_SQL,
+        "snapshot_diff_orders": _SNAPSHOT_DIFF_SQL,
         "drift_psi_bins_lineitem": _DRIFT_PSI_SQL,
         "events_lag_delta": _EVENTS_LAG_DELTA_SQL,
         "events_throttle": _EVENTS_THROTTLE_SQL,
