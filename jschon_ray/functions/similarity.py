@@ -572,3 +572,223 @@ def semantic_dedup(ds, *, id_col="vec_id", emb_col="embedding",
     assigned = ds.map_batches(assign, batch_format="pyarrow")
     return assigned.groupby("cluster").map_groups(dedup_cluster,
                                                   batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed embeddings + ADC top-k.
+#
+# The memory-side scale path: IVF prunes WHICH rows are scored;
+# PQ shrinks WHAT is stored/scored. A d-dim float32 embedding (4d bytes)
+# becomes m uint8 codes (m bytes, e.g. 64x smaller at d=64, m=4), so the
+# candidate set of a 100 TB corpus fits in the object store and distance
+# evaluation becomes a table lookup (ADC: asymmetric distance computation,
+# Jegou et al., TPAMI 2011). Cosine similarity: vectors are L2-normalized
+# BEFORE subspace quantization, so inner product decomposes exactly into
+# per-subspace partial products and sim(q, x) ~ sum_j q_j . c[j, code_j].
+
+
+def pq_train(ds, *, emb_col="embedding", m=8, n_codes=256,
+             sample_frac=0.2, max_sample=20000, seed=23,
+             iters=12) -> np.ndarray:
+    """Per-subspace Lloyd k-means codebooks over a driver-side sample.
+
+    Returns (m, n_codes, d/m) float64. Training touches O(max_sample)
+    rows (same posture as `train_centroids`); the codebook is tiny
+    (m * n_codes * d/m = n_codes * d floats) and broadcasts to every
+    encode/score task. d must be divisible by m.
+    """
+    sample = ds.select_columns([emb_col]).random_sample(sample_frac,
+                                                        seed=seed)
+    mats = [
+        _embedding_matrix(b, emb_col)
+        for b in sample.limit(max_sample).iter_batches(
+            batch_format="pyarrow")
+    ]
+    x = _normalize(np.concatenate(mats))
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    k = min(n_codes, len(x))
+    books = np.empty((m, k, sub))
+    for j in range(m):
+        xj = x[:, j * sub:(j + 1) * sub]
+        cent = xj[rng.choice(len(xj), k, replace=False)]
+        for _ in range(iters):
+            # argmin ||x - c||^2 == argmax (x.c - ||c||^2/2)
+            score = xj @ cent.T - 0.5 * (cent * cent).sum(1)
+            assign = np.argmax(score, axis=1)
+            for c in range(k):
+                rows = xj[assign == c]
+                if len(rows):
+                    cent[c] = rows.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+class PQEncoder:
+    """map_batches stage: embeddings -> m uint8 codes per row."""
+
+    def __init__(self, books_ref, id_col, emb_col):
+        b = ray.get(books_ref) if isinstance(books_ref, ray.ObjectRef) \
+            else books_ref
+        self.books = np.asarray(b)                 # (m, k, sub)
+        self.half_norms = 0.5 * (self.books * self.books).sum(2)  # (m, k)
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m, k, sub = self.books.shape
+        ids = batch[self.id_col]
+        x = _normalize(_embedding_matrix(batch, self.emb_col))
+        codes = np.empty((len(x), m), np.uint8)
+        for j in range(m):
+            xj = x[:, j * sub:(j + 1) * sub]
+            score = xj @ self.books[j].T - self.half_norms[j]
+            codes[:, j] = np.argmax(score, axis=1)
+        return pa.table({
+            self.id_col: ids,
+            "pq_code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), pa.uint8()), m),
+        })
+
+
+def pq_encode(ds, codebooks, *, id_col="vec_id", emb_col="embedding"):
+    """Encode a Dataset to (id, pq_code fixed_size_list<uint8>[m]).
+
+    One broadcast of the codebooks (ray.put), one matmul per subspace per
+    batch; output rows are m + 8 bytes — the artifact you persist next to
+    (or instead of) raw embeddings at scale.
+    """
+    ref = ray.put(np.asarray(codebooks))
+    return ds.map_batches(
+        PQEncoder,
+        fn_constructor_kwargs=dict(books_ref=ref, id_col=id_col,
+                                   emb_col=emb_col),
+        batch_format="pyarrow", concurrency=(1, 8))
+
+
+class PQTopKScorer:
+    """map_batches actor: ADC partial top-k over PQ codes.
+
+    Per query the lookup table lut[j, c] = q_j . codebook[j, c] is built
+    ONCE in __init__ (m x n_codes floats); scoring a row is m table
+    lookups + a sum — no float vector is ever touched again.
+    """
+
+    def __init__(self, state_ref, id_col, k):
+        st = ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) \
+            else state_ref
+        books = st["books"]                        # (m, K, sub)
+        qmat = st["qmat"]                          # (Q, d), unit rows
+        self.qids = st["qids"]
+        m, K, sub = books.shape
+        q = qmat.reshape(len(qmat), m, sub)        # (Q, m, sub)
+        self.lut = np.einsum("qms,mks->qmk", q, books)   # (Q, m, K)
+        self.id_col = id_col
+        self.k = k
+        self.m = m
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        flat = batch["pq_code"]
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        codes = flat.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(ids), self.m)
+        rows_q, rows_n, rows_s = [], [], []
+        j_idx = np.arange(self.m)[None, :]
+        for qi in range(len(self.qids)):
+            sims = self.lut[qi][j_idx, codes].sum(axis=1)
+            k = min(self.k, len(sims))
+            part = np.argpartition(-sims, k - 1)[:k]
+            rows_q.append(np.full(k, self.qids[qi]))
+            rows_n.append(ids[part])
+            rows_s.append(sims[part])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(rows_q)),
+            "neighbor_id": pa.array(np.concatenate(rows_n)),
+            "sim": pa.array(np.concatenate(rows_s)),
+        })
+
+
+def pq_ann_topk(codes_ds, queries: dict, codebooks, *, id_col="vec_id",
+                k=5, round_decimals=6):
+    """Approximate cosine top-k over a PQ-encoded Dataset (ADC).
+
+    `codes_ds` is `pq_encode` output — the raw embedding column is NOT
+    read. Returns (query_id, neighbor_id, rank) like `ann_topk`;
+    approximation error is bounded by the per-subspace quantization
+    error, measured by the recall tests. Ties break (-sim, neighbor_id).
+    """
+    qmat = _normalize(np.asarray(queries["matrix"], np.float64))
+    state = ray.put({"books": np.asarray(codebooks),
+                     "qids": np.asarray(queries["ids"]), "qmat": qmat})
+    parts = codes_ds.map_batches(
+        PQTopKScorer,
+        fn_constructor_kwargs=dict(state_ref=state, id_col=id_col, k=k),
+        batch_format="pyarrow", concurrency=(1, 8))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        if round_decimals is not None:
+            g = g.assign(sim=np.round(g["sim"], round_decimals))
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return parts.groupby("query_id").map_groups(final_topk,
+                                                batch_format="pandas")
+
+
+def pq_ann_topk_rerank(codes_ds, raw_ds, queries: dict, codebooks, *,
+                       id_col="vec_id", emb_col="embedding", k=5,
+                       shortlist=50, round_decimals=6):
+    """PQ shortlist + exact rerank — the standard two-stage ANN recipe.
+
+    Stage 1 scans only the compressed codes (ADC) for a `shortlist`-sized
+    candidate set per query; stage 2 re-reads the RAW embeddings of just
+    those candidates (broadcast id set -> pruned filter) and reranks them
+    exactly with `ann_topk`'s rounding and (-sim, neighbor_id) tie-break.
+    With a covering shortlist the result is bit-identical to the exact
+    scan; the full float corpus is never scanned. Driver handles
+    O(Q * shortlist) rows only.
+    """
+    short = pq_ann_topk(codes_ds, queries, codebooks, id_col=id_col,
+                        k=shortlist, round_decimals=None).to_pandas()
+    cand_ids = set(short["neighbor_id"].tolist())
+    cand_ref = ray.put(cand_ids)
+
+    def keep_cands(t: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        mask = np.fromiter((v in cands for v in ids), bool, len(ids))
+        return t.filter(pa.array(mask))
+
+    cand_tbl = pa.concat_tables(list(
+        raw_ds.select_columns([id_col, emb_col])
+        .map_batches(keep_cands, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    ids = cand_tbl[id_col].to_numpy(zero_copy_only=False)
+    m = _normalize(_embedding_matrix(cand_tbl, emb_col))
+    qmat = _normalize(np.asarray(queries["matrix"], np.float64))
+    by_query = dict(
+        (q, set(g["neighbor_id"])) for q, g in short.groupby("query_id"))
+    out_q, out_n, out_r = [], [], []
+    for qi, qid in enumerate(np.asarray(queries["ids"])):
+        sel = np.fromiter((v in by_query.get(qid, ()) for v in ids),
+                          bool, len(ids))
+        sims = m[sel] @ qmat[qi]
+        if round_decimals is not None:
+            sims = np.round(sims, round_decimals)
+        cand = ids[sel]
+        order = np.lexsort((cand, -sims))[:k]
+        out_q.append(np.full(len(order), qid))
+        out_n.append(cand[order])
+        out_r.append(np.arange(1, len(order) + 1, dtype=np.int64))
+    return pd.DataFrame({
+        "query_id": np.concatenate(out_q),
+        "neighbor_id": np.concatenate(out_n),
+        "rank": np.concatenate(out_r)})

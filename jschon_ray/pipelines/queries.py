@@ -2065,6 +2065,31 @@ def q_ann_topk_ivf(sf_dir):
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_ann_topk_pq(sf_dir):
+    """Product-quantization scale path: embeddings -> m uint8 codes
+    (pq_encode; 16x smaller than raw float32 at m=16), ADC shortlist
+    scan over the codes only, exact rerank of the shortlist (raw floats
+    touched for O(Q * shortlist) rows). The covering shortlist makes the
+    result bit-identical to the exact scan, so it shares the ANN oracle;
+    pruned-recall behaviour is covered by tests."""
+    import pyarrow.parquet as pq
+
+    from ..functions.similarity import (_embedding_matrix, pq_ann_topk_rerank,
+                                        pq_encode, pq_train)
+
+    qt = pq.read_table(table_path(sf_dir, "embeddings"),
+                       filters=[("vec_id", "<", 10)])
+    queries = {"ids": qt["vec_id"].to_numpy(zero_copy_only=False),
+               "matrix": _embedding_matrix(qt, "embedding")}
+    ds = read_table(table_path(sf_dir, "embeddings"))
+    books = pq_train(ds, m=16, n_codes=256, sample_frac=1.0,
+                     max_sample=20000, seed=23)
+    codes = pq_encode(ds, books)
+    df = pq_ann_topk_rerank(codes, ds, queries, books, k=5, shortlist=50)
+    df["rank"] = df["rank"].astype("int64")
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def q_ann_topk_ivf_persisted(sf_dir):
     """IVF probe from a PERSISTED index: built once per sf_dir under
     /tmp (one streaming pass, hive-partitioned by cell), then probed
@@ -3640,6 +3665,7 @@ def build_queries() -> dict:
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_ivf_persisted": q_ann_topk_ivf_persisted,
+        "ann_topk_pq": q_ann_topk_pq,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "infer_spec_orders": q_infer_spec_orders,
         "embedding_neardup": q_embedding_neardup,
@@ -3830,6 +3856,7 @@ def build_oracles() -> dict:
         "ann_topk": _ANN_TOPK_SQL,
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "ann_topk_ivf_persisted": _ANN_TOPK_SQL,
+        "ann_topk_pq": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         # flagship clips oracles read the deterministic /tmp cache; the
         # driver runs side-by-side correctness at sf0.01 (driver contract),

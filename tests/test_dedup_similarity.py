@@ -444,3 +444,55 @@ def test_semantic_dedup_deterministic_and_cluster_bounded(ray_session):
     with _pytest.raises(Exception, match="max_cluster"):
         semantic_dedup(rd.from_arrow(t), n_clusters=1, threshold=0.95,
                        max_cluster=10).to_pandas()
+
+
+def test_pq_encode_compression_and_determinism(ray_session):
+    import ray.data as rd
+    from jschon_ray.functions.similarity import pq_encode, pq_train
+
+    t = embeddings_with_dups(n=200, dim=32)
+    ds = rd.from_arrow(t)
+    books = pq_train(ds, m=8, n_codes=32, sample_frac=1.0, seed=5)
+    assert books.shape == (8, 32, 4)
+    a = pq_encode(ds, books).to_pandas().sort_values("vec_id")
+    b = pq_encode(ds.repartition(7), books).to_pandas() \
+        .sort_values("vec_id")
+    # codes independent of partitioning; 8 bytes per row
+    assert [list(x) for x in a["pq_code"]] == [list(x) for x in b["pq_code"]]
+    assert all(len(c) == 8 for c in a["pq_code"])
+    # exact-dup rows quantize to identical codes
+    codes = {v: list(c) for v, c in zip(a["vec_id"], a["pq_code"])}
+    assert codes[20] == codes[60]
+
+
+def test_pq_ann_recall_and_rerank_exact(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from jschon_ray.functions.similarity import (_embedding_matrix, ann_topk,
+                                                 pq_ann_topk,
+                                                 pq_ann_topk_rerank,
+                                                 pq_encode, pq_train)
+
+    t = embeddings_with_dups(n=300, dim=32)
+    ds = rd.from_arrow(t)
+    ids = [10, 20, 150]
+    q = {"ids": np.array(ids),
+         "matrix": np.vstack([_embedding_matrix(t.slice(i, 1), "embedding")
+                              for i in ids])}
+    exact = ann_topk(ds, q, k=5).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    books = pq_train(ds, m=16, n_codes=64, sample_frac=1.0, seed=5)
+    codes = pq_encode(ds, books).materialize()
+    # ADC-only: self + exact-dup always recovered, recall@5 >= 0.6
+    adc = pq_ann_topk(codes, q, books, k=5).to_pandas()
+    assert adc[adc.query_id == 20].iloc[0]["neighbor_id"] in (20, 60)
+    rec = []
+    for qid in ids:
+        e = set(exact[exact.query_id == qid]["neighbor_id"])
+        rec.append(len(e & set(adc[adc.query_id == qid]["neighbor_id"]))
+                   / len(e))
+    assert np.mean(rec) >= 0.6, rec
+    # shortlist + exact rerank: bit-identical to the exact scan
+    rr = pq_ann_topk_rerank(codes, ds, q, books, k=5, shortlist=60) \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(exact, rr, check_dtype=False)
