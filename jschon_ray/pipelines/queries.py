@@ -3423,6 +3423,50 @@ def q_audio_fingerprint_dedup_clips(sf_dir):
     return fingerprint_match_pairs(lm, min_matches=48)
 
 
+def q_audio_denoise_clips(sf_dir):
+    """Spectral-gate noise reduction chain: resample -> NoiseReducer ->
+    per-clip RMS before/after. On the stationary-tone corpus the gate
+    attenuates the tone itself (documented degenerate case — quiet
+    frames still contain signal), so the contract here is plumbing +
+    per-clip energy accounting; SNR-improvement semantics are pinned by
+    tests/test_audio_ops.py on realistic noise-lead-in clips.
+    Rows-only."""
+    import numpy as np
+
+    from ..sources.clips import clips_cache_dir
+    from ..stages.audio_ops import AudioResampler, NoiseReducer
+    from ..stages.taskpool import stage_fn
+
+    def rms_db(out_col):
+        def fn(t: pa.Table) -> pa.Table:
+            vals = []
+            for b, c in zip(t["bytes"].to_pylist(),
+                            t["codec"].to_pylist()):
+                # dirty rows that failed the resample keep their original
+                # (possibly truncated / containered) payload — skip them
+                if not b or c != "pcm_s16le":
+                    vals.append(None)
+                    continue
+                x = np.frombuffer(b[:len(b) // 2 * 2], "<i2") \
+                    .astype(np.float64) / 32768.0
+                vals.append(float(10 * np.log10((x * x).mean() + 1e-12))
+                            if len(x) else None)
+            return t.append_column(out_col, pa.array(vals, pa.float64()))
+        return fn
+
+    ds = read_table(clips_cache_dir(sf_dir),
+                    columns=["clip_id", "bytes", "sr_hz", "codec"])
+    out = ds.map_batches(stage_fn(AudioResampler, target_sr=16000),
+                         batch_format="pyarrow", batch_size=256) \
+        .map_batches(rms_db("rms_before_db"), batch_format="pyarrow") \
+        .map_batches(stage_fn(NoiseReducer), batch_format="pyarrow",
+                     batch_size=256) \
+        .map_batches(rms_db("rms_after_db"), batch_format="pyarrow") \
+        .select_columns(["clip_id", "denoise_ok", "rms_before_db",
+                         "rms_after_db"])
+    return out
+
+
 def q_audio_fingerprint_clusters(sf_dir):
     """Full audio dedup decision: constellation-fingerprint match pairs
     (q_audio_fingerprint_dedup_clips) -> distributed connected
@@ -3686,6 +3730,7 @@ def build_queries() -> dict:
         "audio_fingerprint_dedup": q_audio_fingerprint_dedup_clips,
         "audio_mfcc_clips": q_audio_mfcc_clips,
         "audio_fingerprint_clusters": q_audio_fingerprint_clusters,
+        "audio_denoise_clips": q_audio_denoise_clips,
         "audio_prep_segments": q_audio_prep_segments,
         "audio_pitch_clips": q_audio_pitch_clips,
         "audio_cmvn_clips": q_audio_cmvn_clips,

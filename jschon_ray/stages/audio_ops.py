@@ -314,6 +314,124 @@ class MelSpectrogram:
         return pa.table(cols)
 
 
+class NoiseReducer:
+    """Spectral-gate noise reduction (Boll '79 spectral subtraction with a
+    per-clip noise profile) — the ASR-prep denoise step.
+
+    Per clip: 50%-overlap Hann STFT; the noise magnitude profile is the
+    mean spectrum of the quietest `noise_frac` frames OF THAT CLIP (no
+    global state, so output is independent of block layout); gain =
+    max(1 - alpha * noise/mag, floor_gain) per bin; WOLA resynthesis
+    normalized by the accumulated squared window. Re-emits s16le payload
+    like AudioResampler (chainable before VAD / features).
+
+    Vectorization: frames of every clip stack into ONE rfft and ONE
+    irfft per batch; the only per-clip Python work is the decode, the
+    quantile threshold, and the overlap-add (np.add.at, one fused C call
+    per clip).
+
+    Assumption (inherent to spectral gating): the clip contains
+    signal-absent frames for the noise estimate — true for speech with
+    pauses, FALSE for a start-to-end stationary tone, where the quiet
+    frames still hold the tone and the gate subtracts signal (the synth
+    tone corpus is exactly this degenerate case; see
+    tests/test_audio_ops.py::test_noise_reducer_improves_snr for the
+    realistic shape).
+    """
+
+    def __init__(self, frame_len: int = 512, noise_frac: float = 0.1,
+                 alpha: float = 2.0, floor_gain: float = 0.1):
+        self.frame_len = int(frame_len)
+        self.hop = self.frame_len // 2
+        self.noise_frac = float(noise_frac)
+        self.alpha = float(alpha)
+        self.floor_gain = float(floor_gain)
+        # periodic Hann: exact constant-overlap-add at 50% hop
+        n = np.arange(self.frame_len)
+        self.window = (0.5 * (1.0 - np.cos(2 * np.pi * n / self.frame_len))) \
+            .astype(np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nrows = batch.num_rows
+        L, H = self.frame_len, self.hop
+        payloads = batch["bytes"].to_pylist()
+        codecs = batch["codec"].to_pylist()
+
+        out_bytes = [None] * nrows
+        ok = np.zeros(nrows, bool)
+
+        sigs, frames, counts, rows = [], [], [], []
+        for i in range(nrows):
+            if payloads[i] is None:
+                out_bytes[i] = payloads[i]
+                continue
+            try:
+                pcm, _ = decode_clip(payloads[i], codecs[i])
+            except (DecodeError, NotImplementedError):
+                out_bytes[i] = payloads[i]
+                continue
+            f = pcm.astype(np.float64) / 32768.0
+            if len(f) < L:
+                # too short for one frame: pass through unchanged
+                out_bytes[i] = pcm.astype("<i2").tobytes()
+                ok[i] = True
+                continue
+            nf = 1 + (len(f) - L) // H
+            idx = np.arange(L)[None, :] + H * np.arange(nf)[:, None]
+            frames.append(f[idx] * self.window)
+            sigs.append(f)
+            counts.append(nf)
+            rows.append(i)
+
+        if rows:
+            spec = np.fft.rfft(np.concatenate(frames), axis=1)
+            mag = np.abs(spec)
+            bounds = np.concatenate([[0], np.cumsum(counts)]).astype(int)
+            gains = np.empty_like(mag)
+            for j in range(len(rows)):
+                m = mag[bounds[j]:bounds[j + 1]]
+                energy = (m * m).sum(axis=1)
+                k = max(1, int(round(len(m) * self.noise_frac)))
+                quiet = np.argpartition(energy, k - 1)[:k]
+                noise = m[quiet].mean(axis=0)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    g = 1.0 - self.alpha * noise / np.maximum(m, 1e-12)
+                gains[bounds[j]:bounds[j + 1]] = \
+                    np.maximum(g, self.floor_gain)
+            clean = np.fft.irfft(spec * gains, n=L, axis=1) * self.window
+
+            wsq = self.window * self.window
+            for j, i in enumerate(rows):
+                nf = counts[j]
+                out_len = (nf - 1) * H + L
+                acc = np.zeros(out_len)
+                norm = np.zeros(out_len)
+                idx = (np.arange(L)[None, :]
+                       + H * np.arange(nf)[:, None]).ravel()
+                np.add.at(acc, idx, clean[bounds[j]:bounds[j + 1]].ravel())
+                np.add.at(norm, idx, np.tile(wsq, nf))
+                # where the accumulated window mass is negligible (the
+                # outermost samples of the first/last frame) the ratio is
+                # numerically meaningless — keep the original sample
+                y = np.where(norm > 1e-6,
+                             acc / np.maximum(norm, 1e-6),
+                             sigs[j][:out_len])
+                full = np.zeros(len(sigs[j]))
+                full[:out_len] = y
+                full[out_len:] = sigs[j][out_len:]   # un-framed tail kept
+                out = np.clip(np.rint(full * 32768.0), -32768, 32767) \
+                    .astype("<i2")
+                out_bytes[i] = out.tobytes()
+                ok[i] = True
+
+        cols = {name: batch[name] for name in batch.column_names}
+        cols["bytes"] = pa.array(out_bytes, pa.binary())
+        cols["codec"] = pa.array(
+            ["pcm_s16le" if o else c for o, c in zip(ok, codecs)])
+        cols["denoise_ok"] = pa.array(ok)
+        return pa.table(cols)
+
+
 class MFCC:
     """Mel-frequency cepstral coefficients: orthonormal DCT-II over the
     per-frame log-mel matrix, keeping the first `n_mfcc` coefficients —

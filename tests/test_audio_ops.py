@@ -334,3 +334,68 @@ def test_mfcc_propagates_mel_failure():
     mm = dict(zip(out["clip_id"].to_pylist(),
                   out["mfcc_mean"].to_pylist()))
     assert mm["badcodec"] is None and mm["good"] is not None
+
+
+def test_noise_reducer_improves_snr():
+    from jschon_ray.stages.audio_ops import NoiseReducer
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    rng = np.random.default_rng(3)
+    tone = 0.4 * np.sin(2 * np.pi * 440 * t)
+    tone[: sr // 4] = 0.0                   # noise-only lead-in
+    noisy = tone + 0.05 * rng.standard_normal(sr)
+    pcm = np.clip(noisy * 32768, -32768, 32767).astype("<i2")
+
+    def snr(ref, x):
+        e = ref - x
+        return 10 * np.log10(max((ref ** 2).sum(), 1e-12)
+                             / max((e ** 2).sum(), 1e-12))
+
+    tb = pa.table({"clip_id": ["a"],
+                   "bytes": pa.array([pcm.tobytes()], pa.binary()),
+                   "codec": ["pcm_s16le"]})
+    out = NoiseReducer(noise_frac=0.2)(tb)
+    assert out["denoise_ok"][0].as_py()
+    den = np.frombuffer(out["bytes"][0].as_py(), "<i2") \
+        .astype(np.float64) / 32768.0
+    a, b = sr // 4 + 1024, sr - 1024
+    before = snr(tone[a:b], noisy[a:b] / 32768.0 * 32768.0)
+    after = snr(tone[a:b], den[a:b])
+    assert after > before + 5, (before, after)
+    # lead-in noise floor drops
+    rms_b = np.sqrt((noisy[1024:sr // 4] ** 2).mean())
+    rms_a = np.sqrt((den[1024:sr // 4] ** 2).mean())
+    assert rms_a < rms_b * 0.5
+
+
+def test_noise_reducer_identity_when_alpha_zero():
+    from jschon_ray.stages.audio_ops import NoiseReducer
+
+    pcm = _tone(16000, 200, 330)
+    tb = pa.table({"clip_id": ["a"],
+                   "bytes": pa.array([pcm.tobytes()], pa.binary()),
+                   "codec": ["pcm_s16le"]})
+    out = NoiseReducer(alpha=0.0)(tb)
+    den = np.frombuffer(out["bytes"][0].as_py(), "<i2")
+    # alpha=0 -> unit gain -> WOLA identity (within int16 rounding)
+    assert np.abs(den.astype(int) - pcm.astype(int)).max() <= 1
+
+
+def test_noise_reducer_passthrough_rows():
+    from jschon_ray.stages.audio_ops import NoiseReducer
+
+    short = np.zeros(100, "<i2")                     # < one frame
+    tb = pa.table({
+        "clip_id": ["short", "null", "bad"],
+        "bytes": pa.array([short.tobytes(), None, b"FAKEamr\0\0\0\0\0z"],
+                          pa.binary()),
+        "codec": pa.array(["pcm_s16le", "pcm_s16le", "amr"]),
+    })
+    out = NoiseReducer()(tb)
+    ok = dict(zip(out["clip_id"].to_pylist(),
+                  out["denoise_ok"].to_pylist()))
+    assert ok == {"short": True, "null": False, "bad": False}
+    got = dict(zip(out["clip_id"].to_pylist(), out["bytes"].to_pylist()))
+    assert got["short"] == short.tobytes()           # unchanged
+    assert got["null"] is None
