@@ -2917,42 +2917,45 @@ ORDER BY doc_id
 """
 
 
+def _perturb_orders_batch(t: pa.Table) -> pa.Table:
+    """Deterministic 'next delivery' of orders: drop key%97==0, +1.00
+    price on key%89==0, status 'X' on key%83==0 (breaks the enum, so
+    incremental revalidation has real verdict flips), re-keyed copies of
+    key%101==0 appended. Mirrored exactly by the new_snap CTE in
+    _SNAPSHOT_DIFF_SQL / _INCR_VALIDATE_SQL."""
+    import numpy as np
+
+    k = t["o_orderkey"].to_numpy()
+    price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+    status = np.asarray(t["o_orderstatus"].to_pylist(), object)
+    new_price = np.where((k % 89) == 0, price + 1.0, price)
+    new_status = np.where((k % 83) == 0, "X", status)
+    keep = (k % 97) != 0
+    base = pa.table({
+        "o_orderkey": pa.array(k[keep]),
+        "o_totalprice": pa.array(new_price[keep]),
+        "o_orderstatus": pa.array(new_status[keep].tolist(), pa.string()),
+    })
+    add = (k % 101) == 0
+    added = pa.table({
+        "o_orderkey": pa.array(k[add] + 100000000),
+        "o_totalprice": pa.array(price[add]),
+        "o_orderstatus": pa.array(status[add].tolist(), pa.string()),
+    })
+    return pa.concat_tables([base, added])
+
+
 def q_snapshot_diff_orders(sf_dir):
     """Snapshot diff (functions/diff.py): added/removed/changed orders
     between the base table and a deterministically perturbed delivery
-    (drop key%97==0, +1.00 price on key%89==0, status 'X' on key%83==0,
-    re-keyed copies of key%101==0 appended). One narrow keys+compared
-    columns shuffle; unchanged keys emit nothing."""
-    import numpy as np
-
+    (_perturb_orders_batch). One narrow keys+compared columns shuffle;
+    unchanged keys emit nothing."""
     from ..functions.diff import snapshot_diff
 
     cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
     old = read_table(table_path(sf_dir, "orders"), columns=cols)
-
-    def perturb(t: pa.Table) -> pa.Table:
-        k = t["o_orderkey"].to_numpy()
-        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
-        status = np.asarray(t["o_orderstatus"].to_pylist(), object)
-        new_price = np.where((k % 89) == 0, price + 1.0, price)
-        new_status = np.where((k % 83) == 0, "X", status)
-        keep = (k % 97) != 0
-        base = pa.table({
-            "o_orderkey": pa.array(k[keep]),
-            "o_totalprice": pa.array(new_price[keep]),
-            "o_orderstatus": pa.array(new_status[keep].tolist(),
-                                      pa.string()),
-        })
-        add = (k % 101) == 0
-        added = pa.table({
-            "o_orderkey": pa.array(k[add] + 100000000),
-            "o_totalprice": pa.array(price[add]),
-            "o_orderstatus": pa.array(status[add].tolist(), pa.string()),
-        })
-        return pa.concat_tables([base, added])
-
     new = read_table(table_path(sf_dir, "orders"), columns=cols) \
-        .map_batches(perturb, batch_format="pyarrow")
+        .map_batches(_perturb_orders_batch, batch_format="pyarrow")
     out = snapshot_diff(old, new, key_col="o_orderkey",
                         compare_cols=["o_totalprice", "o_orderstatus"])
     df = out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
@@ -2986,6 +2989,98 @@ FROM orders o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
 WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
    OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
    OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+"""
+
+
+_INCR_ORDERS_SPEC = {
+    "$id": "https://jschon-ray.dev/specs/orders-delta",
+    "type": "object",
+    "required": ["o_orderkey", "o_orderstatus", "o_totalprice"],
+    "properties": {
+        "o_orderkey": {"type": "integer", "exclusiveMinimum": 0},
+        "o_orderstatus": {"enum": ["O", "F", "P"]},
+        "o_totalprice": {"type": "number", "exclusiveMinimum": 0,
+                         "maximum": 300000},
+    },
+}
+
+
+def q_incremental_validate_orders(sf_dir):
+    """Incremental revalidation: validate ONLY the delta of a new
+    delivery and merge with the stored verdicts of the previous one —
+    provably equal to revalidating the whole snapshot (the oracle runs
+    the full validation SQL over the new snapshot).
+
+    Composition: snapshot_diff gives the changed/added/removed key sets
+    (delta-sized, ~3% here — broadcast via ray.put); prior verdicts
+    stream through a key-set filter; only delta rows enter the
+    validator. At 100 TB this turns a full revalidation into work
+    proportional to the delivery's churn."""
+    import ray
+
+    from ..functions.diff import snapshot_diff
+    from .validate import validate_dataset
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    old = read_table(table_path(sf_dir, "orders"), columns=cols)
+    new = read_table(table_path(sf_dir, "orders"), columns=cols) \
+        .map_batches(_perturb_orders_batch, batch_format="pyarrow")
+
+    # stored verdicts of the previous delivery (simulated here by
+    # validating the old snapshot; in production this is a saved table)
+    old_verdicts = validate_dataset(old, _INCR_ORDERS_SPEC) \
+        .select_columns(["o_orderkey", "valid"])
+
+    delta = snapshot_diff(old, new, key_col="o_orderkey",
+                          compare_cols=["o_totalprice", "o_orderstatus"]) \
+        .to_pandas()
+    reval = set(delta[delta["status"].isin(["added", "changed"])]
+                ["o_orderkey"].tolist())
+    drop = set(delta[delta["status"].isin(["removed", "changed"])]
+               ["o_orderkey"].tolist())
+    reval_ref, drop_ref = ray.put(reval), ray.put(drop)
+
+    def keep_unchanged(t: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        k = t["o_orderkey"].to_numpy()
+        mask = np.fromiter((v not in d for v in k), bool, len(k))
+        return t.filter(pa.array(mask))
+
+    def keep_delta(t: pa.Table) -> pa.Table:
+        r = ray.get(reval_ref)
+        k = t["o_orderkey"].to_numpy()
+        mask = np.fromiter((v in r for v in k), bool, len(k))
+        return t.filter(pa.array(mask))
+
+    unchanged = old_verdicts.map_batches(keep_unchanged,
+                                         batch_format="pyarrow")
+    delta_verdicts = validate_dataset(
+        new.map_batches(keep_delta, batch_format="pyarrow"),
+        _INCR_ORDERS_SPEC).select_columns(["o_orderkey", "valid"])
+    out = unchanged.union(delta_verdicts).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+_INCR_VALIDATE_SQL = r"""
+WITH new_snap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 83 = 0 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 101 = 0
+)
+SELECT o_orderkey,
+       (o_orderkey IS NOT NULL AND o_orderstatus IS NOT NULL
+        AND o_totalprice IS NOT NULL
+        AND (o_orderkey IS NULL OR o_orderkey > 0)
+        AND (o_orderstatus IS NULL OR o_orderstatus IN ('O','F','P'))
+        AND (o_totalprice IS NULL
+             OR (o_totalprice > 0 AND o_totalprice <= 300000))) AS valid
+FROM new_snap
 """
 
 
@@ -3631,6 +3726,7 @@ def build_queries() -> dict:
         "weighted_topk_docs": q_weighted_topk_docs,
         "pack_docs": q_pack_docs,
         "snapshot_diff_orders": q_snapshot_diff_orders,
+        "incremental_validate_orders": q_incremental_validate_orders,
         "drift_psi_bins_lineitem": q_drift_psi_bins_lineitem,
         "events_lag_delta": q_events_lag_delta,
         "events_throttle": q_events_throttle,
@@ -3826,6 +3922,7 @@ def build_oracles() -> dict:
         "weighted_topk_docs": _WEIGHTED_TOPK_SQL,
         "pack_docs": _PACK_SQL,
         "snapshot_diff_orders": _SNAPSHOT_DIFF_SQL,
+        "incremental_validate_orders": _INCR_VALIDATE_SQL,
         "drift_psi_bins_lineitem": _DRIFT_PSI_SQL,
         "events_lag_delta": _EVENTS_LAG_DELTA_SQL,
         "events_throttle": _EVENTS_THROTTLE_SQL,

@@ -69,3 +69,26 @@ def test_diff_string_keys_bucketed(ray_session):
                         n_buckets=16).to_pandas()
     assert set(out["status"]) == {"changed"}
     assert sorted(out["k"]) == [f"k{i:04d}" for i in range(0, n, 7)]
+
+
+def test_incremental_validation_equals_full(ray_session):
+    """The merged (stored + delta-revalidated) verdicts must be identical
+    to validating the whole new snapshot from scratch."""
+    from jschon_ray.pipelines.queries import (_INCR_ORDERS_SPEC,
+                                              _perturb_orders_batch,
+                                              q_incremental_validate_orders)
+    from jschon_ray.pipelines.validate import validate_dataset
+    from jschon_ray.sources.io import read_table, table_path
+
+    sf = "/root/testdata/sf0.001"
+    inc = q_incremental_validate_orders(sf)
+    full = validate_dataset(
+        read_table(table_path(sf, "orders"),
+                   columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+        .map_batches(_perturb_orders_batch, batch_format="pyarrow"),
+        _INCR_ORDERS_SPEC) \
+        .select_columns(["o_orderkey", "valid"]).to_pandas() \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        inc.reset_index(drop=True), full, check_dtype=False)
+    assert (~full["valid"]).sum() > 0        # the delta flips verdicts
