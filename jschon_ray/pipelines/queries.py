@@ -3061,6 +3061,58 @@ def q_incremental_validate_orders(sf_dir):
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+_REPAIR_ORDERS_SPEC = {
+    "$id": "https://jschon-ray.dev/specs/orders-repair",
+    "type": "object",
+    "properties": {
+        "o_totalprice": {"type": "number", "minimum": 1.0,
+                         "maximum": 300000.0, "default": 1.0},
+        "o_orderstatus": {"enum": ["O", "F", "P"], "default": "O"},
+        "o_orderpriority": {"type": "string", "maxLength": 6},
+    },
+}
+
+
+def q_repair_orders(sf_dir):
+    """Spec-driven repair (functions/repair.py): apply the contract's
+    default / bounds / enum / maxLength annotations as fixes — fill null
+    prices, clamp to [1, 300000], reset out-of-enum status to the
+    default, truncate priority to 6 code units — with a `repaired` flag
+    per row. Pure per-batch Arrow kernels; the oracle mirrors every rule
+    with COALESCE / least / greatest / CASE / substr."""
+    from ..functions.repair import repair_dataset
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus",
+            "o_orderpriority"]
+    ds = read_table(table_path(sf_dir, "orders"), columns=cols)
+    return repair_dataset(ds, _REPAIR_ORDERS_SPEC)
+
+
+_REPAIR_ORDERS_SQL = r"""
+WITH fixed AS (
+  SELECT o_orderkey,
+         o_totalprice    AS tp0,
+         o_orderstatus   AS st0,
+         o_orderpriority AS pr0,
+         least(greatest(coalesce(o_totalprice, 1.0), 1.0), 300000.0)
+           AS o_totalprice,
+         CASE WHEN coalesce(o_orderstatus, 'O') IN ('O','F','P')
+              THEN coalesce(o_orderstatus, 'O') ELSE 'O' END
+           AS o_orderstatus,
+         CASE WHEN length(o_orderpriority) > 6
+              THEN substr(o_orderpriority, 1, 6)
+              ELSE o_orderpriority END
+           AS o_orderpriority
+  FROM orders
+)
+SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority,
+       (tp0 IS DISTINCT FROM o_totalprice
+        OR st0 IS DISTINCT FROM o_orderstatus
+        OR pr0 IS DISTINCT FROM o_orderpriority) AS repaired
+FROM fixed
+"""
+
+
 _INCR_VALIDATE_SQL = r"""
 WITH new_snap AS (
   SELECT o_orderkey,
@@ -3727,6 +3779,7 @@ def build_queries() -> dict:
         "pack_docs": q_pack_docs,
         "snapshot_diff_orders": q_snapshot_diff_orders,
         "incremental_validate_orders": q_incremental_validate_orders,
+        "repair_orders": q_repair_orders,
         "drift_psi_bins_lineitem": q_drift_psi_bins_lineitem,
         "events_lag_delta": q_events_lag_delta,
         "events_throttle": q_events_throttle,
@@ -3923,6 +3976,7 @@ def build_oracles() -> dict:
         "pack_docs": _PACK_SQL,
         "snapshot_diff_orders": _SNAPSHOT_DIFF_SQL,
         "incremental_validate_orders": _INCR_VALIDATE_SQL,
+        "repair_orders": _REPAIR_ORDERS_SQL,
         "drift_psi_bins_lineitem": _DRIFT_PSI_SQL,
         "events_lag_delta": _EVENTS_LAG_DELTA_SQL,
         "events_throttle": _EVENTS_THROTTLE_SQL,
