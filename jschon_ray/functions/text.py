@@ -599,3 +599,46 @@ def lexical_diversity_batch(batch: pa.Table, col: str = "text",
                      "n_distinct": pa.array(n_distinct[nz]),
                      "n_hapax": pa.array(n_hapax[nz]),
                      "token_entropy": pa.array(np.round(ent[nz], 4))})
+
+
+# GPT-2-style pre-tokenizer, RE2-compatible (no lookahead, so the
+# trailing-space variant of the original is folded into plain \s+).
+# Arrow's count_substring_regex and DuckDB's regexp_extract_all both run
+# RE2, so counts are bit-identical between engine and oracle.
+BPE_PRETOKEN_RE = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_batch(batch: pa.Table, col: str = "text",
+                          out: str = "n_bpe_tokens") -> pa.Table:
+    """Pre-tokenizer segment count — the standard proxy for LM token
+    budgets when the real BPE merges are not available (merges only
+    split segments further, so this lower-bounds the true count with a
+    stable ratio). One RE2 scan per batch."""
+    import pyarrow.compute as pc
+
+    n = pc.count_substring_regex(batch[col], BPE_PRETOKEN_RE)
+    return batch.append_column(out, n.cast(pa.int64()))
+
+
+def compression_ratio_batch(batch: pa.Table, col: str = "text",
+                            out: str = "zlib_ratio",
+                            level: int = 6) -> pa.Table:
+    """Per-doc zlib compression ratio (compressed/raw bytes) — the
+    classic redundancy quality signal (Gopher/RedPajama filters):
+    boilerplate and repetition compress far below ~0.4, high-entropy
+    junk sits near 1. Per-row C calls (zlib), no Python parsing; docs
+    shorter than 32 bytes get null (ratio dominated by the zlib
+    header)."""
+    import zlib
+
+    vals = []
+    for t in batch[col].to_pylist():
+        if t is None:
+            vals.append(None)
+            continue
+        raw = t.encode("utf-8", "replace")
+        if len(raw) < 32:
+            vals.append(None)
+            continue
+        vals.append(round(len(zlib.compress(raw, level)) / len(raw), 6))
+    return batch.append_column(out, pa.array(vals, pa.float64()))

@@ -1961,6 +1961,34 @@ FROM documents
 """
 
 
+def q_bpe_token_count_docs(sf_dir):
+    from ..functions.text import bpe_token_count_batch
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    return ds.map_batches(bpe_token_count_batch, batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_bpe_tokens"])
+
+
+_BPE_TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_compression_ratio_docs(sf_dir):
+    """zlib redundancy signal per doc. Rows-only (no zlib in SQL)."""
+    from ..functions.text import compression_ratio_batch
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    return ds.map_batches(compression_ratio_batch,
+                          batch_format="pyarrow") \
+        .select_columns(["doc_id", "zlib_ratio"])
+
+
 def q_quality_docs(sf_dir):
     from ..functions.text import quality_batch
 
@@ -3766,6 +3794,8 @@ def build_queries() -> dict:
         "dup_groups_prefix24": q_dup_groups_prefix24,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "token_count_docs": q_token_count_docs,
+        "bpe_token_count_docs": q_bpe_token_count_docs,
+        "compression_ratio_docs": q_compression_ratio_docs,
         "quality_docs": q_quality_docs,
         "lang_id_docs": q_lang_id_docs,
         "fingerprint_docs": q_fingerprint_docs,
@@ -3963,6 +3993,7 @@ def build_oracles() -> dict:
         "dup_groups_prefix24": _DUP_GROUPS_SQL,
         "ngram_jaccard_docs": _NGRAM_JACCARD_SQL,
         "token_count_docs": _TOKEN_COUNT_SQL,
+        "bpe_token_count_docs": _BPE_TOKEN_COUNT_SQL,
         "quality_docs": _QUALITY_SQL,
         "lang_id_docs": _lang_id_sql(),
         "fingerprint_docs": _FINGERPRINT_SQL,

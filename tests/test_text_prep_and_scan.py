@@ -313,3 +313,34 @@ def test_lexical_diversity_hand_computed(ray_session):
     assert out.loc[1, "token_entropy"] == 0.0
     assert math.isclose(out.loc[0, "token_entropy"],
                         -(0.5 * math.log2(0.5) + 2 * 0.25 * math.log2(0.25)))
+
+
+def test_bpe_token_count_matches_reference_segmentation():
+    import pyarrow as pa
+
+    from jschon_ray.functions.text import bpe_token_count_batch
+
+    t = pa.table({"text": pa.array([
+        "Hello world, it's 2026!",      # 8 segments
+        "",                              # 0
+        None,                            # null in -> 0 out (RE2 count)
+        "a-b c_d 3.14",                  # 9
+    ])})
+    out = bpe_token_count_batch(t)
+    assert out["n_bpe_tokens"].to_pylist() == [8, 0, None, 9]
+
+
+def test_compression_ratio_orders_repetitive_below_random():
+    import pyarrow as pa
+
+    from jschon_ray.functions.text import compression_ratio_batch
+
+    rep = "spam and eggs " * 50
+    import numpy as np
+    rng = np.random.default_rng(5)
+    rand = "".join(chr(33 + int(c)) for c in rng.integers(0, 90, 700))
+    t = pa.table({"text": pa.array([rep, rand, "tiny", None])})
+    out = compression_ratio_batch(t)
+    r = out["zlib_ratio"].to_pylist()
+    assert r[0] < 0.1 < r[1]            # repetition crushes, noise doesn't
+    assert r[2] is None and r[3] is None
