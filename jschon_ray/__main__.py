@@ -13,6 +13,9 @@ Commands
   quantiles   exact quantile_disc values by histogram refinement
   clusters    connected components over an edge table (dup clusters)
   chunk       split docs into fixed-token-budget chunks with overlap
+  fingerprint audio content near-dup pairs (constellation hashes)
+  diff        snapshot diff: added/removed/changed rows by key
+  repair      apply a spec's default/bounds/enum/maxLength as fixes
 """
 
 from __future__ import annotations
@@ -141,6 +144,67 @@ def cmd_clusters(args) -> dict:
             "n_components": int(df["component"].nunique())}
 
 
+def cmd_fingerprint(args) -> dict:
+    from .stages.fingerprint import (AudioFingerprinter,
+                                     fingerprint_match_pairs)
+    from .stages.taskpool import stage_fn
+    from .sources.io import read_table
+
+    ds = read_table(args.input, format=args.input_format,
+                    columns=[args.id_col, "bytes", "codec"])
+    lm = ds.map_batches(stage_fn(AudioFingerprinter, id_col=args.id_col),
+                        batch_format="pyarrow", batch_size=128)
+    pairs = fingerprint_match_pairs(lm, min_matches=args.min_matches)
+    if args.output:
+        import ray.data
+
+        from .sources.io import write_table
+
+        write_table(ray.data.from_pandas(pairs), args.output)
+    return {"n_pairs": int(len(pairs))}
+
+
+def cmd_diff(args) -> dict:
+    from .functions.diff import snapshot_diff
+    from .sources.io import read_table, write_table
+
+    cols = args.compare_cols.split(",")
+    old = read_table(args.input, format=args.input_format,
+                     columns=[args.key] + cols)
+    new = read_table(args.new, format=args.input_format,
+                     columns=[args.key] + cols)
+    out = snapshot_diff(old, new, key_col=args.key, compare_cols=cols)
+    if args.output:
+        write_table(out, args.output)
+        out = read_table(args.output)
+    df = out.to_pandas()
+    counts = df["status"].value_counts().to_dict() if len(df) else {}
+    return {"n_delta": int(len(df)),
+            **{k: int(v) for k, v in counts.items()}}
+
+
+def cmd_repair(args) -> dict:
+    from .functions.repair import repair_dataset
+    from .sources.io import read_table, write_table
+
+    with open(args.spec) as f:
+        spec = json.load(f)
+    ds = read_table(args.input, format=args.input_format)
+    out = repair_dataset(ds, spec)
+    if args.output:
+        write_table(out, args.output)
+        out = read_table(args.output)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        return pa.table({"n": [t.num_rows],
+                         "n_rep": [pc.sum(t["repaired"]).as_py() or 0]})
+
+    agg = out.map_batches(count_batch, batch_format="pyarrow").to_pandas()
+    return {"n": int(agg["n"].sum()), "n_repaired": int(agg["n_rep"].sum())}
+
+
 def cmd_chunk(args) -> dict:
     from .functions.text import chunk_documents
     from .sources.io import read_table, write_table
@@ -197,6 +261,23 @@ def main(argv=None) -> int:
     p.add_argument("--src", default="id_a")
     p.add_argument("--dst", default="id_b")
     p.set_defaults(fn=cmd_clusters)
+
+    p = sub.add_parser("fingerprint"); common(p)
+    p.add_argument("--id-col", default="clip_id")
+    p.add_argument("--min-matches", type=int, default=12)
+    p.set_defaults(fn=cmd_fingerprint)
+
+    p = sub.add_parser("diff"); common(p)
+    p.add_argument("--new", required=True,
+                   help="path of the new snapshot (old = --input)")
+    p.add_argument("--key", required=True)
+    p.add_argument("--compare-cols", required=True,
+                   help="comma-separated columns to compare")
+    p.set_defaults(fn=cmd_diff)
+
+    p = sub.add_parser("repair"); common(p)
+    p.add_argument("--spec", required=True)
+    p.set_defaults(fn=cmd_repair)
 
     p = sub.add_parser("chunk"); common(p)
     p.add_argument("--id-col", default="doc_id")
