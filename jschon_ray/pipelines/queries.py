@@ -3101,6 +3101,82 @@ _REPAIR_ORDERS_SPEC = {
 }
 
 
+def q_drift_daily_events(sf_dir):
+    """Daily distribution-drift series: PSI of `value` between each day
+    and the previous day over 5 fixed bins with add-half smoothing.
+    Scale shape: per-block fused (day, bin) bincount partials -> one
+    tiny (days x bins) aggregate; only ~150 count rows reach the
+    driver, which does the PSI arithmetic. The temporal extension of
+    drift_psi_bins_lineitem: a monitoring series, not a single score."""
+    edges = np.array([1.0, 5.0, 20.0, 100.0])
+    n_bins = 5
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        day = ts.astype("datetime64[D]")
+        b = np.searchsorted(edges, v, side="right")
+        key = np.char.add(np.char.add(day.astype(str), "#"),
+                          b.astype(str))
+        uniq, counts = np.unique(key, return_counts=True)
+        days = [u.split("#")[0] for u in uniq]
+        bins = [int(u.split("#")[1]) for u in uniq]
+        return pa.table({"day": pa.array(days, pa.string()),
+                         "bin": pa.array(bins, pa.int32()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    ds = read_table(table_path(sf_dir, "events"), columns=["ts", "value"])
+    rows = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["day", "bin"]).sum("n").take_all()
+
+    grid = {}
+    for r in rows:
+        grid.setdefault(r["day"], np.zeros(n_bins, np.int64))[r["bin"]] \
+            += int(r["sum(n)"])
+    days = sorted(grid)
+    out_day, out_psi = [], []
+    for prev, cur in zip(days, days[1:]):
+        n0, n1 = grid[prev], grid[cur]
+        p0 = (n0 + 0.5) / (n0.sum() + 0.5 * n_bins)
+        p1 = (n1 + 0.5) / (n1.sum() + 0.5 * n_bins)
+        psi = float(np.sum((p1 - p0) * np.log(p1 / p0)))
+        out_day.append(cur)
+        out_psi.append(round(psi, 6))
+    return pd.DataFrame({"day": out_day, "psi": out_psi})
+
+
+_DRIFT_DAILY_SQL = r"""
+WITH b AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CASE WHEN value < 1 THEN 0 WHEN value < 5 THEN 1
+              WHEN value < 20 THEN 2 WHEN value < 100 THEN 3
+              ELSE 4 END AS bin,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT d.day, g.bin, coalesce(b.n, 0) AS n
+  FROM (SELECT DISTINCT day FROM b) d
+  CROSS JOIN (SELECT unnest(range(5)) AS bin) g
+  LEFT JOIN b ON b.day = d.day AND b.bin = g.bin
+),
+p AS (
+  SELECT day, bin,
+         (n + 0.5) / (sum(n) OVER (PARTITION BY day) + 2.5) AS p
+  FROM grid
+),
+x AS (
+  SELECT day, bin, p,
+         lag(p) OVER (PARTITION BY bin ORDER BY day) AS p0
+  FROM p
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       round(sum((p - p0) * ln(p / p0)), 6) AS psi
+FROM x WHERE p0 IS NOT NULL
+GROUP BY day
+"""
+
+
 def q_repair_orders(sf_dir):
     """Spec-driven repair (functions/repair.py): apply the contract's
     default / bounds / enum / maxLength annotations as fixes — fill null
@@ -3810,6 +3886,7 @@ def build_queries() -> dict:
         "snapshot_diff_orders": q_snapshot_diff_orders,
         "incremental_validate_orders": q_incremental_validate_orders,
         "repair_orders": q_repair_orders,
+        "drift_daily_events": q_drift_daily_events,
         "drift_psi_bins_lineitem": q_drift_psi_bins_lineitem,
         "events_lag_delta": q_events_lag_delta,
         "events_throttle": q_events_throttle,
@@ -4008,6 +4085,7 @@ def build_oracles() -> dict:
         "snapshot_diff_orders": _SNAPSHOT_DIFF_SQL,
         "incremental_validate_orders": _INCR_VALIDATE_SQL,
         "repair_orders": _REPAIR_ORDERS_SQL,
+        "drift_daily_events": _DRIFT_DAILY_SQL,
         "drift_psi_bins_lineitem": _DRIFT_PSI_SQL,
         "events_lag_delta": _EVENTS_LAG_DELTA_SQL,
         "events_throttle": _EVENTS_THROTTLE_SQL,
