@@ -125,3 +125,20 @@ def test_fingerprint_clusters_canonical_keep(ray_session):
     comp = dict(zip(cc["clip_id"], cc["component"]))
     for a, b in truth:
         assert comp[a] == comp[b] == min(comp[a], a)
+
+
+def test_partial_containment_detected(ray_session):
+    # clip B embeds a stretch of clip A (prefix copy): the offset
+    # histogram still concentrates on one dt, so containment is found
+    # with proportionally fewer votes than a full duplicate
+    src = synth_fp_pcm("contain-src")
+    part = src[: len(src) * 2 // 3]          # first 2 of 3 segments
+    other = synth_fp_pcm("contain-other")
+    ds = ray.data.from_arrow(_table(["full", "part", "other"],
+                                    [src, part, other]))
+    lm = ds.map_batches(stage_fn(AudioFingerprinter),
+                        batch_format="pyarrow", batch_size=8)
+    pairs = fingerprint_match_pairs(lm, min_matches=30)
+    assert ("full", "part") in set(zip(pairs["id_a"], pairs["id_b"]))
+    assert not any("other" in p for pr in zip(pairs["id_a"], pairs["id_b"])
+                   for p in pr)
