@@ -3659,9 +3659,10 @@ def q_audio_fingerprint_dedup_clips(sf_dir):
     the planted-duplicates chord corpus (sources/clips.py
     generate_fp_clips; the main tone corpus has only ~64 distinct
     spectral contents, so every hash there is a stop-hash).
-    min_matches=48 sits in the measured gap between planted duplicates
-    (>=69 shared-offset votes) and ambient single-segment collisions
-    (<=30). Rows-only: DSP is not SQL-expressible."""
+    min_matches=40 sits in the measured gap between planted duplicates
+    (>=47 shared-offset votes even for 2-frame-shifted copies) and
+    ambient single-segment collisions (<=25 at 5k clips). Rows-only:
+    DSP is not SQL-expressible."""
     from ..sources.clips import fp_corpus_cache_dir
     from ..stages.fingerprint import (AudioFingerprinter,
                                       fingerprint_match_pairs)
@@ -3671,7 +3672,7 @@ def q_audio_fingerprint_dedup_clips(sf_dir):
                     columns=["clip_id", "bytes", "codec"])
     lm = ds.map_batches(stage_fn(AudioFingerprinter),
                         batch_format="pyarrow", batch_size=128)
-    return fingerprint_match_pairs(lm, min_matches=48)
+    return fingerprint_match_pairs(lm, min_matches=40)
 
 
 def q_audio_denoise_clips(sf_dir):

@@ -241,37 +241,97 @@ def synth_fp_pcm(clip_id: str, sr_hz: int = 16000) -> np.ndarray:
     return np.clip(sig * 32767, -32768, 32767).astype("<i2")
 
 
-def generate_fp_clips(n: int, seed: int = 42, *, dup_rate: float = 0.02,
-                      sr_hz: int = 16000):
-    """(table, truth) where truth is the sorted list of planted duplicate
-    pairs (id_a, id_b) with id_a < id_b. Half the duplicates are shifted
-    by 1-2 whole frames of leading silence (offset-consistency must still
-    match them); content is otherwise byte-identical."""
+def fp_plan(n: int, seed: int = 42, *, dup_rate: float = 0.02):
+    """Duplicate plan: (ids, dup) where dup[i] = (root_src_idx, shift).
+
+    CHEAP (rng bookkeeping only — no synthesis), so shard-parallel
+    builders recompute it and synthesize only their own rows. Sources
+    are always root clips (a chosen source that is itself a duplicate
+    resolves to its root), so any row's waveform is derivable from the
+    plan alone: pcm(i) = shift(synth(ids[dup[i][0]])) or synth(ids[i]).
+    """
     rng = np.random.default_rng(seed)
     ids = [f"fp-{seed}-{i:06d}" for i in range(n)]
-    pcms = [synth_fp_pcm(cid, sr_hz) for cid in ids]
-    truth = []
+    dup: dict[int, tuple[int, int]] = {}
     if n > 4:
         n_dup = max(1, int(n * dup_rate))
-        for i in rng.choice(np.arange(1, n), n_dup, replace=False):
+        chosen = rng.choice(np.arange(1, n), n_dup, replace=False)
+        for i in chosen:
             src = int(rng.integers(0, i))
-            pcm = pcms[src]
-            if rng.random() < 0.5:
-                shift = int(rng.integers(1, 3)) * FP_FRAME
-                pcm = np.concatenate(
-                    [np.zeros(shift, "<i2"), pcm[:-shift]])
-            pcms[int(i)] = pcm
-            truth.append(tuple(sorted((ids[src], ids[int(i)]))))
+            shift = (int(rng.integers(1, 3)) * FP_FRAME
+                     if rng.random() < 0.5 else 0)
+            dup[int(i)] = (src, shift)
+    return ids, dup
+
+
+def _fp_root(dup, i: int) -> int:
+    """Transitive root of a copy chain (src < i always, so it
+    terminates)."""
+    while i in dup:
+        i = dup[i][0]
+    return i
+
+
+def fp_truth_pairs(ids, dup) -> list:
+    """All duplicate pairs implied by the plan: every pair within a
+    {root + its copies} group (two shifted copies of one root are
+    near-duplicates of EACH OTHER, not just of the root)."""
+    groups: dict[int, list] = {}
+    for i in dup:
+        root = _fp_root(dup, i)
+        groups.setdefault(root, [root]).append(i)
+    pairs = set()
+    for members in groups.values():
+        ms = sorted(set(members))
+        for a in range(len(ms)):
+            for b in range(a + 1, len(ms)):
+                pairs.add(tuple(sorted((ids[ms[a]], ids[ms[b]]))))
+    return sorted(pairs)
+
+
+def fp_clip_pcm(ids, dup, i: int, sr_hz: int = 16000) -> np.ndarray:
+    """Waveform of row i under the plan — derivable from the plan alone:
+    content = root's chord sequence shifted by the chain's total lead-in,
+    CAPPED at 2 frames so every pair within a duplicate group keeps >=
+    (FP_SEGMENTS*FP_FRAMES_PER_SEG - 2) frames of overlap regardless of
+    chain depth (uncapped chains would drift out of detectability)."""
+    shift = 0
+    j = i
+    while j in dup:
+        src, sh = dup[j]
+        shift += sh
+        j = src
+    shift = min(shift, 2 * FP_FRAME)
+    pcm = synth_fp_pcm(ids[j], sr_hz)
+    if shift:
+        pcm = np.concatenate([np.zeros(shift, "<i2"), pcm[:-shift]])
+    return pcm
+
+
+def fp_rows_table(ids, dup, lo: int, hi: int,
+                  sr_hz: int = 16000) -> pa.Table:
     dur_ms = int(FP_SEGMENTS * FP_FRAMES_PER_SEG * FP_FRAME * 1000 / sr_hz)
-    table = pa.table({
-        "clip_id": pa.array(ids, pa.string()),
-        "bytes": pa.array([p.tobytes() for p in pcms], pa.binary()),
-        "sr_hz": pa.array([sr_hz] * n, pa.int32()),
-        "dur_ms": pa.array([dur_ms] * n, pa.int32()),
-        "codec": pa.array(["pcm_s16le"] * n, pa.string()),
-        "transcript": pa.array([""] * n, pa.string()),
+    m = hi - lo
+    return pa.table({
+        "clip_id": pa.array(ids[lo:hi], pa.string()),
+        "bytes": pa.array(
+            [fp_clip_pcm(ids, dup, i, sr_hz).tobytes()
+             for i in range(lo, hi)], pa.binary()),
+        "sr_hz": pa.array([sr_hz] * m, pa.int32()),
+        "dur_ms": pa.array([dur_ms] * m, pa.int32()),
+        "codec": pa.array(["pcm_s16le"] * m, pa.string()),
+        "transcript": pa.array([""] * m, pa.string()),
     })
-    return table, sorted(set(truth))
+
+
+def generate_fp_clips(n: int, seed: int = 42, *, dup_rate: float = 0.02,
+                      sr_hz: int = 16000):
+    """(table, truth): truth is the sorted list of duplicate pairs
+    (id_a, id_b), id_a < id_b, including pairs between two copies of the
+    same root. Half the copies are shifted by 1-2 whole frames of
+    leading silence (offset-consistency must still match them)."""
+    ids, dup = fp_plan(n, seed, dup_rate=dup_rate)
+    return fp_rows_table(ids, dup, 0, n, sr_hz), fp_truth_pairs(ids, dup)
 
 
 def fp_corpus_cache_dir(sf_dir: str, n: int | None = None,
@@ -283,20 +343,32 @@ def fp_corpus_cache_dir(sf_dir: str, n: int | None = None,
     if n is None:
         n = {"sf0.001": 500, "sf0.01": 5000, "sf0.1": 20000}.get(tag, 500)
     shards = max(4, min(32, n // 1000))
-    out = f"/tmp/jschon_ray_fpclips/{tag}-n{n}-s{seed}-p{shards}-u1"
+    out = f"/tmp/jschon_ray_fpclips/{tag}-n{n}-s{seed}-p{shards}-u2"
     done = os.path.join(out, "_DONE")
     if not os.path.exists(done):
         os.makedirs(out, exist_ok=True)
-        table, _ = generate_fp_clips(n, seed=seed)
         per = max(1, n // shards)
-        for s in range(shards):
-            lo = s * per
-            hi = n if s == shards - 1 else min(n, lo + per)
-            if hi <= lo:
-                continue
-            pq.write_table(table.slice(lo, hi - lo),
+        bounds = [(s * per, n if s == shards - 1 else min(n, s * per + per))
+                  for s in range(shards)]
+        bounds = [(lo, hi) for lo, hi in bounds if hi > lo]
+
+        def build_shard(s, lo, hi):
+            # the plan (rng bookkeeping) is cheap to recompute per task;
+            # each shard synthesizes ONLY its own rows — generation
+            # parallelizes like the main clips writer
+            ids, dup = fp_plan(n, seed)
+            pq.write_table(fp_rows_table(ids, dup, lo, hi),
                            os.path.join(out, f"part-{s:04d}.parquet"),
                            compression="NONE")
+
+        import ray
+        if ray.is_initialized() and len(bounds) > 1:
+            remote = ray.remote(num_cpus=1)(build_shard)
+            ray.get([remote.remote(s, lo, hi)
+                     for s, (lo, hi) in enumerate(bounds)])
+        else:
+            for s, (lo, hi) in enumerate(bounds):
+                build_shard(s, lo, hi)
         with open(done, "w") as f:
             f.write("ok")
     return out

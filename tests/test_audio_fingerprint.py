@@ -63,10 +63,10 @@ def test_planted_duplicates_found_exactly(ray_session):
         t.select(["clip_id", "bytes", "codec"])).repartition(4)
     lm = ds.map_batches(stage_fn(AudioFingerprinter),
                         batch_format="pyarrow", batch_size=64)
-    pairs = fingerprint_match_pairs(lm, min_matches=48)
+    pairs = fingerprint_match_pairs(lm, min_matches=40)
     found = sorted(zip(pairs["id_a"], pairs["id_b"]))
     assert found == truth
-    assert (pairs["matches"] >= 48).all()
+    assert (pairs["matches"] >= 40).all()
 
 
 def test_shifted_copy_matches_by_offset_consistency(ray_session):
@@ -87,7 +87,7 @@ def test_match_pairs_empty_on_distinct_corpus(ray_session):
     ds = ray.data.from_arrow(_table([f"d{i}" for i in range(6)], pcms))
     lm = ds.map_batches(stage_fn(AudioFingerprinter),
                         batch_format="pyarrow", batch_size=8)
-    pairs = fingerprint_match_pairs(lm, min_matches=48)
+    pairs = fingerprint_match_pairs(lm, min_matches=40)
     assert len(pairs) == 0
     assert list(pairs.columns) == ["id_a", "id_b", "matches"]
 
@@ -117,7 +117,7 @@ def test_fingerprint_clusters_canonical_keep(ray_session):
         t.select(["clip_id", "bytes", "codec"])).repartition(4)
     lm = ds.map_batches(stage_fn(AudioFingerprinter),
                         batch_format="pyarrow", batch_size=64)
-    pairs = fingerprint_match_pairs(lm, min_matches=48)
+    pairs = fingerprint_match_pairs(lm, min_matches=40)
     assert len(pairs) == len(truth) >= 2
     eds = ray.data.from_pandas(pairs[["id_a", "id_b"]])
     cc = connected_components(eds, out_node="clip_id").to_pandas()
