@@ -67,3 +67,105 @@ def validate_audio_decodable(row) -> None:
     from ..stages.decode import audio_decodable_format
 
     audio_decodable_format()(row)
+
+
+# -- standard string formats (2020-12 format-annotation vocabulary) ---------
+# The reference ships only json-pointer/regex/uuid-style examples and
+# leaves the rest to users; a data-validation engine needs the common
+# ones built in. All are strict-syntax checks implemented on the stdlib
+# (no network, no locale), registered opt-in like everything else.
+
+_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_TIME_RE = re.compile(
+    r"^\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})$")
+_DATETIME_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}[Tt]\d{2}:\d{2}:\d{2}(\.\d+)?"
+    r"([Zz]|[+-]\d{2}:\d{2})$")
+_DURATION_RE = re.compile(
+    r"^P(?!$)(\d+Y)?(\d+M)?(\d+W)?(\d+D)?"
+    r"(T(?=\d)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?$")
+_EMAIL_RE = re.compile(r"^[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+"
+                       r"@[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
+                       r"(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}"
+                       r"[A-Za-z0-9])?)+$")
+_UUID_RE = re.compile(r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+                      r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")
+_HOSTNAME_RE = re.compile(
+    r"^(?=.{1,253}$)[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
+    r"(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$")
+
+
+def _regex_format(attr: str, rx: re.Pattern, what: str):
+    @format_validator(attr)
+    def _check(value: str) -> None:
+        if rx.fullmatch(value) is None:
+            raise ValueError(f"'{value}' is not a valid {what}")
+    _check.__name__ = f"validate_{attr.replace('-', '_')}"
+    return _check
+
+
+_regex_format("duration", _DURATION_RE, "ISO 8601 duration")
+_regex_format("email", _EMAIL_RE, "email address")
+_regex_format("uuid", _UUID_RE, "UUID")
+_regex_format("hostname", _HOSTNAME_RE, "hostname")
+
+
+@format_validator("date")
+def validate_date(value: str) -> None:
+    import datetime
+
+    if _DATE_RE.fullmatch(value) is None:
+        raise ValueError(f"'{value}' is not a valid date")
+    datetime.date.fromisoformat(value)          # rejects 2024-02-30
+
+
+@format_validator("time")
+def validate_time(value: str) -> None:
+    if _TIME_RE.fullmatch(value) is None:
+        raise ValueError(f"'{value}' is not a valid time")
+    h, m, s = int(value[0:2]), int(value[3:5]), int(value[6:8])
+    if h > 23 or m > 59 or s > 60:              # 60 = leap second
+        raise ValueError(f"'{value}' is not a valid time")
+
+
+@format_validator("date-time")
+def validate_date_time(value: str) -> None:
+    if _DATETIME_RE.fullmatch(value) is None:
+        raise ValueError(f"'{value}' is not a valid date-time")
+    validate_date(value[:10])
+    validate_time(value[11:])
+
+
+@format_validator("ipv4")
+def validate_ipv4(value: str) -> None:
+    import ipaddress
+
+    try:
+        ipaddress.IPv4Address(value)
+    except ValueError:
+        raise ValueError(f"'{value}' is not a valid IPv4 address") \
+            from None
+
+
+@format_validator("ipv6")
+def validate_ipv6(value: str) -> None:
+    import ipaddress
+
+    try:
+        ipaddress.IPv6Address(value)
+    except ValueError:
+        raise ValueError(f"'{value}' is not a valid IPv6 address") \
+            from None
+
+
+@format_validator("uri")
+def validate_uri(value: str) -> None:
+    from urllib.parse import urlsplit
+
+    try:
+        parts = urlsplit(value)
+    except ValueError:
+        raise ValueError(f"'{value}' is not a valid URI") from None
+    if not parts.scheme:
+        raise ValueError(f"'{value}' is not an absolute URI "
+                         "(missing scheme)")
