@@ -266,6 +266,47 @@ _FORMAT_CASES = [
     ("regex", "(", False),
     ("regex", ".*", True),
     ("regex", "^a*$", True),
+    # standard formats (modeled on optional/format/*.json)
+    ("date", "1963-06-19", True),
+    ("date", "2020-02-29", True),           # leap day
+    ("date", "2021-02-29", False),          # non-leap year
+    ("date", "06/19/1963", False),
+    ("date", "1963-6-19", False),           # non-padded
+    ("date-time", "1963-06-19T08:30:06.283185Z", True),
+    ("date-time", "1963-06-19t08:30:06z", True),      # case-insensitive
+    ("date-time", "1990-12-31T23:59:60Z", True),      # leap second
+    ("date-time", "1990-02-31T15:59:59.123-08:00", False),  # bad day
+    ("date-time", "06/19/1963 08:30:06 PST", False),
+    ("date-time", "1963-06-19", False),               # date only
+    ("time", "08:30:06Z", True),
+    ("time", "23:59:60Z", True),                      # leap second
+    ("time", "08:30:06+05:30", True),
+    ("time", "24:00:00Z", False),
+    ("time", "08:30:06", False),                      # missing offset
+    ("duration", "P4DT12H30M5S", True),
+    ("duration", "PT0.5S", True),
+    ("duration", "P4W", True),
+    ("duration", "PT1D", False),            # D in time part
+    ("duration", "P", False),               # no elements
+    ("email", "joe.bloggs@example.com", True),
+    ("email", "2962", False),
+    ("email", "joe bloggs@example.com", False),
+    ("uuid", "2EB8AA08-AA98-11EA-B4AA-73B441D16380", True),
+    ("uuid", "2eb8aa08-aa98-11ea-b4aa-73b441d16380", True),
+    ("uuid", "2eb8aa08-aa98-11ea-73b441d16380", False),
+    ("hostname", "www.example.com", True),
+    ("hostname", "-a-host-name-that-starts-with--", False),
+    ("hostname", "not_a_valid_host_name", False),
+    ("ipv4", "192.168.0.1", True),
+    ("ipv4", "127.0.0.0.1", False),
+    ("ipv4", "256.256.256.256", False),
+    ("ipv4", "087.10.0.1", False),          # leading zero
+    ("ipv6", "::1", True),
+    ("ipv6", "::42:ff:1", True),
+    ("ipv6", "127.0.0.1", False),
+    ("uri", "http://foo.bar/?baz=qux#quux", True),
+    ("uri", "//foo.bar/?baz=qux#quux", False),        # relative
+    ("uri", "/abc", False),
 ]
 
 
