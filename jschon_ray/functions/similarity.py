@@ -792,3 +792,248 @@ def pq_ann_topk_rerank(codes_ds, raw_ds, queries: dict, codebooks, *,
         "query_id": np.concatenate(out_q),
         "neighbor_id": np.concatenate(out_n),
         "rank": np.concatenate(out_r)})
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the production ANN layout — pruned cell reads over compressed
+# codes. IVF prunes WHICH cells are read; PQ shrinks WHAT each cell
+# stores (m uint8 codes per row). Raw embeddings stay in the sibling
+# `cells/` partitions (build_ivf_index) and are touched only for the
+# exact rerank of a per-query shortlist.
+
+
+def build_ivfpq_index(ds, index_dir: str, *, id_col="vec_id",
+                      emb_col="embedding", n_centroids=16, m=16,
+                      n_codes=256, centroids=None, codebooks=None,
+                      train_kwargs=None) -> dict:
+    """Extend a persisted IVF index with PQ code partitions.
+
+    Two streaming passes: (1) ``build_ivf_index`` writes centroids + raw
+    hive-partitioned cells; (2) a pruned read of those cells encodes
+    each row to m uint8 codes (flat PQ over the L2-normalized vector;
+    residual PQ is a refinement, not a different layout) and writes
+
+      index_dir/codes/cell=<c>/*.parquet   ((id_col, pq_code, cell_id))
+      index_dir/codebooks.parquet          (subspace, code, vec)
+
+    At 10^12 rows the code partitions are ~dim*4/m times smaller than
+    the raw cells, so the ADC scan phase reads a fraction of the bytes
+    even before cell pruning. Returns the manifest dict.
+    """
+    import json
+    import os
+
+    import pyarrow.parquet as pqt
+
+    manifest = build_ivf_index(ds, index_dir, id_col=id_col,
+                               emb_col=emb_col, n_centroids=n_centroids,
+                               centroids=centroids,
+                               train_kwargs=train_kwargs)
+    if codebooks is None:
+        codebooks = pq_train(ds, emb_col=emb_col, m=m, n_codes=n_codes,
+                             **(train_kwargs or {}))
+    codebooks = np.asarray(codebooks)
+    books_ref = ray.put(codebooks)
+
+    cells_dir = os.path.join(index_dir, "cells")
+    files = [os.path.join(r, f) for r, _, fs in os.walk(cells_dir)
+             for f in sorted(fs) if f.endswith(".parquet")]
+    raw = ray.data.read_parquet(files, columns=[id_col, emb_col,
+                                                "cell_id"])
+
+    class _Encode(PQEncoder):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = PQEncoder.__call__(
+                self, batch.select([id_col, emb_col]))
+            out = out.append_column("cell_id", batch["cell_id"])
+            return out.append_column("cell", batch["cell_id"])
+
+    codes_dir = os.path.join(index_dir, "codes")
+    raw.map_batches(_Encode,
+                    fn_constructor_kwargs=dict(books_ref=books_ref,
+                                               id_col=id_col,
+                                               emb_col=emb_col),
+                    batch_format="pyarrow", concurrency=(1, 8)) \
+        .write_parquet(codes_dir, partition_cols=["cell"])
+
+    mm, kk, sub = codebooks.shape
+    pqt.write_table(
+        pa.table({
+            "subspace": pa.array(np.repeat(np.arange(mm), kk), pa.int32()),
+            "code": pa.array(np.tile(np.arange(kk), mm), pa.int32()),
+            "vec": pa.array(list(codebooks.reshape(mm * kk, sub)),
+                            pa.list_(pa.float64())),
+        }), os.path.join(index_dir, "codebooks.parquet"))
+    manifest.update({"pq_m": int(mm), "pq_codes": int(kk),
+                     "pq_sub": int(sub)})
+    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+class _IndexedPQScorer:
+    """map_batches stage over code cells: ADC with per-cell query gating
+    (rows score only against queries probing their cell)."""
+
+    def __init__(self, state_ref, id_col, k):
+        st = ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) \
+            else state_ref
+        books = st["books"]
+        qmat = st["qmat"]
+        self.qids = st["qids"]
+        self.cell_queries = st["cell_queries"]
+        m, K, sub = books.shape
+        q = qmat.reshape(len(qmat), m, sub)
+        self.lut = np.einsum("qms,mks->qmk", q, books)
+        self.id_col = id_col
+        self.k = k
+        self.m = m
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        cells = batch["cell_id"].to_numpy(zero_copy_only=False)
+        col = batch["pq_code"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes = col.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(ids), self.m)
+        j_idx = np.arange(self.m)[None, :]
+        rows_q, rows_n, rows_s = [], [], []
+        for cell in np.unique(cells):
+            qidx = self.cell_queries.get(int(cell))
+            if qidx is None or not len(qidx):
+                continue
+            sel = cells == cell
+            sub_codes, sub_ids = codes[sel], ids[sel]
+            for qi in qidx:
+                sims = self.lut[qi][j_idx, sub_codes].sum(axis=1)
+                k = min(self.k, len(sims))
+                part = np.argpartition(-sims, k - 1)[:k]
+                rows_q.append(np.full(k, self.qids[qi]))
+                rows_n.append(sub_ids[part])
+                rows_s.append(sims[part])
+        if not rows_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(rows_q)),
+            "neighbor_id": pa.array(np.concatenate(rows_n)),
+            "sim": pa.array(np.concatenate(rows_s)),
+        })
+
+
+def _cell_files(index_dir: str, sub: str, cells) -> list:
+    import os
+
+    dirs = [os.path.join(index_dir, sub, f"cell={c}") for c in cells]
+    return [os.path.join(d, f) for d in dirs if os.path.isdir(d)
+            for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+
+
+def ann_topk_ivfpq(index_dir: str, queries: dict, *, k=5, nprobe=4,
+                   shortlist=50, rerank=True, round_decimals=6):
+    """Probe a persisted IVF-PQ index: pruned cell reads, ADC over
+    compressed codes, then (by default) exact rerank of the per-query
+    shortlist against the raw cells of the probed partitions.
+
+    With ``nprobe == n_centroids`` and a covering shortlist the reranked
+    result is bit-identical to the exact scan (shares the ANN oracle);
+    ``rerank=False`` returns the pure-ADC ranking (recall measured by
+    tests). Only probed cells are read in BOTH phases.
+    """
+    import json
+    import os
+
+    import pyarrow.parquet as pqt
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        man = json.load(f)
+    cent_t = pqt.read_table(os.path.join(index_dir, "centroids.parquet"))
+    order = np.argsort(cent_t["cell"].to_numpy(zero_copy_only=False))
+    centroids = _embedding_matrix(cent_t.take(order), "centroid")
+    bt = pqt.read_table(os.path.join(index_dir, "codebooks.parquet"))
+    mm, kk, sub = man["pq_m"], man["pq_codes"], man["pq_sub"]
+    border = np.lexsort((bt["code"].to_numpy(zero_copy_only=False),
+                         bt["subspace"].to_numpy(zero_copy_only=False)))
+    books = _embedding_matrix(bt.take(border), "vec").reshape(mm, kk, sub)
+
+    qmat = _normalize(np.asarray(queries["matrix"], np.float64))
+    qids = np.asarray(queries["ids"])
+    nprobe = min(nprobe, len(centroids))
+    probe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    cell_queries: dict[int, list] = {}
+    for qi in range(len(qids)):
+        for cell in probe[qi]:
+            cell_queries.setdefault(int(cell), []).append(qi)
+    cell_queries = {c: np.asarray(v) for c, v in cell_queries.items()}
+
+    code_files = _cell_files(index_dir, "codes", sorted(cell_queries))
+    codes_ds = ray.data.read_parquet(
+        code_files, columns=[man["id_col"], "pq_code", "cell_id"])
+    state = ray.put({"books": books, "qids": qids, "qmat": qmat,
+                     "cell_queries": cell_queries})
+    want = shortlist if rerank else k
+    parts = codes_ds.map_batches(
+        _IndexedPQScorer,
+        fn_constructor_kwargs=dict(state_ref=state, id_col=man["id_col"],
+                                   k=want),
+        batch_format="pyarrow", concurrency=(1, 8))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(want)
+        return g[["query_id", "neighbor_id", "sim"]]
+
+    short = parts.groupby("query_id").map_groups(
+        final_topk, batch_format="pandas").to_pandas()
+
+    if not rerank:
+        out_q, out_n, out_r = [], [], []
+        for qid, g in short.groupby("query_id"):
+            if round_decimals is not None:
+                g = g.assign(sim=np.round(g["sim"], round_decimals))
+            g = g.sort_values(["sim", "neighbor_id"],
+                              ascending=[False, True]).head(k)
+            out_q.append(np.full(len(g), qid))
+            out_n.append(g["neighbor_id"].to_numpy())
+            out_r.append(np.arange(1, len(g) + 1, dtype=np.int64))
+        return pd.DataFrame({"query_id": np.concatenate(out_q),
+                             "neighbor_id": np.concatenate(out_n),
+                             "rank": np.concatenate(out_r)})
+
+    # exact rerank against the RAW cells of the probed partitions only
+    raw_files = _cell_files(index_dir, "cells", sorted(cell_queries))
+    cand_ids = set(short["neighbor_id"].tolist())
+    cand_ref = ray.put(cand_ids)
+    id_col, emb_col = man["id_col"], man["emb_col"]
+
+    def keep_cands(t: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        mask = np.fromiter((v in cands for v in ids), bool, len(ids))
+        return t.filter(pa.array(mask))
+
+    cand_tbl = pa.concat_tables(list(
+        ray.data.read_parquet(raw_files, columns=[id_col, emb_col])
+        .map_batches(keep_cands, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+    ids = cand_tbl[id_col].to_numpy(zero_copy_only=False)
+    mtx = _normalize(_embedding_matrix(cand_tbl, emb_col))
+    by_query = dict((q, set(g["neighbor_id"]))
+                    for q, g in short.groupby("query_id"))
+    out_q, out_n, out_r = [], [], []
+    for qi, qid in enumerate(qids):
+        sel = np.fromiter((v in by_query.get(qid, ()) for v in ids),
+                          bool, len(ids))
+        sims = mtx[sel] @ qmat[qi]
+        if round_decimals is not None:
+            sims = np.round(sims, round_decimals)
+        cand = ids[sel]
+        order = np.lexsort((cand, -sims))[:k]
+        out_q.append(np.full(len(order), qid))
+        out_n.append(cand[order])
+        out_r.append(np.arange(1, len(order) + 1, dtype=np.int64))
+    return pd.DataFrame({"query_id": np.concatenate(out_q),
+                         "neighbor_id": np.concatenate(out_n),
+                         "rank": np.concatenate(out_r)})

@@ -2150,6 +2150,37 @@ def q_ann_topk_ivf_persisted(sf_dir):
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_ann_topk_ivfpq(sf_dir):
+    """IVF-PQ probe from a persisted index: pruned cell reads, ADC over
+    uint8 codes, exact rerank of the shortlist against the raw cells of
+    the probed partitions. Built once per sf_dir under /tmp (two
+    streaming passes); probed exhaustively with a covering shortlist so
+    the result is bit-identical to the exact scan and shares the ANN
+    oracle. Pruned recall + compression live in tests."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..functions.similarity import (_embedding_matrix, ann_topk_ivfpq,
+                                        build_ivfpq_index)
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/jschon_ray_ivfpq/{tag}-c12-m16-u1"
+    if not os.path.exists(os.path.join(idx, "codebooks.parquet")):
+        ds = read_table(table_path(sf_dir, "embeddings"))
+        os.makedirs(idx, exist_ok=True)
+        build_ivfpq_index(ds, idx, n_centroids=12, m=16, n_codes=256,
+                          train_kwargs=dict(sample_frac=1.0,
+                                            max_sample=20000))
+    qt = pq.read_table(table_path(sf_dir, "embeddings"),
+                       filters=[("vec_id", "<", 10)])
+    queries = {"ids": qt["vec_id"].to_numpy(zero_copy_only=False),
+               "matrix": _embedding_matrix(qt, "embedding")}
+    df = ann_topk_ivfpq(idx, queries, k=5, nprobe=12, shortlist=50)
+    df["rank"] = df["rank"].astype("int64")
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 _ANN_TOPK_SQL = """
 SELECT query_id, neighbor_id, rank FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -3967,6 +3998,7 @@ def build_queries() -> dict:
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_ivf_persisted": q_ann_topk_ivf_persisted,
         "ann_topk_pq": q_ann_topk_pq,
+        "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "infer_spec_orders": q_infer_spec_orders,
         "embedding_neardup": q_embedding_neardup,
@@ -4163,6 +4195,7 @@ def build_oracles() -> dict:
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "ann_topk_ivf_persisted": _ANN_TOPK_SQL,
         "ann_topk_pq": _ANN_TOPK_SQL,
+        "ann_topk_ivfpq": _ANN_TOPK_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         # flagship clips oracles read the deterministic /tmp cache; the
         # driver runs side-by-side correctness at sf0.01 (driver contract),

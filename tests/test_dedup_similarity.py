@@ -496,3 +496,66 @@ def test_pq_ann_recall_and_rerank_exact(ray_session):
     rr = pq_ann_topk_rerank(codes, ds, q, books, k=5, shortlist=60) \
         .sort_values(["query_id", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(exact, rr, check_dtype=False)
+
+
+def test_ivfpq_exact_when_probing_all(ray_session, tmp_path):
+    """Exhaustive probe + covering shortlist + exact rerank reproduces
+    the exact scan bit-for-bit from a persisted IVF-PQ index."""
+    import pandas as pd
+    import ray.data as rd
+    from jschon_ray.functions.similarity import (_embedding_matrix,
+                                                 ann_topk, ann_topk_ivfpq,
+                                                 build_ivfpq_index)
+
+    t = embeddings_with_dups(n=300, dim=32)
+    ds = rd.from_arrow(t)
+    ids = [10, 20, 150]
+    q = {"ids": np.array(ids),
+         "matrix": np.vstack([_embedding_matrix(t.slice(i, 1), "embedding")
+                              for i in ids])}
+    exact = ann_topk(ds, q, k=5).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    man = build_ivfpq_index(ds, str(tmp_path), n_centroids=8, m=8,
+                            n_codes=32,
+                            train_kwargs=dict(sample_frac=1.0, seed=5))
+    assert man["pq_m"] == 8 and man["n_centroids"] == 8
+    got = ann_topk_ivfpq(str(tmp_path), q, k=5, nprobe=8, shortlist=60) \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(exact, got, check_dtype=False)
+
+
+def test_ivfpq_pruned_reads_and_recall(ray_session, tmp_path):
+    """Pruned probing reads only probed cell partitions in BOTH phases
+    and keeps usable recall; ADC-only mode works without raw cells."""
+    import os
+    import ray.data as rd
+    from jschon_ray.functions.similarity import (_cell_files,
+                                                 _embedding_matrix,
+                                                 ann_topk, ann_topk_ivfpq,
+                                                 build_ivfpq_index)
+
+    t = embeddings_with_dups(n=400, dim=32)
+    ds = rd.from_arrow(t)
+    ids = [10, 20]
+    q = {"ids": np.array(ids),
+         "matrix": np.vstack([_embedding_matrix(t.slice(i, 1), "embedding")
+                              for i in ids])}
+    build_ivfpq_index(ds, str(tmp_path), n_centroids=8, m=8, n_codes=32,
+                      train_kwargs=dict(sample_frac=1.0, seed=5))
+    # cell partitions exist for both layouts
+    all_cells = sorted(int(d.split("=")[1]) for d in
+                       os.listdir(tmp_path / "codes") if "=" in d)
+    assert len(all_cells) >= 4
+    some = all_cells[:2]
+    assert len(_cell_files(str(tmp_path), "codes", some)) \
+        < len(_cell_files(str(tmp_path), "codes", all_cells))
+    exact = ann_topk(ds, q, k=5).to_pandas()
+    adc = ann_topk_ivfpq(str(tmp_path), q, k=5, nprobe=4, rerank=False)
+    rec = []
+    for qid in ids:
+        e = set(exact[exact.query_id == qid]["neighbor_id"])
+        rec.append(len(e & set(adc[adc.query_id == qid]["neighbor_id"]))
+                   / len(e))
+    assert np.mean(rec) >= 0.5, rec
+    # self/exact-dup always lands in the probed cell and survives ADC
+    assert adc[adc.query_id == 20].iloc[0]["neighbor_id"] in (20, 60)
