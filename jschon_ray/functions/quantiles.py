@@ -313,3 +313,68 @@ def grouped_quantile_disc(ds, key: str, col: str, q: float, *,
 
     return pd.DataFrame({key: groups,
                          out: [state[k]["value"] for k in groups]})
+
+
+def grouped_tdigest_quantiles(ds, *, key: str, value_col: str, qs,
+                              delta: int = 200):
+    """Approximate per-key quantiles via mergeable t-digests — the
+    100 TB path when values-per-key are too large for the exact
+    (key, value)-count shuffle of ``grouped_quantile_disc``.
+
+    Scale shape: each block builds ONE t-digest per key it contains
+    (vectorized ``add_batch`` per key-run after a block-local sort) and
+    ships only the serialized digests — O(keys x delta) bytes per block
+    regardless of row count. A single small groupby merges per-key
+    digests and extracts the quantiles. Exactness: rank error is
+    bounded by the digest's compression (tests pin <=1% on skewed
+    data); use grouped_quantile_disc when bit-exactness vs SQL matters.
+
+    Returns one row per key with a ``p{q*100:g}`` column per q.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..state.sketches import TDigest
+
+    qs = list(qs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = t[key].to_numpy(zero_copy_only=False)
+        vals = t[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ok = ~np.isnan(vals)
+        keys, vals = keys[ok], vals[ok]
+        order = np.argsort(keys, kind="mergesort")
+        keys, vals = keys[order], vals[order]
+        out_k, out_b = [], []
+        if len(keys):
+            bounds = np.flatnonzero(
+                np.r_[True, keys[1:] != keys[:-1], True])
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                d = TDigest(delta)
+                d.add_batch(vals[a:b])
+                out_k.append(keys[a])
+                out_b.append(d.to_bytes())
+        return pa.table({key: pa.array(out_k),
+                         "blob": pa.array(out_b, pa.binary())})
+
+    parts = ds.select_columns([key, value_col]).map_batches(
+        partial, batch_format="pyarrow")
+
+    names = [f"p{q * 100:g}" for q in qs]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        from ..state.sketches import TDigest as TD
+
+        acc = None
+        for blob in g["blob"]:
+            d = TD.from_bytes(blob)
+            acc = d if acc is None else acc.merge(d)
+        row = {key: [g[key].iloc[0]]}
+        for q, name in zip(qs, names):
+            row[name] = [acc.quantile(q)]
+        return pd.DataFrame(row)
+
+    return parts.groupby(key).map_groups(merge, batch_format="pandas")
