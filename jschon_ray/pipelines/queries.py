@@ -995,6 +995,22 @@ GROUP BY l_returnflag
 """
 
 
+def q_tdigest_quantiles_lineitem(sf_dir):
+    """Grouped APPROXIMATE quantiles via mergeable t-digests (rows-only:
+    rank-bounded, not bit-exact vs SQL — tests pin <=1% rel error). The
+    100 TB path when values-per-key overflow the exact histogram
+    refinement: each block ships O(keys x delta) digest bytes, one small
+    groupby merges them (functions/quantiles.py:grouped_tdigest_quantiles)."""
+    from ..functions.quantiles import grouped_tdigest_quantiles
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_returnflag", "l_extendedprice"])
+    ds = _drop_null_rows(ds, ["l_returnflag"])
+    return grouped_tdigest_quantiles(
+        ds, key="l_returnflag", value_col="l_extendedprice",
+        qs=[0.5, 0.9, 0.99])
+
+
 def q_iqr_filter_lineitem(sf_dir):
     """Tukey-fence outlier REMOVAL per group: exact per-group q1/q3
     (iterative histogram refinement — fixed-size counts to the driver,
@@ -4011,6 +4027,7 @@ def build_queries() -> dict:
         "clips_decode": q_clips_decode,
         "grouped_stats_codec": q_grouped_stats_codec,
         "profile_sketches_lineitem": q_profile_sketches_lineitem,
+        "tdigest_quantiles_lineitem": q_tdigest_quantiles_lineitem,
         "drift_lineitem": q_drift_lineitem_halves,
         "audio_features_clips": q_audio_features_clips,
         "audio_resample_vad_clips": q_audio_resample_vad_clips,
