@@ -4048,6 +4048,12 @@ def build_queries() -> dict:
         "kmeans_embeddings": q_kmeans_embeddings,
         "audio_specaugment_clips": q_audio_specaugment_clips,
         "cluster_balanced_sample": q_cluster_balanced_sample,
+        # audio analysis family (stages/analysis.py)
+        "audio_qc_clips": q_audio_qc_clips,
+        "audio_chroma_clips": q_audio_chroma_clips,
+        "audio_onset_clips": q_audio_onset_clips,
+        "audio_stretch_clips": q_audio_stretch_clips,
+        "audio_chunk_clips": q_audio_chunk_clips,
     }
 
 
@@ -4219,6 +4225,7 @@ def build_oracles() -> dict:
         # which is the scale these strings are derived for
         "clips_validation": _clips_validation_sql("/root/testdata/sf0.01"),
         "speaking_rate_clips": _speaking_rate_sql("/root/testdata/sf0.01"),
+        "audio_chunk_clips": _audio_chunk_sql("/root/testdata/sf0.01"),
         "editdist_clips": _editdist_clips_sql("/root/testdata/sf0.01"),
         "clips_violation_counts":
             _clips_violation_counts_sql("/root/testdata/sf0.01"),
@@ -7751,4 +7758,229 @@ SELECT
   round((SELECT -sum((ns / tot.n) * ln(ns / tot.n))
          FROM sy, tot), 9) AS h_status,
   CAST((SELECT n FROM tot) AS BIGINT) AS n
+"""
+
+
+# ---------------------------------------------------------------------------
+# audio analysis family (stages/analysis.py): QC, chroma, onset/tempo,
+# time-stretch augment, long-audio chunking
+
+
+def q_audio_qc_clips(sf_dir):
+    """Audio QC gates (clipping / silence / DC / crest / SNR-estimate,
+    stages/analysis.py AudioQC) aggregated to one row per (qc_ok,
+    qc_pass) cell with mean metrics — the corpus-level quality report.
+    The aggregate runs IN RAY (groupby over a 4-value key); only the
+    <=4-row result lands on the driver. Rows-only: DSP is not
+    SQL-expressible."""
+    from ray.data.aggregate import Count, Mean
+
+    from ..sources.clips import clips_cache_dir
+    from ..stages.analysis import AudioQC
+    from ..stages.taskpool import stage_fn
+
+    ds = read_table(clips_cache_dir(sf_dir),
+                    columns=["clip_id", "bytes", "sr_hz", "codec"])
+    qc = ds.map_batches(stage_fn(AudioQC), batch_format="pyarrow",
+                        batch_size=256)
+
+    def nan_to_null(t: pa.Table) -> pa.Table:
+        cols = {"qc_ok": t["qc_ok"], "qc_pass": t["qc_pass"]}
+        for c in ("clip_ratio", "silence_ratio", "rms_db", "crest_db"):
+            v = t[c].to_numpy(zero_copy_only=False)
+            cols[c] = pa.array(v, mask=np.isnan(v))
+        return pa.table(cols)
+
+    qc = qc.map_batches(nan_to_null, batch_format="pyarrow")
+    out = qc.groupby(["qc_ok", "qc_pass"]).aggregate(
+        Count(alias_name="n"),
+        Mean("clip_ratio", alias_name="mean_clip_ratio",
+             ignore_nulls=True),
+        Mean("silence_ratio", alias_name="mean_silence_ratio",
+             ignore_nulls=True),
+        Mean("rms_db", alias_name="mean_rms_db", ignore_nulls=True),
+        Mean("crest_db", alias_name="mean_crest_db", ignore_nulls=True),
+    ).to_pandas()
+    for c in out.columns.drop(["qc_ok", "qc_pass", "n"]):
+        out[c] = out[c].round(4)
+    return out.sort_values(["qc_ok", "qc_pass"]).reset_index(drop=True)
+
+
+def q_audio_chroma_clips(sf_dir):
+    """Pitch-class (chroma) distribution over the corpus: resample ->
+    ChromaFeatures -> groupby(chroma_peak).count + mean peak mass.
+    Payload bytes stop at the chroma stage; the shuffle moves a 12-value
+    key plus one float. Rows-only: DSP is not SQL-expressible."""
+    from ray.data.aggregate import Count, Mean
+
+    from ..sources.clips import clips_cache_dir
+    from ..stages.analysis import ChromaFeatures
+    from ..stages.audio_ops import AudioResampler
+    from ..stages.taskpool import stage_fn
+
+    ds = read_table(clips_cache_dir(sf_dir),
+                    columns=["clip_id", "bytes", "sr_hz", "codec"])
+    ch = ds.map_batches(stage_fn(AudioResampler, target_sr=16000),
+                        batch_format="pyarrow", batch_size=256) \
+        .map_batches(stage_fn(ChromaFeatures, sr=16000),
+                     batch_format="pyarrow", batch_size=256)
+
+    def peak_mass(t: pa.Table) -> pa.Table:
+        vals = t["chroma"].to_pylist()
+        mass = [max(v) if v else None for v in vals]
+        return pa.table({"chroma_peak": t["chroma_peak"],
+                         "peak_mass": pa.array(mass, pa.float64())})
+
+    out = ch.map_batches(peak_mass, batch_format="pyarrow") \
+        .groupby("chroma_peak").aggregate(
+            Count(alias_name="n"),
+            Mean("peak_mass", alias_name="mean_peak_mass",
+                 ignore_nulls=True)).to_pandas()
+    out["mean_peak_mass"] = out["mean_peak_mass"].round(4)
+    return out.sort_values("chroma_peak").reset_index(drop=True)
+
+
+def q_audio_onset_clips(sf_dir):
+    """Onset / tempo profile: resample -> OnsetTempo -> corpus aggregate
+    (clip counts, onset totals, tempo coverage). The synthetic tone
+    corpus is stationary, so the informative check is the zero/near-zero
+    onset profile plus the pipeline shape. Rows-only: DSP is not
+    SQL-expressible."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    from ..sources.clips import clips_cache_dir
+    from ..stages.analysis import OnsetTempo
+    from ..stages.audio_ops import AudioResampler
+    from ..stages.taskpool import stage_fn
+
+    ds = read_table(clips_cache_dir(sf_dir),
+                    columns=["clip_id", "bytes", "sr_hz", "codec"])
+    on = ds.map_batches(stage_fn(AudioResampler, target_sr=16000),
+                        batch_format="pyarrow", batch_size=256) \
+        .map_batches(stage_fn(OnsetTempo, sr=16000),
+                     batch_format="pyarrow", batch_size=256)
+
+    def nan_to_null(t: pa.Table) -> pa.Table:
+        r = t["onset_rate_hz"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "onset_ok": t["onset_ok"],
+            "onset_count": t["onset_count"],
+            "onset_rate_hz": pa.array(r, mask=np.isnan(r)),
+        })
+
+    on = on.map_batches(nan_to_null, batch_format="pyarrow")
+    out = on.groupby("onset_ok").aggregate(
+        Count(alias_name="n"),
+        Sum("onset_count", alias_name="total_onsets"),
+        Mean("onset_rate_hz", alias_name="mean_onset_rate",
+             ignore_nulls=True)).to_pandas()
+    out["mean_onset_rate"] = out["mean_onset_rate"].round(4)
+    return out.sort_values("onset_ok").reset_index(drop=True)
+
+
+def q_audio_stretch_clips(sf_dir):
+    """Time-stretch augmentation audit: phase-vocoder stretch at
+    rate=1.25 (stages/analysis.py TimeStretcher) over the raw-PCM
+    clips; verifies IN RAY that every stretched payload's length ratio
+    sits on the analysis/synthesis hop ratio. Result = one row per
+    (stretch_ok, ratio_band) with counts. Rows-only: DSP is not
+    SQL-expressible."""
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Count, Mean
+
+    from ..sources.clips import clips_cache_dir
+    from ..stages.analysis import TimeStretcher
+    from ..stages.taskpool import stage_fn
+
+    ds = read_table(clips_cache_dir(sf_dir),
+                    columns=["clip_id", "bytes", "sr_hz", "codec"])
+    ds = ds.filter(expr="codec == 'pcm_s16le'")
+
+    def with_orig(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "orig_ns", _pc.cast(_pc.divide(
+                _pc.binary_length(t["bytes"]), 2), pa.int64()))
+
+    st = ds.map_batches(with_orig, batch_format="pyarrow") \
+        .map_batches(stage_fn(TimeStretcher, rate=1.25),
+                     batch_format="pyarrow", batch_size=128)
+
+    def ratio(t: pa.Table) -> pa.Table:
+        # exact output-length contract: nf = 1 + (max(n,L)-L)//Ha
+        # frames -> out = (nf-1)*Hs + L samples
+        L, Hs, Ha = 512, 128, max(1, int(round(128 / 1.25)))
+        ns = t["n_samples"].to_numpy(zero_copy_only=False)
+        orig = t["orig_ns"].to_numpy(zero_copy_only=False)
+        ok = t["stretch_ok"].to_numpy(zero_copy_only=False)
+        nf = 1 + (np.maximum(orig, L) - L) // Ha
+        expected = (nf - 1) * Hs + L
+        band = np.where(ns == expected, "exact", "mismatch")
+        band = np.where(ok, band, "failed")
+        r = np.where(ok & (orig > 0),
+                     ns / np.maximum(orig, 1).astype(float), np.nan)
+        return pa.table({"band": pa.array(band.tolist(), pa.string()),
+                         "r": pa.array(r, mask=np.isnan(r))})
+
+    out = st.map_batches(ratio, batch_format="pyarrow") \
+        .groupby("band").aggregate(
+            Count(alias_name="n"),
+            Mean("r", alias_name="mean_ratio", ignore_nulls=True)) \
+        .to_pandas()
+    out["mean_ratio"] = out["mean_ratio"].round(4)
+    return out.sort_values("band").reset_index(drop=True)
+
+
+def q_audio_chunk_clips(sf_dir):
+    """Long-audio chunking (stages/analysis.py AudioChunker) over the
+    raw-PCM clips: per clip_id, the number of 100ms/50ms-hop full
+    chunks (the corpus clips are 100-800ms, so 100ms windows exercise
+    the fan-out everywhere). Chunk counts for s16le payloads are a pure
+    function of octet_length(bytes) and sr_hz, so this one HAS a DuckDB
+    oracle — the chunker's Ray-side row multiplication is verified
+    value-exactly."""
+    ds = read_table_clips_pcm(sf_dir)
+    from ..stages.analysis import AudioChunker
+    from ..stages.taskpool import stage_fn
+
+    chunks = ds.map_batches(
+        stage_fn(AudioChunker, chunk_ms=100, hop_ms=50,
+                 emit_bytes=False),
+        batch_format="pyarrow", batch_size=256)
+    out = chunks.groupby("clip_id").count().to_pandas() \
+        .rename(columns={"count()": "chunks"})
+    out["chunks"] = out["chunks"].astype("int64")
+    return _ensure_columns(out, {"clip_id": "object", "chunks": "int64"})
+
+
+def read_table_clips_pcm(sf_dir):
+    """clips rows with codec='pcm_s16le' (payload IS the sample stream,
+    so SQL can reason about sample counts via octet_length)."""
+    from ..sources.clips import clips_cache_dir
+
+    ds = read_table(clips_cache_dir(sf_dir),
+                    columns=["clip_id", "bytes", "sr_hz", "codec"])
+    return ds.filter(expr="codec == 'pcm_s16le'")
+
+
+def _audio_chunk_sql(sf_dir: str) -> str:
+    from ..sources.clips import clips_cache_dir
+
+    path = clips_cache_dir(sf_dir)
+    return f"""
+WITH c AS (
+  SELECT clip_id,
+         octet_length(bytes) // 2 AS ns,
+         (sr_hz * 100) // 1000 AS chunk,
+         greatest((sr_hz * 50) // 1000, 1) AS hop
+  FROM read_parquet('{path}/*.parquet')
+  WHERE codec = 'pcm_s16le' AND bytes IS NOT NULL
+        AND octet_length(bytes) % 2 = 0  -- decode rejects odd payloads
+        AND sr_hz IS NOT NULL AND sr_hz > 0),
+per AS (
+  SELECT clip_id,
+         CASE WHEN chunk > 0 AND ns >= chunk
+              THEN (ns - chunk) // hop + 1 ELSE 0 END AS nch
+  FROM c)
+SELECT clip_id, CAST(sum(nch) AS BIGINT) AS chunks
+FROM per GROUP BY clip_id HAVING sum(nch) > 0
 """

@@ -1,0 +1,219 @@
+"""Audio analysis stages: QC, chroma, onset/tempo, time-stretch, chunker."""
+
+import numpy as np
+import pyarrow as pa
+
+from jschon_ray.stages.analysis import (AudioChunker, AudioQC,
+                                        ChromaFeatures, OnsetTempo,
+                                        TimeStretcher, chroma_pitch_class)
+
+
+def _tone(sr, ms, freq, amp=0.5):
+    t = np.arange(int(sr * ms / 1000)) / sr
+    return np.clip(np.sin(2 * np.pi * freq * t) * amp * 32767,
+                   -32768, 32767).astype("<i2")
+
+
+def _table(rows):
+    return pa.table({
+        "clip_id": [r[0] for r in rows],
+        "bytes": pa.array([r[1] for r in rows], pa.binary()),
+        "sr_hz": pa.array([r[2] for r in rows], pa.int32()),
+        "codec": [r[3] for r in rows],
+    })
+
+
+# ---------------------------------------------------------------- AudioQC
+
+def test_qc_clean_tone_passes():
+    sr = 16000
+    pcm = _tone(sr, 500, 220.0, amp=0.5)
+    out = AudioQC()(_table([("a", pcm.tobytes(), sr, "pcm_s16le")]))
+    r = out.to_pylist()[0]
+    assert r["qc_ok"] and r["qc_pass"]
+    assert r["clip_ratio"] == 0.0
+    assert abs(r["dc_offset"]) < 1e-3
+    # 0.5 FS sine: RMS = 0.5/sqrt(2) -> ~-9 dBFS, crest ~3 dB
+    assert -10.5 < r["rms_db"] < -8.0
+    assert 2.0 < r["crest_db"] < 4.0
+
+
+def test_qc_flags_clipping_and_silence():
+    sr = 16000
+    clipped = _tone(sr, 300, 220.0, amp=2.0)          # hard-clipped sine
+    silent = np.zeros(sr // 2, "<i2")
+    out = AudioQC()(_table([
+        ("clip", clipped.tobytes(), sr, "pcm_s16le"),
+        ("sil", silent.tobytes(), sr, "pcm_s16le"),
+    ]))
+    rows = {r["clip_id"]: r for r in out.to_pylist()}
+    assert rows["clip"]["clip_ratio"] > 0.2
+    assert not rows["clip"]["qc_pass"]
+    assert rows["sil"]["silence_ratio"] == 1.0
+    assert not rows["sil"]["qc_pass"]
+
+
+def test_qc_snr_estimate_orders_noisy_vs_clean():
+    sr = 16000
+    rng = np.random.default_rng(7)
+    t = np.arange(sr) / sr
+    sig = np.sin(2 * np.pi * 220 * t)
+    gate = (np.arange(sr) // (sr // 8)) % 2 == 0      # bursty signal
+    clean = np.clip((sig * gate * 0.5 + 0.001
+                     * rng.standard_normal(sr)) * 32767,
+                    -32768, 32767).astype("<i2")
+    noisy = np.clip((sig * gate * 0.5 + 0.2
+                     * rng.standard_normal(sr)) * 32767,
+                    -32768, 32767).astype("<i2")
+    out = AudioQC()(_table([
+        ("clean", clean.tobytes(), sr, "pcm_s16le"),
+        ("noisy", noisy.tobytes(), sr, "pcm_s16le"),
+    ]))
+    rows = {r["clip_id"]: r for r in out.to_pylist()}
+    assert rows["clean"]["snr_est_db"] > rows["noisy"]["snr_est_db"] + 10
+
+
+def test_qc_undecodable_row():
+    out = AudioQC()(_table([("bad", b"\x00\x01", 16000, "flac")]))
+    r = out.to_pylist()[0]
+    assert not r["qc_ok"] and not r["qc_pass"]
+    assert r["clip_ratio"] is None or np.isnan(r["clip_ratio"])
+
+
+# ---------------------------------------------------------- ChromaFeatures
+
+def test_chroma_peak_matches_tone_pitch_class():
+    sr = 16000
+    rows = []
+    for name, freq in [("a440", 440.0), ("c523", 523.25),
+                       ("e330", 329.63)]:
+        rows.append((name, _tone(sr, 400, freq).tobytes(), sr,
+                     "pcm_s16le"))
+    # frame_len=2048 -> 7.8 Hz bins; the default 512 (31 Hz bins) smears
+    # low tones across neighbouring pitch classes
+    out = ChromaFeatures(sr=sr, frame_len=2048)(_table(rows))
+    got = {r["clip_id"]: r for r in out.to_pylist()}
+    assert got["a440"]["chroma_peak"] == chroma_pitch_class(440.0) == 0
+    assert got["c523"]["chroma_peak"] == chroma_pitch_class(523.25)
+    assert got["e330"]["chroma_peak"] == chroma_pitch_class(329.63)
+    v = got["a440"]["chroma"]
+    assert len(v) == 12 and abs(sum(v) - 1.0) < 1e-5
+    assert max(v) > 0.8      # pure tone concentrates in one class
+
+
+def test_chroma_skips_wrong_rate_rows():
+    out = ChromaFeatures(sr=16000)(_table([
+        ("x", _tone(8000, 300, 220).tobytes(), 8000, "pcm_s16le")]))
+    r = out.to_pylist()[0]
+    assert not r["chroma_ok"] and r["chroma"] is None
+
+
+# ------------------------------------------------------------- OnsetTempo
+
+def _click_train(sr, ms, period_s, click_len=64, amp=0.9):
+    n = int(sr * ms / 1000)
+    sig = np.zeros(n)
+    step = int(period_s * sr)
+    for s in range(0, n - click_len, step):
+        sig[s:s + click_len] = amp * np.hanning(click_len)
+    return np.clip(sig * 32767, -32768, 32767).astype("<i2")
+
+
+def test_onset_tempo_recovers_click_rate():
+    sr = 16000
+    # one click every 0.512 s (= exactly 16 frames of 512 at 16 kHz,
+    # so the envelope is integer-periodic) ~= 117 BPM; 4 s ~= 8 clicks
+    pcm = _click_train(sr, 4096, 0.512)
+    out = OnsetTempo(sr=sr)(_table([("c", pcm.tobytes(), sr,
+                                     "pcm_s16le")]))
+    r = out.to_pylist()[0]
+    assert r["onset_ok"]
+    assert 6 <= r["onset_count"] <= 9
+    assert r["tempo_bpm"] is not None
+    assert 105 <= r["tempo_bpm"] <= 130
+
+
+def test_onset_stationary_tone_has_few_onsets():
+    sr = 16000
+    pcm = _tone(sr, 2000, 220.0)
+    out = OnsetTempo(sr=sr)(_table([("t", pcm.tobytes(), sr,
+                                     "pcm_s16le")]))
+    r = out.to_pylist()[0]
+    assert r["onset_ok"] and r["onset_count"] <= 2
+
+
+# ----------------------------------------------------------- TimeStretcher
+
+def test_time_stretch_lengthens_and_preserves_pitch():
+    sr = 16000
+    freq = 440.0
+    pcm = _tone(sr, 1000, freq)
+    for rate in (1.5, 0.75):
+        out = TimeStretcher(rate=rate)(_table(
+            [("s", pcm.tobytes(), sr, "pcm_s16le")]))
+        r = out.to_pylist()[0]
+        assert r["stretch_ok"] and r["codec"] == "pcm_s16le"
+        got = np.frombuffer(r["bytes"], "<i2")
+        ratio = len(got) / len(pcm)
+        assert abs(ratio - rate) < 0.08, (rate, ratio)
+        # dominant frequency unchanged (pitch preserved)
+        mid = got[len(got) // 4: 3 * len(got) // 4].astype(np.float64)
+        spec = np.abs(np.fft.rfft(mid))
+        f_dom = np.argmax(spec) * sr / len(mid)
+        assert abs(f_dom - freq) < 10.0, (rate, f_dom)
+        assert r["dur_ms"] == int(len(got) * 1000 / sr)
+
+
+def test_time_stretch_flags_undecodable():
+    out = TimeStretcher(rate=1.2)(_table(
+        [("bad", b"\x00", 16000, "opus")]))
+    r = out.to_pylist()[0]
+    assert not r["stretch_ok"] and r["bytes"] is None
+
+
+# ------------------------------------------------------------ AudioChunker
+
+def test_chunker_counts_and_slices():
+    sr = 16000
+    pcm = _tone(sr, 1000, 220.0)                 # 16000 samples
+    chunk, hop = 400, 200                        # ms -> 6400 / 3200 smp
+    out = AudioChunker(chunk_ms=chunk, hop_ms=hop)(_table(
+        [("a", pcm.tobytes(), sr, "pcm_s16le")]))
+    rows = out.to_pylist()
+    nch = (16000 - 6400) // 3200 + 1             # = 4
+    assert len(rows) == nch
+    assert [r["chunk_idx"] for r in rows] == list(range(nch))
+    assert all(r["n_chunks"] == nch for r in rows)
+    assert all(len(r["bytes"]) == 6400 * 2 for r in rows)
+    # chunk 1 starts at hop samples
+    got = np.frombuffer(rows[1]["bytes"], "<i2")
+    np.testing.assert_array_equal(got, pcm[3200:3200 + 6400])
+    assert rows[1]["chunk_start_ms"] == 200
+
+
+def test_chunker_short_and_bad_rows_drop():
+    sr = 16000
+    short = _tone(sr, 100, 220.0)                # < chunk -> 0 rows
+    out = AudioChunker(chunk_ms=400, hop_ms=200)(_table([
+        ("short", short.tobytes(), sr, "pcm_s16le"),
+        ("bad", b"xx", sr, "mp3"),
+    ]))
+    assert out.num_rows == 0
+
+
+def test_chunker_in_ray_pipeline(ray_session):
+    import ray.data
+
+    from jschon_ray.sources.clips import generate_clips
+    from jschon_ray.stages.taskpool import stage_fn
+
+    tbl = generate_clips(200, seed=11)
+    ds = ray.data.from_arrow(tbl).map_batches(
+        stage_fn(AudioChunker, chunk_ms=200, hop_ms=100),
+        batch_format="pyarrow", batch_size=64)
+    t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    assert t.num_rows > 0
+    # every chunk payload is exactly chunk_ms of its clip's rate
+    df = t.to_pandas()
+    assert (df["bytes"].str.len()
+            == (df["sr_hz"] * 200 // 1000) * 2).all()
