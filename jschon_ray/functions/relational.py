@@ -1061,3 +1061,54 @@ def heavy_hitters(ds, *, col: str, num: int = 1, den: int = 1000):
         return t.filter(pc.fill_null(mask, False))
 
     return counts.map_batches(keep, batch_format="pyarrow")
+
+
+def skyline_2d(ds, *, min_col: str, max_col: str, keep_cols=()):
+    """2-D Pareto frontier (skyline): rows where no other row is <= on
+    `min_col` AND >= on `max_col` with at least one strict inequality —
+    SQL `NOT EXISTS (dominator)`.
+
+    Scale shape: dominance within a block implies dominance globally,
+    so each block first prunes to its LOCAL skyline (vectorized sort +
+    running-max sweep); only the union of local skylines — O(frontier)
+    rows, typically tiny — reaches the exact final sweep. No all-pairs
+    pass ever touches the full input.
+    """
+    import pandas as pd
+
+    cols = [min_col, max_col, *[c for c in keep_cols
+                                if c not in (min_col, max_col)]]
+
+    def sweep(df: pd.DataFrame) -> pd.DataFrame:
+        """Exact skyline of a frame: sort by (min asc, max desc); a row
+        is dominated iff some row in an earlier (strictly lower) min
+        group has max >= it, or its own min group holds a strictly
+        higher max."""
+        df = df.sort_values([min_col, max_col],
+                            ascending=[True, False], kind="mergesort")
+        mn = df[min_col].to_numpy()
+        mx = df[max_col].to_numpy()
+        n = len(df)
+        if n == 0:
+            return df
+        # running max of `max_col` over strictly-lower min groups
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = mn[1:] != mn[:-1]
+        grp_id = np.cumsum(new_grp) - 1
+        grp_best = np.maximum.accumulate(mx[new_grp])   # per-group max
+        prev_best = np.full(n, -np.inf)
+        gi = grp_id - 1
+        ok = gi >= 0
+        prev_best[ok] = grp_best[gi[ok]]
+        own_best = grp_best[grp_id]
+        keep = (mx > prev_best) & (mx >= own_best)
+        return df[keep]
+
+    def local_skyline(t: pa.Table) -> pa.Table:
+        df = t.select(cols).to_pandas()
+        return pa.Table.from_pandas(sweep(df), preserve_index=False)
+
+    pruned = ds.map_batches(local_skyline, batch_format="pyarrow")
+    final = sweep(pruned.to_pandas())
+    return final.sort_values(cols).reset_index(drop=True)

@@ -288,3 +288,65 @@ def weighted_sample_topk(ds, *, id_col: str, weight_col: str, k: int,
     order = np.lexsort((ids, -key))[:k]
     out = cand.take(pa.array(np.sort(order), pa.int64()))
     return out.drop_columns(["_key"])
+
+
+def key_gaps(ds, *, key_col: str):
+    """Missing ranges (gaps) in a sparse integer key space — the
+    islands-and-gaps audit (`lead(key) - key > 1` over the distinct
+    sorted keys): one row per gap with (gap_lo, gap_hi, gap_len).
+
+    Scale shape: a range shuffle (ds.sort) orders the distinct-key
+    blocks; INTERNAL gaps come from one vectorized diff per block and
+    stay distributed, while each block also emits its (min, max)
+    summary — the driver stitches only the O(num_blocks) BOUNDARY
+    candidates, never touching rows. Duplicate keys collapse in-block
+    (np.unique) and across blocks via the boundary diff (gap <= 0 is
+    dropped).
+    """
+    import ray
+
+    # two consumers (internal gaps + block spans): materialize the
+    # keys-only sorted projection (8 bytes/row) so the range shuffle
+    # runs once, not twice
+    narrow = ds.select_columns([key_col]).sort(key_col).materialize()
+
+    def block_gaps(t: pa.Table) -> pa.Table:
+        k = np.unique(t[key_col].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        if len(k) == 0:
+            return pa.table({"gap_lo": pa.array([], pa.int64()),
+                             "gap_hi": pa.array([], pa.int64()),
+                             "gap_len": pa.array([], pa.int64())})
+        d = np.diff(k)
+        idx = np.flatnonzero(d > 1)
+        return pa.table({"gap_lo": pa.array(k[idx] + 1),
+                         "gap_hi": pa.array(k[idx + 1] - 1),
+                         "gap_len": pa.array(d[idx] - 1)})
+
+    internal = narrow.map_batches(block_gaps, batch_format="pyarrow")
+
+    # block (min, max) summaries -> boundary gaps on the driver
+    def block_span(t: pa.Table):
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": pa.array([int(k.min())]),
+                         "hi": pa.array([int(k.max())])})
+
+    spans = narrow.map_batches(block_span,
+                               batch_format="pyarrow").to_pandas()
+    spans = spans.sort_values("lo").reset_index(drop=True)
+    blo, bhi = [], []
+    run_hi = None
+    for lo, hi in zip(spans["lo"], spans["hi"]):
+        if run_hi is not None and lo - run_hi > 1:
+            blo.append(run_hi + 1)
+            bhi.append(lo - 1)
+        run_hi = hi if run_hi is None else max(run_hi, hi)
+    boundary = pa.table({
+        "gap_lo": pa.array(blo, pa.int64()),
+        "gap_hi": pa.array(bhi, pa.int64()),
+        "gap_len": pa.array([h - l + 1 for l, h in zip(blo, bhi)],
+                            pa.int64())})
+    return internal.union(ray.data.from_arrow(boundary))

@@ -905,3 +905,152 @@ def keyed_rolling_stats(ds, *, key_col: str, ts_col: str, tie_col: str,
 
     return keyed.groupby("_bucket").map_groups(scan_bucket,
                                                batch_format="pandas")
+
+
+def keyed_streaks(ds, *, key_col: str, ts_col: str,
+                  unit_s: int = 86400, num_buckets: int | None = None):
+    """Gaps-and-islands per key: longest run of CONSECUTIVE active time
+    units (default: days) per key — SQL's `day - row_number()` island
+    trick, run as one bucketed segmented-numpy pass.
+
+    Scale shape: one shuffle of (key, ts) into hash buckets; per bucket
+    the scan dedups (key, unit) pairs, sorts once, and derives island
+    boundaries from vectorized diffs (an island starts where the key
+    changes or the unit advances by more than 1). Output is one row per
+    key: max_streak, n_active_units, n_streaks.
+    """
+    narrow = ds.select_columns([key_col, ts_col])
+    keyed = narrow.map_batches(
+        functools.partial(_key_bucket, key_col=key_col,
+                          num_buckets=_resolve_buckets(
+                              ds, num_buckets, row_bytes=16)),
+        batch_format="pyarrow")
+
+    unit_us = int(unit_s) * 1_000_000
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ts_us = g[ts_col].to_numpy().astype("datetime64[us]") \
+                                    .astype(np.int64)
+        day = ts_us // unit_us
+        d = pd.DataFrame({key_col: g[key_col].to_numpy(), "_u": day}) \
+            .drop_duplicates().sort_values([key_col, "_u"],
+                                           kind="mergesort")
+        n = len(d)
+        if not n:
+            return pd.DataFrame({key_col: [], "max_streak": [],
+                                 "n_active_units": [], "n_streaks": []})
+        keys = d[key_col].to_numpy()
+        u = d["_u"].to_numpy()
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        new_run = new_key.copy()
+        new_run[1:] |= (u[1:] - u[:-1]) != 1
+        starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(starts, n))
+        run_key = keys[starts]
+        runs = pd.DataFrame({key_col: run_key, "_len": run_len})
+        out = runs.groupby(key_col, sort=False).agg(
+            max_streak=("_len", "max"),
+            n_active_units=("_len", "sum"),
+            n_streaks=("_len", "size")).reset_index()
+        for c in ("max_streak", "n_active_units", "n_streaks"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return keyed.groupby("_bucket").map_groups(scan_bucket,
+                                               batch_format="pandas")
+
+
+def keyed_transition_counts(ds, *, key_col: str, ts_col: str,
+                            tie_col: str, type_col: str,
+                            num_buckets: int | None = None,
+                            decimals: int = 6):
+    """First-order Markov transition matrix over per-key ordered event
+    types: counts and conditional probabilities of (type -> next type)
+    — SQL `lead(type) OVER (PARTITION BY key ORDER BY ts, tie)` then a
+    pair groupby.
+
+    Scale shape: the bucketed scan emits only (cur, next) PAIR COUNTS
+    per bucket (a partial aggregate — at most n_types^2 rows per
+    bucket), so the final shuffle moves a bounded matrix, not events.
+    P(next|cur) is derived from the global counts.
+    """
+    narrow = ds.select_columns([key_col, ts_col, tie_col, type_col])
+    keyed = narrow.map_batches(
+        functools.partial(_key_bucket, key_col=key_col,
+                          num_buckets=_resolve_buckets(
+                              ds, num_buckets, row_bytes=32)),
+        batch_format="pyarrow")
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tie_col], kind="mergesort")
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"cur_type": [], "next_type": [],
+                                 "n": []})
+        keys = g[key_col].to_numpy()
+        typ = g[type_col].to_numpy()
+        same = keys[1:] == keys[:-1]
+        pairs = pd.DataFrame({"cur_type": typ[:-1][same],
+                              "next_type": typ[1:][same]})
+        out = pairs.groupby(["cur_type", "next_type"], sort=False) \
+            .size().reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partial = keyed.groupby("_bucket").map_groups(scan_bucket,
+                                                  batch_format="pandas")
+    from ray.data.aggregate import Sum
+    total = partial.groupby(["cur_type", "next_type"]).aggregate(
+        Sum("n", alias_name="n")).to_pandas()
+    total["n"] = total["n"].astype("int64")
+    tot = total.groupby("cur_type")["n"].transform("sum")
+    total["p"] = (total["n"] / tot).round(decimals)
+    return total
+
+
+def cohort_retention_matrix(ds, *, key_col: str, ts_col: str,
+                            unit_s: int = 604800,
+                            num_buckets: int | None = None):
+    """Cohort retention matrix: keys cohorted by their FIRST active
+    unit (default: epoch week); cell (cohort, offset) counts the
+    distinct keys of that cohort active `offset` units later.
+
+    Scale shape: one hash-bucket shuffle of (key, ts); per bucket the
+    scan reduces each key's events to its distinct (cohort, offset)
+    cells (a per-key partial — keys never split across buckets, so the
+    cohort/first-unit is exact); the final shuffle aggregates the
+    bounded (cohort x offset) matrix.
+    """
+    narrow = ds.select_columns([key_col, ts_col])
+    keyed = narrow.map_batches(
+        functools.partial(_key_bucket, key_col=key_col,
+                          num_buckets=_resolve_buckets(
+                              ds, num_buckets, row_bytes=16)),
+        batch_format="pyarrow")
+
+    unit_us = int(unit_s) * 1_000_000
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ts_us = g[ts_col].to_numpy().astype("datetime64[us]") \
+                                    .astype(np.int64)
+        d = pd.DataFrame({key_col: g[key_col].to_numpy(),
+                          "_u": ts_us // unit_us}).drop_duplicates()
+        first = d.groupby(key_col, sort=False)["_u"].transform("min")
+        cells = pd.DataFrame({
+            "cohort_unit": first.astype("int64"),
+            "unit_offset": (d["_u"] - first).astype("int64"),
+        }).groupby(["cohort_unit", "unit_offset"], sort=False) \
+            .size().reset_index(name="n_keys")
+        cells["n_keys"] = cells["n_keys"].astype("int64")
+        return cells
+
+    partial = keyed.groupby("_bucket").map_groups(scan_bucket,
+                                                  batch_format="pandas")
+    from ray.data.aggregate import Sum
+    out = partial.groupby(["cohort_unit", "unit_offset"]).aggregate(
+        Sum("n_keys", alias_name="n_keys")).to_pandas()
+    out["n_keys"] = out["n_keys"].astype("int64")
+    return out.sort_values(["cohort_unit", "unit_offset"]) \
+        .reset_index(drop=True)

@@ -4054,6 +4054,13 @@ def build_queries() -> dict:
         "audio_onset_clips": q_audio_onset_clips,
         "audio_stretch_clips": q_audio_stretch_clips,
         "audio_chunk_clips": q_audio_chunk_clips,
+        # round-2 relational additions
+        "events_user_streaks": q_events_user_streaks,
+        "events_markov_transitions": q_events_markov_transitions,
+        "cohort_retention_matrix": q_cohort_retention_matrix,
+        "parts_skyline": q_parts_skyline,
+        "lineitem_benford": q_lineitem_benford,
+        "lineitem_key_gaps": q_lineitem_key_gaps,
     }
 
 
@@ -4226,6 +4233,12 @@ def build_oracles() -> dict:
         "clips_validation": _clips_validation_sql("/root/testdata/sf0.01"),
         "speaking_rate_clips": _speaking_rate_sql("/root/testdata/sf0.01"),
         "audio_chunk_clips": _audio_chunk_sql("/root/testdata/sf0.01"),
+        "events_user_streaks": _USER_STREAKS_SQL,
+        "events_markov_transitions": _MARKOV_SQL,
+        "cohort_retention_matrix": _COHORT_MATRIX_SQL,
+        "parts_skyline": _PARTS_SKYLINE_SQL,
+        "lineitem_benford": _BENFORD_SQL,
+        "lineitem_key_gaps": _LINEITEM_KEY_GAPS_SQL,
         "editdist_clips": _editdist_clips_sql("/root/testdata/sf0.01"),
         "clips_violation_counts":
             _clips_violation_counts_sql("/root/testdata/sf0.01"),
@@ -7983,4 +7996,190 @@ per AS (
   FROM c)
 SELECT clip_id, CAST(sum(nch) AS BIGINT) AS chunks
 FROM per GROUP BY clip_id HAVING sum(nch) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-2 relational additions: gaps-and-islands, Markov transitions,
+# cohort matrix, Pareto skyline, Benford audit, key-space gaps
+
+
+def q_events_user_streaks(sf_dir):
+    """Longest consecutive-active-day streak per user (gaps-and-islands,
+    functions/windows.py keyed_streaks): the `day - row_number()` island
+    trick as one bucketed segmented scan."""
+    from ..functions.windows import keyed_streaks
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["user_id", "ts"])
+    return keyed_streaks(ds, key_col="user_id", ts_col="ts")
+
+
+_USER_STREAKS_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events),
+r AS (
+  SELECT user_id, day,
+         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM d),
+s AS (
+  SELECT user_id, count(*) AS len
+  FROM r GROUP BY user_id, day - rn)
+SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak,
+       CAST(sum(len) AS BIGINT) AS n_active_units,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM s GROUP BY user_id
+"""
+
+
+def q_events_markov_transitions(sf_dir):
+    """First-order Markov transition matrix of per-user event-type
+    sequences (functions/windows.py keyed_transition_counts): bucketed
+    LEAD scan emitting pair-count partials; only the bounded
+    n_types^2 matrix shuffles."""
+    from ..functions.windows import keyed_transition_counts
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    return keyed_transition_counts(ds, key_col="user_id", ts_col="ts",
+                                   tie_col="event_id",
+                                   type_col="event_type")
+
+
+_MARKOV_SQL = """
+WITH nxt AS (
+  SELECT event_type AS cur_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events),
+c AS (
+  SELECT cur_type, next_type, count(*) AS n
+  FROM nxt WHERE next_type IS NOT NULL
+  GROUP BY cur_type, next_type)
+SELECT cur_type, next_type, CAST(n AS BIGINT) AS n,
+       round(n / CAST(sum(n) OVER (PARTITION BY cur_type) AS DOUBLE),
+             6) AS p
+FROM c
+"""
+
+
+def q_cohort_retention_matrix(sf_dir):
+    """Weekly cohort retention matrix (functions/windows.py
+    cohort_retention_matrix): users cohorted by first active epoch
+    week; cell (cohort, offset) = distinct users active offset weeks
+    later. Per-bucket partials reduce each user to its distinct cells
+    before the bounded matrix aggregate."""
+    from ..functions.windows import cohort_retention_matrix
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["user_id", "ts"])
+    return cohort_retention_matrix(ds, key_col="user_id", ts_col="ts")
+
+
+_COHORT_MATRIX_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+  FROM events),
+f AS (
+  SELECT user_id, min(week) AS cohort FROM d GROUP BY user_id)
+SELECT f.cohort AS cohort_unit,
+       d.week - f.cohort AS unit_offset,
+       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_keys
+FROM d JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_parts_skyline(sf_dir):
+    """Pareto frontier of parts (cheapest price for largest size,
+    functions/relational.py skyline_2d): per-block local-skyline prune,
+    exact sweep over the tiny union — never an all-pairs pass."""
+    from ..functions.relational import skyline_2d
+
+    ds = read_table(table_path(sf_dir, "part"),
+                    columns=["p_partkey", "p_retailprice", "p_size"])
+    out = skyline_2d(ds, min_col="p_retailprice", max_col="p_size",
+                     keep_cols=("p_partkey",))
+    out["p_retailprice"] = out["p_retailprice"].round(2)
+    return out[["p_partkey", "p_retailprice", "p_size"]]
+
+
+_PARTS_SKYLINE_SQL = """
+SELECT p_partkey, round(p_retailprice, 2) AS p_retailprice, p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+"""
+
+
+def q_lineitem_benford(sf_dir):
+    """Benford first-digit audit over l_extendedprice: observed digit
+    frequencies vs Benford's log10(1+1/d) — the fraud/quality screen.
+    Exact integer-cents digit extraction (repeated //10) inside
+    map_batches partials; only a 9-row table shuffles."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_extendedprice"])
+
+    def digit_counts(t: pa.Table) -> pa.Table:
+        v = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        cents = np.round(v * 100.0).astype(np.int64)
+        cents = cents[cents > 0]
+        while (cents >= 10).any():
+            big = cents >= 10
+            cents[big] //= 10
+        digits, counts = np.unique(cents, return_counts=True)
+        return pa.table({"digit": pa.array(digits, pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    out = ds.map_batches(digit_counts, batch_format="pyarrow") \
+        .groupby("digit").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    out["n"] = out["n"].astype("int64")
+    total = out["n"].sum()
+    out["freq"] = (out["n"] / total).round(6)
+    out["benford"] = np.log10(1.0 + 1.0 / out["digit"]).round(6)
+    return out.sort_values("digit").reset_index(drop=True)
+
+
+_BENFORD_SQL = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM lineitem
+  WHERE CAST(round(l_extendedprice * 100) AS BIGINT) > 0),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(n / CAST((SELECT sum(n) FROM c) AS DOUBLE), 6) AS freq,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford
+FROM c ORDER BY digit
+"""
+
+
+def q_lineitem_key_gaps(sf_dir):
+    """Missing ranges in lineitem's l_orderkey space (functions/scan.py
+    key_gaps) — orders with no lineitems show up as key gaps:
+    range-shuffle sort, per-block vectorized diffs for internal gaps,
+    driver stitches only O(num_blocks) boundary summaries."""
+    from ..functions.scan import key_gaps
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey"])
+    out = key_gaps(ds, key_col="l_orderkey").to_pandas()
+    return _ensure_columns(out, {"gap_lo": "int64", "gap_hi": "int64",
+                                 "gap_len": "int64"})
+
+
+_LINEITEM_KEY_GAPS_SQL = """
+WITH k AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+l AS (SELECT k, lead(k) OVER (ORDER BY k) AS nxt FROM k)
+SELECT k + 1 AS gap_lo, nxt - 1 AS gap_hi,
+       nxt - k - 1 AS gap_len
+FROM l WHERE nxt - k > 1
 """

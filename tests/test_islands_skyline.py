@@ -1,0 +1,126 @@
+"""Round-2 relational ops: streaks, Markov transitions, cohort matrix,
+skyline, key gaps — small-input semantics vs hand-computed truth."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _events(rows):
+    return pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([np.datetime64(r[1], "us") for r in rows],
+                       pa.timestamp("us")),
+        "event_id": pa.array(list(range(len(rows))), pa.int64()),
+        "event_type": pa.array([r[2] if len(r) > 2 else "x"
+                                for r in rows], pa.string()),
+    })
+
+
+def test_keyed_streaks_islands():
+    import ray.data
+
+    from jschon_ray.functions.windows import keyed_streaks
+
+    rows = [
+        # user 1: days 0,1,2 then 5 -> streaks [3, 1]
+        (1, "2024-01-01T10:00"), (1, "2024-01-02T01:00"),
+        (1, "2024-01-02T23:00"), (1, "2024-01-03T00:00"),
+        (1, "2024-01-06T12:00"),
+        # user 2: single day
+        (2, "2024-01-04T00:00"),
+    ]
+    ds = ray.data.from_arrow(_events(rows))
+    out = keyed_streaks(ds, key_col="user_id", ts_col="ts",
+                        num_buckets=4).to_pandas() \
+        .set_index("user_id").sort_index()
+    assert out.loc[1, "max_streak"] == 3
+    assert out.loc[1, "n_active_units"] == 4
+    assert out.loc[1, "n_streaks"] == 2
+    assert out.loc[2, "max_streak"] == 1
+    assert out.loc[2, "n_streaks"] == 1
+
+
+def test_keyed_transition_counts_matrix():
+    import ray.data
+
+    from jschon_ray.functions.windows import keyed_transition_counts
+
+    rows = [
+        (1, "2024-01-01T00:00", "a"), (1, "2024-01-01T00:01", "b"),
+        (1, "2024-01-01T00:02", "a"), (1, "2024-01-01T00:03", "b"),
+        (2, "2024-01-01T00:00", "a"), (2, "2024-01-01T00:01", "a"),
+    ]
+    ds = ray.data.from_arrow(_events(rows))
+    out = keyed_transition_counts(
+        ds, key_col="user_id", ts_col="ts", tie_col="event_id",
+        type_col="event_type", num_buckets=4)
+    got = {(r.cur_type, r.next_type): (r.n, r.p)
+           for r in out.itertuples()}
+    assert got[("a", "b")] == (2, 0.666667)   # from 'a': b,b,a
+    assert got[("a", "a")] == (1, 0.333333)
+    assert got[("b", "a")] == (1, 1.0)
+    # P(next|a) sums to 1
+    assert abs(got[("a", "b")][1] + got[("a", "a")][1] - 1.0) < 1e-9
+
+
+def test_cohort_retention_matrix_cells():
+    import ray.data
+
+    from jschon_ray.functions.windows import cohort_retention_matrix
+
+    # unit = 1 day for readability
+    rows = [
+        (1, "2024-01-01T00:00"), (1, "2024-01-02T00:00"),
+        (2, "2024-01-01T12:00"),
+        (3, "2024-01-02T00:00"), (3, "2024-01-04T00:00"),
+    ]
+    ds = ray.data.from_arrow(_events(rows))
+    out = cohort_retention_matrix(ds, key_col="user_id", ts_col="ts",
+                                  unit_s=86400, num_buckets=4)
+    cells = {(r.cohort_unit, r.unit_offset): r.n_keys
+             for r in out.itertuples()}
+    day0 = int(np.datetime64("2024-01-01").astype(
+        "datetime64[D]").astype(int))
+    assert cells[(day0, 0)] == 2            # users 1, 2 start day0
+    assert cells[(day0, 1)] == 1            # user 1 returns next day
+    assert cells[(day0 + 1, 0)] == 1        # user 3 cohort day1
+    assert cells[(day0 + 1, 2)] == 1        # user 3 returns day3
+
+
+def test_skyline_2d_dominance():
+    import ray.data
+
+    from jschon_ray.functions.relational import skyline_2d
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "price": pa.array([1.0, 2.0, 2.0, 3.0, 1.0, 5.0]),
+        "size": pa.array([10, 20, 15, 20, 10, 30], pa.int32()),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = skyline_2d(ds, min_col="price", max_col="size",
+                     keep_cols=("id",))
+    # dominated: id3 (2,15) by id2 (2,20); id4 (3,20) by id2;
+    # kept: id1/id5 duplicates (1,10), id2 (2,20), id6 (5,30)
+    assert sorted(out["id"]) == [1, 2, 5, 6]
+
+
+def test_key_gaps_internal_and_boundary():
+    import ray.data
+
+    from jschon_ray.functions.scan import key_gaps
+
+    keys = [1, 2, 3, 7, 8, 20, 21, 21, 40]
+    t = pa.table({"k": pa.array(keys, pa.int64())})
+    ds = ray.data.from_arrow(t).random_shuffle(seed=5).repartition(4)
+    out = key_gaps(ds, key_col="k").to_pandas() \
+        .sort_values("gap_lo").reset_index(drop=True)
+    expect = pd.DataFrame({
+        "gap_lo": [4, 9, 22], "gap_hi": [6, 19, 39],
+        "gap_len": [3, 11, 18]})
+    pd.testing.assert_frame_equal(
+        out[["gap_lo", "gap_hi", "gap_len"]].astype("int64"), expect)
