@@ -183,3 +183,252 @@ def dup_clusters(pairs, *, src: str = "id_a", dst: str = "id_b",
     return connected_components(pairs, src=src, dst=dst, out_node=id_name,
                                 out_comp=comp_name,
                                 num_buckets=num_buckets)
+
+
+def triangle_count(edges, *, src: str = "id_a", dst: str = "id_b",
+                   num_buckets: int = 64):
+    """Exact global triangle count via degree-ordered wedge checking
+    (the standard MapReduce "node-iterator++" plan): orient each edge
+    low-rank -> high-rank where rank = (degree, node), generate each
+    node's out-neighbor pairs (wedges), and count wedges whose closing
+    (v, w) is itself an edge.
+
+    Scale shape: orientation bounds every out-degree by O(sqrt(2|E|)),
+    so wedge volume is O(|E|^1.5) worst-case and near-linear on sparse
+    graphs; wedges and edges co-group through ONE hash-bucket shuffle
+    keyed on the closing pair — per bucket the match is a vectorized
+    pandas merge. The degree map (|V| ints) is broadcast (ray.put once)
+    — swap for a shuffle join when |V| no longer fits a worker heap.
+
+    Returns one row: n_nodes, n_edges, n_wedges, n_triangles.
+    """
+    import ray
+
+    # 1) normalized distinct undirected edges (u < v), keys-only
+    def norm(t: pa.Table) -> pa.Table:
+        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        d = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    # distinct via a bucketed map_groups (multi-key ray groupby pays a
+    # per-block shuffle cost that dominates on many-tiny-block inputs)
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((u << np.uint64(32)) ^ v) * np.uint64(0x9E3779B97F4A7C15)
+        b = ((h >> np.uint64(33)) % np.uint64(num_buckets)) \
+            .astype(np.int64)
+        return t.append_column("_b", pa.array(b))
+
+    e = edges.map_batches(norm, batch_format="pyarrow") \
+        .map_batches(add_pair_bucket, batch_format="pyarrow") \
+        .groupby("_b").map_groups(
+            lambda g: g.drop(columns=["_b"]).drop_duplicates(),
+            batch_format="pandas").materialize()
+    n_edges = e.count()
+
+    # 2) degrees -> broadcast rank map
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.concat_arrays(
+            [t["u"].combine_chunks(), t["v"].combine_chunks()])})
+
+    deg = e.map_batches(endpoints, batch_format="pyarrow") \
+        .groupby("n").count().to_pandas().sort_values("n")
+    nodes = deg["n"].to_numpy(np.int64)
+    counts = deg["count()"].to_numpy(np.int64)
+    n_nodes = len(nodes)
+    deg_ref = ray.put((nodes, counts))
+
+    # 3) orient + wedge generation per out-node bucket
+    def orient(t: pa.Table) -> pa.Table:
+        dnodes, dcounts = ray.get(deg_ref)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        # sorted-array lookup (every endpoint is present by construction)
+        du = dcounts[np.searchsorted(dnodes, u)]
+        dv = dcounts[np.searchsorted(dnodes, v)]
+        fwd = (du < dv) | ((du == dv) & (u < v))
+        s = np.where(fwd, u, v)
+        d = np.where(fwd, v, u)
+        return pa.table({"s": pa.array(s), "d": pa.array(d)})
+
+    oriented = e.map_batches(orient, batch_format="pyarrow")
+
+    def wedges_of(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["s", "d"], kind="mergesort")
+        s = g["s"].to_numpy()
+        d = g["d"].to_numpy()
+        n = len(g)
+        new = np.empty(n, dtype=bool)
+        if n:
+            new[0] = True
+            new[1:] = s[1:] != s[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        out_v, out_w = [], []
+        # vectorized pair expansion per out-degree class: all segments
+        # of length k expand with one index grid (k is bounded by the
+        # orientation at O(sqrt(2E)))
+        for k in np.unique(sizes):
+            if k < 2:
+                continue
+            segs = starts[sizes == k]
+            block = d[(segs[:, None] + np.arange(k)[None, :])]
+            iu, ju = np.triu_indices(int(k), 1)
+            out_v.append(block[:, iu].ravel())
+            out_w.append(block[:, ju].ravel())
+        if not out_v:
+            return pd.DataFrame({"v": np.array([], np.int64),
+                                 "w": np.array([], np.int64)})
+        return pd.DataFrame({"v": np.concatenate(out_v),
+                             "w": np.concatenate(out_w)})
+
+    def add_sbucket(t: pa.Table) -> pa.Table:
+        b = _bucket_of(pd.Series(t["s"].to_numpy(zero_copy_only=False)),
+                       num_buckets)
+        return t.append_column("_b", pa.array(b))
+
+    wedge_ds = oriented.map_batches(add_sbucket, batch_format="pyarrow") \
+        .groupby("_b").map_groups(
+            lambda g: wedges_of(g.drop(columns=["_b"])),
+            batch_format="pandas")
+
+    # 4) close wedges against the oriented edge set: tagged-union
+    # co-group on the (lo, hi) closing pair, one shuffle
+    def tag_wedge(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(v, w)
+        hi = np.maximum(v, w)
+        return pa.table({"lo": pa.array(lo), "hi": pa.array(hi),
+                         "is_edge": pa.array(
+                             np.zeros(len(lo), np.int8))})
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array(u), "hi": pa.array(v),
+                         "is_edge": pa.array(
+                             np.ones(len(u), np.int8))})
+
+    tagged = wedge_ds.map_batches(tag_wedge, batch_format="pyarrow") \
+        .union(e.map_batches(tag_edge, batch_format="pyarrow"))
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        lo = t["lo"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hi = t["hi"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (lo * np.uint64(0x9E3779B97F4A7C15)
+             ^ (hi * np.uint64(0xC2B2AE3D27D4EB4F)))
+        h = (h ^ (h >> np.uint64(29))) * np.uint64(0xBF58476D1CE4E5B9)
+        b = ((h >> np.uint64(32)) % np.uint64(num_buckets)) \
+            .astype(np.int64)
+        return t.append_column("_b", pa.array(b))
+
+    def close_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        is_e = g["is_edge"].to_numpy() == 1
+        ed = g[is_e][["lo", "hi"]].assign(_hit=1)
+        wd = g[~is_e][["lo", "hi"]]
+        n_w = len(wd)
+        if not n_w or not len(ed):
+            tri = 0
+        else:
+            m = wd.merge(ed, on=["lo", "hi"], how="inner")
+            tri = int(len(m))
+        return pd.DataFrame({"n_wedges": [int(n_w)],
+                             "n_triangles": [tri]})
+
+    parts = tagged.map_batches(pair_bucket, batch_format="pyarrow") \
+        .groupby("_b").map_groups(close_bucket, batch_format="pandas") \
+        .to_pandas()
+    return pd.DataFrame({
+        "n_nodes": [int(n_nodes)], "n_edges": [int(n_edges)],
+        "n_wedges": [int(parts["n_wedges"].sum())],
+        "n_triangles": [int(parts["n_triangles"].sum())]})
+
+
+def pagerank(edges, *, src: str = "id_a", dst: str = "id_b",
+             damping: float = 0.85, iters: int = 10,
+             decimals: int = 8):
+    """PageRank over a directed edge Dataset by distributed power
+    iteration: each round, one map_batches pass over the (never
+    reshuffled) edge blocks computes per-block contribution partials
+    against the BROADCAST rank vector (ray.put once per round), and one
+    bounded groupby(dst-bucket) merge plus the driver's O(|V|) update
+    closes the round. Dangling mass is redistributed uniformly.
+
+    Posture: the rank/out-degree vectors are |V| floats on the driver —
+    right while the node table is orders of magnitude smaller than the
+    edge table (the usual catalog-vs-interactions shape). Beyond
+    driver-heap |V|, keep ranks AS a Dataset and replace the broadcast
+    with a src-keyed shuffle join per round.
+
+    Returns a DataFrame (node, rank) with ranks rounded to `decimals`
+    (sum ~= 1).
+    """
+    import ray
+
+    def norm(t: pa.Table) -> pa.Table:
+        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"s": pa.array(a), "d": pa.array(b)})
+
+    # few fat blocks: the edge relation is re-read every iteration and
+    # per-block scheduling overhead would otherwise dominate the rounds
+    e = edges.map_batches(norm, batch_format="pyarrow") \
+        .repartition(16).materialize()
+
+    # node universe + out-degrees (keys-only aggregates)
+    def ends(t: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.concat_arrays(
+            [t["s"].combine_chunks(), t["d"].combine_chunks()])})
+
+    node_df = e.map_batches(ends, batch_format="pyarrow") \
+        .groupby("n").count().to_pandas()
+    nodes = np.sort(node_df["n"].to_numpy(np.int64))
+    nv = len(nodes)
+    outdeg = np.zeros(nv, np.int64)
+    od = e.groupby("s").count().to_pandas()
+    outdeg[np.searchsorted(nodes, od["s"].to_numpy(np.int64))] = \
+        od["count()"].to_numpy(np.int64)
+
+    rank = np.full(nv, 1.0 / nv)
+    idx_ref = ray.put(nodes)
+
+    for _ in range(int(iters)):
+        share = np.zeros(nv)
+        nz = outdeg > 0
+        share[nz] = rank[nz] / outdeg[nz]
+        share_ref = ray.put(share)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            nd = ray.get(idx_ref)
+            sh = ray.get(share_ref)
+            s = t["s"].to_numpy(zero_copy_only=False)
+            d = t["d"].to_numpy(zero_copy_only=False)
+            si = np.searchsorted(nd, s)
+            di = np.searchsorted(nd, d)
+            # per-block partial: aggregate by destination before the
+            # shuffle so at most |V| rows leave a block
+            dsum = np.zeros(len(sh))
+            np.add.at(dsum, di, sh[si])
+            hit = np.flatnonzero(dsum)
+            return pa.table({"di": pa.array(hit.astype(np.int64)),
+                             "c": pa.array(dsum[hit])})
+
+        from ray.data.aggregate import Sum
+        agg = e.map_batches(contrib, batch_format="pyarrow") \
+            .groupby("di").aggregate(Sum("c", alias_name="c")) \
+            .to_pandas()
+        incoming = np.zeros(nv)
+        incoming[agg["di"].to_numpy(np.int64)] = agg["c"].to_numpy()
+        dangling = float(rank[~nz].sum()) if (~nz).any() else 0.0
+        rank = ((1.0 - damping) / nv
+                + damping * (incoming + dangling / nv))
+
+    return pd.DataFrame({"node": nodes,
+                         "rank": np.round(rank, decimals)})

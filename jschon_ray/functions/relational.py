@@ -861,20 +861,34 @@ def copurchase_pairs(ds, *, order_col: str, item_col: str,
 
     partial = keyed.groupby("_bucket").map_groups(pairs_bucket,
                                                   batch_format="pandas")
-    agg = partial.groupby(["p1", "p2"]).aggregate(
-        Sum("n_orders", alias_name="n_orders_sum"))
 
-    def finish(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        col = t["n_orders_sum"]
-        if col.type != pa.int64():
-            col = pc.round(col).cast(pa.int64())
-        keep = pc.greater_equal(col, min_count)
-        return pa.table({"p1": t["p1"], "p2": t["p2"],
-                         "n_orders": col}).filter(
-                             pc.fill_null(keep, False))
+    # final pair combine as a second bucketed map_groups rather than
+    # ray groupby(["p1","p2"]): the partial relation arrives as many
+    # tiny blocks and the multi-key Aggregate pays a fixed per-block
+    # shuffle cost that dominated wall time (57 s vs ~2 s for the same
+    # 119k rows at sf0.01); hashing pairs into `num_buckets` groups
+    # keeps the exchange bounded and the per-group sum vectorized.
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        p1 = t["p1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p2 = t["p2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((p1 << np.uint64(32)) ^ p2) \
+            * np.uint64(0x9E3779B97F4A7C15)
+        b = ((h >> np.uint64(33)) % np.uint64(num_buckets)) \
+            .astype(np.int64)
+        return t.append_column("_pb", pa.array(b))
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    def combine_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["p1", "p2"], as_index=False)["n_orders"] \
+            .sum()
+        out = out[out["n_orders"] >= min_count]
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        return out
+
+    return partial.map_batches(add_pair_bucket,
+                               batch_format="pyarrow") \
+        .groupby("_pb").map_groups(
+            lambda g: combine_bucket(g.drop(columns=["_pb"])),
+            batch_format="pandas")
 
 
 def grouped_weighted_avg(ds, *, key: str, weight_col: str, value_col: str,

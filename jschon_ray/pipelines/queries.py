@@ -4061,6 +4061,8 @@ def build_queries() -> dict:
         "parts_skyline": q_parts_skyline,
         "lineitem_benford": q_lineitem_benford,
         "lineitem_key_gaps": q_lineitem_key_gaps,
+        "copurchase_triangles": q_copurchase_triangles,
+        "copurchase_pagerank": q_copurchase_pagerank,
     }
 
 
@@ -4239,6 +4241,7 @@ def build_oracles() -> dict:
         "parts_skyline": _PARTS_SKYLINE_SQL,
         "lineitem_benford": _BENFORD_SQL,
         "lineitem_key_gaps": _LINEITEM_KEY_GAPS_SQL,
+        "copurchase_triangles": _TRIANGLES_SQL,
         "editdist_clips": _editdist_clips_sql("/root/testdata/sf0.01"),
         "clips_violation_counts":
             _clips_violation_counts_sql("/root/testdata/sf0.01"),
@@ -8183,3 +8186,73 @@ SELECT k + 1 AS gap_lo, nxt - 1 AS gap_hi,
        nxt - k - 1 AS gap_len
 FROM l WHERE nxt - k > 1
 """
+
+
+def q_copurchase_triangles(sf_dir):
+    """Exact triangle census of the part co-purchase graph
+    (functions/graph.py triangle_count): degree-ordered wedge
+    generation + one closing-pair co-group shuffle — the clustering
+    / community-structure audit over a pair graph."""
+    from ..functions.graph import triangle_count
+    from ..functions.relational import copurchase_pairs
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_partkey"])
+    # baskets are scattered on disk: edges must come from the basket-
+    # bucketed pair miner (one orderkey shuffle), not per-block grouping
+    edges = copurchase_pairs(ds, order_col="l_orderkey",
+                             item_col="l_partkey", min_count=1)
+    return triangle_count(edges, src="p1", dst="p2")
+
+
+_TRIANGLES_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+o AS (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS d
+  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+w AS (SELECT s, count(*) AS k FROM o GROUP BY s),
+tri AS (
+  SELECT count(*) AS t
+  FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT coalesce(sum(k * (k - 1) // 2), 0) FROM w)
+            AS BIGINT) AS n_wedges,
+       CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles
+"""
+
+
+def q_copurchase_pagerank(sf_dir):
+    """PageRank centrality of parts in the (symmetrized) co-purchase
+    graph (functions/graph.py pagerank): 10 power-iteration rounds,
+    per-block contribution partials against a broadcast rank vector —
+    edges are never reshuffled. Top-20 by (rank DESC, node) with
+    deterministic ties. Rows-only: iterative fixpoint, not
+    SQL-expressible as one query."""
+    from ..functions.graph import pagerank
+    from ..functions.relational import copurchase_pairs
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_partkey"])
+    pairs = copurchase_pairs(ds, order_col="l_orderkey",
+                             item_col="l_partkey", min_count=1)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t["p1"].combine_chunks()
+        b = t["p2"].combine_chunks()
+        return pa.table({"id_a": pa.concat_arrays([a, b]),
+                         "id_b": pa.concat_arrays([b, a])})
+
+    edges = pairs.map_batches(symmetrize, batch_format="pyarrow")
+    pr = pagerank(edges, src="id_a", dst="id_b", iters=10)
+    top = pr.sort_values(["rank", "node"],
+                         ascending=[False, True]).head(20)
+    return top.reset_index(drop=True)
