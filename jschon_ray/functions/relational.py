@@ -820,8 +820,6 @@ def copurchase_pairs(ds, *, order_col: str, item_col: str,
     """
     import functools
 
-    from ray.data.aggregate import Sum
-
     from .windows import _key_bucket
 
     narrow = ds.select_columns([order_col, item_col])

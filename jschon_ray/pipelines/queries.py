@@ -4063,6 +4063,9 @@ def build_queries() -> dict:
         "lineitem_key_gaps": q_lineitem_key_gaps,
         "copurchase_triangles": q_copurchase_triangles,
         "copurchase_pagerank": q_copurchase_pagerank,
+        "audio_trim_clips": q_audio_trim_clips,
+        "audio_compress_clips": q_audio_compress_clips,
+        "audio_similar_clips": q_audio_similar_clips,
     }
 
 
@@ -8256,3 +8259,98 @@ def q_copurchase_pagerank(sf_dir):
     top = pr.sort_values(["rank", "node"],
                          ascending=[False, True]).head(20)
     return top.reset_index(drop=True)
+
+
+def q_audio_trim_clips(sf_dir):
+    """Silence trimming audit (stages/analysis.py SilenceTrimmer):
+    leading/trailing dead air cut, then an in-Ray aggregate of kept
+    sample counts + trimmed milliseconds by outcome. Rows-only: DSP is
+    not SQL-expressible."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    from ..sources.clips import clips_cache_dir
+    from ..stages.analysis import SilenceTrimmer
+    from ..stages.taskpool import stage_fn
+
+    ds = read_table(clips_cache_dir(sf_dir),
+                    columns=["clip_id", "bytes", "sr_hz", "codec"])
+    out = ds.map_batches(stage_fn(SilenceTrimmer),
+                         batch_format="pyarrow", batch_size=256) \
+        .select_columns(["trim_ok", "n_samples", "trimmed_ms"]) \
+        .groupby("trim_ok").aggregate(
+            Count(alias_name="n"),
+            Sum("n_samples", alias_name="total_kept_samples"),
+            Mean("trimmed_ms", alias_name="mean_trimmed_ms")) \
+        .to_pandas()
+    out["mean_trimmed_ms"] = out["mean_trimmed_ms"].round(4)
+    out["total_kept_samples"] = out["total_kept_samples"].astype("int64")
+    return out.sort_values("trim_ok").reset_index(drop=True)
+
+
+def q_audio_compress_clips(sf_dir):
+    """Dynamic-range compression audit (stages/analysis.py Compressor
+    -> AudioQC): crest factor of the compressed corpus vs gain applied,
+    grouped by outcome — verifies in Ray that compression reduced
+    dynamic range on the loud cohort. Rows-only: DSP is not
+    SQL-expressible."""
+    from ray.data.aggregate import Count, Mean
+
+    from ..sources.clips import clips_cache_dir
+    from ..stages.analysis import AudioQC, Compressor
+    from ..stages.taskpool import stage_fn
+
+    ds = read_table(clips_cache_dir(sf_dir),
+                    columns=["clip_id", "bytes", "sr_hz", "codec"])
+    comp = ds.map_batches(stage_fn(Compressor, threshold_db=-15.0,
+                                   ratio=4.0),
+                          batch_format="pyarrow", batch_size=256) \
+        .map_batches(stage_fn(AudioQC, keep_bytes=False),
+                     batch_format="pyarrow", batch_size=256)
+
+    def nan_to_null(t: pa.Table) -> pa.Table:
+        cols = {"compress_ok": t["compress_ok"]}
+        for c in ("mean_gain_db", "crest_db", "rms_db"):
+            v = t[c].to_numpy(zero_copy_only=False)
+            cols[c] = pa.array(v, mask=np.isnan(v))
+        return pa.table(cols)
+
+    out = comp.map_batches(nan_to_null, batch_format="pyarrow") \
+        .groupby("compress_ok").aggregate(
+            Count(alias_name="n"),
+            Mean("mean_gain_db", alias_name="avg_gain_db",
+                 ignore_nulls=True),
+            Mean("crest_db", alias_name="avg_crest_db",
+                 ignore_nulls=True),
+            Mean("rms_db", alias_name="avg_rms_db",
+                 ignore_nulls=True)).to_pandas()
+    for c in ("avg_gain_db", "avg_crest_db", "avg_rms_db"):
+        out[c] = out[c].round(4)
+    return out.sort_values("compress_ok").reset_index(drop=True)
+
+
+def q_audio_similar_clips(sf_dir):
+    """Audio similarity search: resample -> mel-mean embeddings ->
+    exact cosine top-5 for 5 deterministic query clips (the multimodal
+    bridge onto the ANN stack, functions/similarity.py ann_topk —
+    payload bytes stop at the mel stage; the scorer broadcasts a 5-row
+    query matrix). Rows-only: the embedding space is DSP-derived."""
+    from ..functions.similarity import ann_topk
+    from ..sources.clips import clips_cache_dir
+    from ..stages.audio_ops import AudioResampler, MelSpectrogram
+    from ..stages.taskpool import stage_fn
+
+    ds = read_table(clips_cache_dir(sf_dir),
+                    columns=["clip_id", "bytes", "sr_hz", "codec"])
+    mels = ds.map_batches(stage_fn(AudioResampler, target_sr=16000),
+                          batch_format="pyarrow", batch_size=256) \
+        .map_batches(stage_fn(MelSpectrogram, sr=16000),
+                     batch_format="pyarrow", batch_size=256) \
+        .filter(expr="mel_ok == True") \
+        .select_columns(["clip_id", "mel_mean"]).materialize()
+
+    qdf = mels.sort("clip_id").limit(5).to_pandas()
+    queries = {"ids": qdf["clip_id"].to_numpy(),
+               "matrix": np.stack(qdf["mel_mean"].to_numpy())}
+    out = ann_topk(mels, queries, id_col="clip_id",
+                   emb_col="mel_mean", k=5).to_pandas()
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)

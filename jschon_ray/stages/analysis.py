@@ -565,3 +565,155 @@ class AudioChunker:
             cols["codec"] = pa.array(["pcm_s16le"] * len(o_id),
                                      pa.string())
         return pa.table(cols)
+
+
+class SilenceTrimmer:
+    """Trim leading/trailing silence (frames below `threshold_db`) and
+    re-emit raw s16le payloads — the pre-tokenization dead-air cut.
+
+    Frame energies for the whole batch come from ONE reshape+sum over
+    the stacked frames; per clip only the first/last above-threshold
+    frame index is Python work. Clips that are entirely silent are
+    emitted with trim_ok=false and their original payload (callers
+    route them to the quarantine/QC path instead).
+    """
+
+    def __init__(self, frame_ms: int = 20, threshold_db: float = -50.0,
+                 pad_frames: int = 1):
+        self.frame_ms = int(frame_ms)
+        self.threshold_db = float(threshold_db)
+        self.pad_frames = int(pad_frames)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n, rows, sigs, rates = _decode_batch(batch)
+        codecs = batch["codec"].to_pylist()
+
+        out_bytes = batch["bytes"].to_pylist()
+        out_codec = list(codecs)
+        ok = np.zeros(n, bool)
+        kept = np.zeros(n, np.int64)
+        cut_ms = np.zeros(n, np.int32)
+
+        if rows:
+            # frame with a PER-CLIP frame length (sr-dependent ms) but
+            # stack energies globally
+            frames, counts, lens = [], [], []
+            for j, i in enumerate(rows):
+                L = max(1, (rates[j] * self.frame_ms) // 1000)
+                s = sigs[j]
+                nf = len(s) // L
+                if nf == 0:                    # sub-frame clip: pad
+                    pad = np.zeros(L, np.float32)
+                    pad[:len(s)] = s
+                    f, nf = pad[None, :], 1
+                else:
+                    f = s[:nf * L].reshape(nf, L)
+                frames.append((f * f).mean(axis=1))
+                counts.append(nf)
+                lens.append(L)
+            fe = np.concatenate(frames)
+            fdb = 10.0 * np.log10(np.maximum(fe, 1e-30))
+            offs = np.zeros(len(rows), np.int64)
+            np.cumsum(np.asarray(counts[:-1]), out=offs[1:])
+            for j, i in enumerate(rows):
+                e = fdb[offs[j]:offs[j] + counts[j]]
+                above = np.flatnonzero(e >= self.threshold_db)
+                if not len(above):
+                    continue
+                lo = max(0, int(above[0]) - self.pad_frames)
+                hi = min(counts[j],
+                         int(above[-1]) + 1 + self.pad_frames)
+                L = lens[j]
+                # last kept frame also keeps the sub-frame remainder
+                end = len(sigs[j]) if hi >= counts[j] else hi * L
+                seg = sigs[j][lo * L:end]
+                pcm = np.clip(seg * 32768.0, -32768, 32767) \
+                    .astype("<i2")
+                out_bytes[i] = pcm.tobytes()
+                out_codec[i] = "pcm_s16le"
+                kept[i] = len(pcm)
+                cut_ms[i] = int((len(sigs[j]) - len(seg)) * 1000
+                                / rates[j])
+                ok[i] = True
+
+        cols = {name: batch[name] for name in batch.column_names
+                if name not in ("bytes", "codec")}
+        cols["bytes"] = pa.array(out_bytes, pa.binary())
+        cols["codec"] = pa.array(out_codec, pa.string())
+        cols["trim_ok"] = pa.array(ok)
+        cols["n_samples"] = pa.array(kept)
+        cols["trimmed_ms"] = pa.array(cut_ms)
+        return pa.table(cols)
+
+
+class Compressor:
+    """Dynamic-range compressor (broadcast-chain style): static gain
+    curve above `threshold_db` at `ratio`:1 over a frame-level RMS
+    envelope, attack/release smoothing on the per-FRAME gain (a ~50-
+    element scalar recursion per clip — the only non-vectorized loop,
+    at frame granularity, never per sample), gain linearly interpolated
+    back to sample rate. Re-emits s16le payloads + applied gain stats.
+    """
+
+    def __init__(self, threshold_db: float = -20.0, ratio: float = 4.0,
+                 frame_ms: int = 10, attack_frames: int = 2,
+                 release_frames: int = 8, makeup_db: float = 0.0):
+        self.threshold_db = float(threshold_db)
+        self.ratio = float(ratio)
+        self.frame_ms = int(frame_ms)
+        self.a_att = 1.0 / max(1, attack_frames)
+        self.a_rel = 1.0 / max(1, release_frames)
+        self.makeup = 10.0 ** (float(makeup_db) / 20.0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n, rows, sigs, rates = _decode_batch(batch)
+        codecs = batch["codec"].to_pylist()
+
+        out_bytes = batch["bytes"].to_pylist()
+        out_codec = list(codecs)
+        ok = np.zeros(n, bool)
+        mean_gr_db = np.full(n, np.nan)
+
+        for j, i in enumerate(rows):
+            sr = rates[j]
+            L = max(1, (sr * self.frame_ms) // 1000)
+            s = sigs[j]
+            nf = len(s) // L
+            if nf == 0:                        # sub-frame clip: pad
+                pad = np.zeros(L, np.float32)
+                pad[:len(s)] = s
+                f, nf = pad[None, :], 1
+            else:
+                f = s[:nf * L].reshape(nf, L)
+            lvl_db = 10.0 * np.log10(
+                np.maximum((f * f).mean(axis=1), 1e-30))
+            over = np.maximum(lvl_db - self.threshold_db, 0.0)
+            target = -over * (1.0 - 1.0 / self.ratio)   # dB gain <= 0
+            g = np.empty(nf)
+            prev = 0.0
+            for k in range(nf):                 # frame-level recursion
+                a = self.a_att if target[k] < prev else self.a_rel
+                prev = prev + a * (target[k] - prev)
+                g[k] = prev
+            gain = 10.0 ** (g / 20.0) * self.makeup
+            # hold each frame's gain across its samples, then apply
+            sample_gain = np.repeat(gain, L)
+            out = s.astype(np.float64)
+            m = min(len(out), nf * L)
+            out[:m] *= sample_gain[:m]
+            if len(s) > nf * L:
+                out[nf * L:] *= gain[-1]
+            pcm = np.clip(out * 32768.0, -32768, 32767).astype("<i2")
+            out_bytes[i] = pcm.tobytes()
+            out_codec[i] = "pcm_s16le"
+            mean_gr_db[i] = float(g.mean())
+            ok[i] = True
+
+        cols = {name: batch[name] for name in batch.column_names
+                if name not in ("bytes", "codec")}
+        cols["bytes"] = pa.array(out_bytes, pa.binary())
+        cols["codec"] = pa.array(out_codec, pa.string())
+        cols["compress_ok"] = pa.array(ok)
+        cols["mean_gain_db"] = pa.array(mean_gr_db,
+                                        mask=np.isnan(mean_gr_db))
+        return pa.table(cols)

@@ -217,3 +217,74 @@ def test_chunker_in_ray_pipeline(ray_session):
     df = t.to_pandas()
     assert (df["bytes"].str.len()
             == (df["sr_hz"] * 200 // 1000) * 2).all()
+
+
+# ---------------------------------------------------------- SilenceTrimmer
+
+def test_trimmer_cuts_leading_trailing_silence():
+    from jschon_ray.stages.analysis import SilenceTrimmer
+
+    sr = 16000
+    sil = np.zeros(sr // 2, "<i2")                 # 500 ms silence
+    tone = _tone(sr, 400, 220.0)
+    pcm = np.concatenate([sil, tone, sil])
+    out = SilenceTrimmer(pad_frames=0)(_table(
+        [("a", pcm.tobytes(), sr, "pcm_s16le")]))
+    r = out.to_pylist()[0]
+    assert r["trim_ok"]
+    got = np.frombuffer(r["bytes"], "<i2")
+    # kept within one frame (20ms) of the tone length
+    assert abs(len(got) - len(tone)) <= 2 * (sr * 20 // 1000)
+    assert r["trimmed_ms"] >= 900
+    assert np.abs(got.astype(np.int32)).max() > 1000   # tone retained
+
+
+def test_trimmer_all_silent_flags_false():
+    from jschon_ray.stages.analysis import SilenceTrimmer
+
+    sr = 16000
+    pcm = np.zeros(sr, "<i2")
+    out = SilenceTrimmer()(_table([("s", pcm.tobytes(), sr,
+                                    "pcm_s16le")]))
+    r = out.to_pylist()[0]
+    assert not r["trim_ok"]
+    assert r["bytes"] == pcm.tobytes()     # original payload kept
+
+
+# -------------------------------------------------------------- Compressor
+
+def test_compressor_reduces_dynamic_range():
+    from jschon_ray.stages.analysis import AudioQC, Compressor
+
+    sr = 16000
+    quiet = _tone(sr, 400, 220.0, amp=0.05)
+    loud = _tone(sr, 400, 220.0, amp=0.9)
+    pcm = np.concatenate([quiet, loud])
+    t = _table([("d", pcm.tobytes(), sr, "pcm_s16le")])
+    comp = Compressor(threshold_db=-20.0, ratio=8.0,
+                      attack_frames=1, release_frames=1)(t)
+    r = comp.to_pylist()[0]
+    assert r["compress_ok"] and r["mean_gain_db"] < 0
+    got = np.frombuffer(r["bytes"], "<i2").astype(np.float64) / 32768
+    # loud half attenuated, quiet half ~untouched
+    q_rms = np.sqrt((got[:len(quiet)] ** 2).mean())
+    l_rms = np.sqrt((got[len(quiet):] ** 2).mean())
+    q0 = 0.05 / np.sqrt(2)
+    l0 = 0.9 / np.sqrt(2)
+    assert q_rms > 0.8 * q0                  # quiet passes through
+    assert l_rms < 0.55 * l0                 # loud compressed hard
+    # dynamic range (ratio of halves) shrank
+    assert (l_rms / q_rms) < 0.7 * (l0 / q0)
+
+
+def test_compressor_below_threshold_is_identityish():
+    from jschon_ray.stages.analysis import Compressor
+
+    sr = 16000
+    pcm = _tone(sr, 300, 220.0, amp=0.05)    # ~-29 dBFS < threshold
+    out = Compressor(threshold_db=-20.0, ratio=4.0)(_table(
+        [("q", pcm.tobytes(), sr, "pcm_s16le")]))
+    r = out.to_pylist()[0]
+    got = np.frombuffer(r["bytes"], "<i2")
+    assert r["mean_gain_db"] == 0.0
+    np.testing.assert_allclose(got, pcm, atol=1)
