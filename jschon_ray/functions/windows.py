@@ -1054,3 +1054,142 @@ def cohort_retention_matrix(ds, *, key_col: str, ts_col: str,
     out["n_keys"] = out["n_keys"].astype("int64")
     return out.sort_values(["cohort_unit", "unit_offset"]) \
         .reset_index(drop=True)
+
+
+def keyed_interval_coverage(ds, *, key_col: str, lo_col: str,
+                            hi_col: str, num_buckets: int | None = None):
+    """Merge overlapping [lo, hi) intervals per key and report coverage
+    — SQL's running-max island trick (`lo > max(hi) OVER preceding`
+    starts a new merged window).
+
+    Scale shape: one hash-bucket shuffle of (key, lo, hi); per bucket
+    the pass sorts once and finds window boundaries with a SEGMENTED
+    running max (np.maximum.accumulate over values offset by
+    segment_id * 2^41 — segments can never dominate each other, so one
+    accumulate serves every key in the bucket). Output: one row per
+    key with n_windows and covered units.
+    """
+    narrow = ds.select_columns([key_col, lo_col, hi_col])
+    keyed = narrow.map_batches(
+        functools.partial(_key_bucket, key_col=key_col,
+                          num_buckets=_resolve_buckets(
+                              ds, num_buckets, row_bytes=24)),
+        batch_format="pyarrow")
+
+    BIG = np.int64(1) << np.int64(41)
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, lo_col, hi_col], kind="mergesort")
+        n = len(g)
+        if not n:
+            return pd.DataFrame({key_col: [], "n_windows": [],
+                                 "covered": []})
+        keys = g[key_col].to_numpy()
+        lo = g[lo_col].to_numpy(np.int64)
+        hi = g[hi_col].to_numpy(np.int64)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        seg_id = np.cumsum(new_key) - 1
+        # segmented running max of hi over PRECEDING rows
+        run = np.maximum.accumulate(hi + seg_id * BIG) - seg_id * BIG
+        prev_max = np.empty(n, np.int64)
+        prev_max[0] = np.iinfo(np.int64).min
+        prev_max[1:] = run[:-1]
+        new_win = new_key | (lo > prev_max)
+        win_id = np.cumsum(new_win) - 1
+        # merged window bounds
+        starts = np.flatnonzero(new_win)
+        win_lo = lo[starts]
+        ends = np.append(starts[1:], n) - 1
+        win_hi = run[ends]
+        win_key = keys[starts]
+        w = pd.DataFrame({key_col: win_key,
+                          "_len": (win_hi - win_lo).astype("int64")})
+        out = w.groupby(key_col, sort=False).agg(
+            n_windows=("_len", "size"),
+            covered=("_len", "sum")).reset_index()
+        out["n_windows"] = out["n_windows"].astype("int64")
+        out["covered"] = out["covered"].astype("int64")
+        return out
+
+    return keyed.groupby("_bucket").map_groups(scan_bucket,
+                                               batch_format="pandas")
+
+
+def keyed_ewma(ds, *, key_col: str, ts_col: str, tie_col: str,
+               value_col: str, alpha: float = 0.3,
+               num_buckets: int | None = None, decimals: int = 6,
+               chunk: int = 64):
+    """Per-key exponentially weighted moving average (y_t = alpha*x_t +
+    (1-alpha)*y_{t-1}, seeded y_0 = x_0) — the streaming-smoothing
+    recursion, vectorized by BLOCKED exponential rescaling: inside each
+    `chunk`-row block the recursion is one cumsum of x_i*(1-a)^(-i)
+    scaled back by (1-a)^i (chunk=64 keeps (1-a)^-i finite for any
+    alpha <= 0.9999), with one carry value per block. The Python loop
+    is over blocks, not rows.
+
+    Emits (key, tie, ewma). Not SQL-expressible as a single window
+    (recursive), so registry entries using it are rows-only; parity is
+    pinned by a per-row numpy reference test.
+    """
+    narrow = ds.select_columns([key_col, ts_col, tie_col, value_col])
+    keyed = narrow.map_batches(
+        functools.partial(_key_bucket, key_col=key_col,
+                          num_buckets=_resolve_buckets(ds, num_buckets)),
+        batch_format="pyarrow")
+    a = float(alpha)
+    r = 1.0 - a
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tie_col], kind="mergesort")
+        n = len(g)
+        keys = g[key_col].to_numpy()
+        x = g[value_col].to_numpy(np.float64)
+        y = np.empty(n)
+        if n:
+            new_key = np.empty(n, dtype=bool)
+            new_key[0] = True
+            new_key[1:] = keys[1:] != keys[:-1]
+            seg_start_idx = np.flatnonzero(new_key)
+            # position within segment
+            pos = np.arange(n) - np.repeat(
+                seg_start_idx, np.diff(np.append(seg_start_idx, n)))
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                p = pos[s:e]
+                first = p == 0
+                # within-block recursion with carry from y[s-1]
+                pb = np.arange(e - s)
+                w = r ** (-pb.astype(np.float64))
+                seed = np.where(first, x[s:e],
+                                a * x[s:e])
+                # reset cumsum at segment starts inside the block:
+                # cumulative sums computed per contiguous run via
+                # subtracting the running value at each reset point
+                cs = np.cumsum(seed * w)
+                resets = np.flatnonzero(first)
+                base = np.zeros(e - s)
+                if len(resets):
+                    rv = cs[resets] - seed[resets] * w[resets]
+                    base = np.repeat(
+                        rv, np.diff(np.append(resets, e - s)))
+                    if resets[0] != 0:
+                        head = np.zeros(resets[0])
+                        base = np.concatenate([head, base])
+                yb = (cs - base) * (r ** pb)
+                # carry the running value across the block boundary for
+                # rows whose segment started before this block
+                # (pos > local index <=> no reset since block start)
+                if s > 0:
+                    same_seg = pos[s:e] > pb
+                    yb = yb + np.where(same_seg,
+                                       y[s - 1] * (r ** (pb + 1)),
+                                       0.0)
+                y[s:e] = yb
+        return pd.DataFrame({key_col: keys,
+                             tie_col: g[tie_col].to_numpy(),
+                             "ewma": np.round(y, decimals)})
+
+    return keyed.groupby("_bucket").map_groups(scan_bucket,
+                                               batch_format="pandas")

@@ -4066,6 +4066,10 @@ def build_queries() -> dict:
         "audio_trim_clips": q_audio_trim_clips,
         "audio_compress_clips": q_audio_compress_clips,
         "audio_similar_clips": q_audio_similar_clips,
+        "supplier_busy_windows": q_supplier_busy_windows,
+        "trending_parts_decay": q_trending_parts_decay,
+        "frequent_values_lineitem": q_frequent_values_lineitem,
+        "events_ewma_value": q_events_ewma_value,
     }
 
 
@@ -4245,6 +4249,9 @@ def build_oracles() -> dict:
         "lineitem_benford": _BENFORD_SQL,
         "lineitem_key_gaps": _LINEITEM_KEY_GAPS_SQL,
         "copurchase_triangles": _TRIANGLES_SQL,
+        "supplier_busy_windows": _BUSY_WINDOWS_SQL,
+        "trending_parts_decay": _TRENDING_SQL,
+        "frequent_values_lineitem": _FREQUENT_VALUES_SQL,
         "editdist_clips": _editdist_clips_sql("/root/testdata/sf0.01"),
         "clips_violation_counts":
             _clips_violation_counts_sql("/root/testdata/sf0.01"),
@@ -8354,3 +8361,177 @@ def q_audio_similar_clips(sf_dir):
     out = ann_topk(mels, queries, id_col="clip_id",
                    emb_col="mel_mean", k=5).to_pandas()
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def q_supplier_busy_windows(sf_dir):
+    """Interval coalescing (functions/windows.py
+    keyed_interval_coverage): each lineitem occupies its supplier for
+    [shipdate, shipdate + floor(quantity) days); overlapping intervals
+    merge via the segmented running-max island trick — one bucketed
+    scan, one accumulate for every key in a bucket."""
+    from ..functions.windows import keyed_interval_coverage
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_suppkey", "l_shipdate", "l_quantity"])
+
+    def to_iv(t: pa.Table) -> pa.Table:
+        ts = t["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        lo = ts // 86_400_000_000
+        q = np.floor(t["l_quantity"].to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        return pa.table({"l_suppkey": t["l_suppkey"],
+                         "lo": pa.array(lo), "hi": pa.array(lo + q)})
+
+    iv = ds.map_batches(to_iv, batch_format="pyarrow")
+    out = keyed_interval_coverage(iv, key_col="l_suppkey",
+                                  lo_col="lo", hi_col="hi") \
+        .to_pandas()
+    out = out.rename(columns={"covered": "covered_days"})
+    return out.sort_values("l_suppkey").reset_index(drop=True)
+
+
+_BUSY_WINDOWS_SQL = """
+WITH iv AS (
+  SELECT l_suppkey,
+         CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT) AS lo,
+         CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT)
+           + CAST(floor(l_quantity) AS BIGINT) AS hi
+  FROM lineitem),
+r AS (
+  SELECT l_suppkey, lo, hi,
+         max(hi) OVER (PARTITION BY l_suppkey ORDER BY lo, hi
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS prev_hi
+  FROM iv),
+g AS (
+  SELECT l_suppkey, lo, hi,
+         sum(CASE WHEN prev_hi IS NULL OR lo > prev_hi
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY l_suppkey ORDER BY lo, hi) AS grp
+  FROM r),
+m AS (
+  SELECT l_suppkey, grp, min(lo) AS wlo, max(hi) AS whi
+  FROM g GROUP BY l_suppkey, grp)
+SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(whi - wlo) AS BIGINT) AS covered_days
+FROM m GROUP BY l_suppkey
+"""
+
+
+def q_trending_parts_decay(sf_dir):
+    """Time-decayed trending score: every lineitem contributes
+    0.9^(age_days vs the corpus max shipdate) to its part; top-20 by
+    (score DESC, partkey). The decayed partials fuse per block before a
+    part-keyed aggregate — the streaming-freshness ranking."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_partkey", "l_shipdate"])
+    mx = ds.aggregate(Max("l_shipdate"))["max(l_shipdate)"]
+    max_day = int(np.datetime64(mx, "us").astype(np.int64)
+                  // 86_400_000_000)
+
+    def decay_partial(t: pa.Table) -> pa.Table:
+        ts = t["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        age = max_day - ts // 86_400_000_000
+        w = 0.9 ** age.astype(np.float64)
+        df = pd.DataFrame({"l_partkey":
+                           t["l_partkey"].to_numpy(zero_copy_only=False),
+                           "w": w})
+        out = df.groupby("l_partkey", as_index=False)["w"].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = ds.map_batches(decay_partial, batch_format="pyarrow") \
+        .groupby("l_partkey").aggregate(Sum("w", alias_name="trend")) \
+        .to_pandas()
+    agg["trend"] = agg["trend"].round(6)
+    top = agg.sort_values(["trend", "l_partkey"],
+                          ascending=[False, True]).head(20)
+    return top.reset_index(drop=True)
+
+
+_TRENDING_SQL = """
+WITH mx AS (
+  SELECT CAST(floor(epoch(max(l_shipdate)) / 86400) AS BIGINT) AS d
+  FROM lineitem),
+s AS (
+  SELECT l_partkey,
+         round(sum(pow(0.9, (SELECT d FROM mx)
+                       - CAST(floor(epoch(l_shipdate) / 86400)
+                              AS BIGINT))), 6) AS trend
+  FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey, trend FROM s
+ORDER BY trend DESC, l_partkey LIMIT 20
+"""
+
+
+def q_frequent_values_lineitem(sf_dir):
+    """Frequent-values profile (the profiler's top-k value report):
+    top-3 values by count for each categorical-ish column, emitted as
+    one long (column, value, n, rnk) table. Per-block fused value
+    counts -> one bounded (col, value) aggregate -> driver-side top-3
+    over the tiny distinct-value table."""
+    from ray.data.aggregate import Sum
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity"]
+    ds = read_table(table_path(sf_dir, "lineitem"), columns=cols)
+
+    def value_counts(t: pa.Table) -> pa.Table:
+        frames = []
+        for c in cols:
+            v = t[c].to_numpy(zero_copy_only=False)
+            if c == "l_quantity":
+                v = np.floor(v).astype(np.int64).astype(str)
+            s = pd.Series(v).value_counts()
+            frames.append(pd.DataFrame({
+                "col": c, "val": s.index.astype(str),
+                "n": s.to_numpy(np.int64)}))
+        return pa.Table.from_pandas(pd.concat(frames),
+                                    preserve_index=False)
+
+    agg = ds.map_batches(value_counts, batch_format="pyarrow") \
+        .groupby(["col", "val"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    agg["n"] = agg["n"].astype("int64")
+    agg = agg.sort_values(["col", "n", "val"],
+                          ascending=[True, False, True])
+    agg["rnk"] = agg.groupby("col").cumcount() + 1
+    out = agg[agg["rnk"] <= 3].reset_index(drop=True)
+    out["rnk"] = out["rnk"].astype("int64")
+    return out[["col", "val", "n", "rnk"]]
+
+
+_FREQUENT_VALUES_SQL = """
+WITH long AS (
+  SELECT 'l_returnflag' AS col, l_returnflag AS val FROM lineitem
+  UNION ALL
+  SELECT 'l_linestatus', l_linestatus FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', CAST(CAST(floor(l_quantity) AS BIGINT)
+                            AS VARCHAR) FROM lineitem),
+c AS (SELECT col, val, count(*) AS n FROM long GROUP BY col, val)
+SELECT col, val, CAST(n AS BIGINT) AS n,
+       CAST(row_number() OVER (PARTITION BY col
+                               ORDER BY n DESC, val) AS BIGINT) AS rnk
+FROM c QUALIFY rnk <= 3
+"""
+
+
+def q_events_ewma_value(sf_dir):
+    """Per-user EWMA smoothing of event values (functions/windows.py
+    keyed_ewma, alpha=0.3): the streaming-recursion operator,
+    vectorized by blocked exponential rescaling. Restricted to
+    user_id < 10 so the emitted smoothed series stays small. Rows-only:
+    the recursion is not expressible as a single SQL window."""
+    from ..functions.windows import keyed_ewma
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["user_id", "ts", "event_id", "value"])
+    ds = ds.filter(expr="user_id < 10")
+    out = keyed_ewma(ds, key_col="user_id", ts_col="ts",
+                     tie_col="event_id", value_col="value",
+                     alpha=0.3).to_pandas()
+    return out.sort_values(["user_id", "event_id"]) \
+        .reset_index(drop=True)

@@ -124,3 +124,54 @@ def test_key_gaps_internal_and_boundary():
         "gap_len": [3, 11, 18]})
     pd.testing.assert_frame_equal(
         out[["gap_lo", "gap_hi", "gap_len"]].astype("int64"), expect)
+
+
+def test_keyed_interval_coverage_merges_overlaps():
+    import ray.data
+
+    from jschon_ray.functions.windows import keyed_interval_coverage
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        # key 1: [0,10) [5,12) merge ->[0,12); [20,25) separate
+        # plus contained [6,8) swallowed
+        "lo": pa.array([0, 5, 20, 6, 3], pa.int64()),
+        "hi": pa.array([10, 12, 25, 8, 9], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = keyed_interval_coverage(ds, key_col="k", lo_col="lo",
+                                  hi_col="hi", num_buckets=4) \
+        .to_pandas().set_index("k").sort_index()
+    assert out.loc[1, "n_windows"] == 2
+    assert out.loc[1, "covered"] == 12 + 5
+    assert out.loc[2, "n_windows"] == 1
+    assert out.loc[2, "covered"] == 6
+
+
+def test_keyed_ewma_matches_pandas_ewm():
+    import ray.data
+
+    from jschon_ray.functions.windows import keyed_ewma
+
+    rng = np.random.default_rng(3)
+    n = 1000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 7, n), pa.int64()),
+        "ts": pa.array(
+            np.datetime64("2024-01-01", "us")
+            + rng.permutation(n).astype("timedelta64[us]") * 1000,
+            pa.timestamp("us")),
+        "tie": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(rng.normal(0, 10, n)),
+    })
+    alpha = 0.35
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = keyed_ewma(ds, key_col="k", ts_col="ts", tie_col="tie",
+                     value_col="v", alpha=alpha, num_buckets=4,
+                     decimals=9, chunk=16) \
+        .to_pandas().sort_values("tie").reset_index(drop=True)
+    df = t.to_pandas().sort_values(["k", "ts", "tie"])
+    df["ref"] = df.groupby("k")["v"] \
+        .transform(lambda s: s.ewm(alpha=alpha, adjust=False).mean())
+    ref = df.sort_values("tie").reset_index(drop=True)
+    np.testing.assert_allclose(got["ewma"], ref["ref"], atol=1e-6)
