@@ -4070,6 +4070,8 @@ def build_queries() -> dict:
         "trending_parts_decay": q_trending_parts_decay,
         "frequent_values_lineitem": q_frequent_values_lineitem,
         "events_ewma_value": q_events_ewma_value,
+        "audio_transcode_clips": q_audio_transcode_clips,
+        "events_session_paths": q_events_session_paths,
     }
 
 
@@ -4252,6 +4254,9 @@ def build_oracles() -> dict:
         "supplier_busy_windows": _BUSY_WINDOWS_SQL,
         "trending_parts_decay": _TRENDING_SQL,
         "frequent_values_lineitem": _FREQUENT_VALUES_SQL,
+        "audio_transcode_clips":
+            _audio_transcode_sql("/root/testdata/sf0.01"),
+        "events_session_paths": _SESSION_PATHS_SQL,
         "editdist_clips": _editdist_clips_sql("/root/testdata/sf0.01"),
         "clips_violation_counts":
             _clips_violation_counts_sql("/root/testdata/sf0.01"),
@@ -8535,3 +8540,144 @@ def q_events_ewma_value(sf_dir):
                      alpha=0.3).to_pandas()
     return out.sort_values(["user_id", "event_id"]) \
         .reset_index(drop=True)
+
+
+def q_audio_transcode_clips(sf_dir):
+    """Container-normalization audit: raw-PCM clips re-encoded as
+    canonical RIFF/WAVE (stages/analysis.py WavWriter), verified by an
+    EXACT DuckDB size oracle — the canonical writer emits 44 +
+    2*n_samples bytes, a pure function of octet_length for s16le
+    inputs, so the transcode's Ray-side byte accounting is
+    value-checked end to end."""
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.analysis import WavWriter
+    from ..stages.taskpool import stage_fn
+
+    ds = read_table_clips_pcm(sf_dir)
+    wav = ds.map_batches(stage_fn(WavWriter), batch_format="pyarrow",
+                         batch_size=256)
+
+    def sizes(t: pa.Table) -> pa.Table:
+        ok = t["wav_ok"]
+        out_len = _pc.cast(_pc.binary_length(t["bytes"]), pa.int64())
+        in_len = _pc.multiply(t["n_samples"], 2)
+        return pa.table({"wav_ok": ok,
+                         "in_bytes": in_len,
+                         "out_bytes": out_len}).filter(ok)
+
+    out = wav.map_batches(sizes, batch_format="pyarrow") \
+        .groupby("wav_ok").aggregate(
+            Count(alias_name="n"),
+            Sum("in_bytes", alias_name="in_bytes"),
+            Sum("out_bytes", alias_name="out_bytes")).to_pandas()
+    out = out.drop(columns=["wav_ok"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _audio_transcode_sql(sf_dir: str) -> str:
+    from ..sources.clips import clips_cache_dir
+
+    path = clips_cache_dir(sf_dir)
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum((octet_length(bytes) // 2) * 2) AS BIGINT) AS in_bytes,
+       CAST(sum((octet_length(bytes) // 2) * 2 + 44) AS BIGINT)
+         AS out_bytes
+FROM read_parquet('{path}/*.parquet')
+WHERE codec = 'pcm_s16le' AND bytes IS NOT NULL
+      AND octet_length(bytes) % 2 = 0 AND octet_length(bytes) >= 2
+      AND sr_hz IS NOT NULL AND sr_hz > 0
+"""
+
+
+def q_events_session_paths(sf_dir):
+    """Top navigation paths: sessionize per user (30-min gaps), take
+    each session's first 3 event types as a '>'-joined path, count
+    paths corpus-wide — the product-analytics path report. One
+    user-bucketed scan emits per-bucket PATH COUNT partials (bounded by
+    n_types^3), so the final exchange is a tiny matrix; top-10 by
+    (n DESC, path) on the driver."""
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.windows import _key_bucket, _resolve_buckets
+
+    ds = read_table(table_path(sf_dir, "events"),
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    keyed = ds.map_batches(
+        functools.partial(_key_bucket, key_col="user_id",
+                          num_buckets=_resolve_buckets(ds, None,
+                                                       row_bytes=40)),
+        batch_format="pyarrow")
+
+    GAP_US = 1800 * 1_000_000
+
+    def paths_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        n = len(g)
+        if not n:
+            return pd.DataFrame({"path": [], "n": []})
+        keys = g["user_id"].to_numpy()
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]") \
+                                  .astype(np.int64)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        gap = np.zeros(n, np.int64)
+        gap[1:] = ts_us[1:] - ts_us[:-1]
+        new_sess = new_key | (gap > GAP_US)
+        sess_id = np.cumsum(new_sess) - 1
+        starts = np.flatnonzero(new_sess)
+        pos = np.arange(n) - np.repeat(
+            starts, np.diff(np.append(starts, n)))
+        head = pos < 3
+        df = pd.DataFrame({"sess": sess_id[head],
+                           "t": g["event_type"].to_numpy()[head]})
+        paths = df.groupby("sess", sort=False)["t"] \
+            .agg(">".join)
+        out = paths.value_counts().reset_index()
+        out.columns = ["path", "n"]
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partial = keyed.groupby("_bucket").map_groups(paths_bucket,
+                                                  batch_format="pandas")
+    agg = partial.groupby("path").aggregate(
+        Sum("n", alias_name="n")).to_pandas()
+    agg["n"] = agg["n"].astype("int64")
+    top = agg.sort_values(["n", "path"],
+                          ascending=[False, True]).head(10)
+    return top.reset_index(drop=True)
+
+
+_SESSION_PATHS_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS pts
+  FROM events),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(CASE WHEN pts IS NULL
+                    OR epoch_us(ts) - epoch_us(pts) > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+  FROM o),
+r AS (
+  SELECT user_id, sess, event_type,
+         row_number() OVER (PARTITION BY user_id, sess
+                            ORDER BY ts, event_id) AS rn
+  FROM s),
+p AS (
+  SELECT user_id, sess,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3 GROUP BY user_id, sess)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY path ORDER BY n DESC, path LIMIT 10
+"""

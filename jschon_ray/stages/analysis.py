@@ -717,3 +717,51 @@ class Compressor:
         cols["mean_gain_db"] = pa.array(mean_gr_db,
                                         mask=np.isnan(mean_gr_db))
         return pa.table(cols)
+
+
+class WavWriter:
+    """Re-encode decodable clips as canonical RIFF/WAVE containers
+    (44-byte header + mono s16le frames, the same layout
+    sources/clips.py wav_bytes emits) — the normalize-container step
+    before handing a corpus to tooling that wants real .wav payloads.
+
+    Output payload size is EXACTLY 44 + 2*n_samples, which makes the
+    transcode audit SQL-expressible for raw-PCM inputs
+    (audio_transcode_clips oracle). Undecodable rows keep their payload
+    with wav_ok=false.
+    """
+
+    def __init__(self):
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct
+
+        n, rows, sigs, rates = _decode_batch(batch)
+        codecs = batch["codec"].to_pylist()
+        out_bytes = batch["bytes"].to_pylist()
+        out_codec = list(codecs)
+        ok = np.zeros(n, bool)
+        nsamp = np.zeros(n, np.int64)
+
+        for j, i in enumerate(rows):
+            pcm = np.clip(sigs[j] * 32768.0, -32768, 32767) \
+                .astype("<i2")
+            data = pcm.tobytes()
+            sr = rates[j]
+            hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) \
+                + b"WAVEfmt "
+            hdr += struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+            hdr += b"data" + struct.pack("<I", len(data))
+            out_bytes[i] = hdr + data
+            out_codec[i] = "wav"
+            nsamp[i] = len(pcm)
+            ok[i] = True
+
+        cols = {name: batch[name] for name in batch.column_names
+                if name not in ("bytes", "codec")}
+        cols["bytes"] = pa.array(out_bytes, pa.binary())
+        cols["codec"] = pa.array(out_codec, pa.string())
+        cols["wav_ok"] = pa.array(ok)
+        cols["n_samples"] = pa.array(nsamp)
+        return pa.table(cols)

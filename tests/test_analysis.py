@@ -288,3 +288,29 @@ def test_compressor_below_threshold_is_identityish():
     got = np.frombuffer(r["bytes"], "<i2")
     assert r["mean_gain_db"] == 0.0
     np.testing.assert_allclose(got, pcm, atol=1)
+
+
+# --------------------------------------------------------------- WavWriter
+
+def test_wav_writer_roundtrip():
+    from jschon_ray.stages.analysis import WavWriter
+    from jschon_ray.stages.decode import decode_clip
+
+    sr = 22050
+    pcm = _tone(sr, 300, 220.0)
+    out = WavWriter()(_table([("w", pcm.tobytes(), sr, "pcm_s16le")]))
+    r = out.to_pylist()[0]
+    assert r["wav_ok"] and r["codec"] == "wav"
+    assert len(r["bytes"]) == 44 + 2 * len(pcm)
+    got, got_sr = decode_clip(r["bytes"], "wav")
+    assert got_sr == sr
+    np.testing.assert_array_equal(got, pcm)
+
+
+def test_wav_writer_flags_undecodable():
+    from jschon_ray.stages.analysis import WavWriter
+
+    out = WavWriter()(_table([("bad", b"\x01", 16000, "flac")]))
+    r = out.to_pylist()[0]
+    assert not r["wav_ok"] and r["codec"] == "flac"
+    assert r["bytes"] == b"\x01"
