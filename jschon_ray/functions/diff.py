@@ -85,3 +85,80 @@ def snapshot_diff(ds_old, ds_new, *, key_col: str, compare_cols,
 
     return tagged.groupby("_bucket").map_groups(
         diff_bucket, batch_format="pandas")
+
+
+def scd2_history(ds_old, ds_new, *, key_col: str, compare_cols,
+                 v_old: int = 1, v_new: int = 2, n_buckets: int = 64,
+                 open_sentinel: int = -1):
+    """Build a slowly-changing-dimension type-2 history from two
+    snapshot versions: one row per (key, effective interval) with
+    `valid_from` / `valid_to` version stamps (`valid_to ==
+    open_sentinel` marks the currently-open row).
+
+      unchanged key -> (values, v_old, open)
+      changed   key -> (old values, v_old, v_new) + (new values, v_new, open)
+      removed   key -> (old values, v_old, v_new)
+      added     key -> (new values, v_new, open)
+
+    Same scale shape as `snapshot_diff` (one coarse-bucket keyed outer
+    merge of the narrow projections), but output is history-sized
+    (>= max(|old|, |new|) rows) — the point of SCD2 — so callers write
+    it to a sink rather than the driver.
+    """
+    compare_cols = list(compare_cols)
+    cols = [key_col] + compare_cols
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.select(cols)
+            b = (hash_array(t[key_col].to_pandas())
+                 % np.uint64(n_buckets)).view(np.int64)
+            t = t.append_column("_bucket", pa.array(b))
+            return t.append_column(
+                "_side", pa.array(np.full(t.num_rows, side, np.int8)))
+        return fn
+
+    tagged = ds_old.map_batches(tag(0), batch_format="pyarrow") \
+        .union(ds_new.map_batches(tag(1), batch_format="pyarrow"))
+
+    def hist_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        old = g[g["_side"] == 0][cols]
+        new = g[g["_side"] == 1][cols]
+        m = old.merge(new, on=key_col, how="outer",
+                      suffixes=("_old", "_new"), indicator=True)
+        n = len(m)
+        if not n:
+            return pd.DataFrame(
+                {key_col: [], **{c: [] for c in compare_cols},
+                 "valid_from": [], "valid_to": []})
+        both = (m["_merge"] == "both").to_numpy()
+        added = (m["_merge"] == "right_only").to_numpy()
+        removed = (m["_merge"] == "left_only").to_numpy()
+        same = both.copy()
+        for c in compare_cols:
+            a, b = m[f"{c}_old"], m[f"{c}_new"]
+            eq = (a == b) | (a.isna() & b.isna())
+            same &= eq.to_numpy()
+        changed = both & ~same
+
+        frames = []
+        # old-valued rows: unchanged (open) / changed+removed (closed)
+        for mask, vfrom, vto, side in (
+                (same, v_old, open_sentinel, "_old"),
+                (changed, v_old, v_new, "_old"),
+                (removed, v_old, v_new, "_old"),
+                (changed, v_new, open_sentinel, "_new"),
+                (added, v_new, open_sentinel, "_new")):
+            sub = m[mask]
+            if not len(sub):
+                continue
+            frames.append(pd.DataFrame({
+                key_col: sub[key_col].to_numpy(),
+                **{c: sub[f"{c}{side}"].to_numpy()
+                   for c in compare_cols},
+                "valid_from": np.full(len(sub), vfrom, np.int64),
+                "valid_to": np.full(len(sub), vto, np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    return tagged.groupby("_bucket").map_groups(
+        hist_bucket, batch_format="pandas")

@@ -4072,6 +4072,7 @@ def build_queries() -> dict:
         "events_ewma_value": q_events_ewma_value,
         "audio_transcode_clips": q_audio_transcode_clips,
         "events_session_paths": q_events_session_paths,
+        "scd2_orders_history": q_scd2_orders_history,
     }
 
 
@@ -4257,6 +4258,7 @@ def build_oracles() -> dict:
         "audio_transcode_clips":
             _audio_transcode_sql("/root/testdata/sf0.01"),
         "events_session_paths": _SESSION_PATHS_SQL,
+        "scd2_orders_history": _SCD2_SQL,
         "editdist_clips": _editdist_clips_sql("/root/testdata/sf0.01"),
         "clips_violation_counts":
             _clips_violation_counts_sql("/root/testdata/sf0.01"),
@@ -8680,4 +8682,68 @@ p AS (
   FROM r WHERE rn <= 3 GROUP BY user_id, sess)
 SELECT path, CAST(count(*) AS BIGINT) AS n
 FROM p GROUP BY path ORDER BY n DESC, path LIMIT 10
+"""
+
+
+def q_scd2_orders_history(sf_dir):
+    """SCD type-2 history build (functions/diff.py scd2_history): the
+    base orders snapshot (v1) and the deterministically perturbed
+    delivery (v2, same generator as snapshot_diff_orders) merge into
+    one row per effective interval with valid_from/valid_to version
+    stamps. History-sized output; the oracle reproduces all four
+    interval cases with a FULL OUTER JOIN UNION."""
+    from ..functions.diff import scd2_history
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    old = read_table(table_path(sf_dir, "orders"), columns=cols)
+    new = read_table(table_path(sf_dir, "orders"), columns=cols) \
+        .map_batches(_perturb_orders_batch, batch_format="pyarrow")
+    out = scd2_history(old, new, key_col="o_orderkey",
+                       compare_cols=["o_totalprice", "o_orderstatus"])
+    df = out.to_pandas().sort_values(
+        ["o_orderkey", "valid_from"]).reset_index(drop=True)
+    df["o_totalprice"] = df["o_totalprice"].round(2)
+    return df
+
+
+_SCD2_SQL = r"""
+WITH new_snap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 83 = 0 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+m AS (
+  SELECT o.o_orderkey AS ko, n.o_orderkey AS kn,
+         o.o_totalprice AS po, n.o_totalprice AS pn,
+         o.o_orderstatus AS so, n.o_orderstatus AS sn
+  FROM orders o FULL OUTER JOIN new_snap n
+    ON o.o_orderkey = n.o_orderkey),
+flags AS (
+  SELECT *,
+         (ko IS NOT NULL AND kn IS NOT NULL
+          AND po IS NOT DISTINCT FROM pn
+          AND so IS NOT DISTINCT FROM sn) AS same,
+         (ko IS NOT NULL AND kn IS NOT NULL
+          AND (po IS DISTINCT FROM pn
+               OR so IS DISTINCT FROM sn)) AS changed,
+         (kn IS NULL) AS removed, (ko IS NULL) AS added
+  FROM m)
+SELECT ko AS o_orderkey, round(po, 2) AS o_totalprice,
+       so AS o_orderstatus,
+       1 AS valid_from, -1 AS valid_to
+FROM flags WHERE same
+UNION ALL
+SELECT ko, round(po, 2), so, 1, 2 FROM flags WHERE changed
+UNION ALL
+SELECT ko, round(po, 2), so, 1, 2 FROM flags WHERE removed
+UNION ALL
+SELECT kn, round(pn, 2), sn, 2, -1 FROM flags WHERE changed
+UNION ALL
+SELECT kn, round(pn, 2), sn, 2, -1 FROM flags WHERE added
 """

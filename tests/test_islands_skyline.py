@@ -175,3 +175,29 @@ def test_keyed_ewma_matches_pandas_ewm():
         .transform(lambda s: s.ewm(alpha=alpha, adjust=False).mean())
     ref = df.sort_values("tie").reset_index(drop=True)
     np.testing.assert_allclose(got["ewma"], ref["ref"], atol=1e-6)
+
+
+def test_scd2_history_intervals():
+    import ray.data
+
+    from jschon_ray.functions.diff import scd2_history
+
+    old = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                    "v": pa.array(["a", "b", "c"])})
+    new = pa.table({"k": pa.array([1, 2, 4], pa.int64()),
+                    "v": pa.array(["a", "B", "d"])})
+    out = scd2_history(ray.data.from_arrow(old),
+                       ray.data.from_arrow(new),
+                       key_col="k", compare_cols=["v"],
+                       n_buckets=4).to_pandas() \
+        .sort_values(["k", "valid_from"]).reset_index(drop=True)
+    rows = [tuple(r) for r in
+            out[["k", "v", "valid_from", "valid_to"]].itertuples(
+                index=False)]
+    assert rows == [
+        (1, "a", 1, -1),          # unchanged, open
+        (2, "b", 1, 2),           # changed: closed old
+        (2, "B", 2, -1),          # changed: open new
+        (3, "c", 1, 2),           # removed: closed
+        (4, "d", 2, -1),          # added: open
+    ]
