@@ -4073,6 +4073,7 @@ def build_queries() -> dict:
         "audio_transcode_clips": q_audio_transcode_clips,
         "events_session_paths": q_events_session_paths,
         "scd2_orders_history": q_scd2_orders_history,
+        "codec_sniff_clips": q_codec_sniff_clips,
     }
 
 
@@ -4259,6 +4260,7 @@ def build_oracles() -> dict:
             _audio_transcode_sql("/root/testdata/sf0.01"),
         "events_session_paths": _SESSION_PATHS_SQL,
         "scd2_orders_history": _SCD2_SQL,
+        "codec_sniff_clips": _codec_sniff_sql("/root/testdata/sf0.01"),
         "editdist_clips": _editdist_clips_sql("/root/testdata/sf0.01"),
         "clips_violation_counts":
             _clips_violation_counts_sql("/root/testdata/sf0.01"),
@@ -8747,3 +8749,87 @@ SELECT kn, round(pn, 2), sn, 2, -1 FROM flags WHERE changed
 UNION ALL
 SELECT kn, round(pn, 2), sn, 2, -1 FROM flags WHERE added
 """
+
+
+def q_codec_sniff_clips(sf_dir):
+    """Container-sniffing audit: DECLARED codec column vs the payload's
+    actual magic bytes (RIFF/WAVE header, the sandbox's FAKE<codec>
+    container tags, else raw) — the defend-against-mislabeled-deliveries
+    check. Pure vectorized prefix compares (pyarrow binary_slice per
+    block, no decode), aggregated to (declared, sniffed, consistent)
+    counts in Ray. The DuckDB oracle sniffs the same prefixes via
+    hex(bytes) substrings, so the audit is value-exact."""
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Count
+
+    from ..sources.clips import clips_cache_dir
+
+    ds = read_table(clips_cache_dir(sf_dir),
+                    columns=["clip_id", "bytes", "codec"])
+
+    def sniff(t: pa.Table) -> pa.Table:
+        b = t["bytes"].combine_chunks()
+        n = len(b)
+        p4 = _pc.binary_slice(b, 0, 4)
+        p12 = _pc.binary_slice(b, 8, 12)
+        magic12 = _pc.binary_slice(b, 0, 12)
+        is_wav = _pc.and_(_pc.equal(p4, b"RIFF"),
+                          _pc.equal(p12, b"WAVE"))
+        sniffed = np.full(n, "raw", dtype=object)
+        wav_mask = _pc.fill_null(is_wav, False).to_numpy(
+            zero_copy_only=False)
+        sniffed[wav_mask] = "wav"
+        for c in ("flac", "opus", "mp3", "amr"):
+            tag = b"FAKE" + c.encode().ljust(8, b"\0")
+            m = _pc.fill_null(_pc.equal(magic12, tag), False) \
+                .to_numpy(zero_copy_only=False)
+            sniffed[m] = "fake:" + c
+        null_mask = _pc.is_null(b).to_numpy(zero_copy_only=False)
+        sniffed[null_mask] = "missing"
+        declared = t["codec"].to_numpy(zero_copy_only=False)
+        dec = np.where(pd.isna(declared), "null", declared)
+        consistent = (
+            ((dec == "wav") & (sniffed == "wav"))
+            | ((dec == "pcm_s16le") & (sniffed == "raw"))
+            | (np.char.add("fake:", dec.astype(str)) == sniffed))
+        return pa.table({
+            "declared": pa.array(dec.astype(str)),
+            "sniffed": pa.array(sniffed.astype(str)),
+            "consistent": pa.array(consistent)})
+
+    out = ds.map_batches(sniff, batch_format="pyarrow") \
+        .groupby(["declared", "sniffed", "consistent"]) \
+        .aggregate(Count(alias_name="n")).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["declared", "sniffed"]) \
+        .reset_index(drop=True)
+
+
+def _codec_sniff_sql(sf_dir: str) -> str:
+    from ..sources.clips import clips_cache_dir
+
+    path = clips_cache_dir(sf_dir)
+    return """
+WITH s AS (
+  SELECT coalesce(codec, 'null') AS declared,
+    CASE
+      WHEN bytes IS NULL THEN 'missing'
+      WHEN substring(hex(bytes), 1, 8) = '52494646'
+       AND substring(hex(bytes), 17, 8) = '57415645' THEN 'wav'
+      WHEN substring(hex(bytes), 1, 24)
+           = '46414B45666C616300000000' THEN 'fake:flac'
+      WHEN substring(hex(bytes), 1, 24)
+           = '46414B456F70757300000000' THEN 'fake:opus'
+      WHEN substring(hex(bytes), 1, 24)
+           = '46414B456D70330000000000' THEN 'fake:mp3'
+      WHEN substring(hex(bytes), 1, 24)
+           = '46414B45616D720000000000' THEN 'fake:amr'
+      ELSE 'raw' END AS sniffed
+  FROM read_parquet('{path}/*.parquet'))
+SELECT declared, sniffed,
+       (declared = 'wav' AND sniffed = 'wav')
+       OR (declared = 'pcm_s16le' AND sniffed = 'raw')
+       OR ('fake:' || declared = sniffed) AS consistent,
+       CAST(count(*) AS BIGINT) AS n
+FROM s GROUP BY 1, 2, 3
+""".replace("{path}", path)
