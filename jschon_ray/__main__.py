@@ -16,6 +16,9 @@ Commands
   fingerprint audio content near-dup pairs (constellation hashes)
   diff        snapshot diff: added/removed/changed rows by key
   repair      apply a spec's default/bounds/enum/maxLength as fixes
+  audio-qc    clip QC metrics (clipping/silence/crest/SNR) + pass counts
+  audio-prep  trim silence -> compress -> normalize containers (wav out)
+  audio-chunk split clips into fixed-length overlapping windows
 """
 
 from __future__ import annotations
@@ -221,6 +224,64 @@ def cmd_chunk(args) -> dict:
     return {"n_chunks": chunks.count()}
 
 
+def cmd_audio_qc(args) -> dict:
+    from .sources.io import read_table, write_table
+    from .stages.analysis import AudioQC
+    from .stages.taskpool import stage_fn
+
+    ds = read_table(args.input, format=args.input_format,
+                    columns=["clip_id", "bytes", "sr_hz", "codec"])
+    qc = ds.map_batches(stage_fn(AudioQC), batch_format="pyarrow",
+                        batch_size=256)
+    if args.output:
+        write_table(qc, args.output)
+        qc = read_table(args.output)
+    import pyarrow.compute as pc
+    n = qc.count()
+    n_pass = qc.filter(expr="qc_pass == True").count()
+    return {"n": n, "n_pass": n_pass}
+
+
+def cmd_audio_prep(args) -> dict:
+    """Trim -> compress -> re-container as canonical wav payloads."""
+    from .sources.io import read_table, write_table
+    from .stages.analysis import Compressor, SilenceTrimmer, WavWriter
+    from .stages.taskpool import stage_fn
+
+    ds = read_table(args.input, format=args.input_format,
+                    columns=["clip_id", "bytes", "sr_hz", "codec"])
+    out = ds.map_batches(stage_fn(SilenceTrimmer),
+                         batch_format="pyarrow", batch_size=256) \
+        .map_batches(stage_fn(Compressor), batch_format="pyarrow",
+                     batch_size=256) \
+        .map_batches(stage_fn(WavWriter), batch_format="pyarrow",
+                     batch_size=256)
+    if args.output:
+        write_table(out, args.output)
+        out = read_table(args.output)
+        n_ok = out.filter(expr="wav_ok == True").count()
+        return {"n": out.count(), "n_wav": n_ok}
+    n_ok = out.filter(expr="wav_ok == True").count()
+    return {"n_wav": n_ok}
+
+
+def cmd_audio_chunk(args) -> dict:
+    from .sources.io import read_table, write_table
+    from .stages.analysis import AudioChunker
+    from .stages.taskpool import stage_fn
+
+    ds = read_table(args.input, format=args.input_format,
+                    columns=["clip_id", "bytes", "sr_hz", "codec"])
+    chunks = ds.map_batches(
+        stage_fn(AudioChunker, chunk_ms=args.chunk_ms,
+                 hop_ms=args.hop_ms),
+        batch_format="pyarrow", batch_size=256)
+    if args.output:
+        write_table(chunks, args.output)
+        chunks = read_table(args.output)
+    return {"n_chunks": chunks.count()}
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="jschon_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -278,6 +339,17 @@ def main(argv=None) -> int:
     p = sub.add_parser("repair"); common(p)
     p.add_argument("--spec", required=True)
     p.set_defaults(fn=cmd_repair)
+
+    p = sub.add_parser("audio-qc"); common(p)
+    p.set_defaults(fn=cmd_audio_qc)
+
+    p = sub.add_parser("audio-prep"); common(p)
+    p.set_defaults(fn=cmd_audio_prep)
+
+    p = sub.add_parser("audio-chunk"); common(p)
+    p.add_argument("--chunk-ms", type=int, default=100)
+    p.add_argument("--hop-ms", type=int, default=50)
+    p.set_defaults(fn=cmd_audio_chunk)
 
     p = sub.add_parser("chunk"); common(p)
     p.add_argument("--id-col", default="doc_id")

@@ -103,3 +103,36 @@ def test_cli_chunk(tmp_path):
     t = pq.read_table(str(outdir))
     assert set(t.column_names) == {"doc_id", "chunk_idx",
                                    "n_chunk_tokens", "chunk_text"}
+
+
+def _clips_parquet(tmp_path, n=300):
+    from jschon_ray.sources.clips import generate_clips
+    path = tmp_path / "clips.parquet"
+    pq.write_table(generate_clips(n, seed=9), str(path))
+    return str(path)
+
+
+def test_cli_audio_qc(tmp_path):
+    path = _clips_parquet(tmp_path)
+    summary = _run(["audio-qc", "--input", path])
+    assert summary["n"] == 300
+    assert 0 < summary["n_pass"] <= 300
+
+
+def test_cli_audio_prep_emits_wav(tmp_path):
+    path = _clips_parquet(tmp_path)
+    outdir = tmp_path / "prepped"
+    summary = _run(["audio-prep", "--input", path,
+                    "--output", str(outdir)])
+    assert summary["n"] == 300
+    assert 0 < summary["n_wav"] <= 300
+    t = pq.read_table(str(outdir))
+    ok = [r for r in t.to_pylist() if r["wav_ok"]]
+    assert all(r["bytes"][:4] == b"RIFF" for r in ok)
+
+
+def test_cli_audio_chunk(tmp_path):
+    path = _clips_parquet(tmp_path)
+    summary = _run(["audio-chunk", "--input", path,
+                    "--chunk-ms", "100", "--hop-ms", "50"])
+    assert summary["n_chunks"] > 300     # fan-out
