@@ -642,3 +642,99 @@ def compression_ratio_batch(batch: pa.Table, col: str = "text",
             continue
         vals.append(round(len(zlib.compress(raw, level)) / len(raw), 6))
     return batch.append_column(out, pa.array(vals, pa.float64()))
+
+
+def bigram_pairs_batch(batch: pa.Table, *, col: str = "text",
+                       id_col: str = "doc_id",
+                       lowercase: bool = True):
+    """(doc ids, w1 array, w2 array) of consecutive within-doc token
+    pairs for a batch — one RE2 split, pair build by shifted compare of
+    the flat token array against its parent indices."""
+    s = pc.utf8_lower(batch[col]) if lowercase else batch[col]
+    lists = pc.split_pattern_regex(s, r"\s+")
+    flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+    parents = pc.list_parent_indices(lists).to_numpy(
+        zero_copy_only=False)
+    keep = flat != ""
+    flat, parents = flat[keep], parents[keep]
+    if len(flat) < 2:
+        z = np.array([], dtype=object)
+        return np.array([], np.int64), z, z
+    same = parents[1:] == parents[:-1]
+    return parents[:-1][same], flat[:-1][same], flat[1:][same]
+
+
+def bigram_logprob(ds, *, col: str = "text", id_col: str = "doc_id",
+                   lowercase: bool = True, sep: str = " "):
+    """Per-document mean conditional bigram log-probability
+    (avg over the doc's pairs of ln(c(w1,w2) / c(w1 as context))) — the
+    next-step-up LM quality signal over `unigram_logprob`.
+
+    Same two-phase shape: (1) distributed bigram count — pairs are
+    encoded into ONE string key (w1+sep+w2; sep defaults to a space,
+    which cannot occur inside a token after the whitespace split —
+    NUL would silently vanish inside numpy U-string ops) so the
+    shuffle is a single-key groupby of per-block partials; (2) the count table
+    broadcasts and each doc batch scores vectorized. Context counts
+    c(w1) derive from the bigram table itself (sum over w2), so the
+    model is exact with no smoothing: every doc pair exists in the
+    counts by construction.
+
+    Broadcast posture: the table is distinct-bigram-sized; at corpus
+    scale prune with a min-count (as `build_vocab` does) and fall back
+    to a floor logprob — documented trade, same as unigram_logprob.
+
+    Emits (id_col, n_bigrams, avg_logprob); docs with < 2 tokens get
+    n_bigrams = 0 and null score.
+    """
+    import functools
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        _, w1, w2 = bigram_pairs_batch(batch, col=col, id_col=id_col,
+                                       lowercase=lowercase)
+        if not len(w1):
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        key = np.char.add(np.char.add(w1.astype(str), sep),
+                          w2.astype(str))
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"pair": pa.array(u, pa.string()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    counts = ds.map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby("pair").sum("n")
+
+    pair_c: dict = {}
+    ctx_c: dict = {}
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        for p, n in zip(b["pair"].to_pylist(),
+                        b["sum(n)"].to_pylist()):
+            pair_c[p] = int(n)
+            w1 = p.split(sep, 1)[0]
+            ctx_c[w1] = ctx_c.get(w1, 0) + int(n)
+    logp = {p: float(np.log(n / ctx_c[p.split(sep, 1)[0]]))
+            for p, n in pair_c.items()}
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = batch[id_col]
+        parents, w1, w2 = bigram_pairs_batch(
+            batch, col=col, id_col=id_col, lowercase=lowercase)
+        nb = np.zeros(batch.num_rows, np.int64)
+        alp = np.full(batch.num_rows, np.nan)
+        if len(w1):
+            key = np.char.add(np.char.add(w1.astype(str), sep),
+                              w2.astype(str))
+            lp = pd.Series(key).map(logp).to_numpy(np.float64)
+            df = pd.DataFrame({"p": parents, "lp": lp})
+            g = df.groupby("p")["lp"].agg(["size", "mean"])
+            nb[g.index.to_numpy()] = g["size"].to_numpy(np.int64)
+            alp[g.index.to_numpy()] = g["mean"].to_numpy()
+        return pa.table({
+            id_col: ids,
+            "n_bigrams": pa.array(nb),
+            "avg_logprob": pa.array(np.round(alp, 4),
+                                    mask=np.isnan(alp))})
+
+    return ds.map_batches(score, batch_format="pyarrow")

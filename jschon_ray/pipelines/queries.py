@@ -4074,6 +4074,7 @@ def build_queries() -> dict:
         "events_session_paths": q_events_session_paths,
         "scd2_orders_history": q_scd2_orders_history,
         "codec_sniff_clips": q_codec_sniff_clips,
+        "bigram_logprob_docs": q_bigram_logprob_docs,
     }
 
 
@@ -4261,6 +4262,7 @@ def build_oracles() -> dict:
         "events_session_paths": _SESSION_PATHS_SQL,
         "scd2_orders_history": _SCD2_SQL,
         "codec_sniff_clips": _codec_sniff_sql("/root/testdata/sf0.01"),
+        "bigram_logprob_docs": _BIGRAM_SQL,
         "editdist_clips": _editdist_clips_sql("/root/testdata/sf0.01"),
         "clips_violation_counts":
             _clips_violation_counts_sql("/root/testdata/sf0.01"),
@@ -8833,3 +8835,43 @@ SELECT declared, sniffed,
        CAST(count(*) AS BIGINT) AS n
 FROM s GROUP BY 1, 2, 3
 """.replace("{path}", path)
+
+
+def q_bigram_logprob_docs(sf_dir):
+    """Per-document mean conditional bigram log-probability
+    (functions/text.py bigram_logprob): distributed single-key bigram
+    count -> broadcast model -> vectorized doc scoring. The conditional
+    model (no smoothing, contexts derived from the same counts) is
+    exactly reproducible in SQL, so the LM-scoring path is
+    value-checked end to end."""
+    from ..functions.text import bigram_logprob
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    ds = _drop_null_rows(ds, ["text"])
+    out = bigram_logprob(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_BIGRAM_SQL = r"""
+WITH arrs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS a
+  FROM documents WHERE text IS NOT NULL),
+big AS (
+  SELECT doc_id, unnest(list_zip(a[:-2], a[2:])) AS z FROM arrs),
+bw AS (
+  SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM big
+  WHERE z[1] IS NOT NULL AND z[2] IS NOT NULL),
+cnt AS (SELECT w1, w2, count(*) AS c FROM bw GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c) AS t FROM cnt GROUP BY w1),
+per AS (
+  SELECT doc_id, count(*) AS n_bigrams, avg(ln(c / t)) AS alp
+  FROM bw JOIN cnt USING (w1, w2) JOIN ctx USING (w1)
+  GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(alp, 4) AS avg_logprob
+FROM documents d LEFT JOIN per USING (doc_id)
+WHERE d.text IS NOT NULL
+"""
