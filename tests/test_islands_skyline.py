@@ -201,3 +201,40 @@ def test_scd2_history_intervals():
         (3, "c", 1, 2),           # removed: closed
         (4, "d", 2, -1),          # added: open
     ]
+
+
+def test_bigram_logprob_hand_computed():
+    import ray.data
+
+    from jschon_ray.functions.text import bigram_logprob
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b a b", "b a", "solo"]),
+    })
+    out = bigram_logprob(ray.data.from_arrow(t)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    # corpus bigrams: (a,b)x2, (b,a)x2  -> contexts a:2, b:2
+    # P(b|a)=1.0, P(a|b)=1.0 -> all logprobs 0
+    assert out.loc[1, "n_bigrams"] == 3
+    assert out.loc[1, "avg_logprob"] == 0.0
+    assert out.loc[2, "n_bigrams"] == 1
+    # single-token doc: no bigrams, null score
+    assert out.loc[3, "n_bigrams"] == 0
+    assert pd.isna(out.loc[3, "avg_logprob"])
+
+
+def test_bigram_logprob_conditional_values():
+    import ray.data
+
+    from jschon_ray.functions.text import bigram_logprob
+
+    # contexts: the->{cat:2, dog:1}; P(cat|the)=2/3, P(dog|the)=1/3
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["the cat", "the cat", "the dog"]),
+    })
+    out = bigram_logprob(ray.data.from_arrow(t)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[1, "avg_logprob"] == round(float(np.log(2 / 3)), 4)
+    assert out.loc[3, "avg_logprob"] == round(float(np.log(1 / 3)), 4)
