@@ -4075,6 +4075,7 @@ def build_queries() -> dict:
         "scd2_orders_history": q_scd2_orders_history,
         "codec_sniff_clips": q_codec_sniff_clips,
         "bigram_logprob_docs": q_bigram_logprob_docs,
+        "zipf_fit_docs": q_zipf_fit_docs,
     }
 
 
@@ -4263,6 +4264,7 @@ def build_oracles() -> dict:
         "scd2_orders_history": _SCD2_SQL,
         "codec_sniff_clips": _codec_sniff_sql("/root/testdata/sf0.01"),
         "bigram_logprob_docs": _BIGRAM_SQL,
+        "zipf_fit_docs": _ZIPF_SQL,
         "editdist_clips": _editdist_clips_sql("/root/testdata/sf0.01"),
         "clips_violation_counts":
             _clips_violation_counts_sql("/root/testdata/sf0.01"),
@@ -8874,4 +8876,66 @@ SELECT d.doc_id, CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
        round(alp, 4) AS avg_logprob
 FROM documents d LEFT JOIN per USING (doc_id)
 WHERE d.text IS NOT NULL
+"""
+
+
+def q_zipf_fit_docs(sf_dir):
+    """Zipf rank-frequency fit over the corpus vocabulary: distributed
+    token count (per-block partials, single-key shuffle), top-100
+    tokens by (count DESC, token), least-squares slope/intercept of
+    ln(count) vs ln(rank) — the corpus-health power-law check. Only the
+    bounded top-k table reaches the driver."""
+    import functools
+
+    from ..functions.text import vocab_count_partial
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    ds = _drop_null_rows(ds, ["text"])
+    from ray.data.aggregate import Count, Sum
+
+    counts = ds.map_batches(
+        functools.partial(vocab_count_partial, col="text"),
+        batch_format="pyarrow").groupby("tok").sum("n").materialize()
+    # corpus totals as Ray aggregates; only the top-100 rows and two
+    # scalars reach the driver (the count table itself never does)
+    tot = counts.aggregate(Sum("sum(n)", alias_name="t"),
+                           Count(alias_name="v"))
+    n_tokens = int(tot["t"])
+    vocab_size = int(tot["v"])
+    # ray sort is single-direction across keys: negate the count so
+    # (count DESC, tok ASC) becomes one ascending sort
+    def neg(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        return t.append_column("_negc", _pc.negate(
+            _pc.cast(t["sum(n)"], pa.int64())))
+
+    top = counts.map_batches(neg, batch_format="pyarrow") \
+        .sort(["_negc", "tok"]).limit(100).to_pandas() \
+        .rename(columns={"sum(n)": "c"})
+    y = np.log(top["c"].to_numpy(np.float64))
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    xm, ym = x.mean(), y.mean()
+    slope = float(((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum())
+    intercept = float(ym - slope * xm)
+    return pd.DataFrame({
+        "n_tokens": [n_tokens], "vocab_size": [vocab_size],
+        "zipf_slope": [round(slope, 6)],
+        "zipf_intercept": [round(intercept, 6)]})
+
+
+_ZIPF_SQL = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents WHERE text IS NOT NULL),
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+top AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rn
+  FROM cnt QUALIFY rn <= 100)
+SELECT CAST((SELECT count(*) FROM toks) AS BIGINT) AS n_tokens,
+       CAST((SELECT count(*) FROM cnt) AS BIGINT) AS vocab_size,
+       round(regr_slope(ln(c), ln(rn)) , 6) AS zipf_slope,
+       round(regr_intercept(ln(c), ln(rn)), 6) AS zipf_intercept
+FROM top
 """
