@@ -236,7 +236,6 @@ def cmd_audio_qc(args) -> dict:
     if args.output:
         write_table(qc, args.output)
         qc = read_table(args.output)
-    import pyarrow.compute as pc
     n = qc.count()
     n_pass = qc.filter(expr="qc_pass == True").count()
     return {"n": n, "n_pass": n_pass}

@@ -57,6 +57,19 @@ def _bucket_of(series: pd.Series, num_buckets: int) -> np.ndarray:
     return (h.to_numpy() % np.uint64(num_buckets)).astype(np.int64)
 
 
+def pair_bucket_of(a: np.ndarray, b: np.ndarray,
+                   num_buckets: int) -> np.ndarray:
+    """Deterministic hash bucket for an int PAIR key — the one shared
+    implementation (BASELINE.md records a real bug from an unmixed
+    structured hash; keep every pair-keyed operator on this mixer)."""
+    a = a.astype(np.uint64)
+    b = b.astype(np.uint64)
+    h = ((a << np.uint64(32)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F)))
+    h = (h ^ (h >> np.uint64(29))) * np.uint64(0x9E3779B97F4A7C15)
+    return ((h >> np.uint64(32)) % np.uint64(num_buckets)) \
+        .astype(np.int64)
+
+
 def connected_components(edges, *, src: str = "id_a", dst: str = "id_b",
                          out_node: str = "node",
                          out_comp: str = "component",
@@ -218,11 +231,9 @@ def triangle_count(edges, *, src: str = "id_a", dst: str = "id_b",
     # distinct via a bucketed map_groups (multi-key ray groupby pays a
     # per-block shuffle cost that dominates on many-tiny-block inputs)
     def add_pair_bucket(t: pa.Table) -> pa.Table:
-        u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = ((u << np.uint64(32)) ^ v) * np.uint64(0x9E3779B97F4A7C15)
-        b = ((h >> np.uint64(33)) % np.uint64(num_buckets)) \
-            .astype(np.int64)
+        b = pair_bucket_of(
+            t["u"].to_numpy(zero_copy_only=False),
+            t["v"].to_numpy(zero_copy_only=False), num_buckets)
         return t.append_column("_b", pa.array(b))
 
     e = edges.map_batches(norm, batch_format="pyarrow") \
@@ -320,13 +331,9 @@ def triangle_count(edges, *, src: str = "id_a", dst: str = "id_b",
         .union(e.map_batches(tag_edge, batch_format="pyarrow"))
 
     def pair_bucket(t: pa.Table) -> pa.Table:
-        lo = t["lo"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        hi = t["hi"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (lo * np.uint64(0x9E3779B97F4A7C15)
-             ^ (hi * np.uint64(0xC2B2AE3D27D4EB4F)))
-        h = (h ^ (h >> np.uint64(29))) * np.uint64(0xBF58476D1CE4E5B9)
-        b = ((h >> np.uint64(32)) % np.uint64(num_buckets)) \
-            .astype(np.int64)
+        b = pair_bucket_of(
+            t["lo"].to_numpy(zero_copy_only=False),
+            t["hi"].to_numpy(zero_copy_only=False), num_buckets)
         return t.append_column("_b", pa.array(b))
 
     def close_bucket(g: pd.DataFrame) -> pd.DataFrame:

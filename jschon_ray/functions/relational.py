@@ -867,12 +867,11 @@ def copurchase_pairs(ds, *, order_col: str, item_col: str,
     # 119k rows at sf0.01); hashing pairs into `num_buckets` groups
     # keeps the exchange bounded and the per-group sum vectorized.
     def add_pair_bucket(t: pa.Table) -> pa.Table:
-        p1 = t["p1"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        p2 = t["p2"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = ((p1 << np.uint64(32)) ^ p2) \
-            * np.uint64(0x9E3779B97F4A7C15)
-        b = ((h >> np.uint64(33)) % np.uint64(num_buckets)) \
-            .astype(np.int64)
+        from .graph import pair_bucket_of
+
+        b = pair_bucket_of(
+            t["p1"].to_numpy(zero_copy_only=False),
+            t["p2"].to_numpy(zero_copy_only=False), num_buckets)
         return t.append_column("_pb", pa.array(b))
 
     def combine_bucket(g: pd.DataFrame) -> pd.DataFrame:

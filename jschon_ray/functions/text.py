@@ -645,11 +645,12 @@ def compression_ratio_batch(batch: pa.Table, col: str = "text",
 
 
 def bigram_pairs_batch(batch: pa.Table, *, col: str = "text",
-                       id_col: str = "doc_id",
                        lowercase: bool = True):
-    """(doc ids, w1 array, w2 array) of consecutive within-doc token
-    pairs for a batch — one RE2 split, pair build by shifted compare of
-    the flat token array against its parent indices."""
+    """(batch-local row indices, w1 array, w2 array) of consecutive
+    within-row token pairs — one RE2 split, pair build by shifted
+    compare of the flat token array against its parent indices. The
+    first return value indexes ROWS OF THIS BATCH (join it to id
+    columns yourself), not document ids."""
     s = pc.utf8_lower(batch[col]) if lowercase else batch[col]
     lists = pc.split_pattern_regex(s, r"\s+")
     flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
@@ -690,7 +691,7 @@ def bigram_logprob(ds, *, col: str = "text", id_col: str = "doc_id",
     import functools
 
     def pair_partial(batch: pa.Table) -> pa.Table:
-        _, w1, w2 = bigram_pairs_batch(batch, col=col, id_col=id_col,
+        _, w1, w2 = bigram_pairs_batch(batch, col=col,
                                        lowercase=lowercase)
         if not len(w1):
             return pa.table({"pair": pa.array([], pa.string()),
@@ -704,23 +705,29 @@ def bigram_logprob(ds, *, col: str = "text", id_col: str = "doc_id",
     counts = ds.map_batches(pair_partial, batch_format="pyarrow") \
         .groupby("pair").sum("n")
 
-    pair_c: dict = {}
-    ctx_c: dict = {}
-    for b in counts.iter_batches(batch_format="pyarrow"):
-        for p, n in zip(b["pair"].to_pylist(),
-                        b["sum(n)"].to_pylist()):
-            pair_c[p] = int(n)
-            w1 = p.split(sep, 1)[0]
-            ctx_c[w1] = ctx_c.get(w1, 0) + int(n)
-    logp = {p: float(np.log(n / ctx_c[p.split(sep, 1)[0]]))
-            for p, n in pair_c.items()}
+    # vectorized model build: ONE str.split over the pair column, a
+    # groupby-sum for contexts, np.log on aligned arrays — no per-pair
+    # Python (the distinct-bigram table is corpus-vocab-sized)
+    import pandas as pd
+
+    frames = [b.to_pandas()
+              for b in counts.iter_batches(batch_format="pyarrow")]
+    model = pd.concat(frames, ignore_index=True) if frames \
+        else pd.DataFrame({"pair": [], "sum(n)": []})
+    pairs = model["pair"].astype(str)
+    n_arr = model["sum(n)"].to_numpy(np.float64)
+    w1s = pairs.str.split(sep, n=1).str[0]
+    ctx = n_arr if not len(model) else \
+        pd.Series(n_arr).groupby(w1s.to_numpy()).transform("sum") \
+        .to_numpy()
+    logp = dict(zip(pairs, np.log(n_arr / np.maximum(ctx, 1e-300))))
 
     def score(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
         ids = batch[id_col]
         parents, w1, w2 = bigram_pairs_batch(
-            batch, col=col, id_col=id_col, lowercase=lowercase)
+            batch, col=col, lowercase=lowercase)
         nb = np.zeros(batch.num_rows, np.int64)
         alp = np.full(batch.num_rows, np.nan)
         if len(w1):

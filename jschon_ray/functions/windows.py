@@ -1064,10 +1064,11 @@ def keyed_interval_coverage(ds, *, key_col: str, lo_col: str,
 
     Scale shape: one hash-bucket shuffle of (key, lo, hi); per bucket
     the pass sorts once and finds window boundaries with a SEGMENTED
-    running max (np.maximum.accumulate over values offset by
-    segment_id * 2^41 — segments can never dominate each other, so one
-    accumulate serves every key in the bucket). Output: one row per
-    key with n_windows and covered units.
+    running max (pandas groupby(seg).cummax — one C-level pass, exact
+    for any int64 bound magnitudes; an offset-accumulate trick was
+    rejected because large epoch-microsecond bounds or millions of
+    keys per bucket overflow the offsets silently). Output: one row
+    per key with n_windows and covered units.
     """
     narrow = ds.select_columns([key_col, lo_col, hi_col])
     keyed = narrow.map_batches(
@@ -1075,8 +1076,6 @@ def keyed_interval_coverage(ds, *, key_col: str, lo_col: str,
                           num_buckets=_resolve_buckets(
                               ds, num_buckets, row_bytes=24)),
         batch_format="pyarrow")
-
-    BIG = np.int64(1) << np.int64(41)
 
     def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, lo_col, hi_col], kind="mergesort")
@@ -1091,8 +1090,8 @@ def keyed_interval_coverage(ds, *, key_col: str, lo_col: str,
         new_key[0] = True
         new_key[1:] = keys[1:] != keys[:-1]
         seg_id = np.cumsum(new_key) - 1
-        # segmented running max of hi over PRECEDING rows
-        run = np.maximum.accumulate(hi + seg_id * BIG) - seg_id * BIG
+        # segmented running max of hi, exact for any int64 magnitudes
+        run = pd.Series(hi).groupby(seg_id).cummax().to_numpy(np.int64)
         prev_max = np.empty(n, np.int64)
         prev_max[0] = np.iinfo(np.int64).min
         prev_max[1:] = run[:-1]

@@ -238,3 +238,25 @@ def test_bigram_logprob_conditional_values():
         .set_index("doc_id").sort_index()
     assert out.loc[1, "avg_logprob"] == round(float(np.log(2 / 3)), 4)
     assert out.loc[3, "avg_logprob"] == round(float(np.log(1 / 3)), 4)
+
+
+def test_keyed_interval_coverage_huge_bounds():
+    """Regression: epoch-microsecond-scale bounds (> 2^41) in one
+    bucket must not let one key's running max bleed into the next
+    (the offset-accumulate trick failed exactly here)."""
+    import ray.data
+
+    from jschon_ray.functions.windows import keyed_interval_coverage
+
+    t = pa.table({
+        "k": pa.array([1, 2, 2], pa.int64()),
+        "lo": pa.array([0, 0, 10000], pa.int64()),
+        "hi": pa.array([3_000_000_000_000, 100, 10050], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t)
+    out = keyed_interval_coverage(ds, key_col="k", lo_col="lo",
+                                  hi_col="hi", num_buckets=1) \
+        .to_pandas().set_index("k").sort_index()
+    assert out.loc[2, "n_windows"] == 2
+    assert out.loc[2, "covered"] == 150
+    assert out.loc[1, "covered"] == 3_000_000_000_000
