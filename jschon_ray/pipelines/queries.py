@@ -2223,16 +2223,29 @@ def q_infer_spec_orders(sf_dir):
 
     ds = read_table(table_path(sf_dir, "orders"))
     spec = infer_spec(ds)
+    def _num(v):
+        # timestamp columns carry STRING bounds (e.g. '1995-01-01
+        # 00:00:00'); only numeric bounds project into min_v/max_v,
+        # every bound lands in bound_json verbatim
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return None
+
     rows = []
     req = set(spec["required"])
     for col in sorted(spec["properties"]):
         sub = spec["properties"][col]
+        bounds = {k: sub[k] for k in ("minimum", "maximum")
+                  if k in sub}
         rows.append({
             "column": col,
             "jtype": sub.get("type"),
             "required": col in req,
-            "min_v": float(sub["minimum"]) if "minimum" in sub else None,
-            "max_v": float(sub["maximum"]) if "maximum" in sub else None,
+            "min_v": _num(sub.get("minimum")),
+            "max_v": _num(sub.get("maximum")),
+            "bound_json": _json.dumps(bounds, default=str)
+            if bounds else None,
             "enum_json": _json.dumps(sub["enum"]) if "enum" in sub else None,
             "min_len": sub.get("minLength"),
             "max_len": sub.get("maxLength"),
