@@ -136,3 +136,41 @@ def test_cli_audio_chunk(tmp_path):
     summary = _run(["audio-chunk", "--input", path,
                     "--chunk-ms", "100", "--hop-ms", "50"])
     assert summary["n_chunks"] > 300     # fan-out
+
+
+def test_ray_job_entrypoint_validate_and_resume(tmp_path):
+    """jobs/validate_job.py — the `ray job submit` entrypoint — runs
+    standalone and a resubmission with the same --output skips every
+    finished shard (manifest lineage)."""
+    from jschon_ray.sources.clips import generate_clips
+
+    shards = tmp_path / "shards"
+    shards.mkdir()
+    for i in range(3):
+        pq.write_table(generate_clips(120, seed=100 + i),
+                       str(shards / f"part-{i}.parquet"))
+    out = tmp_path / "run"
+
+    def submit():
+        env = dict(os.environ, PYTHONPATH=REPO)
+        env.pop("RAY_ADDRESS", None)     # standalone local session
+        p = subprocess.run(
+            [sys.executable, str(os.path.join(REPO, "jobs",
+                                              "validate_job.py")),
+             "--input", str(shards), "--output", str(out),
+             "--num-cpus", "2"],
+            capture_output=True, text=True, env=env, cwd="/tmp",
+            timeout=300)
+        assert p.returncode == 0, p.stderr[-2000:]
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    first = submit()
+    assert first["n"] == 360
+    assert first["shards_processed"] == 3
+    assert 0 < first["n_valid"] < 360
+
+    second = submit()                     # resubmission: all cached
+    assert second["shards_processed"] == 0
+    assert second["shards_skipped"] == 3
+    assert second["n"] == first["n"]
+    assert second["n_valid"] == first["n_valid"]
