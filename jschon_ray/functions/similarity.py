@@ -1037,3 +1037,64 @@ def ann_topk_ivfpq(index_dir: str, queries: dict, *, k=5, nprobe=4,
     return pd.DataFrame({"query_id": np.concatenate(out_q),
                          "neighbor_id": np.concatenate(out_n),
                          "rank": np.concatenate(out_r)})
+
+
+def append_to_ivf_index(ds, index_dir: str) -> dict:
+    """Append new vectors to a PERSISTED IVF index without retraining
+    (standard IVF maintenance): assign each new row to its nearest
+    EXISTING centroid (one broadcast matmul per batch) and write the
+    rows as additional files inside the matching hive cell partitions.
+    Probes see old + new rows immediately; centroids are frozen, so
+    repeated appends of drifting data degrade cell balance — the
+    returned stats carry per-cell counts and an imbalance factor
+    (max/mean); rebuild with ``build_ivf_index`` when it grows past
+    ~4x. One streaming pass, no shuffle, no read of existing cells.
+    """
+    import json
+    import os
+
+    import pyarrow.parquet as pqt
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    id_col = manifest["id_col"]
+    emb_col = manifest["emb_col"]
+    cent_t = pqt.read_table(os.path.join(index_dir,
+                                         "centroids.parquet"))
+    order = np.argsort(cent_t["cell"].to_numpy(zero_copy_only=False))
+    centroids = _embedding_matrix(cent_t.take(order), "centroid")
+    cent_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        m = _normalize(_embedding_matrix(batch, emb_col))
+        cell = np.argmax(m @ cent.T, axis=1).astype(np.int32)
+        batch = batch.select([id_col, emb_col])
+        batch = batch.append_column("cell_id", pa.array(cell))
+        return batch.append_column("cell", pa.array(cell))
+
+    cells_dir = os.path.join(index_dir, "cells")
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    assigned.write_parquet(cells_dir, partition_cols=["cell"])
+
+    # post-append balance report from cell-partition metadata only
+    counts = {}
+    for cell_dir in sorted(os.listdir(cells_dir)):
+        if not cell_dir.startswith("cell="):
+            continue
+        c = int(cell_dir.split("=", 1)[1])
+        n = 0
+        for fn in os.listdir(os.path.join(cells_dir, cell_dir)):
+            if fn.endswith(".parquet"):
+                n += pqt.read_metadata(
+                    os.path.join(cells_dir, cell_dir, fn)).num_rows
+        counts[c] = n
+    vals = np.array(list(counts.values()), np.float64)
+    return {
+        # input count, not a re-execution of the assign pipeline
+        # (parquet-backed inputs resolve this from file metadata)
+        "n_appended": ds.count(),
+        "cell_counts": counts,
+        "imbalance": float(vals.max() / max(vals.mean(), 1.0))
+        if len(vals) else 0.0,
+    }

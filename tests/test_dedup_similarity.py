@@ -559,3 +559,37 @@ def test_ivfpq_pruned_reads_and_recall(ray_session, tmp_path):
     assert np.mean(rec) >= 0.5, rec
     # self/exact-dup always lands in the probed cell and survives ADC
     assert adc[adc.query_id == 20].iloc[0]["neighbor_id"] in (20, 60)
+
+
+def test_ivf_index_incremental_append(ray_session, tmp_path):
+    """Append new vectors to a persisted index without retraining:
+    exhaustive probes over the appended index reproduce the exact scan
+    over old+new, and the balance report counts every row."""
+    import pandas as pd
+    import ray.data as rd
+    from jschon_ray.functions.similarity import (_embedding_matrix,
+                                                 ann_topk,
+                                                 ann_topk_ivf_from_index,
+                                                 append_to_ivf_index,
+                                                 build_ivf_index)
+
+    t = embeddings_with_dups()
+    half = t.num_rows // 2
+    old, new = t.slice(0, half), t.slice(half)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(rd.from_arrow(old), idx, n_centroids=8)
+
+    stats = append_to_ivf_index(rd.from_arrow(new), idx)
+    assert stats["n_appended"] == new.num_rows
+    assert sum(stats["cell_counts"].values()) == t.num_rows
+    assert stats["imbalance"] >= 1.0
+
+    q = {"ids": np.array([10, 77]),
+         "matrix": np.vstack(
+             [_embedding_matrix(t.slice(i, 1), "embedding")
+              for i in (10, 77)])}
+    exact = ann_topk(rd.from_arrow(t), q, k=5).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    got = ann_topk_ivf_from_index(idx, q, k=5, nprobe=8).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(exact, got)
