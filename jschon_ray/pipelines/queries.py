@@ -4089,6 +4089,7 @@ def build_queries() -> dict:
         "codec_sniff_clips": q_codec_sniff_clips,
         "bigram_logprob_docs": q_bigram_logprob_docs,
         "zipf_fit_docs": q_zipf_fit_docs,
+        "ann_topk_ivf_appended": q_ann_topk_ivf_appended,
     }
 
 
@@ -4278,6 +4279,7 @@ def build_oracles() -> dict:
         "codec_sniff_clips": _codec_sniff_sql("/root/testdata/sf0.01"),
         "bigram_logprob_docs": _BIGRAM_SQL,
         "zipf_fit_docs": _ZIPF_SQL,
+        "ann_topk_ivf_appended": _ANN_TOPK_SQL,
         "editdist_clips": _editdist_clips_sql("/root/testdata/sf0.01"),
         "clips_violation_counts":
             _clips_violation_counts_sql("/root/testdata/sf0.01"),
@@ -8952,3 +8954,45 @@ SELECT CAST((SELECT count(*) FROM toks) AS BIGINT) AS n_tokens,
        round(regr_intercept(ln(c), ln(rn)), 6) AS zipf_intercept
 FROM top
 """
+
+
+def q_ann_topk_ivf_appended(sf_dir):
+    """Index MAINTENANCE path, driver-verified: the persisted IVF index
+    is built from the first half of the embeddings, the second half is
+    APPENDED without retraining (functions/similarity.py
+    append_to_ivf_index — frozen centroids, new files inside existing
+    cell partitions, no read of old cells), then probed exhaustively.
+    Bit-identical to the exact scan over the full table, so it shares
+    the ANN oracle — the append path is value-checked end to end."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..functions.similarity import (_embedding_matrix,
+                                        ann_topk_ivf_from_index,
+                                        append_to_ivf_index,
+                                        build_ivf_index)
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/jschon_ray_ivf_app/{tag}-c12-u1"
+    if not os.path.exists(os.path.join(idx, "_appended.ok")):
+        shutil.rmtree(idx, ignore_errors=True)
+        full = pq.read_table(table_path(sf_dir, "embeddings"))
+        half = full.num_rows // 2
+        import ray as _ray
+        import ray.data as _rd
+        os.makedirs(idx, exist_ok=True)
+        build_ivf_index(_rd.from_arrow(full.slice(0, half)), idx,
+                        n_centroids=12)
+        append_to_ivf_index(_rd.from_arrow(full.slice(half)), idx)
+        with open(os.path.join(idx, "_appended.ok"), "w") as f:
+            f.write("ok")
+    qt = pq.read_table(table_path(sf_dir, "embeddings"),
+                       filters=[("vec_id", "<", 10)])
+    queries = {"ids": qt["vec_id"].to_numpy(zero_copy_only=False),
+               "matrix": _embedding_matrix(qt, "embedding")}
+    out = ann_topk_ivf_from_index(idx, queries, k=5, nprobe=12)
+    df = out.to_pandas()
+    df["rank"] = df["rank"].astype("int64")
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
