@@ -249,7 +249,11 @@ def triangle_count(edges, *, src: str = "id_a", dst: str = "id_b",
             [t["u"].combine_chunks(), t["v"].combine_chunks()])})
 
     deg = e.map_batches(endpoints, batch_format="pyarrow") \
-        .groupby("n").count().to_pandas().sort_values("n")
+        .groupby("n").count().to_pandas()
+    if deg.empty:    # empty edge set loses its schema through pandas
+        return pd.DataFrame({"n_nodes": [0], "n_edges": [0],
+                             "n_wedges": [0], "n_triangles": [0]})
+    deg = deg.sort_values("n")
     nodes = deg["n"].to_numpy(np.int64)
     counts = deg["count()"].to_numpy(np.int64)
     n_nodes = len(nodes)
@@ -396,6 +400,9 @@ def pagerank(edges, *, src: str = "id_a", dst: str = "id_b",
 
     node_df = e.map_batches(ends, batch_format="pyarrow") \
         .groupby("n").count().to_pandas()
+    if node_df.empty:    # empty edge set: nothing to rank
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="float64")})
     nodes = np.sort(node_df["n"].to_numpy(np.int64))
     nv = len(nodes)
     outdeg = np.zeros(nv, np.int64)

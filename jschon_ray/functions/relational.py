@@ -1121,5 +1121,8 @@ def skyline_2d(ds, *, min_col: str, max_col: str, keep_cols=()):
         return pa.Table.from_pandas(sweep(df), preserve_index=False)
 
     pruned = ds.map_batches(local_skyline, batch_format="pyarrow")
-    final = sweep(pruned.to_pandas())
+    df = pruned.to_pandas()
+    if df.empty:       # empty input loses its schema through pandas
+        return pd.DataFrame({c: [] for c in cols})
+    final = sweep(df)
     return final.sort_values(cols).reset_index(drop=True)

@@ -336,6 +336,9 @@ def key_gaps(ds, *, key_col: str):
 
     spans = narrow.map_batches(block_span,
                                batch_format="pyarrow").to_pandas()
+    if spans.empty:    # empty input loses its schema through pandas
+        spans = pd.DataFrame({"lo": pd.Series([], dtype="int64"),
+                              "hi": pd.Series([], dtype="int64")})
     spans = spans.sort_values("lo").reset_index(drop=True)
     blo, bhi = [], []
     run_hi = None

@@ -1004,6 +1004,11 @@ def keyed_transition_counts(ds, *, key_col: str, ts_col: str,
     from ray.data.aggregate import Sum
     total = partial.groupby(["cur_type", "next_type"]).aggregate(
         Sum("n", alias_name="n")).to_pandas()
+    if total.empty:    # empty input loses its schema through pandas
+        return pd.DataFrame({"cur_type": pd.Series([], dtype=object),
+                             "next_type": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64"),
+                             "p": pd.Series([], dtype="float64")})
     total["n"] = total["n"].astype("int64")
     tot = total.groupby("cur_type")["n"].transform("sum")
     total["p"] = (total["n"] / tot).round(decimals)
@@ -1051,6 +1056,10 @@ def cohort_retention_matrix(ds, *, key_col: str, ts_col: str,
     from ray.data.aggregate import Sum
     out = partial.groupby(["cohort_unit", "unit_offset"]).aggregate(
         Sum("n_keys", alias_name="n_keys")).to_pandas()
+    if out.empty:      # empty input loses its schema through pandas
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("cohort_unit", "unit_offset",
+                                       "n_keys")})
     out["n_keys"] = out["n_keys"].astype("int64")
     return out.sort_values(["cohort_unit", "unit_offset"]) \
         .reset_index(drop=True)

@@ -172,3 +172,61 @@ def test_fuzz_transition_counts(seed):
             key = (tt[i], tt[i + 1])
             expect[key] = expect.get(key, 0) + 1
     assert got_map == expect
+
+
+def test_empty_inputs_do_not_crash():
+    """Every round-2 operator must survive an empty (0-row) input —
+    empty blocks arise naturally after filters (ADVICE r1 flagged this
+    class for pca_fit)."""
+    import ray.data
+
+    from jschon_ray.functions.graph import pagerank, triangle_count
+    from jschon_ray.functions.relational import skyline_2d
+    from jschon_ray.functions.scan import key_gaps
+    from jschon_ray.functions.windows import (cohort_retention_matrix,
+                                              keyed_ewma,
+                                              keyed_interval_coverage,
+                                              keyed_streaks,
+                                              keyed_transition_counts)
+
+    empty_edges = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64())}))
+    tri = triangle_count(empty_edges, num_buckets=4)
+    assert tri.iloc[0]["n_triangles"] == 0
+    assert len(pagerank(empty_edges, iters=3)) == 0
+
+    empty_iv = ray.data.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()), "lo": pa.array([], pa.int64()),
+        "hi": pa.array([], pa.int64())}))
+    assert keyed_interval_coverage(empty_iv, key_col="k", lo_col="lo",
+                                   hi_col="hi",
+                                   num_buckets=2).count() == 0
+    assert key_gaps(ray.data.from_arrow(
+        pa.table({"k": pa.array([], pa.int64())})),
+        key_col="k").count() == 0
+
+    empty_ev = ray.data.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "tie": pa.array([], pa.int64()),
+        "typ": pa.array([], pa.string()),
+        "v": pa.array([], pa.float64())}))
+    assert keyed_streaks(empty_ev, key_col="k", ts_col="ts",
+                         num_buckets=2).count() == 0
+    assert len(keyed_transition_counts(
+        empty_ev, key_col="k", ts_col="ts", tie_col="tie",
+        type_col="typ", num_buckets=2)) == 0
+    assert len(cohort_retention_matrix(empty_ev, key_col="k",
+                                       ts_col="ts",
+                                       num_buckets=2)) == 0
+    assert keyed_ewma(empty_ev, key_col="k", ts_col="ts",
+                      tie_col="tie", value_col="v",
+                      num_buckets=2).count() == 0
+
+    empty_sk = ray.data.from_arrow(pa.table({
+        "id": pa.array([], pa.int64()),
+        "price": pa.array([], pa.float64()),
+        "size": pa.array([], pa.int64())}))
+    assert len(skyline_2d(empty_sk, min_col="price", max_col="size",
+                          keep_cols=("id",))) == 0
