@@ -2,10 +2,12 @@
 
 /root/reference/README.rst "Example" builds the anyOf demo schema,
 evaluates JSON([12, "Monkeys"]) and prints result.output('basic'). A
-switching user runs the SAME schema and instance here — first through
-the per-row evaluator (the reference's execution shape), then through
-the vectorized Arrow engine over a one-column table (this engine's
-execution shape) — and gets the same annotations.
+switching user runs the SAME schema and instance here through the
+per-row evaluator (the reference's execution shape — arbitrary JSON
+documents) and gets the identical output('basic') structure; the
+second half shows the engine's own execution shape: the same anyOf
+constraint compiled as a COLUMN check and evaluated vectorized over an
+Arrow batch.
 """
 import json
 
@@ -36,19 +38,28 @@ demo_schema = {
 
 instance = [12, "Monkeys"]
 
-# per-row path (the reference's own README flow)
+# 1) the README flow, byte-compatible: per-row evaluator + output('basic')
 root = RowEvaluator(SpecCatalog()).evaluate(demo_schema, instance)
 basic = create_output(root, "basic")
 print(json.dumps(basic, indent=2))
+assert basic["valid"] is True
 
-# vectorized path: the same document as one row of a JSON-typed column
-table = pa.table({"doc": pa.array([json.dumps(instance)], pa.string())})
-cs = compile_spec(
-    {"$id": "https://example.com/demo-col",
-     "$schema": "https://json-schema.org/draft/2020-12/schema",
-     "type": "object",
-     "properties": {"doc": demo_schema["items"]}},
-    table.schema)
-print("vectorized column path: schema compiles ->",
-      type(cs).__name__)
-print("row oracle valid:", basic["valid"])
+# 2) the engine's shape: the same anyOf as a column constraint over a
+#    batch — one row per original array element, mixed across two rows
+table = pa.table({
+    "payload": pa.array(["Monkeys", None], pa.string()),
+    "count": pa.array([None, 12], pa.int64()),
+})
+col_spec = {
+    "$id": "https://example.com/demo-columns",
+    "$schema": "https://json-schema.org/draft/2020-12/schema",
+    "type": "object",
+    "properties": {
+        "payload": demo_schema["items"],
+        "count": demo_schema["items"],
+    },
+}
+cs = compile_spec(col_spec, table.schema)
+out = cs.check_batch(table)
+print("vectorized batch valid:", out["valid"].to_pylist())
+assert out["valid"].to_pylist() == [True, True]

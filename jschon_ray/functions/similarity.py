@@ -339,6 +339,20 @@ def ann_topk_ivf(ds, queries: dict, *, id_col="vec_id",
 # persisted / partitioned IVF index — build once, probe with pruned reads
 
 
+def _cell_assign_fn(cent_ref, id_col: str, emb_col: str):
+    """The ONE cell-assignment closure shared by index build and append
+    (they must stay identical: appended rows assigned differently from
+    built rows would land where probes don't look first)."""
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        m = _normalize(_embedding_matrix(batch, emb_col))
+        cell = np.argmax(m @ cent.T, axis=1).astype(np.int32)
+        batch = batch.select([id_col, emb_col])
+        batch = batch.append_column("cell_id", pa.array(cell))
+        return batch.append_column("cell", pa.array(cell))
+    return assign
+
+
 def build_ivf_index(ds, index_dir: str, *, id_col="vec_id",
                     emb_col="embedding", n_centroids=16, centroids=None,
                     train_kwargs=None) -> dict:
@@ -370,17 +384,10 @@ def build_ivf_index(ds, index_dir: str, *, id_col="vec_id",
     centroids = _normalize(np.asarray(centroids, np.float64))
     cent_ref = ray.put(centroids)
 
-    def assign(batch: pa.Table) -> pa.Table:
-        cent = ray.get(cent_ref)
-        m = _normalize(_embedding_matrix(batch, emb_col))
-        cell = np.argmax(m @ cent.T, axis=1).astype(np.int32)
-        batch = batch.select([id_col, emb_col])
-        batch = batch.append_column("cell_id", pa.array(cell))
-        return batch.append_column("cell", pa.array(cell))
-
     cells_dir = os.path.join(index_dir, "cells")
     os.makedirs(cells_dir, exist_ok=True)
-    ds.map_batches(assign, batch_format="pyarrow") \
+    ds.map_batches(_cell_assign_fn(cent_ref, id_col, emb_col),
+                   batch_format="pyarrow") \
         .write_parquet(cells_dir, partition_cols=["cell"])
 
     pqt.write_table(
@@ -1065,35 +1072,45 @@ def append_to_ivf_index(ds, index_dir: str) -> dict:
     centroids = _embedding_matrix(cent_t.take(order), "centroid")
     cent_ref = ray.put(centroids)
 
-    def assign(batch: pa.Table) -> pa.Table:
-        cent = ray.get(cent_ref)
-        m = _normalize(_embedding_matrix(batch, emb_col))
-        cell = np.argmax(m @ cent.T, axis=1).astype(np.int32)
-        batch = batch.select([id_col, emb_col])
-        batch = batch.append_column("cell_id", pa.array(cell))
-        return batch.append_column("cell", pa.array(cell))
-
     cells_dir = os.path.join(index_dir, "cells")
-    assigned = ds.map_batches(assign, batch_format="pyarrow")
-    assigned.write_parquet(cells_dir, partition_cols=["cell"])
 
-    # post-append balance report from cell-partition metadata only
-    counts = {}
-    for cell_dir in sorted(os.listdir(cells_dir)):
-        if not cell_dir.startswith("cell="):
-            continue
-        c = int(cell_dir.split("=", 1)[1])
-        n = 0
-        for fn in os.listdir(os.path.join(cells_dir, cell_dir)):
-            if fn.endswith(".parquet"):
-                n += pqt.read_metadata(
-                    os.path.join(cells_dir, cell_dir, fn)).num_rows
-        counts[c] = n
+    def _file_set():
+        seen = set()
+        for cell_dir in os.listdir(cells_dir):
+            if not cell_dir.startswith("cell="):
+                continue
+            for fn in os.listdir(os.path.join(cells_dir, cell_dir)):
+                if fn.endswith(".parquet"):
+                    seen.add(os.path.join(cell_dir, fn))
+        return seen
+
+    before = _file_set()
+    ds.map_batches(_cell_assign_fn(cent_ref, id_col, emb_col),
+                   batch_format="pyarrow") \
+        .write_parquet(cells_dir, partition_cols=["cell"])
+
+    # incremental accounting: stat ONLY the files this write created;
+    # running totals persist in the manifest so repeated appends never
+    # re-walk the whole index (and the input pipeline never re-executes)
+    counts = {int(c): int(n) for c, n in
+              manifest.get("cell_counts", {}).items()}
+    if not counts:       # pre-append index built before counts existed
+        for rel in before:
+            c = int(rel.split(os.sep, 1)[0].split("=", 1)[1])
+            counts[c] = counts.get(c, 0) + pqt.read_metadata(
+                os.path.join(cells_dir, rel)).num_rows
+    n_appended = 0
+    for rel in _file_set() - before:
+        c = int(rel.split(os.sep, 1)[0].split("=", 1)[1])
+        n = pqt.read_metadata(os.path.join(cells_dir, rel)).num_rows
+        counts[c] = counts.get(c, 0) + n
+        n_appended += n
+    manifest["cell_counts"] = {str(c): n for c, n in counts.items()}
+    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
     vals = np.array(list(counts.values()), np.float64)
     return {
-        # input count, not a re-execution of the assign pipeline
-        # (parquet-backed inputs resolve this from file metadata)
-        "n_appended": ds.count(),
+        "n_appended": n_appended,
         "cell_counts": counts,
         "imbalance": float(vals.max() / max(vals.mean(), 1.0))
         if len(vals) else 0.0,

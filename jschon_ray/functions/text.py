@@ -716,7 +716,9 @@ def bigram_logprob(ds, *, col: str = "text", id_col: str = "doc_id",
         else pd.DataFrame({"pair": [], "sum(n)": []})
     pairs = model["pair"].astype(str)
     n_arr = model["sum(n)"].to_numpy(np.float64)
-    w1s = pairs.str.split(sep, n=1).str[0]
+    # str.partition treats sep LITERALLY (str.split regex-interprets
+    # multi-char separators and would collapse contexts onto '')
+    w1s = pairs.str.partition(sep)[0]
     ctx = n_arr if not len(model) else \
         pd.Series(n_arr).groupby(w1s.to_numpy()).transform("sum") \
         .to_numpy()

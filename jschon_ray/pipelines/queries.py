@@ -8980,7 +8980,6 @@ def q_ann_topk_ivf_appended(sf_dir):
         shutil.rmtree(idx, ignore_errors=True)
         full = pq.read_table(table_path(sf_dir, "embeddings"))
         half = full.num_rows // 2
-        import ray as _ray
         import ray.data as _rd
         os.makedirs(idx, exist_ok=True)
         build_ivf_index(_rd.from_arrow(full.slice(0, half)), idx,
