@@ -4090,6 +4090,7 @@ def build_queries() -> dict:
         "bigram_logprob_docs": q_bigram_logprob_docs,
         "zipf_fit_docs": q_zipf_fit_docs,
         "ann_topk_ivf_appended": q_ann_topk_ivf_appended,
+        "audio_pitchshift_clips": q_audio_pitchshift_clips,
     }
 
 
@@ -4280,6 +4281,8 @@ def build_oracles() -> dict:
         "bigram_logprob_docs": _BIGRAM_SQL,
         "zipf_fit_docs": _ZIPF_SQL,
         "ann_topk_ivf_appended": _ANN_TOPK_SQL,
+        "audio_pitchshift_clips":
+            _audio_pitchshift_sql("/root/testdata/sf0.01"),
         "editdist_clips": _editdist_clips_sql("/root/testdata/sf0.01"),
         "clips_violation_counts":
             _clips_violation_counts_sql("/root/testdata/sf0.01"),
@@ -8995,3 +8998,61 @@ def q_ann_topk_ivf_appended(sf_dir):
     df = out.to_pandas()
     df["rank"] = df["rank"].astype("int64")
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def q_audio_pitchshift_clips(sf_dir):
+    """Pitch-shift augmentation (+2 semitones, stages/analysis.py
+    PitchShifter = phase-vocoder stretch -> resample composition) over
+    the raw-PCM clips; per clip_id, the total output samples. The
+    two-stage length contract — nf = 1 + (max(n,L)-L)//Ha frames,
+    stretched (nf-1)*Hs + L samples, floor(/r) on resample — is a pure
+    function of octet_length, so the DuckDB oracle checks the composed
+    DSP plumbing value-exactly."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.analysis import PitchShifter
+    from ..stages.taskpool import stage_fn
+
+    ds = read_table_clips_pcm(sf_dir)
+    out = ds.map_batches(stage_fn(PitchShifter, semitones=2.0),
+                         batch_format="pyarrow", batch_size=128) \
+        .filter(expr="shift_ok == True") \
+        .select_columns(["clip_id", "n_samples"]) \
+        .groupby("clip_id").aggregate(
+            Sum("n_samples", alias_name="out_samples")).to_pandas()
+    out["out_samples"] = out["out_samples"].astype("int64")
+    return _ensure_columns(out, {"clip_id": "object",
+                                 "out_samples": "int64"})
+
+
+def _audio_pitchshift_sql(sf_dir: str) -> str:
+    from ..sources.clips import clips_cache_dir
+
+    rate = 2.0 ** (2.0 / 12.0)
+    path = clips_cache_dir(sf_dir)
+    return f"""
+WITH c AS (
+  SELECT clip_id, octet_length(bytes) // 2 AS ns
+  FROM read_parquet('{path}/*.parquet')
+  WHERE codec = 'pcm_s16le' AND bytes IS NOT NULL
+        AND octet_length(bytes) % 2 = 0
+        -- NO >= 2 bound: an empty pcm payload stretches to one
+        -- zero-padded frame (512 samples) like any sub-frame clip
+        AND sr_hz IS NOT NULL AND sr_hz > 0),
+st AS (
+  SELECT clip_id,
+         (1 + (greatest(ns, 512) - 512) // {_PS_HA}) AS nf
+  FROM c),
+o AS (
+  SELECT clip_id,
+         greatest(CAST(floor(((nf - 1) * 128 + 512) / {rate!r})
+                       AS BIGINT), 1) AS out_n
+  FROM st)
+SELECT clip_id, CAST(sum(out_n) AS BIGINT) AS out_samples
+FROM o GROUP BY clip_id
+"""
+
+
+# analysis-stage hop constants mirrored into the pitch-shift oracle:
+# TimeStretcher(rate=r): Hs = 512//4 = 128, Ha = round(128 / r)
+_PS_HA = int(round(128 / (2.0 ** (2.0 / 12.0))))

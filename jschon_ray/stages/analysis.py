@@ -765,3 +765,58 @@ class WavWriter:
         cols["wav_ok"] = pa.array(ok)
         cols["n_samples"] = pa.array(nsamp)
         return pa.table(cols)
+
+
+class PitchShifter:
+    """Pitch-shift augmentation by `semitones` with duration preserved:
+    phase-vocoder time-stretch by r = 2^(semitones/12) (pitch
+    unchanged, duration x r) followed by linear resampling back to the
+    original duration (pitch x r, duration ~original) — the classic
+    stretch-then-resample composition, reusing TimeStretcher's batched
+    kernels. Re-emits s16le payloads.
+    """
+
+    def __init__(self, semitones: float = 2.0, frame_len: int = 512):
+        self.semitones = float(semitones)
+        self.rate = 2.0 ** (self.semitones / 12.0)
+        self._stretch = TimeStretcher(rate=self.rate,
+                                      frame_len=frame_len)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        stretched = self._stretch(batch)
+        n = stretched.num_rows
+        payloads = stretched["bytes"].to_pylist()
+        ok_in = stretched["stretch_ok"].to_numpy(zero_copy_only=False)
+        srs = batch["sr_hz"].to_pylist()
+        orig_payloads = batch["bytes"].to_pylist()
+
+        out_bytes = list(orig_payloads)
+        ok = np.zeros(n, bool)
+        nsamp = np.zeros(n, np.int64)
+        for i in range(n):
+            if not ok_in[i] or payloads[i] is None:
+                continue
+            pcm = np.frombuffer(payloads[i], "<i2").astype(np.float64)
+            # resample the stretched signal back to the ORIGINAL
+            # duration: reading it at rate r compresses time by r and
+            # scales pitch by r. floor (not round) so the output length
+            # is a pure function of the input length that a SQL oracle
+            # reproduces bit-for-bit (audio_pitchshift_clips)
+            target_n = max(1, int(len(pcm) / self.rate))
+            pos = np.linspace(0.0, len(pcm) - 1, target_n)
+            res = np.interp(pos, np.arange(len(pcm)), pcm)
+            out = np.clip(res, -32768, 32767).astype("<i2")
+            out_bytes[i] = out.tobytes()
+            nsamp[i] = len(out)
+            ok[i] = True
+
+        cols = {name: batch[name] for name in batch.column_names
+                if name not in ("bytes", "codec")}
+        cols["bytes"] = pa.array(out_bytes, pa.binary())
+        cols["codec"] = pa.array(
+            ["pcm_s16le" if ok[i] else
+             (batch["codec"][i].as_py()) for i in range(n)],
+            pa.string())
+        cols["shift_ok"] = pa.array(ok)
+        cols["n_samples"] = pa.array(nsamp)
+        return pa.table(cols)

@@ -314,3 +314,42 @@ def test_wav_writer_flags_undecodable():
     r = out.to_pylist()[0]
     assert not r["wav_ok"] and r["codec"] == "flac"
     assert r["bytes"] == b"\x01"
+
+
+# ------------------------------------------------------------- PitchShifter
+
+def test_pitch_shift_octave_up_doubles_frequency():
+    from jschon_ray.stages.analysis import PitchShifter
+
+    sr = 16000
+    freq = 440.0
+    pcm = _tone(sr, 1000, freq)
+    out = PitchShifter(semitones=12.0)(_table(
+        [("p", pcm.tobytes(), sr, "pcm_s16le")]))
+    r = out.to_pylist()[0]
+    assert r["shift_ok"] and r["codec"] == "pcm_s16le"
+    got = np.frombuffer(r["bytes"], "<i2")
+    # duration preserved within a frame
+    assert abs(len(got) - len(pcm)) < 1024
+    mid = got[len(got) // 4: 3 * len(got) // 4].astype(np.float64)
+    spec = np.abs(np.fft.rfft(mid))
+    f_dom = np.argmax(spec) * sr / len(mid)
+    assert abs(f_dom - 2 * freq) < 20.0, f_dom
+
+
+def test_pitch_shift_down_and_bad_rows():
+    from jschon_ray.stages.analysis import PitchShifter
+
+    sr = 16000
+    pcm = _tone(sr, 800, 440.0)
+    out = PitchShifter(semitones=-12.0)(_table([
+        ("d", pcm.tobytes(), sr, "pcm_s16le"),
+        ("bad", b"\x00", sr, "mp3"),
+    ]))
+    rows = {r["clip_id"]: r for r in out.to_pylist()}
+    got = np.frombuffer(rows["d"]["bytes"], "<i2")
+    mid = got[len(got) // 4: 3 * len(got) // 4].astype(np.float64)
+    f_dom = np.argmax(np.abs(np.fft.rfft(mid))) * sr / len(mid)
+    assert abs(f_dom - 220.0) < 15.0, f_dom
+    assert not rows["bad"]["shift_ok"]
+    assert rows["bad"]["bytes"] == b"\x00"     # original kept
