@@ -4091,6 +4091,8 @@ def build_queries() -> dict:
         "zipf_fit_docs": q_zipf_fit_docs,
         "ann_topk_ivf_appended": q_ann_topk_ivf_appended,
         "audio_pitchshift_clips": q_audio_pitchshift_clips,
+        "customer_rfm": q_customer_rfm,
+        "pareto_parts_revenue": q_pareto_parts_revenue,
     }
 
 
@@ -4283,6 +4285,8 @@ def build_oracles() -> dict:
         "ann_topk_ivf_appended": _ANN_TOPK_SQL,
         "audio_pitchshift_clips":
             _audio_pitchshift_sql("/root/testdata/sf0.01"),
+        "customer_rfm": _RFM_SQL,
+        "pareto_parts_revenue": _PARETO_SQL,
         "editdist_clips": _editdist_clips_sql("/root/testdata/sf0.01"),
         "clips_violation_counts":
             _clips_violation_counts_sql("/root/testdata/sf0.01"),
@@ -9056,3 +9060,161 @@ FROM o GROUP BY clip_id
 # analysis-stage hop constants mirrored into the pitch-shift oracle:
 # TimeStretcher(rate=r): Hs = 512//4 = 128, Ha = round(128 / r)
 _PS_HA = int(round(128 / (2.0 ** (2.0 / 12.0))))
+
+
+def q_customer_rfm(sf_dir):
+    """RFM segmentation: per customer, NTILE(5) scores for Recency
+    (last order day), Frequency (order count) and Monetary (exact
+    cents), each an independent range-partitioned exact NTILE over
+    (metric, custkey) — three sorts, like SQL's three window passes —
+    joined into one (r, f, m, rfm_code) row per customer via the
+    bucketed hash join."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..functions.join import hash_join
+    from ..functions.scan import _ntile_of_rank, global_value_rank
+
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_custkey", "o_orderdate",
+                                 "o_totalprice"])
+
+    def project(t: pa.Table) -> pa.Table:
+        day = pc.cast(t["o_orderdate"], pa.int64())
+        e2 = pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                      round_mode="half_towards_infinity") \
+            .cast(pa.int64())
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "day": pc.divide(day, 86_400_000_000),
+            "e2": e2})
+
+    base = orders.map_batches(project, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(
+            Max("day", alias_name="last_day"),
+            Count(alias_name="n_orders"),
+            Sum("e2", alias_name="spend_e2")).materialize()
+    n = base.count()
+
+    def metric_tiles(col):
+        ranked = global_value_rank(
+            base.select_columns(["o_custkey", col]),
+            value_col=col, tie_cols=("o_custkey",))
+
+        def tile(t: pa.Table) -> pa.Table:
+            r = t["rank"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            tl = _ntile_of_rank(r - 1, n, 5)
+            return pa.table({"o_custkey": t["o_custkey"],
+                             col + "_tile": pa.array(tl, pa.int64())})
+
+        return ranked.map_batches(tile, batch_format="pyarrow")
+
+    out = metric_tiles("last_day")
+    for col in ("n_orders", "spend_e2"):
+        out = hash_join(out, metric_tiles(col), on="o_custkey")
+    df = out.to_pandas().rename(columns={
+        "last_day_tile": "r_score", "n_orders_tile": "f_score",
+        "spend_e2_tile": "m_score"})
+    df["rfm_code"] = (df["r_score"] * 100 + df["f_score"] * 10
+                      + df["m_score"]).astype("int64")
+    return df.sort_values("o_custkey").reset_index(drop=True)
+
+
+_RFM_SQL = """
+WITH base AS (
+  SELECT o_custkey,
+         CAST(floor(epoch(max(o_orderdate)) / 86400) AS BIGINT)
+           AS last_day,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_e2
+  FROM orders GROUP BY o_custkey),
+t AS (
+  SELECT o_custkey,
+         CAST(ntile(5) OVER (ORDER BY last_day, o_custkey) AS BIGINT)
+           AS r_score,
+         CAST(ntile(5) OVER (ORDER BY n_orders, o_custkey) AS BIGINT)
+           AS f_score,
+         CAST(ntile(5) OVER (ORDER BY spend_e2, o_custkey) AS BIGINT)
+           AS m_score
+  FROM base)
+SELECT o_custkey, r_score, f_score, m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+         AS rfm_code
+FROM t
+"""
+
+
+def q_pareto_parts_revenue(sf_dir):
+    """Revenue-concentration (80/20) report: the share of total
+    lineitem revenue held by the top 1% / 5% / 20% of parts. Part
+    revenue rolls up bounded; the exact global rank over (-revenue,
+    partkey) makes each top-k share ONE filtered Ray sum — no ranked
+    table ever reaches the driver."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.scan import global_value_rank
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_partkey", "l_extendedprice"])
+
+    def project(t: pa.Table) -> pa.Table:
+        e2 = pc.round(pc.multiply(t["l_extendedprice"], 100.0),
+                      round_mode="half_towards_infinity") \
+            .cast(pa.int64())
+        return pa.table({"l_partkey": t["l_partkey"], "e2": e2})
+
+    rev = ds.map_batches(project, batch_format="pyarrow") \
+        .groupby("l_partkey").aggregate(Sum("e2", alias_name="rev_e2"))
+
+    def neg(t: pa.Table) -> pa.Table:
+        col = t["rev_e2"]
+        if col.type != pa.int64():
+            col = pc.round(col).cast(pa.int64())
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "rev_e2": col,
+                         "neg_rev": pc.negate(col)})
+
+    rev = rev.map_batches(neg, batch_format="pyarrow").materialize()
+    tot = rev.aggregate(Sum("rev_e2", alias_name="t"),
+                        Count(alias_name="n"))
+    total_e2, n_parts = int(tot["t"]), int(tot["n"])
+    ranked = global_value_rank(rev, value_col="neg_rev",
+                               tie_cols=("l_partkey",)).materialize()
+
+    import math
+    row = {"n_parts": n_parts}
+    for pct in (1, 5, 20):
+        k = max(1, math.ceil(n_parts * pct / 100.0))
+        # global_value_rank keeps only (value, tie, rank): recover the
+        # revenue by negating the ranked value's sum
+        top = ranked.filter(expr=f"rank <= {k}") \
+            .aggregate(Sum("neg_rev", alias_name="s"))
+        row[f"share_top{pct}"] = round(-int(top["s"]) / total_e2, 6)
+    return pd.DataFrame([row])
+
+
+_PARETO_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_e2
+  FROM lineitem GROUP BY l_partkey),
+r AS (
+  SELECT rev_e2,
+         row_number() OVER (ORDER BY rev_e2 DESC, l_partkey) AS rnk
+  FROM rev),
+tot AS (SELECT sum(rev_e2) AS t, count(*) AS n FROM r)
+SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_parts,
+       round((SELECT sum(rev_e2) FROM r
+              WHERE rnk <= greatest(1, CAST(ceil(
+                  (SELECT n FROM tot) * 0.01) AS BIGINT)))
+             / CAST((SELECT t FROM tot) AS DOUBLE), 6) AS share_top1,
+       round((SELECT sum(rev_e2) FROM r
+              WHERE rnk <= greatest(1, CAST(ceil(
+                  (SELECT n FROM tot) * 0.05) AS BIGINT)))
+             / CAST((SELECT t FROM tot) AS DOUBLE), 6) AS share_top5,
+       round((SELECT sum(rev_e2) FROM r
+              WHERE rnk <= greatest(1, CAST(ceil(
+                  (SELECT n FROM tot) * 0.20) AS BIGINT)))
+             / CAST((SELECT t FROM tot) AS DOUBLE), 6) AS share_top20
+"""
