@@ -787,7 +787,6 @@ class PitchShifter:
         n = stretched.num_rows
         payloads = stretched["bytes"].to_pylist()
         ok_in = stretched["stretch_ok"].to_numpy(zero_copy_only=False)
-        srs = batch["sr_hz"].to_pylist()
         orig_payloads = batch["bytes"].to_pylist()
 
         out_bytes = list(orig_payloads)
