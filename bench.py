@@ -146,7 +146,7 @@ def run_benchmarks() -> dict:
 
     # 8. exact n-gram Jaccard similarity join (inverted-index shuffle)
     timed("ngram_jaccard_docs",
-          lambda: len(Q.q_ngram_jaccard_docs(SF_DIR)))
+          lambda: Q.q_ngram_jaccard_docs(SF_DIR).count())
 
     # 8b. resample -> VAD chained actor pools (payload-reading DSP)
     def resample_vad():
@@ -199,7 +199,7 @@ def run_benchmarks() -> dict:
     # per batch) -> coarse-bucket hash co-pairs -> offset-consistency
     # votes; both shuffles move only small integer rows
     timed("audio_fingerprint_dedup",
-          lambda: len(Q.q_audio_fingerprint_dedup_clips(SF_DIR)))
+          lambda: Q.q_audio_fingerprint_dedup_clips(SF_DIR).count())
 
     total = round(sum(timings.values()), 3)
     return {

@@ -91,7 +91,7 @@ def main():
     lm = ray.data.from_arrow(clips.select(["clip_id", "bytes", "codec"])) \
         .map_batches(stage_fn(AudioFingerprinter),
                      batch_format="pyarrow", batch_size=64)
-    pairs = fingerprint_match_pairs(lm, min_matches=40)
+    pairs = fingerprint_match_pairs(lm, min_matches=40).to_pandas()
     out["fingerprint"] = {"n_pairs": len(pairs),
                           "planted": len(truth),
                           "all_found": sorted(

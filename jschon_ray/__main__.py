@@ -157,14 +157,15 @@ def cmd_fingerprint(args) -> dict:
                     columns=[args.id_col, "bytes", "codec"])
     lm = ds.map_batches(stage_fn(AudioFingerprinter, id_col=args.id_col),
                         batch_format="pyarrow", batch_size=128)
+    # pairs stay a lazy Dataset: written straight to the sink (or
+    # counted) without driver materialization
     pairs = fingerprint_match_pairs(lm, min_matches=args.min_matches)
     if args.output:
-        import ray.data
-
         from .sources.io import write_table
 
-        write_table(ray.data.from_pandas(pairs), args.output)
-    return {"n_pairs": int(len(pairs))}
+        pairs = pairs.materialize()
+        write_table(pairs, args.output)
+    return {"n_pairs": int(pairs.count())}
 
 
 def cmd_diff(args) -> dict:

@@ -19,6 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..state.sketches import hash_array
+from .graph import _bucket_of
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -140,67 +141,256 @@ def jaccard(a: set, b: set) -> float:
 def minhash_lsh_pairs(ds, id_col: str, text_col: str, *,
                       threshold: float = 0.5, shingle_k: int = 3,
                       num_perm: int = 64, bands: int = 16,
-                      max_bucket: int = 50):
+                      max_bucket: int = 50, n_buckets: int = 64):
     """Near-duplicate pairs via MinHash-LSH + exact-Jaccard verification.
 
-    Returns a pandas DataFrame (id_a, id_b, jaccard) with id_a < id_b,
-    sorted. Candidate generation is fully distributed; verification
-    re-reads only candidate docs (broadcast id set) — bounded by the
-    candidate count, which LSH keeps small.
-    """
-    import functools
+    Returns a LAZY Dataset (id_a, id_b, jaccard) with id_a < id_b —
+    matched pairs never materialize on the driver; at scale consume
+    with write_parquet or feed `connected_components` directly.
 
+    Fully distributed, five bounded stages:
+      1. map_batches: minhash signatures -> (id, band, bucket-hash) rows,
+         routed by a COARSE bucket = band_hash % n_buckets (per-group
+         Python overhead is O(n_buckets), not O(distinct LSH buckets)).
+      2. groupby(route).map_groups: inside each route one vectorized
+         segment expansion (sorted by (band, bucket, id); per out-degree
+         class one triu grid — same trick as triangle_count's wedges)
+         emits candidate pairs; LSH buckets with more than `max_bucket`
+         members are truncated (non-discriminative boilerplate buckets).
+      3. groupby(pair_bucket).map_groups: cross-band candidate dedup.
+      4. exact-|A∩B| verification WITHOUT touching the driver: postings
+         (shingle-hash, id, set-size) from the corpus are SEMI-JOINED to
+         the candidate id set via one id-bucket co-group (no broadcast,
+         no data-dependent driver state), then the surviving postings
+         run the same inverted-index co-pair count as
+         `ngram_jaccard_pairs`.
+      5. groupby(pair_bucket).map_groups: restrict exact counts to LSH
+         candidates, J = inter / (|A| + |B| - inter) >= threshold.
+
+    Semantics note: docs with ZERO shingles (null/empty text) never
+    pair. (The round-2 driver-verified implementation gave two empty
+    docs jaccard 1.0 by the empty-set convention; empty payloads are
+    not meaningful duplicates and carry no postings.)
+    """
     hasher = MinHasher(num_perm)
+    id_type = _col_type(ds, id_col)
 
     def emit_bands(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         sh = [_word_shingles(t, shingle_k) for t in texts]
+        nonempty = np.fromiter((len(s) > 0 for s in sh), bool, len(sh))
         sig = hasher.signatures(sh)
-        bh = band_hashes(sig, bands)
+        bh = band_hashes(sig, bands)[nonempty]
+        ids = ids[nonempty]
         n = len(ids)
+        route = (bh.reshape(-1).view(np.uint64)
+                 % np.uint64(n_buckets)).view(np.int64)
         return pa.table({
             id_col: pa.array(np.repeat(ids, bands)),
             "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
             "bucket": pa.array(bh.reshape(-1)),
+            "route": pa.array(route),
         })
 
     banded = ds.select_columns([id_col, text_col]).map_batches(
         emit_bands, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g[id_col].to_numpy())[:max_bucket]
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+    def _empty_pairs():
+        return _empty_pair_table(id_type, [("pair_bucket", pa.int64())])
 
-    cand = banded.groupby(["band", "bucket"]).map_groups(
-        bucket_pairs, batch_format="pandas").to_pandas()
-    if not len(cand):
-        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    cand = cand.drop_duplicates().reset_index(drop=True)
+    def route_pairs(g: pd.DataFrame):
+        g = g.drop_duplicates(["band", "bucket", id_col])
+        g = g.sort_values(["band", "bucket", id_col], kind="mergesort")
+        g = g[g.groupby(["band", "bucket"]).cumcount() < max_bucket]
+        n = len(g)
+        if n < 2:
+            return _empty_pairs()
+        ids = g[id_col].to_numpy()
+        codes = g.groupby(["band", "bucket"], sort=False).ngroup() \
+            .to_numpy()
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        out_a, out_b = [], []
+        for k in np.unique(sizes):
+            if k < 2:
+                continue
+            segs = starts[sizes == k]
+            block = ids[segs[:, None] + np.arange(int(k))[None, :]]
+            iu, ju = np.triu_indices(int(k), 1)
+            out_a.append(block[:, iu].ravel())  # ids sorted in-segment,
+            out_b.append(block[:, ju].ravel())  # so id_a < id_b holds
+        if not out_a:
+            return _empty_pairs()
+        d = pd.DataFrame({"id_a": np.concatenate(out_a),
+                          "id_b": np.concatenate(out_b)}).drop_duplicates()
+        pb = (hash_array(d["id_a"])
+              ^ (hash_array(d["id_b"]) * np.uint64(0x9E3779B97F4A7C15)))
+        d["pair_bucket"] = (pb % np.uint64(n_buckets)).view(np.int64)
+        # always Arrow out: a map_groups fn must return ONE block type
+        # (Ray's builder asserts on mixed Arrow/pandas group outputs)
+        return pa.Table.from_pandas(d, preserve_index=False)
 
-    # verification: collect shingle sets for candidate ids only
-    cand_ids = set(cand["id_a"]) | set(cand["id_b"])
-    shingle_sets = {}
-    sub = ds.select_columns([id_col, text_col]).map_batches(
-        functools.partial(_filter_ids, id_col=id_col,
-                          wanted=sorted(cand_ids)),
-        batch_format="pyarrow")
-    for b in sub.iter_batches(batch_format="pyarrow"):
-        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
-            shingle_sets[i] = set(_word_shingles(t, shingle_k))
-    jac = [jaccard(shingle_sets.get(a, set()), shingle_sets.get(b, set()))
-           for a, b in zip(cand["id_a"], cand["id_b"])]
-    cand["jaccard"] = jac
-    out = cand[cand["jaccard"] >= threshold]
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    cand = banded.groupby("route").map_groups(
+        route_pairs, batch_format="pandas")
+    cand = cand.groupby("pair_bucket").map_groups(
+        lambda g: pa.Table.from_pandas(
+            g.drop_duplicates(["id_a", "id_b"]), preserve_index=False),
+        batch_format="pandas").materialize()
+
+    # --- stage 4: exact intersection counts, candidates only ----------
+    # tagged id-bucket semi-join: candidate ids (is_cand=1) co-grouped
+    # with corpus postings (is_cand=0); postings whose id has no
+    # candidate row are dropped before the co-pair expansion. All
+    # columns non-null (dtype invariant, see functions/graph.py).
+    def cand_id_rows(t: pa.Table) -> pa.Table:
+        ids = pd.concat([t["id_a"].to_pandas(), t["id_b"].to_pandas()],
+                        ignore_index=True)
+        nb = _bucket_of(ids, n_buckets)
+        z = np.zeros(len(ids), np.int64)
+        return pa.table({
+            id_col: pa.Array.from_pandas(ids),
+            "sh": pa.array(z), "sz": pa.array(z.astype(np.int32)),
+            "is_cand": pa.array(np.ones(len(ids), np.int8)),
+            "ibucket": pa.array(nb)})
+
+    def emit_postings(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        p_sh, p_id, p_sz = [], [], []
+        for i, t in zip(ids, texts):
+            s = set(_word_shingles(t, shingle_k))
+            if not s:
+                continue
+            p_sh.append(hash_array(sorted(s)).view(np.int64))
+            p_id.append(np.full(len(s), i))
+            p_sz.append(np.full(len(s), len(s), np.int32))
+        if not p_sh:
+            return pa.table({
+                id_col: batch[id_col].slice(0, 0),
+                "sh": pa.array([], pa.int64()),
+                "sz": pa.array([], pa.int32()),
+                "is_cand": pa.array([], pa.int8()),
+                "ibucket": pa.array([], pa.int64())})
+        pid = np.concatenate(p_id)
+        return pa.table({
+            id_col: pa.array(pid),
+            "sh": pa.array(np.concatenate(p_sh)),
+            "sz": pa.array(np.concatenate(p_sz)),
+            "is_cand": pa.array(np.zeros(len(pid), np.int8)),
+            "ibucket": pa.array(_bucket_of(pd.Series(pid), n_buckets))})
+
+    postings = ds.select_columns([id_col, text_col]).map_batches(
+        emit_postings, batch_format="pyarrow")
+    tagged = postings.union(cand.map_batches(
+        cand_id_rows, batch_format="pyarrow"))
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        is_c = g["is_cand"] == 1
+        have = g.loc[is_c, id_col].unique()
+        p = g.loc[~is_c & g[id_col].isin(have), [id_col, "sh", "sz"]]
+        p = p.assign(bucket=(p["sh"].to_numpy().view(np.uint64)
+                             % np.uint64(n_buckets)).view(np.int64))
+        return p
+
+    cand_postings = tagged.groupby("ibucket").map_groups(
+        semi, batch_format="pandas")
+
+    def bucket_copairs(g: pd.DataFrame):
+        g = g.drop_duplicates(["sh", id_col])
+        if len(g) < 2:
+            return _empty_pair_table(id_type, [
+                ("n", pa.int64()), ("sz_a", pa.int32()),
+                ("sz_b", pa.int32()), ("is_cand", pa.int8()),
+                ("pair_bucket", pa.int64())])
+        m = g.merge(g, on="sh", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        part = m.groupby([f"{id_col}_a", f"{id_col}_b"], sort=False) \
+            .agg(n=("sh", "size"), sz_a=("sz_a", "first"),
+                 sz_b=("sz_b", "first")).reset_index()
+        part = part.rename(columns={f"{id_col}_a": "id_a",
+                                    f"{id_col}_b": "id_b"})
+        part["is_cand"] = np.zeros(len(part), np.int8)
+        pb = (hash_array(part["id_a"])
+              ^ (hash_array(part["id_b"]) * np.uint64(0x9E3779B97F4A7C15)))
+        part["pair_bucket"] = (pb % np.uint64(n_buckets)).view(np.int64)
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    partials = cand_postings.groupby("bucket").map_groups(
+        bucket_copairs, batch_format="pandas")
+
+    def cand_tag(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        z = np.zeros(n, np.int64)
+        return pa.table({
+            "id_a": t["id_a"], "id_b": t["id_b"],
+            "n": pa.array(z), "sz_a": pa.array(z.astype(np.int32)),
+            "sz_b": pa.array(z.astype(np.int32)),
+            "is_cand": pa.array(np.ones(n, np.int8)),
+            "pair_bucket": t["pair_bucket"]})
+
+    final_in = partials.union(cand.map_batches(
+        cand_tag, batch_format="pyarrow"))
+
+    def finish(g: pd.DataFrame):
+        is_c = g["is_cand"] == 1
+        want = g.loc[is_c, ["id_a", "id_b"]].drop_duplicates()
+        agg = g.loc[~is_c].groupby(["id_a", "id_b"], sort=False).agg(
+            inter=("n", "sum"), sz_a=("sz_a", "first"),
+            sz_b=("sz_b", "first")).reset_index()
+        agg = agg.merge(want, on=["id_a", "id_b"], how="inner")
+        if not len(agg):
+            return _empty_pair_table(id_type,
+                                     [("jaccard", pa.float64())])
+        inter = agg["inter"].to_numpy().astype(np.int64)
+        uni = agg["sz_a"].to_numpy().astype(np.int64) \
+            + agg["sz_b"].to_numpy().astype(np.int64) - inter
+        agg["jaccard"] = inter / uni
+        agg = agg[agg["jaccard"] >= threshold]
+        return pa.Table.from_pandas(agg[["id_a", "id_b", "jaccard"]],
+                                    preserve_index=False)
+
+    out = final_in.groupby("pair_bucket").map_groups(
+        finish, batch_format="pandas")
+    return _with_schema_seed(
+        out, _empty_pair_table(id_type, [("jaccard", pa.float64())]))
+
+
+def _with_schema_seed(out, table: pa.Table):
+    """Union one zero-row TYPED block into a pair-generator's output so
+    an all-empty result still carries the pair schema (an empty groupby
+    produces zero groups -> zero blocks -> a schema-less Dataset whose
+    to_pandas() has no columns)."""
+    import ray.data
+
+    return ray.data.from_arrow(table).union(out)
+
+
+def _col_type(ds, col: str) -> pa.DataType:
+    """Arrow type of `col` in a Dataset (ray Schema wraps names/types,
+    not a pyarrow schema)."""
+    sch = ds.schema()
+    return dict(zip(sch.names, sch.types))[col]
 
 
 def _filter_ids(batch: pa.Table, id_col, wanted):
     mask = pc.is_in(batch[id_col], value_set=pa.array(wanted))
     return batch.filter(mask)
+
+
+def _empty_pair_table(id_type: pa.DataType, extra=()) -> pa.Table:
+    """TYPED empty pair block. Empty pandas frames decay to object/
+    float64 columns, which (a) trip Ray's size estimator ("cannot call
+    `vectorize` on size 0 inputs") and (b) can poison downstream Arrow
+    schema unification (null-typed columns). Every empty partial in the
+    pair generators goes through here instead."""
+    cols = {"id_a": pa.array([], id_type), "id_b": pa.array([], id_type)}
+    for name, tp in extra:
+        cols[name] = pa.array([], tp)
+    return pa.table(cols)
 
 
 # ---------------------------------------------------------------------------
@@ -242,10 +432,19 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def simhash_pairs(ds, id_col: str, text_col: str, *, max_hamming: int = 3,
-                  bands: int = 4):
+                  bands: int = 4, n_buckets: int = 64):
     """Near-dup pairs by SimHash: band the 64-bit signature into `bands`
     16-bit chunks (two equal chunks guarantee candidates for hamming<=3),
-    groupby chunk buckets, verify exact hamming distance."""
+    groupby chunk buckets, verify exact hamming distance in-bucket.
+
+    Returns a LAZY Dataset (id_a, id_b, hamming), id_a < id_b — matched
+    pairs never materialize on the driver (cross-band dedup happens in a
+    pair_bucket groupby, the same coarse-bucket trick as
+    `ngram_jaccard_pairs` stage 3)."""
+    id_type = _col_type(ds, id_col)
+
+    from .graph import pair_bucket_of
+
     def emit(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         sig = simhash_signatures(batch[text_col].to_pylist())
@@ -257,35 +456,75 @@ def simhash_pairs(ds, id_col: str, text_col: str, *, max_hamming: int = 3,
             rows_band.append(np.full(len(ids), b, np.int64))
             rows_bucket.append(chunk.astype(np.int64))
             rows_sig.append(sig.astype(np.int64))
+        band_arr = np.concatenate(rows_band)
+        bucket_arr = np.concatenate(rows_bucket)
+        # COARSE route (shared pair mixer): per-group Python overhead is
+        # O(n_buckets), not O(distinct 16-bit chunk buckets)
+        route = pair_bucket_of(band_arr, bucket_arr, n_buckets)
         return pa.table({
             id_col: pa.array(np.concatenate(rows_id)),
-            "band": pa.array(np.concatenate(rows_band)),
-            "bucket": pa.array(np.concatenate(rows_bucket)),
+            "band": pa.array(band_arr),
+            "bucket": pa.array(bucket_arr),
             "sig": pa.array(np.concatenate(rows_sig)),
+            "route": pa.array(route),
         })
 
     banded = ds.select_columns([id_col, text_col]).map_batches(
         emit, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(id_col)
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    def route_pairs(g: pd.DataFrame):
+        g = g.drop_duplicates(["band", "bucket", id_col])
+        g = g.sort_values(["band", "bucket", id_col], kind="mergesort")
+        n = len(g)
+        if n < 2:
+            return _empty_pair_table(id_type, [("hamming", pa.int64()),
+                                               ("pair_bucket", pa.int64())])
         ids = g[id_col].to_numpy()
         sigs = g["sig"].to_numpy().astype(np.uint64)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        hd = hamming64(sigs[ia], sigs[ib])
-        return pd.DataFrame({"id_a": np.minimum(ids[ia], ids[ib]),
-                             "id_b": np.maximum(ids[ia], ids[ib]),
-                             "hamming": hd})
+        codes = g.groupby(["band", "bucket"], sort=False).ngroup() \
+            .to_numpy()
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        out_a, out_b, out_h = [], [], []
+        for k in np.unique(sizes):          # one triu grid per size class
+            if k < 2:
+                continue
+            segs = starts[sizes == k]
+            grid = segs[:, None] + np.arange(int(k))[None, :]
+            iu, ju = np.triu_indices(int(k), 1)
+            ia = grid[:, iu].ravel()
+            ib = grid[:, ju].ravel()
+            hd = hamming64(sigs[ia], sigs[ib])
+            ok = hd <= max_hamming          # verify in-bucket: only
+            out_a.append(ids[ia[ok]])       # surviving pairs shuffle
+            out_b.append(ids[ib[ok]])
+            out_h.append(hd[ok])
+        if not out_a:
+            return _empty_pair_table(id_type, [("hamming", pa.int64()),
+                                               ("pair_bucket", pa.int64())])
+        d = pd.DataFrame({"id_a": np.concatenate(out_a),
+                          "id_b": np.concatenate(out_b),
+                          "hamming": np.concatenate(out_h)})
+        pb = (hash_array(d["id_a"])
+              ^ (hash_array(d["id_b"]) * np.uint64(0x9E3779B97F4A7C15)))
+        d["pair_bucket"] = (pb % np.uint64(n_buckets)).view(np.int64)
+        return pa.Table.from_pandas(d, preserve_index=False)
 
-    pairs = banded.groupby(["band", "bucket"]).map_groups(
-        bucket_pairs, batch_format="pandas").to_pandas()
-    if not len(pairs):
-        return pairs
-    pairs = pairs[pairs["hamming"] <= max_hamming]
-    return pairs.drop_duplicates(["id_a", "id_b"]) \
-        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pairs = banded.groupby("route").map_groups(
+        route_pairs, batch_format="pandas")
+
+    def dedup_bucket(g: pd.DataFrame):
+        out = g.drop_duplicates(["id_a", "id_b"])
+        return pa.Table.from_pandas(out[["id_a", "id_b", "hamming"]],
+                                    preserve_index=False)
+
+    out = pairs.groupby("pair_bucket").map_groups(
+        dedup_bucket, batch_format="pandas")
+    return _with_schema_seed(
+        out, _empty_pair_table(id_type, [("hamming", pa.int64())]))
 
 
 # ---------------------------------------------------------------------------
@@ -333,7 +572,13 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, *,
     Seeds: reference `uniqueItems` pairwise deep-equality
     (/root/reference/jschon/vocabulary/validation.py:163-177) lifted
     across rows; tokenization matches `_word_shingles`.
+
+    Returns a LAZY Dataset (id_a, id_b, inter, uni, jaccard) — matched
+    pairs never materialize on the driver; feed `connected_components`
+    directly or write_parquet, and `.to_pandas()` only at test scale.
     """
+    id_type = _col_type(ds, id_col)
+
     def emit_postings(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -367,12 +612,9 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, *,
             df_counts = g.groupby("sh")["sh"].transform("size")
             g = g[df_counts <= max_df]
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [],
-                                 "n": pd.Series([], dtype="int64"),
-                                 "sz_a": pd.Series([], dtype="int32"),
-                                 "sz_b": pd.Series([], dtype="int32"),
-                                 "pair_bucket": pd.Series([],
-                                                          dtype="int64")})
+            return _empty_pair_table(id_type, [
+                ("n", pa.int64()), ("sz_a", pa.int32()),
+                ("sz_b", pa.int32()), ("pair_bucket", pa.int64())])
         m = g.merge(g, on="sh", suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
         part = m.groupby([f"{id_col}_a", f"{id_col}_b"], sort=False) \
@@ -383,12 +625,12 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, *,
         pb = (hash_array(part["id_a"])
               ^ (hash_array(part["id_b"]) * np.uint64(0x9E3779B97F4A7C15)))
         part["pair_bucket"] = (pb % np.uint64(n_buckets)).view(np.int64)
-        return part
+        return pa.Table.from_pandas(part, preserve_index=False)
 
     copairs = postings.groupby("bucket").map_groups(
         bucket_copairs, batch_format="pandas")
 
-    def combine_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def combine_pairs(g: pd.DataFrame):
         agg = g.groupby(["id_a", "id_b"], sort=False).agg(
             inter=("n", "sum"), sz_a=("sz_a", "first"),
             sz_b=("sz_b", "first")).reset_index()
@@ -399,16 +641,20 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, *,
         agg["uni"] = uni
         agg["jaccard"] = inter / uni
         agg = agg[agg["jaccard"] >= threshold]
-        return agg[["id_a", "id_b", "inter", "uni", "jaccard"]]
+        if not len(agg):
+            return _empty_pair_table(id_type, [
+                ("inter", pa.int64()), ("uni", pa.int64()),
+                ("jaccard", pa.float64())])
+        return pa.Table.from_pandas(
+            agg[["id_a", "id_b", "inter", "uni", "jaccard"]],
+            preserve_index=False)
 
     out = copairs.groupby("pair_bucket").map_groups(
-        combine_pairs, batch_format="pandas").to_pandas()
-    if not len(out):
-        return pd.DataFrame({"id_a": [], "id_b": [],
-                             "inter": pd.Series([], dtype="int64"),
-                             "uni": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        combine_pairs, batch_format="pandas")
+    return _with_schema_seed(
+        out, _empty_pair_table(id_type, [
+            ("inter", pa.int64()), ("uni", pa.int64()),
+            ("jaccard", pa.float64())]))
 
 
 def exact_distinct_counts(ds, cols):

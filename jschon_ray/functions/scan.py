@@ -301,7 +301,8 @@ def key_gaps(ds, *, key_col: str):
     summary — the driver stitches only the O(num_blocks) BOUNDARY
     candidates, never touching rows. Duplicate keys collapse in-block
     (np.unique) and across blocks via the boundary diff (gap <= 0 is
-    dropped).
+    dropped). Null keys are dropped before the int64 cast (they carry
+    no gap information and would otherwise cast to garbage).
     """
     import ray
 
@@ -311,7 +312,8 @@ def key_gaps(ds, *, key_col: str):
     narrow = ds.select_columns([key_col]).sort(key_col).materialize()
 
     def block_gaps(t: pa.Table) -> pa.Table:
-        k = np.unique(t[key_col].to_numpy(zero_copy_only=False)
+        col = t[key_col].combine_chunks().drop_null()
+        k = np.unique(col.to_numpy(zero_copy_only=False)
                       .astype(np.int64))
         if len(k) == 0:
             return pa.table({"gap_lo": pa.array([], pa.int64()),
@@ -327,7 +329,8 @@ def key_gaps(ds, *, key_col: str):
 
     # block (min, max) summaries -> boundary gaps on the driver
     def block_span(t: pa.Table):
-        k = t[key_col].to_numpy(zero_copy_only=False)
+        k = t[key_col].combine_chunks().drop_null() \
+            .to_numpy(zero_copy_only=False)
         if len(k) == 0:
             return pa.table({"lo": pa.array([], pa.int64()),
                              "hi": pa.array([], pa.int64())})

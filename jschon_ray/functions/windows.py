@@ -1141,12 +1141,17 @@ def keyed_ewma(ds, *, key_col: str, ts_col: str, tie_col: str,
     (recursive), so registry entries using it are rows-only; parity is
     pinned by a per-row numpy reference test.
     """
+    a = float(alpha)
+    if not (0.0 < a <= 0.9999):
+        raise ValueError(
+            f"keyed_ewma requires 0 < alpha <= 0.9999 (got {alpha!r}): "
+            "the blocked rescaling uses (1-alpha)**(-i), which is "
+            "undefined/overflowing outside that range")
     narrow = ds.select_columns([key_col, ts_col, tie_col, value_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
                           num_buckets=_resolve_buckets(ds, num_buckets)),
         batch_format="pyarrow")
-    a = float(alpha)
     r = 1.0 - a
 
     def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:

@@ -872,10 +872,10 @@ def q_ngram_jaccard_docs(sf_dir):
 
     ds = read_table(table_path(sf_dir, "documents"),
                     columns=["doc_id", "text"])
-    df = ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.5)
-    return _ensure_columns(df, {"id_a": "int64", "id_b": "int64",
-                                "inter": "int64", "uni": "int64",
-                                "jaccard": "float64"})
+    # lazy Dataset end to end: the matched-pair set never lands on the
+    # driver (typed empty partials keep the schema stable when no pair
+    # survives the threshold)
+    return ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.5)
 
 
 _NGRAM_JACCARD_SQL = r"""
@@ -1732,19 +1732,21 @@ def q_dup_clusters_docs(sf_dir):
     pointer-doubling shortcuts, `functions/graph.py`); component = min
     doc_id of the cluster. The downstream dedup decision is `keep rows
     where doc_id == component`."""
-    import ray.data
-
     from ..functions.dedup import ngram_jaccard_pairs
     from ..functions.graph import connected_components
 
     ds = read_table(table_path(sf_dir, "documents"),
                     columns=["doc_id", "text"])
-    pairs = ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.5)
-    if not len(pairs):
+    # pairs stay a Dataset end to end — connected_components consumes
+    # the edge Dataset directly, no driver-side pair materialization.
+    # materialize() pins the (small, thresholded) pair set in the object
+    # store because CC re-reads the edge relation every round.
+    pairs = ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.5) \
+        .select_columns(["id_a", "id_b"]).materialize()
+    if pairs.count() == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "component": pd.Series([], dtype="int64")})
-    eds = ray.data.from_pandas(pairs[["id_a", "id_b"]])
-    cc = connected_components(eds, out_node="doc_id")
+    cc = connected_components(pairs, out_node="doc_id")
     return cc.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
@@ -2556,18 +2558,19 @@ def q_dedup_corpus_docs(sf_dir):
     """End-to-end near-dup dedup APPLIED: jaccard pairs (>=0.5) ->
     connected components -> keep unpaired docs plus each cluster's
     min-id canonical. The surviving corpus (doc_id, n_chars)."""
-    import ray.data
-
     from ..functions.dedup import dedup_keep_canonical, ngram_jaccard_pairs
     from ..functions.graph import connected_components
 
     ds = read_table(table_path(sf_dir, "documents"),
                     columns=["doc_id", "text", "n_chars"])
-    pairs = ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.5)
+    # edge Dataset straight into CC (no driver pair materialization;
+    # materialize() pins the small thresholded pair set for CC's
+    # per-round edge re-reads)
+    pairs = ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.5) \
+        .select_columns(["id_a", "id_b"]).materialize()
     survivors = ds.select_columns(["doc_id", "n_chars"])
-    if len(pairs):
-        eds = ray.data.from_pandas(pairs[["id_a", "id_b"]])
-        cc = connected_components(eds)
+    if pairs.count():
+        cc = connected_components(pairs)
         survivors = dedup_keep_canonical(survivors, cc, "doc_id")
     return survivors
 
@@ -2775,7 +2778,7 @@ def q_minhash_docs(sf_dir):
     ds = read_table(table_path(sf_dir, "documents"),
                     columns=["doc_id", "text"])
     out = minhash_lsh_pairs(ds, "doc_id", "text", threshold=0.2)
-    return out[["id_a", "id_b"]]
+    return out.select_columns(["id_a", "id_b"])
 
 
 def q_simhash_docs(sf_dir):
@@ -2784,9 +2787,7 @@ def q_simhash_docs(sf_dir):
     ds = read_table(table_path(sf_dir, "documents"),
                     columns=["doc_id", "text"])
     out = simhash_pairs(ds, "doc_id", "text", max_hamming=8)
-    return out[["id_a", "id_b"]] if len(out) else \
-        pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                      "id_b": pd.Series([], dtype="int64")})
+    return out.select_columns(["id_a", "id_b"])
 
 
 def q_embedding_neardup_lsh(sf_dir):
@@ -3786,16 +3787,17 @@ def q_audio_fingerprint_clusters(sf_dir):
     clip_id. Output is one row per clip that belongs to a duplicate
     cluster with its component label; downstream dedup keeps rows where
     clip_id == component. Rows-only."""
-    import ray.data
-
     from ..functions.graph import connected_components
 
-    pairs = q_audio_fingerprint_dedup_clips(sf_dir)
-    if not len(pairs):
+    # matched pairs stay a Dataset (typed string empties keep the schema
+    # when no pair survives); materialize() pins the small pair set for
+    # CC's per-round edge re-reads
+    pairs = q_audio_fingerprint_dedup_clips(sf_dir) \
+        .select_columns(["id_a", "id_b"]).materialize()
+    if pairs.count() == 0:
         return pd.DataFrame({"clip_id": pd.Series([], dtype=object),
                              "component": pd.Series([], dtype=object)})
-    eds = ray.data.from_pandas(pairs[["id_a", "id_b"]])
-    cc = connected_components(eds, out_node="clip_id")
+    cc = connected_components(pairs, out_node="clip_id")
     return cc.to_pandas().sort_values("clip_id").reset_index(drop=True)
 
 
@@ -8981,8 +8983,14 @@ def q_ann_topk_ivf_appended(sf_dir):
                                         append_to_ivf_index,
                                         build_ivf_index)
 
+    # cache key includes a (size, mtime) fingerprint of the embeddings
+    # parquet so regenerated data under the same sf_dir never serves a
+    # stale index
+    src_path = table_path(sf_dir, "embeddings")
+    st = os.stat(src_path)
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    idx = f"/tmp/jschon_ray_ivf_app/{tag}-c12-u1"
+    fp = f"{st.st_size}-{int(st.st_mtime)}"
+    idx = f"/tmp/jschon_ray_ivf_app/{tag}-{fp}-c12-u1"
     if not os.path.exists(os.path.join(idx, "_appended.ok")):
         shutil.rmtree(idx, ignore_errors=True)
         full = pq.read_table(table_path(sf_dir, "embeddings"))

@@ -189,8 +189,10 @@ def fingerprint_match_pairs(landmarks, *, min_matches: int = 12,
     Scale posture: both shuffles move only small integer rows. At 100 TB
     the landmark table is ~200 rows x 16 bytes per clip; payload bytes
     never enter either exchange. Size n_buckets so one bucket's landmark
-    rows fit a worker (~rows/n_buckets). Returns pandas
-    (id_a, id_b, matches), id_a < id_b, sorted.
+    rows fit a worker (~rows/n_buckets). Returns a LAZY Dataset
+    (id_a, id_b, matches), id_a < id_b — matched pairs never
+    materialize on the driver; feed `connected_components` directly or
+    write_parquet, `.to_pandas()` only at test scale.
     """
     import pandas as pd
 
@@ -205,12 +207,15 @@ def fingerprint_match_pairs(landmarks, *, min_matches: int = 12,
 
     tagged = landmarks.map_batches(tag_bucket, batch_format="pyarrow")
 
-    def _empty_part() -> pd.DataFrame:
-        return pd.DataFrame({"id_a": pd.Series([], dtype=object),
-                             "id_b": pd.Series([], dtype=object),
-                             "dt": pd.Series([], dtype=np.int64),
-                             "votes": pd.Series([], dtype=np.int64),
-                             "pair_bucket": pd.Series([], dtype=np.int64)})
+    def _empty_part() -> pa.Table:
+        # TYPED Arrow empty: object-dtype pandas empties trip Ray's
+        # block-size estimator ("cannot call `vectorize` on size 0
+        # inputs") and decay schemas — see dedup._empty_pair_table
+        return pa.table({"id_a": pa.array([], pa.string()),
+                         "id_b": pa.array([], pa.string()),
+                         "dt": pa.array([], pa.int64()),
+                         "votes": pa.array([], pa.int64()),
+                         "pair_bucket": pa.array([], pa.int64())})
 
     def bucket_votes(g: pd.DataFrame) -> pd.DataFrame:
         gb = g.groupby("fp_hash")
@@ -237,23 +242,32 @@ def fingerprint_match_pairs(landmarks, *, min_matches: int = 12,
         pb = (hash_array(part["id_a"])
               ^ (hash_array(part["id_b"]) * np.uint64(0x9E3779B97F4A7C15)))
         part["pair_bucket"] = (pb % np.uint64(n_buckets)).view(np.int64)
-        return part
+        # always Arrow out: a map_groups fn must return ONE block type
+        return pa.Table.from_pandas(part, preserve_index=False)
 
     votes = tagged.groupby("bucket").map_groups(
         bucket_votes, batch_format="pandas")
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
+    def combine(g: pd.DataFrame):
         s = g.groupby(["id_a", "id_b", "dt"], sort=False)["votes"] \
             .sum().reset_index()
         best = s.groupby(["id_a", "id_b"], sort=False)["votes"] \
             .max().reset_index(name="matches")
-        return best[best["matches"] >= min_matches]
+        best = best[best["matches"] >= min_matches]
+        if not len(best):
+            return pa.table({"id_a": pa.array([], pa.string()),
+                             "id_b": pa.array([], pa.string()),
+                             "matches": pa.array([], pa.int64())})
+        return pa.Table.from_pandas(best[["id_a", "id_b", "matches"]],
+                                    preserve_index=False)
 
-    scored = votes.groupby("pair_bucket").map_groups(
-        combine, batch_format="pandas").to_pandas()
-    if scored.empty or "matches" not in scored.columns:
-        return pd.DataFrame({"id_a": pd.Series([], dtype=object),
-                             "id_b": pd.Series([], dtype=object),
-                             "matches": pd.Series([], dtype=np.int64)})
-    out = scored[["id_a", "id_b", "matches"]]
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    out = votes.groupby("pair_bucket").map_groups(
+        combine, batch_format="pandas")
+    # zero-row typed seed: an all-empty result keeps (id_a, id_b,
+    # matches) instead of a schema-less Dataset (see dedup._with_schema_seed)
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table({"id_a": pa.array([], pa.string()),
+                  "id_b": pa.array([], pa.string()),
+                  "matches": pa.array([], pa.int64())})).union(out)

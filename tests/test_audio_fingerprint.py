@@ -63,7 +63,7 @@ def test_planted_duplicates_found_exactly(ray_session):
         t.select(["clip_id", "bytes", "codec"])).repartition(4)
     lm = ds.map_batches(stage_fn(AudioFingerprinter),
                         batch_format="pyarrow", batch_size=64)
-    pairs = fingerprint_match_pairs(lm, min_matches=40)
+    pairs = fingerprint_match_pairs(lm, min_matches=40).to_pandas()
     found = sorted(zip(pairs["id_a"], pairs["id_b"]))
     assert found == truth
     assert (pairs["matches"] >= 40).all()
@@ -78,7 +78,7 @@ def test_shifted_copy_matches_by_offset_consistency(ray_session):
                                     [src, shifted, other]))
     lm = ds.map_batches(stage_fn(AudioFingerprinter),
                         batch_format="pyarrow", batch_size=8)
-    pairs = fingerprint_match_pairs(lm, min_matches=30)
+    pairs = fingerprint_match_pairs(lm, min_matches=30).to_pandas()
     assert list(zip(pairs["id_a"], pairs["id_b"])) == [("a", "b")]
 
 
@@ -88,8 +88,10 @@ def test_match_pairs_empty_on_distinct_corpus(ray_session):
     lm = ds.map_batches(stage_fn(AudioFingerprinter),
                         batch_format="pyarrow", batch_size=8)
     pairs = fingerprint_match_pairs(lm, min_matches=40)
-    assert len(pairs) == 0
-    assert list(pairs.columns) == ["id_a", "id_b", "matches"]
+    assert pairs.count() == 0
+    # the zero-row typed seed keeps the schema on an all-empty result
+    # (Dataset.to_pandas() drops columns for empty datasets)
+    assert pairs.schema().names == ["id_a", "id_b", "matches"]
 
 
 def test_stop_hash_buckets_dropped(ray_session):
@@ -102,7 +104,7 @@ def test_stop_hash_buckets_dropped(ray_session):
                                     [pcm] * 40))
     lm = ds.map_batches(stage_fn(AudioFingerprinter),
                         batch_format="pyarrow", batch_size=8)
-    pairs = fingerprint_match_pairs(lm, min_matches=10, max_bucket=8)
+    pairs = fingerprint_match_pairs(lm, min_matches=10, max_bucket=8).to_pandas()
     assert len(pairs) == 0
 
 
@@ -117,7 +119,7 @@ def test_fingerprint_clusters_canonical_keep(ray_session):
         t.select(["clip_id", "bytes", "codec"])).repartition(4)
     lm = ds.map_batches(stage_fn(AudioFingerprinter),
                         batch_format="pyarrow", batch_size=64)
-    pairs = fingerprint_match_pairs(lm, min_matches=40)
+    pairs = fingerprint_match_pairs(lm, min_matches=40).to_pandas()
     assert len(pairs) == len(truth) >= 2
     eds = ray.data.from_pandas(pairs[["id_a", "id_b"]])
     cc = connected_components(eds, out_node="clip_id").to_pandas()
@@ -138,7 +140,7 @@ def test_partial_containment_detected(ray_session):
                                     [src, part, other]))
     lm = ds.map_batches(stage_fn(AudioFingerprinter),
                         batch_format="pyarrow", batch_size=8)
-    pairs = fingerprint_match_pairs(lm, min_matches=30)
+    pairs = fingerprint_match_pairs(lm, min_matches=30).to_pandas()
     assert ("full", "part") in set(zip(pairs["id_a"], pairs["id_b"]))
     assert not any("other" in p for pr in zip(pairs["id_a"], pairs["id_b"])
                    for p in pr)

@@ -30,7 +30,7 @@ def test_minhash_lsh_finds_neardups(ray_session):
 
     t, near_pairs = near_dup_docs()
     out = minhash_lsh_pairs(rd.from_arrow(t), "doc_id", "text",
-                            threshold=0.5)
+                            threshold=0.5).to_pandas()
     got = set(zip(out["id_a"].astype(int), out["id_b"].astype(int)))
     for pair in near_pairs:
         assert pair in got, f"missed near-dup {pair}"
@@ -46,7 +46,8 @@ def test_simhash_finds_neardups(ray_session):
     t, near_pairs = near_dup_docs()
     sig = simhash_signatures(t["text"].to_pylist())
     assert sig[10] == sig[35]  # exact dup -> same signature
-    out = simhash_pairs(rd.from_arrow(t), "doc_id", "text", max_hamming=6)
+    out = simhash_pairs(rd.from_arrow(t), "doc_id", "text",
+                        max_hamming=6).to_pandas()
     got = set(zip(out["id_a"].astype(int), out["id_b"].astype(int)))
     assert (10, 35) in got
     hit = sum(1 for p in near_pairs if p in got)
@@ -131,7 +132,7 @@ def test_ngram_jaccard_exact_vs_bruteforce(ray_session):
 
     t, _ = near_dup_docs()
     out = ngram_jaccard_pairs(rd.from_arrow(t), "doc_id", "text",
-                              threshold=0.4)
+                              threshold=0.4).to_pandas()
     texts = t["text"].to_pylist()
     sets = [set(_word_shingles(x, 3)) for x in texts]
     expect = {}
@@ -160,9 +161,9 @@ def test_ngram_jaccard_max_df_drops_hot_shingles(ray_session):
     t = pa.table({"doc_id": pa.array(range(6), pa.int64()),
                   "text": pa.array(texts)})
     full = ngram_jaccard_pairs(rd.from_arrow(t), "doc_id", "text",
-                               threshold=0.05)
+                               threshold=0.05).to_pandas()
     capped = ngram_jaccard_pairs(rd.from_arrow(t), "doc_id", "text",
-                                 threshold=0.05, max_df=3)
+                                 threshold=0.05, max_df=3).to_pandas()
     assert len(full) == 15          # all pairs share the hot prefix
     assert len(capped) < len(full)  # hot postings dropped
 
