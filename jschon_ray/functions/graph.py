@@ -199,7 +199,8 @@ def dup_clusters(pairs, *, src: str = "id_a", dst: str = "id_b",
 
 
 def triangle_count(edges, *, src: str = "id_a", dst: str = "id_b",
-                   num_buckets: int = 64):
+                   num_buckets: int = 64,
+                   degree_mode: str = "broadcast"):
     """Exact global triangle count via degree-ordered wedge checking
     (the standard MapReduce "node-iterator++" plan): orient each edge
     low-rank -> high-rank where rank = (degree, node), generate each
@@ -210,12 +211,23 @@ def triangle_count(edges, *, src: str = "id_a", dst: str = "id_b",
     so wedge volume is O(|E|^1.5) worst-case and near-linear on sparse
     graphs; wedges and edges co-group through ONE hash-bucket shuffle
     keyed on the closing pair — per bucket the match is a vectorized
-    pandas merge. The degree map (|V| ints) is broadcast (ray.put once)
-    — swap for a shuffle join when |V| no longer fits a worker heap.
+    pandas merge.
+
+    degree_mode picks how each edge learns its endpoint degrees:
+      * "broadcast" (default): the degree map (|V| ints) is ray.put
+        once and read zero-copy in every orient task — right while the
+        node table fits a worker heap.
+      * "join": two extra hash-bucket co-groups attach deg(u) then
+        deg(v) as NARROW rows — no driver/worker O(|V|) state at all;
+        the scale path past broadcast-size |V|. Identical output.
 
     Returns one row: n_nodes, n_edges, n_wedges, n_triangles.
     """
     import ray
+
+    if degree_mode not in ("broadcast", "join"):
+        raise ValueError(f"degree_mode must be 'broadcast' or 'join', "
+                         f"got {degree_mode!r}")
 
     # 1) normalized distinct undirected edges (u < v), keys-only
     def norm(t: pa.Table) -> pa.Table:
@@ -248,31 +260,96 @@ def triangle_count(edges, *, src: str = "id_a", dst: str = "id_b",
         return pa.table({"n": pa.concat_arrays(
             [t["u"].combine_chunks(), t["v"].combine_chunks()])})
 
-    deg = e.map_batches(endpoints, batch_format="pyarrow") \
-        .groupby("n").count().to_pandas()
-    if deg.empty:    # empty edge set loses its schema through pandas
-        return pd.DataFrame({"n_nodes": [0], "n_edges": [0],
-                             "n_wedges": [0], "n_triangles": [0]})
-    deg = deg.sort_values("n")
-    nodes = deg["n"].to_numpy(np.int64)
-    counts = deg["count()"].to_numpy(np.int64)
-    n_nodes = len(nodes)
-    deg_ref = ray.put((nodes, counts))
+    deg_ds = e.map_batches(endpoints, batch_format="pyarrow") \
+        .groupby("n").count()
 
-    # 3) orient + wedge generation per out-node bucket
-    def orient(t: pa.Table) -> pa.Table:
-        dnodes, dcounts = ray.get(deg_ref)
-        u = t["u"].to_numpy(zero_copy_only=False)
-        v = t["v"].to_numpy(zero_copy_only=False)
-        # sorted-array lookup (every endpoint is present by construction)
-        du = dcounts[np.searchsorted(dnodes, u)]
-        dv = dcounts[np.searchsorted(dnodes, v)]
-        fwd = (du < dv) | ((du == dv) & (u < v))
-        s = np.where(fwd, u, v)
-        d = np.where(fwd, v, u)
-        return pa.table({"s": pa.array(s), "d": pa.array(d)})
+    if degree_mode == "broadcast":
+        deg = deg_ds.to_pandas()
+        if deg.empty:  # empty edge set loses its schema through pandas
+            return pd.DataFrame({"n_nodes": [0], "n_edges": [0],
+                                 "n_wedges": [0], "n_triangles": [0]})
+        deg = deg.sort_values("n")
+        nodes = deg["n"].to_numpy(np.int64)
+        counts = deg["count()"].to_numpy(np.int64)
+        n_nodes = len(nodes)
+        deg_ref = ray.put((nodes, counts))
 
-    oriented = e.map_batches(orient, batch_format="pyarrow")
+        # 3) orient + wedge generation per out-node bucket
+        def orient(t: pa.Table) -> pa.Table:
+            dnodes, dcounts = ray.get(deg_ref)
+            u = t["u"].to_numpy(zero_copy_only=False)
+            v = t["v"].to_numpy(zero_copy_only=False)
+            # sorted-array lookup (every endpoint is present by
+            # construction)
+            du = dcounts[np.searchsorted(dnodes, u)]
+            dv = dcounts[np.searchsorted(dnodes, v)]
+            fwd = (du < dv) | ((du == dv) & (u < v))
+            s = np.where(fwd, u, v)
+            d = np.where(fwd, v, u)
+            return pa.table({"s": pa.array(s), "d": pa.array(d)})
+
+        oriented = e.map_batches(orient, batch_format="pyarrow")
+    else:
+        # join mode: attach deg(u) then deg(v) via two tagged-union
+        # co-groups of narrow all-int rows; no O(|V|) state anywhere.
+        n_nodes = deg_ds.count()
+        if n_nodes == 0:
+            return pd.DataFrame({"n_nodes": [0], "n_edges": [0],
+                                 "n_wedges": [0], "n_triangles": [0]})
+
+        def deg_rows(t: pa.Table) -> pa.Table:
+            n = t["n"].to_numpy(zero_copy_only=False)
+            c = t["count()"].to_numpy(zero_copy_only=False)
+            z = np.zeros(len(n), np.int64)
+            return pa.table({
+                "key": pa.array(n), "other": pa.array(n),  # dummy
+                "du": pa.array(z), "deg": pa.array(c.astype(np.int64)),
+                "is_deg": pa.array(np.ones(len(n), np.int8)),
+                "_b": pa.array(_bucket_of(pd.Series(n), num_buckets))})
+
+        def edge_rows_u(t: pa.Table) -> pa.Table:
+            u = t["u"].to_numpy(zero_copy_only=False)
+            z = np.zeros(len(u), np.int64)
+            return pa.table({
+                "key": pa.array(u), "other": t["v"],
+                "du": pa.array(z), "deg": pa.array(z),
+                "is_deg": pa.array(np.zeros(len(u), np.int8)),
+                "_b": pa.array(_bucket_of(pd.Series(u), num_buckets))})
+
+        def attach_u(g: pd.DataFrame):
+            is_d = g["is_deg"] == 1
+            dd = g.loc[is_d, ["key", "deg"]]
+            ed = g.loc[~is_d, ["key", "other"]]
+            j = ed.merge(dd, on="key", how="inner")
+            out = pd.DataFrame({
+                "key": j["other"].to_numpy(),       # next round: key = v
+                "other": j["key"].to_numpy(),       # u rides along
+                "du": j["deg"].to_numpy(),
+                "deg": np.zeros(len(j), np.int64),
+                "is_deg": np.zeros(len(j), np.int8)})
+            out["_b"] = _bucket_of(out["key"], num_buckets)
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        with_du = e.map_batches(edge_rows_u, batch_format="pyarrow") \
+            .union(deg_ds.map_batches(deg_rows, batch_format="pyarrow")) \
+            .groupby("_b").map_groups(attach_u, batch_format="pandas")
+
+        def attach_v(g: pd.DataFrame):
+            is_d = g["is_deg"] == 1
+            dd = g.loc[is_d, ["key", "deg"]]
+            ed = g.loc[~is_d, ["key", "other", "du"]]
+            j = ed.merge(dd, on="key", how="inner")
+            u = j["other"].to_numpy()
+            v = j["key"].to_numpy()
+            du = j["du"].to_numpy()
+            dv = j["deg"].to_numpy()
+            fwd = (du < dv) | ((du == dv) & (u < v))
+            return pa.table({"s": pa.array(np.where(fwd, u, v)),
+                             "d": pa.array(np.where(fwd, v, u))})
+
+        oriented = with_du.union(
+            deg_ds.map_batches(deg_rows, batch_format="pyarrow")) \
+            .groupby("_b").map_groups(attach_v, batch_format="pandas")
 
     def wedges_of(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["s", "d"], kind="mergesort")
@@ -375,8 +452,15 @@ def pagerank(edges, *, src: str = "id_a", dst: str = "id_b",
     Posture: the rank/out-degree vectors are |V| floats on the driver —
     right while the node table is orders of magnitude smaller than the
     edge table (the usual catalog-vs-interactions shape). Beyond
-    driver-heap |V|, keep ranks AS a Dataset and replace the broadcast
-    with a src-keyed shuffle join per round.
+    driver-heap |V| use `pagerank_dataset` (ranks live as a Dataset,
+    bucket co-group per round, driver memory O(1)).
+
+    MULTIGRAPH semantics (differs from triangle_count's norm, which
+    dedupes): duplicate edge rows each carry a contribution — an edge
+    repeated k times gives its destination k shares — and a self-loop
+    feeds rank back to its own node. Dedup/drop-self-loops upstream if
+    simple-graph semantics are wanted; `pagerank_dataset` matches this
+    convention exactly.
 
     Returns a DataFrame (node, rank) with ranks rounded to `decimals`
     (sum ~= 1).
@@ -446,3 +530,161 @@ def pagerank(edges, *, src: str = "id_a", dst: str = "id_b",
 
     return pd.DataFrame({"node": nodes,
                          "rank": np.round(rank, decimals)})
+
+
+def pagerank_dataset(edges, *, src: str = "id_a", dst: str = "id_b",
+                     damping: float = 0.85, iters: int = 10,
+                     decimals: int = 8, num_buckets: int = 64):
+    """Dataset-resident PageRank — the scale path past broadcast-size
+    |V| that `pagerank`'s docstring promises. The rank/out-degree state
+    lives AS a Dataset (node, outdeg, rank, _b) the whole run; the
+    driver holds only two scalars per round (node count, dangling
+    mass). Identical semantics to `pagerank` (multigraph contributions,
+    self-loops allowed, uniform dangling redistribution).
+
+    Per round, two bounded hash-bucket co-groups of NARROW rows (same
+    shape as `connected_components`):
+      1. attach: edges keyed by source + state rows keyed by node meet
+         in one groupby(_b); a vectorized pandas join emits (dst,
+         contribution) rows PRE-AGGREGATED by destination within the
+         bucket, so at most |V| rows per bucket enter the next shuffle.
+      2. update: contribution partials + state rows co-group on the
+         destination's bucket; per node
+         rank' = (1-d)/|V| + d * (sum(contrib) + dangling/|V|).
+    The dangling scalar is a keys-only aggregate over the state (one
+    float to the driver per round). Edge relation is materialized once
+    (re-read every round); state is materialized per round.
+
+    Dtype invariant: no nullable columns in the iterated relations
+    (see module docstring) — dummy same-type values, int8 role flags.
+
+    Returns a LAZY Dataset (node, rank), rank rounded to `decimals`.
+    """
+    def norm(t: pa.Table) -> pa.Table:
+        a = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "key": pa.array(a), "d": pa.array(b),
+            "share": pa.array(np.zeros(len(a))),       # dummy, is_state=0
+            "is_state": pa.array(np.zeros(len(a), np.int8)),
+            "_b": pa.array(_bucket_of(pd.Series(a), num_buckets))})
+
+    # few fat blocks: re-read every round, don't pay per-tiny-block
+    # scheduling each iteration
+    e = edges.map_batches(norm, batch_format="pyarrow") \
+        .repartition(16).materialize()
+
+    # ---- initial state: node universe with out-degrees ----------------
+    def ends(t: pa.Table) -> pa.Table:
+        n = np.concatenate([t["key"].to_numpy(zero_copy_only=False),
+                            t["d"].to_numpy(zero_copy_only=False)])
+        is_src = np.r_[np.ones(t.num_rows, np.int64),
+                       np.zeros(t.num_rows, np.int64)]
+        return pa.table({"node": pa.array(n), "odeg": pa.array(is_src)})
+
+    from ray.data.aggregate import Sum
+    node_ds = e.map_batches(ends, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("odeg", alias_name="outdeg"))
+    nv = node_ds.count()
+    if nv == 0:
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.float64())}))
+
+    def init_state(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(node),
+            "outdeg": t["outdeg"],
+            "rank": pa.array(np.full(len(node), 1.0 / nv)),
+            "_b": pa.array(_bucket_of(pd.Series(node), num_buckets))})
+
+    state = node_ds.map_batches(init_state,
+                                batch_format="pyarrow").materialize()
+    base = (1.0 - damping) / nv
+
+    def _dangling(st) -> float:
+        def part(t: pa.Table) -> pa.Table:
+            od = t["outdeg"].to_numpy(zero_copy_only=False)
+            r = t["rank"].to_numpy(zero_copy_only=False)
+            return pa.table({"dm": pa.array([float(r[od == 0].sum())])})
+        return float(st.map_batches(part, batch_format="pyarrow")
+                     .sum("dm") or 0.0)
+
+    def as_msgs(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        od = t["outdeg"].to_numpy(zero_copy_only=False)
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        share = np.where(od > 0, r / np.maximum(od, 1), 0.0)
+        return pa.table({
+            "key": pa.array(node), "d": pa.array(node),  # d dummy
+            "share": pa.array(share),
+            "is_state": pa.array(np.ones(len(node), np.int8)),
+            "_b": t["_b"]})
+
+    def attach(g: pd.DataFrame):
+        is_s = g["is_state"] == 1
+        sh = g.loc[is_s & (g["share"] > 0.0), ["key", "share"]]
+        ed = g.loc[~is_s, ["key", "d"]]
+        j = ed.merge(sh, on="key", how="inner")
+        if not len(j):
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.float64()),
+                             "_b": pa.array([], pa.int64())})
+        part = j.groupby("d", sort=False)["share"].sum().reset_index()
+        part.columns = ["node", "c"]
+        part["_b"] = _bucket_of(part["node"], num_buckets)
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    for _ in range(int(iters)):
+        dang_share = damping * _dangling(state) / nv
+
+        contrib = e.union(state.map_batches(
+            as_msgs, batch_format="pyarrow")) \
+            .groupby("_b").map_groups(attach, batch_format="pandas")
+
+        def as_upd(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "node": t["node"],
+                "c": pa.array(np.zeros(n)),              # dummy
+                "outdeg": t["outdeg"],
+                "is_state": pa.array(np.ones(n, np.int8)),
+                "_b": t["_b"]})
+
+        def tag_contrib(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "node": t["node"], "c": t["c"],
+                "outdeg": pa.array(np.zeros(n, np.int64)),  # dummy
+                "is_state": pa.array(np.zeros(n, np.int8)),
+                "_b": t["_b"]})
+
+        def update(g: pd.DataFrame, _ds=dang_share):
+            is_s = g["is_state"] == 1
+            st = g.loc[is_s, ["node", "outdeg"]]
+            inc = g.loc[~is_s].groupby("node", sort=False)["c"].sum()
+            inc = inc.reindex(st["node"]).fillna(0.0).to_numpy()
+            out = pd.DataFrame({
+                "node": st["node"].to_numpy(),
+                "outdeg": st["outdeg"].to_numpy(),
+                "rank": base + damping * inc + _ds})
+            out["_b"] = _bucket_of(out["node"], num_buckets)
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        # repartition caps the state's block count: the sort-based
+        # groupby emits ~as many blocks as it receives, and the union
+        # feeds each round's output back in — without the cap the block
+        # count (and with it scheduling cost) compounds ~2x per round
+        state = contrib.map_batches(tag_contrib, batch_format="pyarrow") \
+            .union(state.map_batches(as_upd, batch_format="pyarrow")) \
+            .groupby("_b").map_groups(update, batch_format="pandas") \
+            .repartition(16).materialize()
+
+    def finish(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": t["node"],
+                         "rank": pa.array(np.round(r, decimals))})
+
+    return state.map_batches(finish, batch_format="pyarrow")

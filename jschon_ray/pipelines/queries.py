@@ -4078,6 +4078,7 @@ def build_queries() -> dict:
         "lineitem_key_gaps": q_lineitem_key_gaps,
         "copurchase_triangles": q_copurchase_triangles,
         "copurchase_pagerank": q_copurchase_pagerank,
+        "copurchase_pagerank_resident": q_copurchase_pagerank_resident,
         "audio_trim_clips": q_audio_trim_clips,
         "audio_compress_clips": q_audio_compress_clips,
         "audio_similar_clips": q_audio_similar_clips,
@@ -8300,6 +8301,35 @@ def q_copurchase_pagerank(sf_dir):
 
     edges = pairs.map_batches(symmetrize, batch_format="pyarrow")
     pr = pagerank(edges, src="id_a", dst="id_b", iters=10)
+    top = pr.sort_values(["rank", "node"],
+                         ascending=[False, True]).head(20)
+    return top.reset_index(drop=True)
+
+
+def q_copurchase_pagerank_resident(sf_dir):
+    """Same ranking as copurchase_pagerank but via the Dataset-resident
+    engine (functions/graph.py pagerank_dataset): the rank/out-degree
+    state never leaves the object store — two bucket co-groups per
+    round, driver holds two scalars. The scale path past broadcast-size
+    |V|; numpy + driver-variant parity pinned in
+    tests/test_graph_metrics.py. Rows-only: iterative fixpoint."""
+    from ..functions.graph import pagerank_dataset
+    from ..functions.relational import copurchase_pairs
+
+    ds = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_partkey"])
+    pairs = copurchase_pairs(ds, order_col="l_orderkey",
+                             item_col="l_partkey", min_count=1)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t["p1"].combine_chunks()
+        b = t["p2"].combine_chunks()
+        return pa.table({"id_a": pa.concat_arrays([a, b]),
+                         "id_b": pa.concat_arrays([b, a])})
+
+    edges = pairs.map_batches(symmetrize, batch_format="pyarrow")
+    pr = pagerank_dataset(edges, src="id_a", dst="id_b", iters=10) \
+        .to_pandas()
     top = pr.sort_values(["rank", "node"],
                          ascending=[False, True]).head(20)
     return top.reset_index(drop=True)

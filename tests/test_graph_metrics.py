@@ -91,3 +91,52 @@ def test_pagerank_dangling_mass():
     assert abs(got["rank"].sum() - 1.0) < 1e-6
     ranks = dict(zip(got["node"], got["rank"]))
     assert ranks[2] > ranks[1]
+
+
+def test_pagerank_dataset_matches_driver_variant(ray_session):
+    """Dataset-resident ranks == broadcast-vector ranks, bit-for-bit
+    at the rounding precision, including dangling redistribution."""
+    import ray.data
+
+    from jschon_ray.functions.graph import pagerank, pagerank_dataset
+
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (3, 4),
+             (5, 1), (6, 6), (1, 2)]   # self-loop + duplicate edge
+    ds = ray.data.from_arrow(_edges(pairs)).repartition(3)
+    drv = pagerank(ds, iters=12, decimals=10) \
+        .sort_values("node").reset_index(drop=True)
+    res = pagerank_dataset(ds, iters=12, decimals=10, num_buckets=4) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    np.testing.assert_array_equal(drv["node"], res["node"])
+    np.testing.assert_allclose(drv["rank"], res["rank"], atol=1e-9)
+    assert abs(res["rank"].sum() - 1.0) < 1e-6
+
+
+def test_pagerank_dataset_dangling_mass(ray_session):
+    import ray.data
+
+    from jschon_ray.functions.graph import pagerank_dataset
+
+    pairs = [(1, 2), (3, 2)]           # 2 is a sink
+    ds = ray.data.from_arrow(_edges(pairs))
+    got = pagerank_dataset(ds, iters=15, decimals=10).to_pandas()
+    assert abs(got["rank"].sum() - 1.0) < 1e-6
+    ranks = dict(zip(got["node"], got["rank"]))
+    assert ranks[2] > ranks[1]
+
+
+def test_triangle_count_join_mode_parity(ray_session):
+    """degree_mode='join' (shuffle-attached degrees, no broadcast) ==
+    degree_mode='broadcast' on the same graph."""
+    import ray.data
+
+    from jschon_ray.functions.graph import triangle_count
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 60, 400)
+    b = rng.integers(0, 60, 400)
+    ds = ray.data.from_arrow(_edges(list(zip(a, b)))).repartition(3)
+    bc = triangle_count(ds, num_buckets=8)
+    jn = triangle_count(ds, num_buckets=8, degree_mode="join")
+    pd.testing.assert_frame_equal(bc, jn)
+    assert bc.iloc[0]["n_triangles"] > 0
