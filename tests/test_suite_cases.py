@@ -69,6 +69,14 @@ SHARED_WITH_2019 = {
     "not.json", "if-then-else.json", "boolean_schema.json",
     "format.json", "content.json", "annotations.json", "default.json",
     "defs.json", "infinite-loop-detection.json",
+    # round-3 generated matrices whose keywords behave identically in
+    # 2019-09 ($anchor/$defs/$ref-with-siblings all exist there; items /
+    # unevaluated* matrices are per-draft and excluded)
+    "generated_type_matrix.json", "generated_numeric_bounds.json",
+    "generated_string_bounds.json", "generated_array_bounds.json",
+    "generated_object_bounds.json", "generated_enum_const.json",
+    "generated_applicators.json", "generated_properties_interplay.json",
+    "generated_ref_matrix.json",
 }
 
 
@@ -214,20 +222,20 @@ def test_reference_agrees_with_corpus():
         if out["valid"] != valid:
             mismatches.append(p.id)
     assert not mismatches, mismatches[:20]
-    assert checked >= 800, checked
+    assert checked >= 2500, checked
 
 
 def test_corpus_size():
     """The corpus must stay substantial — suite-style coverage, not a
     handful of smoke cases."""
-    assert len(_PARAMS) >= 800
+    assert len(_PARAMS) >= 3000
 
 
 def test_vectorized_cross_check_coverage():
     """A meaningful share of corpus instances must flow through the
     vectorized engine, not just the row oracle."""
     n = sum(1 for p in _PARAMS if _arrow_representable(p.values[2]))
-    assert n >= 150, n
+    assert n >= 300, n
 
 
 # --- optional/format — assertion mode ------------------------------------
