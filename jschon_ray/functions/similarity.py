@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1100,7 +1102,8 @@ def append_to_ivf_index(ds, index_dir: str) -> dict:
             counts[c] = counts.get(c, 0) + pqt.read_metadata(
                 os.path.join(cells_dir, rel)).num_rows
     n_appended = 0
-    for rel in _file_set() - before:
+    new_files = sorted(_file_set() - before)
+    for rel in new_files:
         c = int(rel.split(os.sep, 1)[0].split("=", 1)[1])
         n = pqt.read_metadata(os.path.join(cells_dir, rel)).num_rows
         counts[c] = counts.get(c, 0) + n
@@ -1112,6 +1115,204 @@ def append_to_ivf_index(ds, index_dir: str) -> dict:
     return {
         "n_appended": n_appended,
         "cell_counts": counts,
+        "new_files": [os.path.join(cells_dir, rel) for rel in new_files],
         "imbalance": float(vals.max() / max(vals.mean(), 1.0))
         if len(vals) else 0.0,
     }
+
+
+def _load_codebooks(index_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pqt
+
+    t = pqt.read_table(os.path.join(index_dir, "codebooks.parquet"))
+    sub_i = t["subspace"].to_numpy(zero_copy_only=False)
+    code_i = t["code"].to_numpy(zero_copy_only=False)
+    mm = int(sub_i.max()) + 1
+    kk = int(code_i.max()) + 1
+    vecs = _embedding_matrix(t, "vec")
+    books = np.empty((mm, kk, vecs.shape[1]))
+    books[sub_i, code_i] = vecs
+    return books
+
+
+class AnnIndex:
+    """THE persisted-ANN entry point — one surface over the three
+    on-disk layouts, so build / append / probe never depend on which
+    compression tier the index uses:
+
+      kind="ivf"    centroids.parquet + cells/cell=<c>/ raw vectors
+                    (build_ivf_index); probes read nprobe/C of storage.
+      kind="ivfpq"  the ivf layout + codes/cell=<c>/ PQ codes +
+                    codebooks.parquet (build_ivfpq_index); ADC scan over
+                    pruned code cells, optional exact rerank against the
+                    probed raw cells.
+      kind="pq"     codebooks.parquet + codes/ flat PQ codes, no cells;
+                    ADC scans all codes (~dim*4/m x smaller than raw),
+                    optional exact rerank against a caller-supplied raw
+                    Dataset.
+
+    REBUILD POLICY (documented contract): ``append`` assigns to FROZEN
+    centroids/codebooks — correct immediately, but drifting appends
+    degrade cell balance. Per-cell counts persist in the manifest;
+    ``imbalance()`` = max/mean cell count, and ``needs_rebuild()`` turns
+    True past ``rebuild_threshold`` (default 4.0 — the hottest cell then
+    costs ~4x a mean probe). Rebuild = ``AnnIndex.build`` over the full
+    corpus into a fresh dir; probes stay CORRECT throughout (imbalance
+    costs probe time, never recall).
+    """
+
+    rebuild_threshold = 4.0
+
+    def __init__(self, index_dir: str):
+        import json as _json
+
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            self.manifest = _json.load(f)
+        kind = self.manifest.get("kind")
+        if kind is None:  # index built before AnnIndex existed: infer
+            has_codes = os.path.isdir(os.path.join(index_dir, "codes"))
+            has_cells = os.path.isdir(os.path.join(index_dir, "cells"))
+            kind = ("ivfpq" if has_codes and has_cells
+                    else "pq" if has_codes else "ivf")
+        self.kind = kind
+
+    # ---- build --------------------------------------------------------
+    @classmethod
+    def build(cls, ds, index_dir: str, *, kind: str = "ivf",
+              id_col="vec_id", emb_col="embedding", n_centroids=16,
+              m=16, n_codes=256, train_kwargs=None) -> "AnnIndex":
+        import json as _json
+
+        os.makedirs(index_dir, exist_ok=True)
+        if kind == "ivf":
+            manifest = build_ivf_index(
+                ds, index_dir, id_col=id_col, emb_col=emb_col,
+                n_centroids=n_centroids, train_kwargs=train_kwargs)
+        elif kind == "ivfpq":
+            manifest = build_ivfpq_index(
+                ds, index_dir, id_col=id_col, emb_col=emb_col,
+                n_centroids=n_centroids, m=m, n_codes=n_codes,
+                train_kwargs=train_kwargs)
+        elif kind == "pq":
+            import pyarrow.parquet as pqt
+
+            books = pq_train(ds, emb_col=emb_col, m=m, n_codes=n_codes,
+                             **(train_kwargs or {}))
+            books = np.asarray(books)
+            codes = pq_encode(ds, books, id_col=id_col, emb_col=emb_col)
+            codes_dir = os.path.join(index_dir, "codes")
+            os.makedirs(codes_dir, exist_ok=True)
+            codes.write_parquet(codes_dir)
+            mm, kk, sub = books.shape
+            pqt.write_table(
+                pa.table({
+                    "subspace": pa.array(np.repeat(np.arange(mm), kk),
+                                         pa.int32()),
+                    "code": pa.array(np.tile(np.arange(kk), mm),
+                                     pa.int32()),
+                    "vec": pa.array(list(books.reshape(mm * kk, sub)),
+                                    pa.list_(pa.float64())),
+                }), os.path.join(index_dir, "codebooks.parquet"))
+            manifest = {"id_col": id_col, "emb_col": emb_col,
+                        "pq_m": int(mm), "pq_codes": int(kk),
+                        "pq_sub": int(sub)}
+        else:
+            raise ValueError(f"unknown index kind {kind!r}")
+        manifest["kind"] = kind
+        with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+            _json.dump(manifest, f)
+        return cls(index_dir)
+
+    # ---- append -------------------------------------------------------
+    def append(self, ds) -> dict:
+        """Append rows without retraining (frozen centroids/codebooks).
+        Returns stats incl. ``imbalance`` — check ``needs_rebuild()``
+        after drifting appends (see class docstring)."""
+        import json as _json
+
+        id_col = self.manifest["id_col"]
+        emb_col = self.manifest["emb_col"]
+        if self.kind in ("ivf", "ivfpq"):
+            stats = append_to_ivf_index(ds, self.index_dir)
+            if self.kind == "ivfpq" and stats["new_files"]:
+                books_ref = ray.put(_load_codebooks(self.index_dir))
+                raw = ray.data.read_parquet(
+                    stats["new_files"],
+                    columns=[id_col, emb_col, "cell_id"])
+
+                class _Encode(PQEncoder):
+                    def __call__(s, batch: pa.Table) -> pa.Table:
+                        out = PQEncoder.__call__(
+                            s, batch.select([id_col, emb_col]))
+                        out = out.append_column("cell_id",
+                                                batch["cell_id"])
+                        return out.append_column("cell",
+                                                 batch["cell_id"])
+
+                raw.map_batches(
+                    _Encode,
+                    fn_constructor_kwargs=dict(books_ref=books_ref,
+                                               id_col=id_col,
+                                               emb_col=emb_col),
+                    batch_format="pyarrow", concurrency=(1, 8)) \
+                    .write_parquet(os.path.join(self.index_dir, "codes"),
+                                   partition_cols=["cell"])
+            with open(os.path.join(self.index_dir,
+                                   "manifest.json")) as f:
+                self.manifest = _json.load(f)
+            self.manifest["kind"] = self.kind
+            return stats
+        # flat pq: encode with frozen codebooks, add code files
+        books = _load_codebooks(self.index_dir)
+        codes = pq_encode(ds, books, id_col=id_col, emb_col=emb_col)
+        codes.write_parquet(os.path.join(self.index_dir, "codes"))
+        return {"n_appended": codes.count(), "imbalance": 0.0}
+
+    # ---- probe --------------------------------------------------------
+    def probe(self, queries: dict, *, k=5, nprobe=4, shortlist=50,
+              rerank=True, rerank_ds=None, round_decimals=6):
+        """Top-k neighbors for a broadcast query set. Always returns a
+        pandas DataFrame (query_id, neighbor_id, rank) sorted by
+        (query_id, rank) — Q*k rows, bounded by construction, so the
+        driver materialization is O(queries), never O(corpus)."""
+        if self.kind == "ivf":
+            out = ann_topk_ivf_from_index(
+                self.index_dir, queries, k=k, nprobe=nprobe,
+                round_decimals=round_decimals).to_pandas()
+        elif self.kind == "ivfpq":
+            out = ann_topk_ivfpq(
+                self.index_dir, queries, k=k, nprobe=nprobe,
+                shortlist=shortlist, rerank=rerank,
+                round_decimals=round_decimals)
+        else:
+            codes = ray.data.read_parquet(
+                os.path.join(self.index_dir, "codes"))
+            books = _load_codebooks(self.index_dir)
+            if rerank and rerank_ds is not None:
+                out = pq_ann_topk_rerank(
+                    codes, rerank_ds, queries, books,
+                    id_col=self.manifest["id_col"],
+                    emb_col=self.manifest["emb_col"], k=k,
+                    shortlist=shortlist, round_decimals=round_decimals)
+            else:
+                out = pq_ann_topk(
+                    codes, queries, books,
+                    id_col=self.manifest["id_col"], k=k,
+                    round_decimals=round_decimals).to_pandas()
+        out = out.sort_values(["query_id", "rank"]) \
+            .reset_index(drop=True)
+        out["rank"] = out["rank"].astype("int64")
+        return out
+
+    # ---- maintenance --------------------------------------------------
+    def imbalance(self) -> float:
+        counts = self.manifest.get("cell_counts")
+        if not counts:
+            return 0.0
+        vals = np.array(list(counts.values()), np.float64)
+        return float(vals.max() / max(vals.mean(), 1.0))
+
+    def needs_rebuild(self, threshold: float | None = None) -> bool:
+        t = self.rebuild_threshold if threshold is None else threshold
+        return self.imbalance() > t

@@ -2118,22 +2118,26 @@ def q_ann_topk_pq(sf_dir):
     touched for O(Q * shortlist) rows). The covering shortlist makes the
     result bit-identical to the exact scan, so it shares the ANN oracle;
     pruned-recall behaviour is covered by tests."""
+    import os
+
     import pyarrow.parquet as pq
 
-    from ..functions.similarity import (_embedding_matrix, pq_ann_topk_rerank,
-                                        pq_encode, pq_train)
+    from ..functions.similarity import AnnIndex, _embedding_matrix
 
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx = f"/tmp/jschon_ray_pq/{tag}-m16-u1"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        ds = read_table(table_path(sf_dir, "embeddings"))
+        AnnIndex.build(ds, idx, kind="pq", m=16, n_codes=256,
+                       train_kwargs=dict(sample_frac=1.0,
+                                         max_sample=20000, seed=23))
     qt = pq.read_table(table_path(sf_dir, "embeddings"),
                        filters=[("vec_id", "<", 10)])
     queries = {"ids": qt["vec_id"].to_numpy(zero_copy_only=False),
                "matrix": _embedding_matrix(qt, "embedding")}
-    ds = read_table(table_path(sf_dir, "embeddings"))
-    books = pq_train(ds, m=16, n_codes=256, sample_frac=1.0,
-                     max_sample=20000, seed=23)
-    codes = pq_encode(ds, books)
-    df = pq_ann_topk_rerank(codes, ds, queries, books, k=5, shortlist=50)
-    df["rank"] = df["rank"].astype("int64")
-    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    raw = read_table(table_path(sf_dir, "embeddings"))
+    return AnnIndex(idx).probe(queries, k=5, shortlist=50,
+                               rerank_ds=raw)
 
 
 def q_ann_topk_ivf_persisted(sf_dir):
@@ -2148,24 +2152,18 @@ def q_ann_topk_ivf_persisted(sf_dir):
 
     import pyarrow.parquet as pq
 
-    from ..functions.similarity import (_embedding_matrix,
-                                        ann_topk_ivf_from_index,
-                                        build_ivf_index)
+    from ..functions.similarity import AnnIndex, _embedding_matrix
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     idx = f"/tmp/jschon_ray_ivf/{tag}-c12-u1"
     if not os.path.exists(os.path.join(idx, "manifest.json")):
         ds = read_table(table_path(sf_dir, "embeddings"))
-        os.makedirs(idx, exist_ok=True)
-        build_ivf_index(ds, idx, n_centroids=12)
+        AnnIndex.build(ds, idx, kind="ivf", n_centroids=12)
     qt = pq.read_table(table_path(sf_dir, "embeddings"),
                        filters=[("vec_id", "<", 10)])
     queries = {"ids": qt["vec_id"].to_numpy(zero_copy_only=False),
                "matrix": _embedding_matrix(qt, "embedding")}
-    out = ann_topk_ivf_from_index(idx, queries, k=5, nprobe=12)
-    df = out.to_pandas()
-    df["rank"] = df["rank"].astype("int64")
-    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return AnnIndex(idx).probe(queries, k=5, nprobe=12)
 
 
 def q_ann_topk_ivfpq(sf_dir):
@@ -2179,24 +2177,21 @@ def q_ann_topk_ivfpq(sf_dir):
 
     import pyarrow.parquet as pq
 
-    from ..functions.similarity import (_embedding_matrix, ann_topk_ivfpq,
-                                        build_ivfpq_index)
+    from ..functions.similarity import AnnIndex, _embedding_matrix
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     idx = f"/tmp/jschon_ray_ivfpq/{tag}-c12-m16-u1"
     if not os.path.exists(os.path.join(idx, "codebooks.parquet")):
         ds = read_table(table_path(sf_dir, "embeddings"))
-        os.makedirs(idx, exist_ok=True)
-        build_ivfpq_index(ds, idx, n_centroids=12, m=16, n_codes=256,
-                          train_kwargs=dict(sample_frac=1.0,
-                                            max_sample=20000))
+        AnnIndex.build(ds, idx, kind="ivfpq", n_centroids=12, m=16,
+                       n_codes=256,
+                       train_kwargs=dict(sample_frac=1.0,
+                                         max_sample=20000))
     qt = pq.read_table(table_path(sf_dir, "embeddings"),
                        filters=[("vec_id", "<", 10)])
     queries = {"ids": qt["vec_id"].to_numpy(zero_copy_only=False),
                "matrix": _embedding_matrix(qt, "embedding")}
-    df = ann_topk_ivfpq(idx, queries, k=5, nprobe=12, shortlist=50)
-    df["rank"] = df["rank"].astype("int64")
-    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return AnnIndex(idx).probe(queries, k=5, nprobe=12, shortlist=50)
 
 
 _ANN_TOPK_SQL = """
@@ -9008,10 +9003,7 @@ def q_ann_topk_ivf_appended(sf_dir):
 
     import pyarrow.parquet as pq
 
-    from ..functions.similarity import (_embedding_matrix,
-                                        ann_topk_ivf_from_index,
-                                        append_to_ivf_index,
-                                        build_ivf_index)
+    from ..functions.similarity import AnnIndex, _embedding_matrix
 
     # cache key includes a (size, mtime) fingerprint of the embeddings
     # parquet so regenerated data under the same sf_dir never serves a
@@ -9026,20 +9018,16 @@ def q_ann_topk_ivf_appended(sf_dir):
         full = pq.read_table(table_path(sf_dir, "embeddings"))
         half = full.num_rows // 2
         import ray.data as _rd
-        os.makedirs(idx, exist_ok=True)
-        build_ivf_index(_rd.from_arrow(full.slice(0, half)), idx,
-                        n_centroids=12)
-        append_to_ivf_index(_rd.from_arrow(full.slice(half)), idx)
+        index = AnnIndex.build(_rd.from_arrow(full.slice(0, half)), idx,
+                               kind="ivf", n_centroids=12)
+        index.append(_rd.from_arrow(full.slice(half)))
         with open(os.path.join(idx, "_appended.ok"), "w") as f:
             f.write("ok")
     qt = pq.read_table(table_path(sf_dir, "embeddings"),
                        filters=[("vec_id", "<", 10)])
     queries = {"ids": qt["vec_id"].to_numpy(zero_copy_only=False),
                "matrix": _embedding_matrix(qt, "embedding")}
-    out = ann_topk_ivf_from_index(idx, queries, k=5, nprobe=12)
-    df = out.to_pandas()
-    df["rank"] = df["rank"].astype("int64")
-    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return AnnIndex(idx).probe(queries, k=5, nprobe=12)
 
 
 def q_audio_pitchshift_clips(sf_dir):
