@@ -32,6 +32,9 @@ class KeywordPlugin:
     compile_vec: callable | None = None
 
 
+_UNSET = object()
+
+
 @dataclass
 class RowCtx:
     """What a per-row keyword implementation sees (Result-API analogue)."""
@@ -45,6 +48,28 @@ class RowCtx:
     parent: object          # parent RNode — sibling lookups
     base: str
     sptr: str
+
+    def descend(self, subschema, *, key, instance=_UNSET, ipath=None,
+                cls=None):
+        """Evaluate ``subschema`` as a subresult of this keyword's node
+        — the analogue of the reference's ``with result(instance, key,
+        schema, cls=MyResult)`` context manager
+        (/root/reference/jschon/jsonschema.py:400-430). ``cls`` (an
+        RNode subclass) applies to the yielded node AND every node of
+        the subtree below it (RNode.child threads ``type(self)``);
+        omit it to inherit the current tree's class. Returns the
+        subresult node — inspect ``.passed`` / annotations, or call
+        ``.fail()`` on the keyword's own node based on it. A custom
+        class customizes result REPRESENTATION (extra state, output
+        hooks); verdicts must not depend on it, exactly as in the
+        reference.
+        """
+        inst = self.instance if instance is _UNSET else instance
+        ip = self.ipath if ipath is None else ipath
+        sub = self.node.child(key, ip, cls=cls)
+        self.evaluator.eval_schema(subschema, inst, ip, sub,
+                                   self.base, sub.sptr)
+        return sub
 
 
 _plugins: dict[str, KeywordPlugin] = {}

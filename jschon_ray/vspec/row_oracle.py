@@ -134,11 +134,17 @@ class RNode:
         self.schema_doc = None
 
     # -- jschon Result API analogues ------------------------------------
-    def child(self, key: str, ipath: str, base=None, sptr=None) -> "RNode":
+    def child(self, key: str, ipath: str, base=None, sptr=None,
+              cls=None) -> "RNode":
         # type(self), not RNode: a custom result class propagates to the
         # whole subtree, like jschon's result_class constructor threading
-        # (/root/reference/jschon/jsonschema.py:407,419 + :373-380)
-        c = type(self)(
+        # (/root/reference/jschon/jsonschema.py:407,419 + :373-380).
+        # `cls` switches the subtree to a DIFFERENT RNode subclass from
+        # this node down — the analogue of Result.__call__'s `cls`
+        # parameter (jsonschema.py:407: "applied to all nodes within the
+        # yielded subtree"); extension keywords reach it through
+        # RowCtx.descend.
+        c = (cls or type(self))(
             key=key,
             path=jptr.join(self.path, key),
             ipath=ipath,
