@@ -193,7 +193,11 @@ def embedding_neardup_pairs(ds, *, id_col="vec_id", emb_col="embedding",
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(id_col).head(max_bucket)
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+            # typed empty: object-dtype size-0 frames trip Ray's block
+            # size estimator (see dedup._empty_pair_table)
+            ids0 = g[id_col].iloc[:0]
+            return pd.DataFrame({"id_a": ids0, "id_b": ids0.copy(),
+                                 "sim": pd.Series([], dtype="float64")})
         ids = g[id_col].to_numpy()
         m = _normalize(np.stack(g[emb_col].to_numpy()))
         sims = m @ m.T

@@ -937,8 +937,10 @@ def keyed_streaks(ds, *, key_col: str, ts_col: str,
                                            kind="mergesort")
         n = len(d)
         if not n:
-            return pd.DataFrame({key_col: [], "max_streak": [],
-                                 "n_active_units": [], "n_streaks": []})
+            return pd.DataFrame({key_col: g[key_col].iloc[:0],
+                                 "max_streak": pd.Series([], dtype="int64"),
+                                 "n_active_units": pd.Series([], dtype="int64"),
+                                 "n_streaks": pd.Series([], dtype="int64")})
         keys = d[key_col].to_numpy()
         u = d["_u"].to_numpy()
         new_key = np.empty(n, dtype=bool)
@@ -987,8 +989,11 @@ def keyed_transition_counts(ds, *, key_col: str, ts_col: str,
         g = g.sort_values([key_col, ts_col, tie_col], kind="mergesort")
         n = len(g)
         if n < 2:
-            return pd.DataFrame({"cur_type": [], "next_type": [],
-                                 "n": []})
+            # typed empty (string extension dtype, not object: size-0
+            # object frames trip Ray's block size estimator)
+            return pd.DataFrame({"cur_type": pd.Series([], dtype="string"),
+                                 "next_type": pd.Series([], dtype="string"),
+                                 "n": pd.Series([], dtype="int64")})
         keys = g[key_col].to_numpy()
         typ = g[type_col].to_numpy()
         same = keys[1:] == keys[:-1]
@@ -1090,8 +1095,9 @@ def keyed_interval_coverage(ds, *, key_col: str, lo_col: str,
         g = g.sort_values([key_col, lo_col, hi_col], kind="mergesort")
         n = len(g)
         if not n:
-            return pd.DataFrame({key_col: [], "n_windows": [],
-                                 "covered": []})
+            return pd.DataFrame({key_col: g[key_col].iloc[:0],
+                                 "n_windows": pd.Series([], dtype="int64"),
+                                 "covered": pd.Series([], dtype="int64")})
         keys = g[key_col].to_numpy()
         lo = g[lo_col].to_numpy(np.int64)
         hi = g[hi_col].to_numpy(np.int64)
