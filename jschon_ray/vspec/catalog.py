@@ -236,6 +236,25 @@ class SpecCatalog:
 
         return _cache()
 
+    def session(self, cacheid=None) -> "CatalogSession":
+        """Open an ISOLATED compile namespace over this catalog — the
+        analogue of the reference's named schema caches
+        (``Catalog.cache(cacheid)`` + per-``cacheid`` ``_schema_cache``,
+        /root/reference/jschon/catalog/__init__.py:370-391): two live
+        sessions may register DIFFERENT documents under the SAME URI
+        concurrently (e.g. one spec URI compiled under two metaschemas
+        with different active vocabularies) without seeing each other,
+        and the base catalog is never touched.
+
+        Usable as a context manager; the ``cacheid`` must be unique
+        among LIVE sessions (reference raises "cache identifier is
+        already in use"). Process-cached task pools are safe by
+        construction: compiled plans embed their resolved subschemas,
+        so a plan built from one session stays correct on every worker
+        regardless of other sessions — catalog state never ships.
+        """
+        return CatalogSession(self, cacheid)
+
     def resource_root(self, base: str):
         """Root schema document of a registered resource, or None."""
         res = self._resources.get(base)
@@ -255,3 +274,47 @@ class SpecCatalog:
         if ptr is None:
             return None
         return jptr.evaluate(ptr, res["doc"]), base, ptr
+
+
+class CatalogSession(SpecCatalog):
+    """Isolated registration namespace over a base SpecCatalog.
+
+    Snapshot-on-create, copy-on-entry semantics: the session starts
+    with per-entry copies of the base's registrations (documents shared
+    by reference — the catalog never mutates spec dicts, only its entry
+    records), so registrations and stub fills inside the session can
+    never leak into the base or into a sibling session. URI sources are
+    inherited (copied) so lazy loads work per session.
+
+    See SpecCatalog.session for the reference mapping
+    (catalog/__init__.py:370-391).
+    """
+
+    def __init__(self, base: SpecCatalog, cacheid=None):
+        import uuid
+
+        if cacheid is None:
+            cacheid = uuid.uuid4()
+        live = getattr(base, "_live_sessions", None)
+        if live is None:
+            live = base._live_sessions = set()
+        if cacheid in live:
+            raise SpecError("cache identifier is already in use")
+        live.add(cacheid)
+        self.cacheid = cacheid
+        self._base_catalog = base
+        self._resources = {k: {"doc": v["doc"],
+                               "anchors": dict(v["anchors"])}
+                           for k, v in base._resources.items()}
+        self._uri_sources = dict(base._uri_sources)
+
+    def close(self) -> None:
+        """Release the cacheid (the namespace dies with the object)."""
+        live = getattr(self._base_catalog, "_live_sessions", set())
+        live.discard(self.cacheid)
+
+    def __enter__(self) -> "CatalogSession":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
