@@ -1799,7 +1799,14 @@ class Compiler:
             eff = infer_dialect(spec["$schema"]) \
                 if isinstance(spec.get("$schema"), str) else self.dialect
             validate_id_for_dialect(spec["$id"], eff)
-            base = urldefrag(urljoin(base or spec["$id"], spec["$id"])).url
+            # Skip the rejoin when ``base`` is already this node's
+            # canonical URI (a $ref jumped directly to this embedded
+            # resource root) — rejoining the relative $id would double
+            # the path segment. Mirrors row_oracle.eval_schema.
+            reg = self.catalog._resources.get(base) if base else None
+            if not (reg is not None and reg.get("doc") is spec):
+                base = urldefrag(
+                    urljoin(base or spec["$id"], spec["$id"])).url
             sptr = ""
             site = site.child("", site.seq, base=base, sptr=sptr,
                               kloc=site.kloc)

@@ -259,7 +259,17 @@ class RowEvaluator:
                     node._abs_override is None:
                 node._abs_override = node.base + "#" \
                     + jptr.uri_fragment(node.sptr)
-            base = urldefrag(urljoin(base or schema["$id"], schema["$id"])).url
+            # A $ref that jumps straight to an embedded resource root
+            # arrives with ``base`` already equal to this node's canonical
+            # URI (catalog.resolve returns the target resource's base);
+            # re-joining the node's own relative $id against it would
+            # double the path segment (scope/sub/inner.json ->
+            # scope/sub/sub/inner.json). The catalog's registered doc
+            # identity tells the two cases apart exactly.
+            reg = self.catalog._resources.get(base) if base else None
+            if not (reg is not None and reg.get("doc") is schema):
+                base = urldefrag(
+                    urljoin(base or schema["$id"], schema["$id"])).url
             sptr = ""
             # embedded resource root: this node's identity (and its place in
             # the dynamic scope, core.py:152) is the new base

@@ -77,6 +77,11 @@ SHARED_WITH_2019 = {
     "generated_object_bounds.json", "generated_enum_const.json",
     "generated_applicators.json", "generated_properties_interplay.json",
     "generated_ref_matrix.json",
+    # $ref/$anchor/$defs across catalog-registered remote documents behave
+    # identically in 2019-09
+    "refRemote.json",
+    # optional groups shared verbatim by both drafts
+    "optional_float_overflow.json", "optional_non_bmp.json",
 }
 
 
@@ -112,7 +117,8 @@ def _collect():
                             reason=st.get("reason", "")))
                     params.append(pytest.param(
                         version, case["schema"], test["data"],
-                        test["valid"], id=tid, marks=marks))
+                        test["valid"], case.get("remotes", {}),
+                        id=tid, marks=marks))
     return params
 
 
@@ -147,8 +153,16 @@ def _arrow_representable(value):
     return all(m is not None and ok(m) for m in value.values())
 
 
-@pytest.mark.parametrize("version,schema,data,valid", _PARAMS)
-def test_suite_case(version, schema, data, valid):
+def _register_remotes(catalog, remotes):
+    """Pre-register remote documents like the official suite's remotes/
+    directory served at http://localhost:1234 (reference
+    tests/test_suite.py registers a LocalSource for it)."""
+    for r_uri, doc in remotes.items():
+        catalog.register(doc, uri=r_uri)
+
+
+@pytest.mark.parametrize("version,schema,data,valid,remotes", _PARAMS)
+def test_suite_case(version, schema, data, valid, remotes):
     schema = _inject_dialect(schema, version)
 
     # Anonymous root schemas get a synthetic URI so '#/...' refs resolve
@@ -161,6 +175,7 @@ def test_suite_case(version, schema, data, valid):
     # --- engine 1: per-row oracle ------------------------------------
     ev = RowEvaluator(SpecCatalog())
     ev.dialect = version
+    _register_remotes(ev.catalog, remotes)
     result = ev.evaluate(schema, data, uri=uri)
     assert result.passed == valid, (
         f"row oracle: expected valid={valid}, got {result.passed}")
@@ -173,8 +188,10 @@ def test_suite_case(version, schema, data, valid):
     except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
         return  # heterogeneous values the tabular model can't type
     try:
+        case_catalog = SpecCatalog()
+        _register_remotes(case_catalog, remotes)
         cs = compile_spec(schema, table.schema, uri=uri,
-                          catalog=SpecCatalog())
+                          catalog=case_catalog)
         vvalid, vviols = cs.evaluate_table(table)
     except NotImplementedError:
         return  # engine explicitly defers this construct to the oracle
@@ -210,10 +227,20 @@ def test_reference_agrees_with_corpus():
 
     checked = 0
     mismatches = []
+    registered = {v: set() for v in handles}
     for p in _PARAMS:
-        version, schema, data, valid = p.values
+        version, schema, data, valid, remotes = p.values
         schema = _inject_dialect(schema, version)
+        h = handles[version]
         try:
+            for r_uri, doc in remotes.items():
+                if r_uri in registered[version]:
+                    continue
+                h["JSONSchema"](
+                    doc if isinstance(doc, bool) else dict(doc),
+                    catalog=h["catalog"], uri=h["URI"](r_uri),
+                    metaschema_uri=h["URI"](h["meta"]))
+                registered[version].add(r_uri)
             out = evaluate_with_reference(schema, data,
                                           handle=handles[version])
         except Exception:
@@ -228,7 +255,7 @@ def test_reference_agrees_with_corpus():
 def test_corpus_size():
     """The corpus must stay substantial — suite-style coverage, not a
     handful of smoke cases."""
-    assert len(_PARAMS) >= 3000
+    assert len(_PARAMS) >= 3640
 
 
 def test_vectorized_cross_check_coverage():
@@ -359,8 +386,9 @@ def test_output_basic_byte_parity_with_reference():
 
     n = match = skip = 0
     mismatches = []
+    registered = {v: set() for v in handles}
     for p in _PARAMS:
-        version, schema, data, valid = p.values
+        version, schema, data, valid, remotes = p.values
         if version not in handles:
             continue
         schema = _inject_dialect(schema, version)
@@ -368,7 +396,16 @@ def test_output_basic_byte_parity_with_reference():
         if isinstance(schema, dict) and "$id" not in schema:
             schema = {**schema,
                       "$id": f"https://parity.jschon-ray.local/{n}"}
+        h = handles[version]
         try:
+            for r_uri, doc in remotes.items():
+                if r_uri in registered[version]:
+                    continue
+                h["JSONSchema"](
+                    doc if isinstance(doc, bool) else dict(doc),
+                    catalog=h["catalog"], uri=h["URI"](r_uri),
+                    metaschema_uri=h["URI"](h["meta"]))
+                registered[version].add(r_uri)
             ref_out = evaluate_with_reference(schema, data,
                                               handle=handles[version])
         except Exception:
@@ -376,6 +413,7 @@ def test_output_basic_byte_parity_with_reference():
             continue
         ev = RowEvaluator(SpecCatalog())
         ev.dialect = version
+        _register_remotes(ev.catalog, remotes)
         ours = output_basic(ev.evaluate(
             dict(schema) if isinstance(schema, dict) else schema, data))
         if ours == ref_out:
