@@ -978,19 +978,33 @@ def cross_doc_dup_ngrams(ds, id_col: str, text_col: str, *, k: int = 5,
 
 
 def dedup_keep_canonical(ds, cc, id_col: str, *, node_col: str = "node",
-                         comp_col: str = "component"):
+                         comp_col: str = "component",
+                         mode: str = "broadcast", num_buckets: int = 64):
     """Apply near-dup clusters to the corpus: keep every unpaired row
     plus, per cluster, only the canonical member (the min-id
     `component`). `cc` is the (node, component) output of
     `dup_clusters` / `connected_components`.
 
-    The removal set {node != component} is at most (cluster members -
-    clusters) ids — tiny relative to the corpus (dup pairs are the rare
-    case), so it broadcasts via ray.put into a stateless semi-join mask;
-    no corpus shuffle. A corpus whose removal set outgrows worker memory
-    would switch to `join.referential_violations_shuffle`'s anti-join
-    shape instead (keys-only shuffle) — same semantics.
+    ``mode="broadcast"`` (default): the removal set {node != component}
+    is at most (cluster members - clusters) ids — tiny relative to the
+    corpus (dup pairs are the rare case), so it broadcasts via ray.put
+    into a stateless semi-join mask; no corpus shuffle.
+
+    ``mode="shuffle"``: the scale complement for a removal set too large
+    to broadcast — a hash-bucketed anti-join with NO driver or
+    whole-worker materialization of the removal set. Removal ids are
+    tagged and unioned with the corpus, both sides bucketed by
+    hash(id) % num_buckets, and each bucket group filters its corpus
+    rows against only the removal ids that hashed to the same bucket.
+    The full corpus shuffles once (payload moves), so prefer broadcast
+    whenever the removal set fits a worker heap.
     """
+    if mode == "shuffle":
+        return _keep_canonical_shuffle(ds, cc, id_col, node_col=node_col,
+                                       comp_col=comp_col,
+                                       num_buckets=num_buckets)
+    if mode != "broadcast":
+        raise ValueError(f"mode must be 'broadcast' or 'shuffle': {mode!r}")
     import ray
 
     removed = cc.map_batches(
@@ -1010,3 +1024,49 @@ def dedup_keep_canonical(ds, cc, id_col: str, *, node_col: str = "node",
 
     return ds.map_batches(keep, fn_args=(removed_ref,),
                           batch_format="pyarrow")
+
+
+def _keep_canonical_shuffle(ds, cc, id_col: str, *, node_col: str,
+                            comp_col: str, num_buckets: int):
+    """Bucketed anti-join body of dedup_keep_canonical(mode="shuffle").
+
+    Both sides get `_b = hash(id) % num_buckets`; removal rows carry the
+    corpus schema with null payloads (`_rm = 1`) so the union is
+    schema-stable; groupby(_b).map_groups filters each bucket's corpus
+    rows against its removal ids with one vectorized is_in. State per
+    group is O(bucket), never O(removal set).
+    """
+    corpus_schema = ds.schema().base_schema
+
+    def tag_corpus(t: pa.Table) -> pa.Table:
+        b = _bucket_of(pd.Series(t[id_col].to_pandas()), num_buckets)
+        return t.append_column("_rm", pa.array(
+            np.zeros(len(t), np.int8))).append_column("_b", pa.array(b))
+
+    def tag_removed(t: pa.Table) -> pa.Table:
+        rm = t.filter(pc.invert(pc.equal(t[node_col], t[comp_col])))
+        ids = rm[node_col]
+        cols = {}
+        for field in corpus_schema:
+            if field.name == id_col:
+                cols[field.name] = ids.cast(field.type)
+            else:
+                cols[field.name] = pa.nulls(len(ids), field.type)
+        out = pa.table(cols)
+        b = _bucket_of(pd.Series(ids.to_pandas()), num_buckets)
+        return out.append_column("_rm", pa.array(
+            np.ones(len(ids), np.int8))).append_column("_b", pa.array(b))
+
+    def bucket_filter(t: pa.Table) -> pa.Table:
+        rm_ids = t.filter(pc.equal(t["_rm"], 1))[id_col]
+        keep = t.filter(pc.equal(t["_rm"], 0))
+        if len(rm_ids):
+            mask = pc.invert(pc.is_in(
+                keep[id_col], value_set=rm_ids.combine_chunks().unique()))
+            keep = keep.filter(mask)
+        return keep.drop_columns(["_rm", "_b"])
+
+    tagged = ds.map_batches(tag_corpus, batch_format="pyarrow").union(
+        cc.map_batches(tag_removed, batch_format="pyarrow"))
+    return tagged.groupby("_b").map_groups(bucket_filter,
+                                           batch_format="pyarrow")

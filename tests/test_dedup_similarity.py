@@ -329,6 +329,46 @@ def test_dedup_keep_canonical(ray_session):
     assert sorted(out["doc_id"]) == [1, 2, 4, 5, 6]
 
 
+def test_dedup_keep_canonical_shuffle_matches_broadcast(ray_session):
+    """The anti-join shuffle mode (no broadcast of the removal set) is
+    row-identical to the broadcast mode, payload columns intact."""
+    import ray.data as rd
+    from jschon_ray.functions.dedup import dedup_keep_canonical
+
+    n = 500
+    ids = np.arange(n, dtype=np.int64)
+    corpus = pa.table({
+        "doc_id": pa.array(ids),
+        "text": pa.array([f"doc-{i}" for i in ids]),
+        "score": pa.array((ids % 7).astype(np.float64)),
+    })
+    # clusters {0..9 -> 0}, {100,101 -> 100}, singleton rest
+    node = np.concatenate([np.arange(10), [100, 101]]).astype(np.int64)
+    comp = np.concatenate([np.zeros(10), [100, 100]]).astype(np.int64)
+    cc = pa.table({"node": pa.array(node), "component": pa.array(comp)})
+
+    base = dedup_keep_canonical(
+        rd.from_arrow(corpus), rd.from_arrow(cc), "doc_id") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    shuf = dedup_keep_canonical(
+        rd.from_arrow(corpus), rd.from_arrow(cc), "doc_id",
+        mode="shuffle", num_buckets=8) \
+        .to_pandas()[base.columns].sort_values("doc_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, shuf)
+    removed = set(node[node != comp])
+    assert set(shuf["doc_id"]) == set(ids) - removed
+    # string-keyed corpus goes through the string hash path
+    scorpus = pa.table({"k": pa.array([f"k{i}" for i in range(40)]),
+                        "v": pa.array(np.arange(40, dtype=np.int64))})
+    scc = pa.table({"node": pa.array(["k3", "k4"]),
+                    "component": pa.array(["k3", "k3"])})
+    sout = dedup_keep_canonical(rd.from_arrow(scorpus), rd.from_arrow(scc),
+                                "k", mode="shuffle",
+                                num_buckets=4).to_pandas()
+    assert set(sout["k"]) == {f"k{i}" for i in range(40)} - {"k4"}
+
+
 def test_ivf_persisted_index_exact_when_probing_all(ray_session, tmp_path):
     """A saved index probed exhaustively reproduces the exact scan."""
     import pandas as pd
