@@ -977,6 +977,96 @@ def cross_doc_dup_ngrams(ds, id_col: str, text_col: str, *, k: int = 5,
     return merged.map_batches(rename, batch_format="pyarrow")
 
 
+def segment_dedup_counts(ds, *, id_col: str = "doc_id", col: str = "text",
+                         seg_words: int = 10, num_buckets: int = 64):
+    """Line/segment-level exact dedup audit (RefinedWeb-style line dedup
+    generalized to whitespace corpora): split each document into
+    consecutive non-overlapping `seg_words`-word segments and report, per
+    document, how many of its segments occur 2+ times ANYWHERE in the
+    corpus (including elsewhere in the same document).
+
+    The uniqueItems-across-a-corpus analogue at sub-document granularity
+    (/root/reference/jschon/vocabulary/validation.py:163-177 checks
+    within-row uniqueness; this is the corpus-wide member-level form).
+
+    Plan (all narrow rows after the split; payload text never shuffles):
+      1. map_batches: vectorized order-sensitive polynomial hash of each
+         segment's word-hash run (one reduceat per batch — segment
+         strings are never materialized), emitting
+         (seg_hash, doc_id, _b = mix(seg_hash) % num_buckets).
+      2. groupby(_b).map_groups: every occurrence of a segment lands in
+         one bucket, so within-bucket value_counts are GLOBAL occurrence
+         counts; emit per-doc partials (n_segs, n_dup_segs).
+      3. groupby(doc_id).sum — O(docs) result.
+
+    Segment equality is by 64-bit hash (same convention as exact_dedup's
+    content_hash); equal word sequences <=> equal joined strings here
+    because words are whitespace-free.
+    """
+    P = np.uint64(0x100000001B3)           # FNV-ish odd multiplier
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def emit_segments(t: pa.Table) -> pa.Table:
+        texts = t[col].to_pandas()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if len(texts) == 0:
+            return pa.table({"seg_hash": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "_b": pa.array([], pa.int64())})
+        words = texts.str.split(" ")
+        n_words = words.str.len().to_numpy().astype(np.int64)
+        flat = pd.Series(np.concatenate(words.to_numpy()))
+        h = hash_array(flat).astype(np.uint64)
+        n_segs = -(-n_words // seg_words)            # ceil, >=1 per doc
+        # global word positions -> position within the owning doc
+        doc_start = np.concatenate(([0], np.cumsum(n_words)[:-1]))
+        pos_in_doc = np.arange(len(flat), dtype=np.int64) - \
+            np.repeat(doc_start, n_words)
+        w = P ** (pos_in_doc % seg_words).astype(np.uint64)
+        seg_first = np.concatenate(([0], np.cumsum(n_segs)[:-1]))
+        total_segs = int(n_segs.sum())
+        seg_local = np.arange(total_segs, dtype=np.int64) - \
+            np.repeat(seg_first, n_segs)
+        seg_start = np.repeat(doc_start, n_segs) + seg_local * seg_words
+        vals = h * w
+        seg_hash = np.add.reduceat(vals, seg_start) if len(vals) else \
+            np.array([], np.uint64)
+        # distinguish short tail segments of equal weighted sum
+        seg_len = np.minimum(
+            seg_words,
+            np.repeat(n_words, n_segs) -
+            (seg_start - np.repeat(doc_start, n_segs)))
+        seg_hash = (seg_hash ^ (seg_len.astype(np.uint64) << np.uint64(1))) \
+            * MIX
+        bucket = ((seg_hash * MIX) >> np.uint64(40)) % \
+            np.uint64(num_buckets)
+        return pa.table({
+            "seg_hash": pa.array(seg_hash.view(np.int64)),
+            id_col: pa.array(np.repeat(ids, n_segs)),
+            "_b": pa.array(bucket.astype(np.int64)),
+        })
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({id_col: pd.array([], "int64"),
+                                 "n_segs": pd.array([], "int64"),
+                                 "n_dup_segs": pd.array([], "int64")})
+        occ = g.groupby("seg_hash")["seg_hash"].transform("size")
+        out = g.assign(_dup=(occ >= 2).astype(np.int64)) \
+            .groupby(id_col, as_index=False) \
+            .agg(n_segs=("seg_hash", "size"), n_dup_segs=("_dup", "sum"))
+        return out.astype({id_col: np.int64, "n_segs": np.int64,
+                           "n_dup_segs": np.int64})
+
+    segs = ds.map_batches(emit_segments, batch_format="pyarrow")
+    partials = segs.groupby("_b").map_groups(bucket_counts,
+                                             batch_format="pandas")
+    final = partials.groupby(id_col).sum(["n_segs", "n_dup_segs"])
+    return final.map_batches(
+        lambda t: t.rename_columns([id_col, "n_segs", "n_dup_segs"]),
+        batch_format="pyarrow")
+
+
 def dedup_keep_canonical(ds, cc, id_col: str, *, node_col: str = "node",
                          comp_col: str = "component",
                          mode: str = "broadcast", num_buckets: int = 64):

@@ -2549,6 +2549,39 @@ GROUP BY g.doc_id
 """
 
 
+def q_segment_dedup_docs(sf_dir):
+    """Line/segment-level exact dedup audit: each doc split into
+    consecutive non-overlapping 10-word segments; per doc, how many of
+    its segments occur 2+ times anywhere in the corpus. Narrow
+    (seg_hash, doc_id) rows shuffle; text never does."""
+    from ..functions.dedup import segment_dedup_counts
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    return segment_dedup_counts(ds, id_col="doc_id", col="text",
+                                seg_words=10)
+
+
+_SEGMENT_DEDUP_DOCS_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), segs AS (
+  SELECT doc_id,
+         array_to_string(words[(t.seg_no*10+1):((t.seg_no+1)*10)],
+                         ' ') AS seg
+  FROM w, UNNEST(range(CAST(ceil(len(words)/10.0) AS BIGINT)))
+       AS t(seg_no)
+), freq AS (
+  SELECT seg, count(*) AS n_occ FROM segs GROUP BY seg
+)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(count(*) FILTER (WHERE f.n_occ >= 2) AS BIGINT)
+           AS n_dup_segs
+FROM segs s JOIN freq f USING (seg)
+GROUP BY s.doc_id
+"""
+
+
 def q_dedup_corpus_docs(sf_dir):
     """End-to-end near-dup dedup APPLIED: jaccard pairs (>=0.5) ->
     connected components -> keep unpaired docs plus each cluster's
@@ -3892,6 +3925,7 @@ def build_queries() -> dict:
         "oov_docs": q_oov_docs,
         "dup_clusters_docs": q_dup_clusters_docs,
         "dup_ngrams_docs": q_dup_ngrams_docs,
+        "segment_dedup_docs": q_segment_dedup_docs,
         "order_totals_consistency": q_order_totals_consistency,
         "dedup_corpus_docs": q_dedup_corpus_docs,
         "quantiles_lineitem": q_quantiles_lineitem,
@@ -4127,6 +4161,7 @@ def build_oracles() -> dict:
         "oov_docs": _OOV_SQL,
         "dup_clusters_docs": _DUP_CLUSTERS_SQL,
         "dup_ngrams_docs": _DUP_NGRAMS_DOCS_SQL,
+        "segment_dedup_docs": _SEGMENT_DEDUP_DOCS_SQL,
         "order_totals_consistency": _ORDER_TOTALS_CONSISTENCY_SQL,
         "dedup_corpus_docs": _DEDUP_CORPUS_SQL,
         "quantiles_lineitem": _QUANTILES_LINEITEM_SQL,

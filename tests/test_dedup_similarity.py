@@ -756,3 +756,43 @@ def test_ann_index_pq_recall_at_nprobe_below_k(ray_session, tmp_path):
         hits += len(e & g)
         tot += len(e)
     assert hits / tot >= 0.9, f"recall@5 {hits/tot:.2f} at nprobe=2"
+
+
+def test_segment_dedup_counts_vs_bruteforce(ray_session):
+    """Corpus-wide segment (10-word line) dedup counts match a pure-Python
+    count over the same segmentation — including an in-document repeat,
+    a cross-document repeat, and short-tail segments."""
+    import ray.data as rd
+    from jschon_ray.functions.dedup import segment_dedup_counts
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(12):
+        n = int(rng.integers(3, 35))
+        docs.append(" ".join(rng.choice(vocab, n)))
+    shared = " ".join(rng.choice(vocab, 10))
+    docs[2] = shared + " " + docs[2]          # cross-doc repeat...
+    docs[7] = shared + " " + docs[7]          # ...lands in two docs
+    docs[4] = shared + " " + shared           # in-doc repeat, aligned
+
+    # brute force over the identical segmentation
+    from collections import Counter
+    seg_lists = []
+    for d in docs:
+        ws = d.split(" ")
+        seg_lists.append([" ".join(ws[j:j + 10])
+                          for j in range(0, len(ws), 10)])
+    freq = Counter(s for segs in seg_lists for s in segs)
+    want = {i: (len(segs), sum(1 for s in segs if freq[s] >= 2))
+            for i, segs in enumerate(seg_lists)}
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs)})).repartition(4)
+    got = segment_dedup_counts(ds, id_col="doc_id", col="text",
+                               seg_words=10, num_buckets=8).to_pandas()
+    got = got.set_index("doc_id").sort_index()
+    assert len(got) == len(docs)
+    for i in range(len(docs)):
+        assert (got.loc[i, "n_segs"], got.loc[i, "n_dup_segs"]) == want[i], i
