@@ -2111,6 +2111,18 @@ def q_ann_topk_ivf(sf_dir):
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _index_cache_tag(sf_dir, table: str = "embeddings") -> str:
+    """Cache tag for /tmp-persisted ANN indexes: sf_dir basename plus a
+    (size, mtime) fingerprint of the source parquet, so regenerated data
+    under the same path never serves a stale index (ADVICE r2)."""
+    import os
+
+    src = table_path(sf_dir, table)
+    st = os.stat(src)
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"{base}-{st.st_size}-{int(st.st_mtime)}"
+
+
 def q_ann_topk_pq(sf_dir):
     """Product-quantization scale path: embeddings -> m uint8 codes
     (pq_encode; 16x smaller than raw float32 at m=16), ADC shortlist
@@ -2124,8 +2136,7 @@ def q_ann_topk_pq(sf_dir):
 
     from ..functions.similarity import AnnIndex, _embedding_matrix
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    idx = f"/tmp/jschon_ray_pq/{tag}-m16-u1"
+    idx = f"/tmp/jschon_ray_pq/{_index_cache_tag(sf_dir)}-m16-u1"
     if not os.path.exists(os.path.join(idx, "manifest.json")):
         ds = read_table(table_path(sf_dir, "embeddings"))
         AnnIndex.build(ds, idx, kind="pq", m=16, n_codes=256,
@@ -2154,8 +2165,7 @@ def q_ann_topk_ivf_persisted(sf_dir):
 
     from ..functions.similarity import AnnIndex, _embedding_matrix
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    idx = f"/tmp/jschon_ray_ivf/{tag}-c12-u1"
+    idx = f"/tmp/jschon_ray_ivf/{_index_cache_tag(sf_dir)}-c12-u1"
     if not os.path.exists(os.path.join(idx, "manifest.json")):
         ds = read_table(table_path(sf_dir, "embeddings"))
         AnnIndex.build(ds, idx, kind="ivf", n_centroids=12)
@@ -2179,8 +2189,7 @@ def q_ann_topk_ivfpq(sf_dir):
 
     from ..functions.similarity import AnnIndex, _embedding_matrix
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    idx = f"/tmp/jschon_ray_ivfpq/{tag}-c12-m16-u1"
+    idx = f"/tmp/jschon_ray_ivfpq/{_index_cache_tag(sf_dir)}-c12-m16-u1"
     if not os.path.exists(os.path.join(idx, "codebooks.parquet")):
         ds = read_table(table_path(sf_dir, "embeddings"))
         AnnIndex.build(ds, idx, kind="ivfpq", n_centroids=12, m=16,
@@ -9040,14 +9049,7 @@ def q_ann_topk_ivf_appended(sf_dir):
 
     from ..functions.similarity import AnnIndex, _embedding_matrix
 
-    # cache key includes a (size, mtime) fingerprint of the embeddings
-    # parquet so regenerated data under the same sf_dir never serves a
-    # stale index
-    src_path = table_path(sf_dir, "embeddings")
-    st = os.stat(src_path)
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    fp = f"{st.st_size}-{int(st.st_mtime)}"
-    idx = f"/tmp/jschon_ray_ivf_app/{tag}-{fp}-c12-u1"
+    idx = f"/tmp/jschon_ray_ivf_app/{_index_cache_tag(sf_dir)}-c12-u1"
     if not os.path.exists(os.path.join(idx, "_appended.ok")):
         shutil.rmtree(idx, ignore_errors=True)
         full = pq.read_table(table_path(sf_dir, "embeddings"))
