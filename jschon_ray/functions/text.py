@@ -747,3 +747,109 @@ def bigram_logprob(ds, *, col: str = "text", id_col: str = "doc_id",
                                     mask=np.isnan(alp))})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _hashed_feature_buckets(batch: pa.Table, *, col: str,
+                            num_buckets: int, lowercase: bool = True):
+    """Shared DSIR feature extractor: bag of {unigram, bigram} word
+    features hashed into `num_buckets` via md5 (reproducible in ANSI
+    SQL: CAST(concat('0x', substr(md5(f), 1, 15)) AS UBIGINT) % B).
+
+    Returns (buckets, parents): one int64 bucket per feature OCCURRENCE
+    and the owning row index. The md5 loop runs over the batch's UNIQUE
+    feature strings (vocabulary-bounded), never per occurrence."""
+    s = pc.utf8_lower(batch[col]) if lowercase else batch[col]
+    lists = pc.split_pattern_regex(s, r"\s+")
+    flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    keep = flat != ""
+    toks, tpar = flat[keep], parents[keep]
+    # bigrams: consecutive kept tokens within the same row
+    if len(toks) > 1:
+        same = tpar[:-1] == tpar[1:]
+        big = np.char.add(np.char.add(toks[:-1][same].astype(str), " "),
+                          toks[1:][same].astype(str))
+        bpar = tpar[:-1][same]
+    else:
+        big = np.array([], dtype=str)
+        bpar = np.array([], dtype=np.int64)
+    feats = np.concatenate([toks.astype(str), big])
+    fpar = np.concatenate([tpar, bpar]).astype(np.int64)
+    if len(feats) == 0:
+        return np.array([], np.int64), fpar
+    uniq, inv = np.unique(feats, return_inverse=True)
+    ub = np.array([int(hashlib.md5(u.encode()).hexdigest()[:15], 16)
+                   % num_buckets for u in uniq], np.int64)
+    return ub[inv], fpar
+
+
+def dsir_logratio(ds, *, id_col: str = "doc_id", col: str = "text",
+                  target_col: str = "lang", target_value: str = "en",
+                  num_buckets: int = 4096, lowercase: bool = True,
+                  decimals: int = 4):
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): hashed bag of {unigram, bigram} features; per doc,
+    log w(x) = sum_f [ln p_target(bucket(f)) - ln p_raw(bucket(f))]
+    over its feature occurrences, with Laplace-smoothed bucket
+    probabilities p(h) = (c_h + 1) / (T + B). Docs resembling the
+    target subset (rows where `target_col == target_value`) score high;
+    downstream selection samples proportionally to exp(log w).
+
+    100 TB posture: the model is TWO fixed-size arrays of B floats
+    (hash-bucketed, vocabulary-independent — unlike the unigram /
+    bigram LM scorers whose broadcast tables grow with the corpus
+    vocabulary). One count pass (only nonzero (bucket, n_raw, n_tgt)
+    partial rows shuffle, ≤ B per block), one broadcast, one
+    vectorized scoring pass.
+
+    Emits (id_col, n_feats, log_ratio) with log_ratio rounded to
+    `decimals`; docs with no tokens get n_feats = 0 and null.
+    """
+    import functools
+
+    B = int(num_buckets)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        h, par = _hashed_feature_buckets(t, col=col, num_buckets=B,
+                                         lowercase=lowercase)
+        if len(h) == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "n_raw": pa.array([], pa.int64()),
+                             "n_tgt": pa.array([], pa.int64())})
+        is_tgt = pc.equal(t[target_col], target_value) \
+            .to_numpy(zero_copy_only=False)
+        raw = np.bincount(h, minlength=B)
+        tgt = np.bincount(h[is_tgt[par]], minlength=B)
+        nz = np.flatnonzero(raw)
+        return pa.table({"h": pa.array(nz.astype(np.int64)),
+                         "n_raw": pa.array(raw[nz].astype(np.int64)),
+                         "n_tgt": pa.array(tgt[nz].astype(np.int64))})
+
+    counts = ds.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("h").sum(["n_raw", "n_tgt"])
+
+    c_raw = np.zeros(B, np.int64)
+    c_tgt = np.zeros(B, np.int64)
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        hh = b["h"].to_numpy(zero_copy_only=False)
+        c_raw[hh] = b["sum(n_raw)"].to_numpy(zero_copy_only=False)
+        c_tgt[hh] = b["sum(n_tgt)"].to_numpy(zero_copy_only=False)
+    t_raw, t_tgt = int(c_raw.sum()), int(c_tgt.sum())
+    delta = (np.log((c_tgt + 1.0) / (t_tgt + B))
+             - np.log((c_raw + 1.0) / (t_raw + B)))
+
+    def score(t: pa.Table) -> pa.Table:
+        h, par = _hashed_feature_buckets(t, col=col, num_buckets=B,
+                                         lowercase=lowercase)
+        n = t.num_rows
+        n_feats = np.bincount(par, minlength=n).astype(np.int64)
+        sums = np.bincount(par, weights=delta[h], minlength=n) \
+            if len(h) else np.zeros(n)
+        lr = np.round(sums, decimals)
+        return pa.table({
+            id_col: t[id_col],
+            "n_feats": pa.array(n_feats),
+            "log_ratio": pa.array(lr, mask=n_feats == 0)})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -2591,6 +2591,55 @@ GROUP BY s.doc_id
 """
 
 
+def q_dsir_logratio_docs(sf_dir):
+    """DSIR importance weights (hashed {uni,bi}gram bag; target = docs
+    with lang='en'): fixed-size two-array model (4096 buckets) broadcast
+    to a vectorized scoring pass — the data-SELECTION complement of the
+    LM quality scorers (functions/text.py dsir_logratio). The md5 bucket
+    hash is reproduced exactly in the DuckDB oracle."""
+    from ..functions.text import dsir_logratio
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text", "lang"])
+    ds = _drop_null_rows(ds, ["text"])
+    return dsir_logratio(ds, id_col="doc_id", col="text",
+                         target_col="lang", target_value="en",
+                         num_buckets=4096)
+
+
+_DSIR_LOGRATIO_SQL = r"""
+WITH arrs AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS a
+  FROM documents WHERE text IS NOT NULL),
+uni AS (SELECT doc_id, lang, unnest(a) AS f FROM arrs),
+big AS (
+  SELECT doc_id, lang, z[1] || ' ' || z[2] AS f
+  FROM (SELECT doc_id, lang, unnest(list_zip(a[:-2], a[2:])) AS z
+        FROM arrs)
+  WHERE z[1] IS NOT NULL AND z[2] IS NOT NULL),
+feats AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(f), 1, 15)) AS UBIGINT) % 4096 AS h
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+cnt AS (
+  SELECT h, count(*) AS c_raw,
+         count(*) FILTER (WHERE lang = 'en') AS c_tgt
+  FROM feats GROUP BY h),
+tot AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt FROM cnt),
+per AS (
+  SELECT doc_id, count(*) AS n_feats,
+         sum(ln((c_tgt + 1.0) / (t_tgt + 4096))
+             - ln((c_raw + 1.0) / (t_raw + 4096))) AS lr
+  FROM feats JOIN cnt USING (h) CROSS JOIN tot GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats,
+       round(lr, 4) AS log_ratio
+FROM documents d LEFT JOIN per USING (doc_id)
+WHERE d.text IS NOT NULL
+"""
+
+
 def q_dedup_corpus_docs(sf_dir):
     """End-to-end near-dup dedup APPLIED: jaccard pairs (>=0.5) ->
     connected components -> keep unpaired docs plus each cluster's
@@ -3935,6 +3984,7 @@ def build_queries() -> dict:
         "dup_clusters_docs": q_dup_clusters_docs,
         "dup_ngrams_docs": q_dup_ngrams_docs,
         "segment_dedup_docs": q_segment_dedup_docs,
+        "dsir_logratio_docs": q_dsir_logratio_docs,
         "order_totals_consistency": q_order_totals_consistency,
         "dedup_corpus_docs": q_dedup_corpus_docs,
         "quantiles_lineitem": q_quantiles_lineitem,
@@ -4171,6 +4221,7 @@ def build_oracles() -> dict:
         "dup_clusters_docs": _DUP_CLUSTERS_SQL,
         "dup_ngrams_docs": _DUP_NGRAMS_DOCS_SQL,
         "segment_dedup_docs": _SEGMENT_DEDUP_DOCS_SQL,
+        "dsir_logratio_docs": _DSIR_LOGRATIO_SQL,
         "order_totals_consistency": _ORDER_TOTALS_CONSISTENCY_SQL,
         "dedup_corpus_docs": _DEDUP_CORPUS_SQL,
         "quantiles_lineitem": _QUANTILES_LINEITEM_SQL,

@@ -344,3 +344,62 @@ def test_compression_ratio_orders_repetitive_below_random():
     r = out["zlib_ratio"].to_pylist()
     assert r[0] < 0.1 < r[1]            # repetition crushes, noise doesn't
     assert r[2] is None and r[3] is None
+
+
+def test_dsir_logratio_vs_bruteforce(ray_session):
+    """DSIR hashed importance weights match a pure-Python model built
+    over the same {unigram,bigram} features, and docs drawn from the
+    target distribution outscore off-target docs."""
+    import hashlib
+    import math
+
+    import ray.data as rd
+
+    from jschon_ray.functions.text import dsir_logratio
+
+    B = 64
+    tgt_words = ["alpha", "beta", "gamma", "delta"]
+    off_words = ["uno", "dos", "tres", "quatro"]
+    rng = np.random.default_rng(3)
+    docs, langs = [], []
+    for i in range(30):
+        on_target = i % 2 == 0
+        pool = tgt_words if on_target else off_words
+        docs.append(" ".join(rng.choice(pool, int(rng.integers(3, 12)))))
+        langs.append("en" if on_target else "xx")
+
+    # brute force: identical features, hashing, smoothing
+    def feats(d):
+        ws = [w for w in d.lower().split(" ") if w]
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % B
+
+    c_raw, c_tgt = [0] * B, [0] * B
+    for d, lg in zip(docs, langs):
+        for f in feats(d):
+            h = bucket(f)
+            c_raw[h] += 1
+            if lg == "en":
+                c_tgt[h] += 1
+    t_raw, t_tgt = sum(c_raw), sum(c_tgt)
+    want = []
+    for d in docs:
+        lr = sum(math.log((c_tgt[bucket(f)] + 1.0) / (t_tgt + B))
+                 - math.log((c_raw[bucket(f)] + 1.0) / (t_raw + B))
+                 for f in feats(d))
+        want.append(round(lr, 4))
+
+    ds = rd.from_items([
+        {"doc_id": i, "text": d, "lang": lg}
+        for i, (d, lg) in enumerate(zip(docs, langs))]).repartition(4)
+    got = dsir_logratio(ds, num_buckets=B).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert len(got) == len(docs)
+    for i in range(len(docs)):
+        assert abs(got.loc[i, "log_ratio"] - want[i]) < 1e-9, i
+    # separation: every on-target doc outscores every off-target doc
+    on = [got.loc[i, "log_ratio"] for i in range(0, 30, 2)]
+    off = [got.loc[i, "log_ratio"] for i in range(1, 30, 2)]
+    assert min(on) > max(off)
