@@ -2591,6 +2591,28 @@ GROUP BY s.doc_id
 """
 
 
+def q_source_quota_docs(sf_dir):
+    """Domain balancing — the per-source quota cap every web-crawl
+    pipeline applies before training (keep at most 40 docs per source,
+    longest-first, doc_id tiebreak). Per-block partial top-k prunes each
+    block to <= k rows per source BEFORE the single small shuffle; the
+    document text never moves (functions/temporal.top_k_per_group)."""
+    from ..functions.temporal import top_k_per_group
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["source", "doc_id", "n_chars"])
+    return top_k_per_group(ds, group_cols=["source"],
+                           order_col="n_chars", k=40,
+                           tie_cols=["doc_id"])
+
+
+_SOURCE_QUOTA_SQL = """
+SELECT source, doc_id, n_chars FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 40
+"""
+
+
 def q_dsir_logratio_docs(sf_dir):
     """DSIR importance weights (hashed {uni,bi}gram bag; target = docs
     with lang='en'): fixed-size two-array model (4096 buckets) broadcast
@@ -3985,6 +4007,7 @@ def build_queries() -> dict:
         "dup_ngrams_docs": q_dup_ngrams_docs,
         "segment_dedup_docs": q_segment_dedup_docs,
         "dsir_logratio_docs": q_dsir_logratio_docs,
+        "source_quota_docs": q_source_quota_docs,
         "order_totals_consistency": q_order_totals_consistency,
         "dedup_corpus_docs": q_dedup_corpus_docs,
         "quantiles_lineitem": q_quantiles_lineitem,
@@ -4222,6 +4245,7 @@ def build_oracles() -> dict:
         "dup_ngrams_docs": _DUP_NGRAMS_DOCS_SQL,
         "segment_dedup_docs": _SEGMENT_DEDUP_DOCS_SQL,
         "dsir_logratio_docs": _DSIR_LOGRATIO_SQL,
+        "source_quota_docs": _SOURCE_QUOTA_SQL,
         "order_totals_consistency": _ORDER_TOTALS_CONSISTENCY_SQL,
         "dedup_corpus_docs": _DEDUP_CORPUS_SQL,
         "quantiles_lineitem": _QUANTILES_LINEITEM_SQL,
