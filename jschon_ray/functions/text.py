@@ -54,6 +54,64 @@ def quality_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     return out
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filter_batch(batch: pa.Table, col: str = "text",
+                        min_stop_hits: int = 2) -> pa.Table:
+    """Gopher-style document quality rules (Rae et al. 2021, publicly
+    described repetition/quality heuristics), the composed keep/drop
+    filter web-scale pipelines apply before training:
+
+      R1  50 <= word count <= 100,000
+      R2  3 <= mean word length <= 10
+      R3  >= 80% of words contain at least one alphabetic character
+      R4  at least `min_stop_hits` distinct stop words present (of 8;
+          the published default is 2 — callers on narrow-vocabulary
+          corpora may lower it)
+
+    kept = R1 & R2 & R3 & R4. Everything is Arrow regex counting over the
+    raw string — the word list is never materialized, so the stage is one
+    RE2 scan per feature. Doubles are plain int/int divisions,
+    bit-identical to the DuckDB oracle's.
+
+    Spec-engine kinship: this is an `allOf` of range assertions
+    (/root/reference/jschon/vocabulary/applicator.py:28-40 over
+    validation.py bounds), lifted to derived text features.
+    """
+    text = batch[col]
+    n_words = pc.count_substring_regex(text, r"\S+").cast(pa.int64())
+    nonspace = pc.count_substring_regex(text, r"\S").cast(pa.float64())
+    n_alpha_words = pc.count_substring_regex(
+        text, r"\S*[A-Za-z]\S*").cast(pa.float64())
+    nw_f = n_words.cast(pa.float64())
+    pos = pc.greater(n_words, 0)
+    mean_word_len = pc.if_else(pos, pc.divide(nonspace, nw_f),
+                               pa.scalar(0.0))
+    frac_alpha_words = pc.if_else(pos, pc.divide(n_alpha_words, nw_f),
+                                  pa.scalar(0.0))
+    hits = None
+    for w in GOPHER_STOPWORDS:
+        h = pc.match_substring_regex(
+            text, rf"(?:^|\s){w}(?:\s|$)").cast(pa.int64())
+        hits = h if hits is None else pc.add(hits, h)
+    n_stop_hits = hits.cast(pa.int64())
+    kept = pc.and_(
+        pc.and_(
+            pc.and_(pc.greater_equal(n_words, 50),
+                    pc.less_equal(n_words, 100_000)),
+            pc.and_(pc.greater_equal(mean_word_len, 3.0),
+                    pc.less_equal(mean_word_len, 10.0))),
+        pc.and_(pc.greater_equal(frac_alpha_words, 0.8),
+                pc.greater_equal(n_stop_hits, min_stop_hits)))
+    out = batch.append_column("n_words", n_words)
+    out = out.append_column("mean_word_len", mean_word_len)
+    out = out.append_column("frac_alpha_words", frac_alpha_words)
+    out = out.append_column("n_stop_hits", n_stop_hits)
+    out = out.append_column("kept", kept)
+    return out
+
+
 def lang_id_batch(batch: pa.Table, col: str = "text",
                   out: str = "lang_pred") -> pa.Table:
     """Heuristic language ID: argmax of marker-pattern hit counts

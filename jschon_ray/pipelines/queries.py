@@ -2613,6 +2613,55 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_gopher_filter_docs(sf_dir):
+    """Gopher-rules quality filter (word count / mean word length /
+    alpha-word fraction / stop-word presence composed into one keep
+    verdict) — one RE2 scan per feature, word lists never materialize
+    (functions/text.gopher_filter_batch). min_stop_hits=1 here because
+    the synthetic corpus's vocabulary carries only one of the 8
+    published stop words (the published default of 2 would never
+    fire)."""
+    import functools
+
+    from ..functions.text import gopher_filter_batch
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    fn = functools.partial(gopher_filter_batch, min_stop_hits=1)
+    return ds.map_batches(fn, batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_words", "mean_word_len",
+                         "frac_alpha_words", "n_stop_hits", "kept"])
+
+
+_GOPHER_FILTER_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> x <> '') AS ws,
+         length(regexp_replace(text, '\s', '', 'g')) AS nonspace
+  FROM documents),
+f AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    CASE WHEN len(ws) > 0 THEN nonspace * 1.0 / len(ws)
+         ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(ws) > 0
+         THEN len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+              * 1.0 / len(ws)
+         ELSE 0.0 END AS frac_alpha_words,
+    CAST(len(list_intersect(list_distinct(ws),
+         ['the','be','to','of','and','that','have','with']))
+         AS BIGINT) AS n_stop_hits
+  FROM w)
+SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stop_hits,
+       (n_words BETWEEN 50 AND 100000)
+       AND (mean_word_len BETWEEN 3.0 AND 10.0)
+       AND (frac_alpha_words >= 0.8)
+       AND (n_stop_hits >= 1) AS kept
+FROM f
+"""
+
+
 def q_dsir_logratio_docs(sf_dir):
     """DSIR importance weights (hashed {uni,bi}gram bag; target = docs
     with lang='en'): fixed-size two-array model (4096 buckets) broadcast
@@ -4008,6 +4057,7 @@ def build_queries() -> dict:
         "segment_dedup_docs": q_segment_dedup_docs,
         "dsir_logratio_docs": q_dsir_logratio_docs,
         "source_quota_docs": q_source_quota_docs,
+        "gopher_filter_docs": q_gopher_filter_docs,
         "order_totals_consistency": q_order_totals_consistency,
         "dedup_corpus_docs": q_dedup_corpus_docs,
         "quantiles_lineitem": q_quantiles_lineitem,
@@ -4246,6 +4296,7 @@ def build_oracles() -> dict:
         "segment_dedup_docs": _SEGMENT_DEDUP_DOCS_SQL,
         "dsir_logratio_docs": _DSIR_LOGRATIO_SQL,
         "source_quota_docs": _SOURCE_QUOTA_SQL,
+        "gopher_filter_docs": _GOPHER_FILTER_SQL,
         "order_totals_consistency": _ORDER_TOTALS_CONSISTENCY_SQL,
         "dedup_corpus_docs": _DEDUP_CORPUS_SQL,
         "quantiles_lineitem": _QUANTILES_LINEITEM_SQL,

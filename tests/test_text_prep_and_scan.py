@@ -403,3 +403,42 @@ def test_dsir_logratio_vs_bruteforce(ray_session):
     on = [got.loc[i, "log_ratio"] for i in range(0, 30, 2)]
     off = [got.loc[i, "log_ratio"] for i in range(1, 30, 2)]
     assert min(on) > max(off)
+
+
+def test_gopher_filter_rules_hand_computed():
+    from jschon_ray.functions.text import gopher_filter_batch
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            # 50 words incl. "the" and "of": all rules pass
+            " ".join(["word"] * 48 + ["the", "of"]),
+            # too short (3 words)
+            "the of and",
+            # mean word length too long (>10)
+            " ".join(["extraordinarily"] * 48 + ["the", "of"]),
+            # alpha fraction below 0.8 (30 of 52 words numeric)
+            " ".join(["123"] * 30 + ["word"] * 20 + ["the", "of"]),
+        ]),
+    })
+    out = gopher_filter_batch(docs)
+    assert out["n_words"].to_pylist() == [50, 3, 50, 52]
+    assert out["n_stop_hits"].to_pylist() == [2, 3, 2, 2]
+    assert out["kept"].to_pylist() == [True, False, False, False]
+    # relaxed stop-word threshold flips nothing here but exercises arg
+    out1 = gopher_filter_batch(docs, min_stop_hits=1)
+    assert out1["kept"].to_pylist() == [True, False, False, False]
+
+
+def test_gopher_filter_empty_and_no_stopwords():
+    from jschon_ray.functions.text import gopher_filter_batch
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["", " ".join(["word"] * 60)]),
+    })
+    out = gopher_filter_batch(docs)
+    assert out["n_words"].to_pylist() == [0, 60]
+    assert out["mean_word_len"].to_pylist()[0] == 0.0
+    assert out["n_stop_hits"].to_pylist() == [0, 0]
+    assert out["kept"].to_pylist() == [False, False]
