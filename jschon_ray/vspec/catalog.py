@@ -22,6 +22,28 @@ class SpecError(Exception):
     pass
 
 
+# Schema-bearing keyword positions, by value shape. The registration walk
+# only descends through these (plus registered extension keywords), so an
+# ``$id``/``$anchor`` inside an UNKNOWN keyword, ``enum``, or ``const`` is
+# plain data and never becomes a real identifier — matching the reference,
+# where only Subschema/ArrayOfSubschemas/ObjectOfSubschemas keyword classes
+# compile children (/root/reference/jschon/vocabulary/__init__.py:174-221)
+# and unknown keywords degrade to annotations (:100-107).
+_MAP_OF_SCHEMAS = frozenset({
+    "properties", "patternProperties", "dependentSchemas", "$defs",
+    "definitions",
+})
+_LIST_OF_SCHEMAS = frozenset({"allOf", "anyOf", "oneOf", "prefixItems"})
+_SINGLE_SCHEMA = frozenset({
+    "additionalProperties", "contains", "propertyNames", "not", "if",
+    "then", "else", "unevaluatedItems", "unevaluatedProperties",
+    "additionalItems", "contentSchema",
+})
+# "items" is a single schema in 2020-12 and either a single schema or an
+# array of positional schemas in 2019-09 — shape-dispatch on the value.
+_SHAPE_POLYMORPHIC = frozenset({"items"})
+
+
 class LocalSource:
     """Load spec documents from a directory by relative path.
 
@@ -163,14 +185,34 @@ class SpecCatalog:
         if "$dynamicAnchor" in node and isinstance(node["$dynamicAnchor"], str):
             res["anchors"][node["$dynamicAnchor"]] = ptr
         for key, val in node.items():
-            if key in ("enum", "const", "default", "examples"):
-                continue  # data, not schemas
-            if isinstance(val, dict):
-                self._walk_register(val, base, jptr.join(ptr, key))
-            elif isinstance(val, list):
+            shape = None
+            if key in _MAP_OF_SCHEMAS:
+                shape = "map"
+            elif key in _LIST_OF_SCHEMAS:
+                shape = "list"
+            elif key in _SINGLE_SCHEMA:
+                shape = "single"
+            elif key in _SHAPE_POLYMORPHIC:
+                shape = "list" if isinstance(val, list) else "single"
+            else:
+                # registered extension keywords may carry subschemas
+                # (KeywordEval.descend, extensions.py) — descend
+                # shape-dispatched; anything else is data, not schemas
+                from . import extensions as _ext
+                if _ext.get_plugin(key) is not None:
+                    shape = "list" if isinstance(val, list) else "single"
+            if shape == "map" and isinstance(val, dict):
+                for name, sub in val.items():
+                    if isinstance(sub, dict):
+                        self._walk_register(
+                            sub, base, jptr.join(ptr, key, name))
+            elif shape == "list" and isinstance(val, list):
                 for i, item in enumerate(val):
-                    if isinstance(item, (dict,)):
-                        self._walk_register(item, base, jptr.join(ptr, key, i))
+                    if isinstance(item, dict):
+                        self._walk_register(
+                            item, base, jptr.join(ptr, key, i))
+            elif shape == "single" and isinstance(val, dict):
+                self._walk_register(val, base, jptr.join(ptr, key))
 
     def resolve(self, ref: str, base: str) -> tuple[object, str, str]:
         """Resolve a ``$ref`` value against a base URI.

@@ -78,8 +78,10 @@ SHARED_WITH_2019 = {
     "generated_applicators.json", "generated_properties_interplay.json",
     "generated_ref_matrix.json",
     # $ref/$anchor/$defs across catalog-registered remote documents behave
-    # identically in 2019-09
-    "refRemote.json",
+    # identically in 2019-09 ($ref-with-siblings and $anchor both exist
+    # there; URN bases, embedded $id scoping and boolean-schema refs are
+    # draft-independent)
+    "refRemote.json", "ref.json", "anchor.json",
     # optional groups shared verbatim by both drafts
     "optional_float_overflow.json", "optional_non_bmp.json",
 }
@@ -229,6 +231,8 @@ def test_reference_agrees_with_corpus():
     mismatches = []
     registered = {v: set() for v in handles}
     for p in _PARAMS:
+        if p.marks:  # ledgered skip/xfail (suite_status.json) — a known
+            continue  # deviation, not an agreement target
         version, schema, data, valid, remotes = p.values
         schema = _inject_dialect(schema, version)
         h = handles[version]
