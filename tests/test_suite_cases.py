@@ -87,6 +87,14 @@ SHARED_WITH_2019 = {
 }
 
 
+# draft-next differs from 2020-12 only in the fragment-free $id rule
+# (/root/reference/jschon/vocabulary/future.py IdKeyword_Next swapped into
+# catalog/_next.py; every other keyword class is reused verbatim), and no
+# corpus file uses a fragment $id — so the whole 2020-12 directory re-runs
+# under the next dialect, like the official suite's per-draft duplication.
+NEXT_EXCLUDE = set()
+
+
 def _collect():
     params = []
     file_sets = []
@@ -97,6 +105,8 @@ def _collect():
             file_sets.append((vdir.name, path, ""))
             if vdir.name == "2020-12" and path.name in SHARED_WITH_2019:
                 file_sets.append(("2019-09", path, "shared/"))
+            if vdir.name == "2020-12" and path.name not in NEXT_EXCLUDE:
+                file_sets.append(("next", path, "shared/"))
     for version, path, tag in file_sets:
             with open(path) as f:
                 cases = json.load(f)
