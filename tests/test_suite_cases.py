@@ -81,7 +81,8 @@ SHARED_WITH_2019 = {
     # identically in 2019-09 ($ref-with-siblings and $anchor both exist
     # there; URN bases, embedded $id scoping and boolean-schema refs are
     # draft-independent)
-    "refRemote.json", "ref.json", "anchor.json",
+    "refRemote.json", "ref.json", "anchor.json", "anchor_more.json",
+    "bignum.json", "id.json", "unknownKeyword.json",
     # optional groups shared verbatim by both drafts
     "optional_float_overflow.json", "optional_non_bmp.json",
 }
