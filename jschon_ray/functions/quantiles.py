@@ -366,11 +366,9 @@ def grouped_tdigest_quantiles(ds, *, key: str, value_col: str, qs,
     names = [f"p{q * 100:g}" for q in qs]
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        from ..state.sketches import TDigest as TD
-
         acc = None
         for blob in g["blob"]:
-            d = TD.from_bytes(blob)
+            d = TDigest.from_bytes(blob)
             acc = d if acc is None else acc.merge(d)
         row = {key: [g[key].iloc[0]]}
         for q, name in zip(qs, names):

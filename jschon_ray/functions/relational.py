@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from .graph import pair_bucket_of
 
 
 def pivot_agg(ds, *, row_key: str, col_codes_batch, categories: list,
@@ -867,7 +868,6 @@ def copurchase_pairs(ds, *, order_col: str, item_col: str,
     # 119k rows at sf0.01); hashing pairs into `num_buckets` groups
     # keeps the exchange bounded and the per-group sum vectorized.
     def add_pair_bucket(t: pa.Table) -> pa.Table:
-        from .graph import pair_bucket_of
 
         b = pair_bucket_of(
             t["p1"].to_numpy(zero_copy_only=False),

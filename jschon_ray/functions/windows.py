@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from ..state.sketches import hash_array
 
 
 def add_tumbling_window(batch: pa.Table, *, ts_col: str = "ts",
@@ -185,7 +186,6 @@ def _key_bucket(batch: pa.Table, *, key_col: str,
         mixed = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
         b = (mixed % np.uint64(num_buckets)).astype(np.int32)
     else:
-        from ..state.sketches import hash_array
         h = hash_array(col.to_pandas()).astype(np.uint64)
         b = (h % np.uint64(num_buckets)).astype(np.int32)
     return batch.append_column("_bucket", pa.array(b))

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from urllib.parse import urldefrag, urljoin
 
+from . import extensions as _ext
 from . import pointer as jptr
 
 
@@ -198,7 +199,9 @@ class SpecCatalog:
                 # registered extension keywords may carry subschemas
                 # (KeywordEval.descend, extensions.py) — descend
                 # shape-dispatched; anything else is data, not schemas
-                from . import extensions as _ext
+                # (module-level import: a function-level relative import
+                # breaks under pickle-by-value on driver-owned workers
+                # that don't have this repo on sys.path)
                 if _ext.get_plugin(key) is not None:
                     shape = "list" if isinstance(val, list) else "single"
             if shape == "map" and isinstance(val, dict):

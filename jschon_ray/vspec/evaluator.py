@@ -53,7 +53,8 @@ from .dialect import (
     keyword_order,
     tuplify,
 )
-from .row_oracle import RowEvaluator, jtype as py_jtype
+from .extensions import get_plugin
+from .row_oracle import RNode, RowEvaluator, _JsonRepr, jtype as py_jtype
 
 
 class Unvectorizable(Exception):
@@ -422,7 +423,6 @@ class FallbackCS(CSchema):
         # scope (core.py:148-166); each node also carries the resource's
         # root document so the $recursiveRef walk (legacy.py:38-46) can
         # inspect $recursiveAnchor on it.
-        from .row_oracle import RNode
         chain = None
         for b in scope:
             node = RNode(base=b, parent=chain)
@@ -434,7 +434,6 @@ class FallbackCS(CSchema):
         self._parent_chain = chain
 
     def evaluate(self, inst: Instances) -> SchemaOut:
-        from .row_oracle import RNode
         n = inst.n
         valid = np.ones(n, bool)
         entries = []
@@ -1506,7 +1505,6 @@ class DependentRequiredCKw(CKw):
         entries = []
         if failing.any():
             def mk(cells):
-                from .row_oracle import _JsonRepr
                 res = []
                 for r in cells:
                     missing = {}
@@ -2045,7 +2043,6 @@ class Compiler:
         if unsafe & set(schema.keys()):
             raise Unvectorizable(
                 "unevaluatedProperties beside branch applicators")
-        from .extensions import get_plugin
         if any(get_plugin(k) is not None for k in schema.keys()):
             raise Unvectorizable(
                 "unevaluatedProperties beside plugin keywords")
@@ -2080,7 +2077,6 @@ class Compiler:
                   "additionalItems"}
         if self.dialect != "2020-12" or unsafe & set(schema.keys()):
             raise Unvectorizable("unevaluatedItems beside branch applicators")
-        from .extensions import get_plugin
         if any(get_plugin(k) is not None for k in schema.keys()):
             raise Unvectorizable("unevaluatedItems beside plugin keywords")
         n_prefix = len(schema.get("prefixItems", []))
@@ -2095,7 +2091,6 @@ class Compiler:
         static_entries = []
         order = 0
         for name in self._cols(site):
-            from .row_oracle import RNode
             node = RNode(path=site.kloc, ipath="", base=site.base,
                          sptr=site.sptr)
             self.rowev.eval_schema(kval, name, "", node, site.base, site.sptr)
@@ -2163,7 +2158,6 @@ class Compiler:
         return RefCKw(site, sub)
 
     def _compile_unknown(self, key, kval, site: Site):
-        from .extensions import get_plugin
         plugin = get_plugin(key)
         if plugin is not None:
             if plugin.compile_vec is None:

@@ -10,6 +10,7 @@ callers opt in by passing ``enabled_formats(...)`` to ``compile_spec`` /
 from __future__ import annotations
 
 import re
+from ..stages.decode import audio_decodable_format
 
 _format_validators: dict[str, tuple] = {}
 
@@ -64,7 +65,6 @@ def validate_audio_decodable(row) -> None:
     """Clip-level decode check (binds stages/decode.py into the spec
     dialect; per-row fallback path — the vectorized analogue is the
     ClipDecoder actor stage)."""
-    from ..stages.decode import audio_decodable_format
 
     audio_decodable_format()(row)
 

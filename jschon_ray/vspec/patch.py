@@ -17,6 +17,9 @@ import copy
 
 from . import pointer as jptr
 from .row_oracle import jeq
+import pyarrow as pa
+
+from .evaluator import strip_absent
 
 
 class PatchError(Exception):
@@ -150,9 +153,6 @@ def patch_batch(batch, ops: list):
     semantics only for homogeneous batches — use per-row mode when tests
     must gate individual rows.
     """
-    import pyarrow as pa
-
-    from .evaluator import strip_absent
 
     if all(_is_column_path(op.get("path", "")) and
            _is_column_path(op.get("from", "/x")) and

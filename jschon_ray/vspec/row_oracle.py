@@ -29,6 +29,7 @@ from decimal import Decimal, InvalidOperation
 
 from . import pointer as jptr
 from .catalog import SpecCatalog, SpecError
+from .extensions import RowCtx, get_plugin
 from .dialect import (
     ANNOTATION_KEYWORDS,
     KEYWORDS,
@@ -322,7 +323,6 @@ class RowEvaluator:
         if m is not None:
             m(schema, kval, instance, ipath, node, parent, base, sptr)
             return
-        from .extensions import RowCtx, get_plugin
         plugin = get_plugin(key)
         if plugin is not None:
             plugin.row_eval(RowCtx(self, schema, kval, instance, ipath,
