@@ -911,3 +911,77 @@ def dsir_logratio(ds, *, id_col: str = "doc_id", col: str = "text",
             "log_ratio": pa.array(lr, mask=n_feats == 0)})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def source_kl_divergence(ds, *, group_col: str = "source",
+                         col: str = "text", num_buckets: int = 2048,
+                         lowercase: bool = True, decimals: int = 6):
+    """Per-group token-distribution drift: KL(P_group || P_corpus) over
+    md5-hash-bucketed unigram tokens — the corpus-mix diagnostic a
+    training-data pipeline runs per crawl source / shard before fixing
+    sampling weights (cf. the DSIR importance model above, which is the
+    per-DOC complement).
+
+    Reference analogy: jschon's per-document `enum`/`const` membership
+    checks (vocabulary/validation.py:49-63) generalize to a
+    distributional check over the whole corpus; no per-row analogue
+    exists, so this is a SURVEY §2.9-class distributed op.
+
+    100 TB posture: one count pass emits <= n_groups x B narrow rows
+    per block (bucket counts, vocabulary-independent); one bounded
+    groupby over a combined (group, bucket) key merges them; the final
+    KL math runs over the <= n_groups x B merged rows on the driver.
+    Tokens and text never shuffle.
+
+    Emits (group_col, n_tokens, kl) with kl rounded to `decimals`;
+    P_group is absolutely continuous wrt P_corpus by construction
+    (every group bucket is a corpus bucket), so no smoothing is needed.
+    """
+    B = int(num_buckets)
+    sep = "\x1f"  # unit separator: cannot occur in the bucket digits
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t[col]) if lowercase else t[col]
+        lists = pc.split_pattern_regex(s, r"\s+")
+        flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        par = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        toks, tpar = flat[keep].astype(str), par[keep]
+        if len(toks) == 0:
+            return pa.table({"k": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        uniq, inv = np.unique(toks, return_inverse=True)
+        ub = np.array([int(hashlib.md5(u.encode()).hexdigest()[:15], 16)
+                       % B for u in uniq], np.int64)
+        h = ub[inv]
+        grp = t[group_col].to_numpy(zero_copy_only=False)[tpar]
+        codes, labels = pd.factorize(grp)
+        combined = codes.astype(np.int64) * B + h
+        cnt = np.bincount(combined, minlength=len(labels) * B)
+        nz = np.flatnonzero(cnt)
+        keys = [f"{labels[i // B]}{sep}{i % B}" for i in nz]
+        return pa.table({"k": pa.array(keys, pa.string()),
+                         "c": pa.array(cnt[nz].astype(np.int64))})
+
+    merged = ds.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("k").sum("c")
+
+    rows = []
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        ks = b["k"].to_pylist()
+        cs = b["sum(c)"].to_numpy(zero_copy_only=False)
+        for k, c in zip(ks, cs):
+            g, _, hs = k.rpartition(sep)
+            rows.append((g, int(hs), int(c)))
+    df = pd.DataFrame(rows, columns=[group_col, "h", "c"])
+    total = float(df["c"].sum())
+    corpus = df.groupby("h")["c"].sum()
+    out = []
+    for g, sub in sorted(df.groupby(group_col), key=lambda kv: kv[0]):
+        sub = sub.sort_values("h")
+        n_g = float(sub["c"].sum())
+        p = sub["c"].to_numpy(np.float64) / n_g
+        q = corpus.loc[sub["h"]].to_numpy(np.float64) / total
+        kl = float(np.sum(p * np.log(p / q)))
+        out.append((g, int(n_g), round(kl, decimals)))
+    return pd.DataFrame(out, columns=[group_col, "n_tokens", "kl"])

@@ -4257,6 +4257,13 @@ def build_queries() -> dict:
         "audio_pitchshift_clips": q_audio_pitchshift_clips,
         "customer_rfm": q_customer_rfm,
         "pareto_parts_revenue": q_pareto_parts_revenue,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q7_volume_shipping": q_q7_volume_shipping,
+        "q8_market_share": q_q8_market_share,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q21_waiting_suppliers": q_q21_waiting_suppliers,
+        "kl_source_divergence_docs": q_kl_source_divergence_docs,
+        "length_band_docs": q_length_band_docs,
     }
 
 
@@ -4455,6 +4462,13 @@ def build_oracles() -> dict:
             _audio_pitchshift_sql("/root/testdata/sf0.01"),
         "customer_rfm": _RFM_SQL,
         "pareto_parts_revenue": _PARETO_SQL,
+        "q6_forecast_revenue": _Q6_FORECAST_SQL,
+        "q7_volume_shipping": _Q7_VOLUME_SHIPPING_SQL,
+        "q8_market_share": _Q8_MARKET_SHARE_SQL,
+        "q15_top_supplier": _Q15_TOP_SUPPLIER_SQL,
+        "q21_waiting_suppliers": _Q21_WAITING_SQL,
+        "kl_source_divergence_docs": _KL_SOURCE_SQL,
+        "length_band_docs": _LENGTH_BAND_SQL,
         "editdist_clips": _editdist_clips_sql("/root/testdata/sf0.01"),
         "clips_violation_counts":
             _clips_violation_counts_sql("/root/testdata/sf0.01"),
@@ -9406,4 +9420,560 @@ SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_parts,
               WHERE rnk <= greatest(1, CAST(ceil(
                   (SELECT n FROM tot) * 0.20) AS BIGINT)))
              / CAST((SELECT t FROM tot) AS DOUBLE), 6) AS share_top20
+"""
+
+
+def q_q6_forecast_revenue(sf_dir):
+    """TPC-H Q6 analogue (forecasting revenue change): one fused
+    filter+aggregate pass over lineitem — shipdate year band, discount
+    band (exact e2 integers, so the float column can't straddle the
+    boundary differently from the oracle), quantity cap. Revenue =
+    price_e2 x disc_e2 exact e4 integers. The cheapest possible shape:
+    no shuffle, no join, O(blocks) two-int partials.
+
+    Reference analogy: a pure conjunction of range keywords
+    (jschon vocabulary/validation.py:78-111) reduced over the corpus.
+    """
+    from ray.data.aggregate import Sum
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_shipdate", "l_quantity",
+                             "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc = pc.round(pc.multiply(t["l_discount"], 100.0),
+                        round_mode="half_towards_infinity") \
+                 .cast(pa.int64())
+        qty = pc.round(t["l_quantity"],
+                       round_mode="half_towards_infinity").cast(pa.int64())
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi))),
+            pc.and_(pc.and_(pc.greater_equal(disc, 5),
+                            pc.less_equal(disc, 7)),
+                    pc.less(qty, 24)))
+        keep = pc.fill_null(keep, False)
+        kept = t.filter(keep)
+        kdisc = disc.filter(keep)
+        p = pc.round(pc.multiply(kept["l_extendedprice"], 100.0),
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        rev = pc.sum(pc.multiply(p, kdisc)).as_py() or 0
+        return pa.table({"n_rows": pa.array([kept.num_rows], pa.int64()),
+                         "rev_e4": pa.array([rev], pa.int64())})
+
+    agg = li.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("rev_e4", alias_name="rev_e4"))
+    return pd.DataFrame({"n_rows": [int(agg["n_rows"])],
+                         "rev_e4": [int(agg["rev_e4"])]})
+
+
+_Q6_FORECAST_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS rev_e4
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND CAST(round(l_quantity) AS BIGINT) < 24
+"""
+
+
+def q_q15_top_supplier(sf_dir):
+    """TPC-H Q15 analogue (top supplier by quarterly revenue): per-block
+    (suppkey, rev) partials pre-aggregate before ONE small groupby (at
+    most n_suppliers rows shuffle); the max + equality filter and the
+    name enrich run over that bounded result on the driver. Ties all
+    surface, exactly like the oracle's `= (SELECT max(...))`."""
+    from ray.data.aggregate import Sum
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1996-04-01")
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_suppkey", "l_shipdate",
+                             "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pc.less(t["l_shipdate"], pa.scalar(hi)))
+        t = t.filter(pc.fill_null(keep, False))
+        rev = pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"], 100.0),
+            pc.subtract(1.0, t["l_discount"])),
+            round_mode="half_towards_infinity").cast(pa.int64())
+        tbl = pa.table({"s_suppkey": t["l_suppkey"], "rev_e2": rev})
+        return tbl.group_by("s_suppkey").aggregate([("rev_e2", "sum")]) \
+                  .rename_columns(["s_suppkey", "rev_e2"])
+
+    agg = li.map_batches(partial, batch_format="pyarrow") \
+            .groupby("s_suppkey").aggregate(
+                Sum("rev_e2", alias_name="total_rev_e2")).to_pandas()
+    agg["total_rev_e2"] = agg["total_rev_e2"].round().astype("int64")
+    best = agg[agg.total_rev_e2 == agg.total_rev_e2.max()]
+
+    supp = read_table(table_path(sf_dir, "supplier"),
+                      columns=["s_suppkey", "s_name"]).to_pandas()
+    out = best.merge(supp, on="s_suppkey")
+    return out[["s_suppkey", "s_name", "total_rev_e2"]] \
+        .sort_values("s_suppkey").reset_index(drop=True)
+
+
+_Q15_TOP_SUPPLIER_SQL = """
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100 * (1 - l_discount))
+                       AS BIGINT)) AS BIGINT) AS total_rev_e2
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_rev_e2
+FROM r JOIN supplier USING (s_suppkey)
+WHERE total_rev_e2 = (SELECT max(total_rev_e2) FROM r)
+"""
+
+
+def q_q7_volume_shipping(sf_dir):
+    """TPC-H Q7 analogue (volume shipping between two nations): revenue
+    by (supplier nation, customer nation, ship year) for the ordered
+    pairs (NATION_1, NATION_2) / (NATION_2, NATION_1). Scale split:
+    supplier + nation are broadcast dims; customer x orders and
+    orders x lineitem are the two large-large bucketed hash joins —
+    both sides pre-filtered to the two nations / the two ship years
+    BEFORE any exchange, so only qualifying narrow rows shuffle."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.join import hash_join
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1998-01-01")
+    N1, N2 = "NATION_1", "NATION_2"
+
+    nation = read_table(table_path(sf_dir, "nation")).to_pandas()
+    name_of = dict(zip((int(k) for k in nation.n_nationkey),
+                       nation.n_name))
+    pair_keys = pa.array(
+        sorted(int(k) for k, v in name_of.items() if v in (N1, N2)),
+        pa.int32())
+
+    cust = read_table(table_path(sf_dir, "customer"),
+                      columns=["c_custkey", "c_nationkey"])
+
+    def filter_cust(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["c_nationkey"].cast(pa.int32()),
+                        value_set=pair_keys)
+        t = t.filter(pc.fill_null(keep, False))
+        return pa.table({"o_custkey": t["c_custkey"],
+                         "c_nationkey": t["c_nationkey"].cast(pa.int32())})
+
+    cust = cust.map_batches(filter_cust, batch_format="pyarrow")
+
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_custkey"])
+    co = hash_join(orders, cust, on="o_custkey", how="inner") \
+        .select_columns(["o_orderkey", "c_nationkey"])
+
+    supp = read_table(table_path(sf_dir, "supplier"),
+                      columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp.s_nationkey.astype(int).isin(
+        set(int(k) for k in pair_keys.to_pylist()))]
+    sdim = pa.table({
+        "l_suppkey": pa.array(supp.s_suppkey.astype("int64")),
+        "s_nationkey": pa.array(supp.s_nationkey.astype("int32"))})
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                             "l_extendedprice", "l_discount"])
+
+    def project_li(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pc.less(t["l_shipdate"], pa.scalar(hi)))
+        t = t.filter(pc.fill_null(keep, False))
+        j = t.join(sdim, keys="l_suppkey", join_type="inner")
+        rev = pc.round(pc.multiply(
+            pc.multiply(j["l_extendedprice"], 100.0),
+            pc.subtract(1.0, j["l_discount"])),
+            round_mode="half_towards_infinity").cast(pa.int64())
+        yr = pc.year(j["l_shipdate"]).cast(pa.int64())
+        return pa.table({"o_orderkey": j["l_orderkey"],
+                         "s_nationkey": j["s_nationkey"],
+                         "l_year": yr, "rev_e2": rev})
+
+    li = li.map_batches(project_li, batch_format="pyarrow")
+    j = hash_join(li, co, on="o_orderkey", how="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["s_nationkey"].cast(pa.int32())
+        c = t["c_nationkey"].cast(pa.int32())
+        keep = pc.fill_null(pc.not_equal(s, c), False)
+        t = t.filter(keep)
+        sn = [name_of[int(k)] for k in t["s_nationkey"].to_pylist()]
+        cn = [name_of[int(k)] for k in t["c_nationkey"].to_pylist()]
+        return pa.table({"supp_nation": pa.array(sn, pa.string()),
+                         "cust_nation": pa.array(cn, pa.string()),
+                         "l_year": t["l_year"], "rev_e2": t["rev_e2"]})
+
+    out = j.map_batches(finish, batch_format="pyarrow") \
+           .groupby(["supp_nation", "cust_nation", "l_year"]) \
+           .aggregate(Sum("rev_e2", alias_name="revenue_e2")) \
+           .to_pandas()  # O(pairs x years) rows by construction
+    if out.empty:
+        # typed empty (nothing shipped between the two nations)
+        return pd.DataFrame({
+            "supp_nation": pd.Series([], dtype="object"),
+            "cust_nation": pd.Series([], dtype="object"),
+            "l_year": pd.Series([], dtype="int64"),
+            "revenue_e2": pd.Series([], dtype="int64")})
+    out["revenue_e2"] = out["revenue_e2"].round().astype("int64")
+    return out.sort_values(["supp_nation", "cust_nation", "l_year"]) \
+              .reset_index(drop=True)
+
+
+_Q7_VOLUME_SHIPPING_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice * 100 * (1 - l_discount))
+                     AS BIGINT)) AS BIGINT) AS revenue_e2
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q_q8_market_share(sf_dir):
+    """TPC-H Q8 analogue (national market share): NATION_7's share of
+    PROMO-part revenue sold to region-2 customers, per order year.
+    Broadcast sides: promo partkey set, supplier nation map, region-2
+    nation set. Shuffles: customer x orders then orders x lineitem
+    bucketed hash joins. The share division happens once per year on
+    exact integer sums, so the float is a pure projection of two
+    hash-checked ints."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.join import hash_join
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1998-01-01")
+    TARGET = 7  # NATION_7's market share
+    REGION = 2
+
+    nation = read_table(table_path(sf_dir, "nation")).to_pandas()
+    r2_keys = pa.array(
+        sorted(int(k) for k, r in zip(nation.n_nationkey,
+                                      nation.n_regionkey)
+               if int(r) == REGION), pa.int32())
+
+    part = read_table(table_path(sf_dir, "part"),
+                      columns=["p_partkey", "p_type"]).to_pandas()
+    promo = pa.array(
+        sorted(int(k) for k, ty in zip(part.p_partkey, part.p_type)
+               if ty == "PROMO"), pa.int64())
+
+    supp = read_table(table_path(sf_dir, "supplier"),
+                      columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    target_supp = pa.array(
+        sorted(int(k) for k, n in zip(supp.s_suppkey, supp.s_nationkey)
+               if int(n) == TARGET), pa.int64())
+
+    cust = read_table(table_path(sf_dir, "customer"),
+                      columns=["c_custkey", "c_nationkey"])
+
+    def filter_cust(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["c_nationkey"].cast(pa.int32()),
+                        value_set=r2_keys)
+        t = t.filter(pc.fill_null(keep, False))
+        return pa.table({"o_custkey": t["c_custkey"]})
+
+    cust = cust.map_batches(filter_cust, batch_format="pyarrow")
+
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_orderdate"])
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi)))
+        t = t.filter(pc.fill_null(keep, False))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "o_year": pc.year(t["o_orderdate"])
+                         .cast(pa.int64())})
+
+    orders = orders.map_batches(filter_orders, batch_format="pyarrow")
+    co = hash_join(orders, cust, on="o_custkey", how="inner") \
+        .select_columns(["o_orderkey", "o_year"])
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_partkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+
+    def project_li(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["l_partkey"].cast(pa.int64()),
+                        value_set=promo)
+        t = t.filter(pc.fill_null(keep, False))
+        rev = pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"], 100.0),
+            pc.subtract(1.0, t["l_discount"])),
+            round_mode="half_towards_infinity").cast(pa.int64())
+        is_t = pc.is_in(t["l_suppkey"].cast(pa.int64()),
+                        value_set=target_supp)
+        return pa.table({"o_orderkey": t["l_orderkey"], "rev_e2": rev,
+                         "nat_rev_e2": pc.if_else(
+                             pc.fill_null(is_t, False), rev,
+                             pa.scalar(0, pa.int64()))})
+
+    li = li.map_batches(project_li, batch_format="pyarrow")
+    j = hash_join(li, co, on="o_orderkey", how="inner")
+
+    def year_partial(t: pa.Table) -> pa.Table:
+        tbl = pa.table({"o_year": t["o_year"],
+                        "nation_rev_e2": t["nat_rev_e2"],
+                        "total_rev_e2": t["rev_e2"]})
+        return tbl.group_by("o_year").aggregate(
+            [("nation_rev_e2", "sum"), ("total_rev_e2", "sum")]) \
+            .rename_columns(["o_year", "nation_rev_e2", "total_rev_e2"])
+
+    agg = j.map_batches(year_partial, batch_format="pyarrow") \
+           .groupby("o_year").aggregate(
+               Sum("nation_rev_e2", alias_name="nation_rev_e2"),
+               Sum("total_rev_e2", alias_name="total_rev_e2")) \
+           .to_pandas()
+    for c in ("nation_rev_e2", "total_rev_e2"):
+        agg[c] = agg[c].round().astype("int64")
+    agg["mkt_share"] = (agg.nation_rev_e2 / agg.total_rev_e2).round(6)
+    return agg.sort_values("o_year").reset_index(drop=True)
+
+
+_Q8_MARKET_SHARE_SQL = """
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * 100 * (1 - l_discount))
+              AS BIGINT) AS rev_e2,
+         s_nationkey
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation   ON n_nationkey = c_nationkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  WHERE p_type = 'PROMO' AND n_regionkey = 2
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01')
+SELECT o_year,
+       CAST(sum(CASE WHEN s_nationkey = 7 THEN rev_e2 ELSE 0 END)
+            AS BIGINT) AS nation_rev_e2,
+       CAST(sum(rev_e2) AS BIGINT) AS total_rev_e2,
+       round(sum(CASE WHEN s_nationkey = 7 THEN rev_e2 ELSE 0 END)
+             / CAST(sum(rev_e2) AS DOUBLE), 6) AS mkt_share
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_q21_waiting_suppliers(sf_dir):
+    """TPC-H Q21 analogue (suppliers who kept orders waiting): for
+    finalized ('F') multi-supplier orders where EXACTLY ONE distinct
+    supplier shipped late, count such orders per that supplier. "Late"
+    is adapted to this schema (no commit/receipt dates): l_shipdate >
+    o_orderdate + 90 days.
+
+    The correlated EXISTS / NOT EXISTS pair becomes per-order
+    set algebra: per-block (orderkey, suppkey, late)-max partials
+    pre-collapse duplicate supplier lines, one hash-bucketed
+    map_groups finishes the per-order distinct/late-distinct counts
+    (each bucket holds whole orders), and the survivor counts make a
+    tiny final groupby. Only narrow int rows ever shuffle."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.join import hash_join
+
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderstatus"])
+
+    def filter_f(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["o_orderstatus"], "F")
+        t = t.filter(pc.fill_null(keep, False))
+        return pa.table({"l_orderkey": t["o_orderkey"],
+                         "o_orderdate": t["o_orderdate"]})
+
+    fo = orders.map_batches(filter_f, batch_format="pyarrow")
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    j = hash_join(li, fo, on="l_orderkey", how="inner")
+
+    NUM_BUCKETS = 128
+
+    def late_partial(t: pa.Table) -> pa.Table:
+        cutoff = pc.add(t["o_orderdate"],
+                        pa.scalar(pd.Timedelta(days=90)))
+        late = pc.fill_null(pc.greater(t["l_shipdate"], cutoff), False) \
+            .cast(pa.int64())
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        tbl = pa.table({"l_orderkey": t["l_orderkey"],
+                        "l_suppkey": t["l_suppkey"], "late": late,
+                        "_b": pa.array(
+                            (okey * 0x9E3779B97F4A7C15 % (1 << 63))
+                            % NUM_BUCKETS)})
+        out = tbl.group_by(["_b", "l_orderkey", "l_suppkey"]) \
+                 .aggregate([("late", "max")])
+        return out.rename_columns(["_b", "l_orderkey", "l_suppkey",
+                                   "late"])
+
+    parts = j.map_batches(late_partial, batch_format="pyarrow")
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby(["l_orderkey", "l_suppkey"], as_index=False) \
+             ["late"].max()
+        agg = d.groupby("l_orderkey").agg(
+            n_supp=("l_suppkey", "size"), n_late=("late", "sum"))
+        lates = d[d.late == 1].groupby("l_orderkey")["l_suppkey"].max()
+        agg["late_supp"] = lates.reindex(agg.index).fillna(-1) \
+            .astype("int64")
+        hit = agg[(agg.n_supp >= 2) & (agg.n_late == 1)]
+        cnt = hit.groupby("late_supp").size()
+        return pd.DataFrame({
+            "s_suppkey": cnt.index.to_numpy(dtype="int64"),
+            "numwait": cnt.to_numpy(dtype="int64")})
+
+    waits = parts.groupby("_b").map_groups(per_order,
+                                           batch_format="pandas") \
+        .groupby("s_suppkey").aggregate(Sum("numwait",
+                                            alias_name="numwait")) \
+        .to_pandas()
+    waits["numwait"] = waits["numwait"].round().astype("int64")
+
+    supp = read_table(table_path(sf_dir, "supplier"),
+                      columns=["s_suppkey", "s_name"]).to_pandas()
+    out = waits.merge(supp, on="s_suppkey")
+    return out[["s_suppkey", "s_name", "numwait"]] \
+        .sort_values("s_suppkey").reset_index(drop=True)
+
+
+_Q21_WAITING_SQL = """
+WITH f AS (
+  SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+j AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN f ON o_orderkey = l_orderkey
+  GROUP BY 1, 2),
+o AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late,
+         max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+  FROM j GROUP BY 1)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM o JOIN supplier ON s_suppkey = late_supp
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY 1, 2
+"""
+
+
+def q_kl_source_divergence_docs(sf_dir):
+    """Per-source token-distribution KL divergence vs the corpus — the
+    corpus-mix drift diagnostic run before fixing per-source sampling
+    weights (functions/text.py source_kl_divergence; md5 bucket hash
+    reproduced exactly in the oracle)."""
+    from ..functions.text import source_kl_divergence
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["source", "text"])
+    ds = _drop_null_rows(ds, ["text"])
+    return source_kl_divergence(ds, group_col="source", col="text",
+                                num_buckets=2048)
+
+
+_KL_SOURCE_SQL = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents WHERE text IS NOT NULL),
+b AS (
+  SELECT source,
+         CAST(concat('0x', substr(md5(tok), 1, 15)) AS UBIGINT)
+           % 2048 AS h
+  FROM toks),
+sh AS (SELECT source, h, count(*) AS c FROM b GROUP BY 1, 2),
+s AS (SELECT source, sum(c) AS n FROM sh GROUP BY 1),
+g AS (SELECT h, sum(c) AS ch FROM sh GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM sh)
+SELECT sh.source, CAST(s.n AS BIGINT) AS n_tokens,
+       round(sum((c / CAST(s.n AS DOUBLE))
+                 * ln((c / CAST(s.n AS DOUBLE))
+                      / (g.ch / CAST(tot.n AS DOUBLE)))), 6) AS kl
+FROM sh JOIN s USING (source) JOIN g USING (h) CROSS JOIN tot
+GROUP BY 1, 2
+"""
+
+
+def q_length_band_docs(sf_dir):
+    """Per-language length-band filter (drop the tails outside the
+    lang's exact [p05, p95] of n_chars) — the per-group percentile
+    filter LLM corpora apply before packing. Exact grouped
+    quantile_disc via the fused (group x bin) histogram refinement
+    (functions/quantiles.grouped_quantile_disc — fixed-size counts to
+    the driver, the column never shuffles), bands broadcast into one
+    stateless filter pass."""
+    import ray
+
+    from ..functions.quantiles import grouped_quantile_disc
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "lang", "n_chars"])
+    ds = _drop_null_rows(ds, ["lang", "n_chars"])
+    narrow = ds.materialize()
+    lo = grouped_quantile_disc(narrow, "lang", "n_chars", 0.05,
+                               bins=512, gather_limit=4096,
+                               materialize=False, out="lo")
+    hi = grouped_quantile_disc(narrow, "lang", "n_chars", 0.95,
+                               bins=512, gather_limit=4096,
+                               materialize=False, out="hi")
+    b = lo.merge(hi, on="lang")
+    bands = ray.put({k: (int(l), int(h)) for k, l, h
+                     in zip(b["lang"], b["lo"], b["hi"])})
+
+    def keep(t: pa.Table, bref) -> pa.Table:
+        import ray as _ray
+        f = _ray.get(bref)
+        langs = t["lang"].to_numpy(zero_copy_only=False)
+        v = t["n_chars"].to_numpy(zero_copy_only=False)
+        codes, uni = pd.factorize(langs)
+        lo_ = np.array([f[u][0] for u in uni])[codes]
+        hi_ = np.array([f[u][1] for u in uni])[codes]
+        return t.filter(pa.array((v >= lo_) & (v <= hi_)))
+
+    return narrow.map_batches(keep, fn_args=(bands,),
+                              batch_format="pyarrow")
+
+
+_LENGTH_BAND_SQL = """
+WITH b AS (
+  SELECT lang,
+         CAST(quantile_disc(n_chars, 0.05) AS BIGINT) AS lo,
+         CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS hi
+  FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY 1)
+SELECT doc_id, d.lang, n_chars
+FROM documents d JOIN b USING (lang)
+WHERE n_chars BETWEEN lo AND hi
 """

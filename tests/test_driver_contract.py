@@ -164,6 +164,9 @@ def test_entry_smoke(entry_mod):
     "orders_1997_high_value", "join_skew_profile",
     "events_type_share_daily", "corr_matrix_lineitem",
     "mutual_info_flag_status",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q15_top_supplier", "q21_waiting_suppliers",
+    "kl_source_divergence_docs", "length_band_docs",
 ])
 def test_new_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()
