@@ -34,8 +34,25 @@ def run_benchmarks() -> dict:
     import ray
 
     if not ray.is_initialized():
+        # worker_process_setup_hook: pin the glibc allocator in EVERY
+        # worker (incl. read tasks) before the first big allocation —
+        # see jschon_ray/state/allocator.py for the measured kernel
+        # fault-path collapse this avoids; stages also self-apply it so
+        # drivers that own ray.init themselves are still covered.
+        # Self-contained closure (stdlib only): the hook deserializes in
+        # the worker BEFORE any sys.path setup, so it must not pickle by
+        # reference to this repo's modules.
+        def _tune_alloc():
+            import ctypes
+            try:
+                libc = ctypes.CDLL("libc.so.6")
+                libc.mallopt(-4, 0)        # M_MMAP_MAX = 0
+                libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD high
+            except Exception:
+                pass
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-                 logging_level="ERROR")
+                 logging_level="ERROR",
+                 runtime_env={"worker_process_setup_hook": _tune_alloc})
     import ray.data
 
     ctx = ray.data.DataContext.get_current()

@@ -59,9 +59,19 @@ def main(argv=None) -> int:
         if os.environ.get("RAY_ADDRESS"):
             ray.init()
         else:
+            def _tune_alloc():  # self-contained: hook unpickles before
+                import ctypes       # the repo is importable in the worker
+                try:
+                    libc = ctypes.CDLL("libc.so.6")
+                    libc.mallopt(-4, 0)
+                    libc.mallopt(-1, 1 << 30)
+                except Exception:
+                    pass
             ray.init(address="local",
                      num_cpus=args.num_cpus or os.cpu_count(),
-                     include_dashboard=False, logging_level="ERROR")
+                     include_dashboard=False, logging_level="ERROR",
+                     runtime_env={
+                         "worker_process_setup_hook": _tune_alloc})
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False

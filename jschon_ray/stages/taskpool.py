@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import functools
 
+from ..state.allocator import tune_worker_allocator
+
 _PROC_CACHE: dict = {}
 
 
@@ -28,6 +30,9 @@ def _apply_stage(batch, *, _cls, _kw):
     key = (_cls, _kw)
     inst = _PROC_CACHE.get(key)
     if inst is None:
+        # first touch in this worker process: pin the allocator before
+        # the first big decode/FFT allocation (state/allocator.py)
+        tune_worker_allocator()
         inst = _PROC_CACHE[key] = _cls(**dict(_kw))
     return inst(batch)
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..state.allocator import tune_worker_allocator
 from ..vspec.catalog import SpecCatalog
 from ..vspec.evaluator import VIOLATIONS_TYPE, CompiledSpec, compile_spec
 
@@ -26,6 +27,7 @@ class SpecValidator:
 
     def __init__(self, spec, *, formats_factory=None, keep_columns=None,
                  extra_specs=None):
+        tune_worker_allocator()  # actor-pool path: once per actor process
         self.spec = spec
         self.formats = formats_factory() if formats_factory else None
         self.keep_columns = keep_columns
@@ -60,6 +62,7 @@ def validate_batch_fn(batch: pa.Table, *, spec, keep_columns=None) -> pa.Table:
            tuple(str(f.type) for f in batch.schema))
     plan = _PLAN_CACHE.get(key)
     if plan is None:
+        tune_worker_allocator()  # once per worker, before heavy batches
         plan = _PLAN_CACHE[key] = compile_spec(spec, batch.schema,
                                                catalog=SpecCatalog())
     out = plan.check_batch(batch)
