@@ -985,3 +985,106 @@ def source_kl_divergence(ds, *, group_col: str = "source",
         kl = float(np.sum(p * np.log(p / q)))
         out.append((g, int(n_g), round(kl, decimals)))
     return pd.DataFrame(out, columns=[group_col, "n_tokens", "kl"])
+
+
+def bpe_train(ds, *, col: str = "text", n_merges: int = 20,
+              lowercase: bool = True, end_of_word: str = "▁",
+              min_pair_count: int = 2):
+    """Distributed BPE merge training (Sennrich-style tokenizer
+    learning) — the iterative op a tokenizer-building pipeline runs
+    before token counting can use real merges (bpe_token_count_batch
+    above is the budget-estimate fallback for exactly this gap).
+
+    Scale shape (the classic two-level reduction): ONE corpus-scale
+    pass builds the word-frequency table as a Dataset (per-block token
+    count partials -> one bounded groupby) — after that the corpus is
+    never touched again; every merge round runs over the |vocab|-row
+    table, where each block re-derives its words' symbol sequences
+    (characters + end marker, then the merges learned so far), emits
+    adjacent-pair count partials weighted by word frequency, and one
+    groupby + driver top-1 picks the round's merge. Driver state is the
+    O(n_merges) merge list; re-deriving symbols from scratch each round
+    costs O(n_merges) per word per round on the SMALL vocab table and
+    keeps every round stateless (resume-friendly, no materialized
+    intermediate to invalidate).
+
+    Per-word symbol work is a Python loop over RAGGED symbol sequences
+    — deliberate: it runs once per UNIQUE word per round (not per
+    corpus occurrence), which is the standard word-frequency
+    optimization that makes BPE training tractable.
+
+    Ties break on (count desc, pair asc) so the learned table is
+    deterministic under any block order. Returns a DataFrame
+    (rank, left, right, pair_count); stops early when no pair reaches
+    ``min_pair_count``.
+
+    Reference analogy: an iterative whole-corpus fixpoint like the
+    reference catalog's metaschema bootstrap (catalog/__init__.py) —
+    no per-row analogue exists; registered rows-only (not
+    SQL-expressible: the rounds are sequentially dependent).
+    """
+    import functools
+
+    freq = ds.map_batches(
+        functools.partial(vocab_count_partial, col=col,
+                          lowercase=lowercase),
+        batch_format="pyarrow").groupby("tok").sum("n").materialize()
+
+    def apply_merges(word: str, merges: tuple) -> list:
+        syms = list(word) + [end_of_word]
+        for left, right in merges:
+            i, out = 0, []
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    merges: list = []
+    rows = []
+    for _ in range(int(n_merges)):
+        mtuple = tuple(merges)
+
+        def pair_partial(t: pa.Table) -> pa.Table:
+            counts: dict = {}
+            toks = t["tok"].to_pylist()
+            ns = t["sum(n)"].to_numpy(zero_copy_only=False)
+            for w, n in zip(toks, ns):
+                syms = apply_merges(w, mtuple)
+                for a, b in zip(syms, syms[1:]):
+                    k = (a, b)
+                    counts[k] = counts.get(k, 0) + int(n)
+            if not counts:
+                return pa.table({"l": pa.array([], pa.string()),
+                                 "r": pa.array([], pa.string()),
+                                 "c": pa.array([], pa.int64())})
+            ls, rs = zip(*counts.keys())
+            return pa.table({"l": pa.array(list(ls), pa.string()),
+                             "r": pa.array(list(rs), pa.string()),
+                             "c": pa.array(list(counts.values()),
+                                           pa.int64())})
+
+        best = None  # (count, left, right)
+        agg = freq.map_batches(pair_partial, batch_format="pyarrow") \
+            .groupby(["l", "r"]).sum("c")
+        for b in agg.iter_batches(batch_format="pyarrow"):
+            ls = b["l"].to_pylist()
+            rs = b["r"].to_pylist()
+            cs = b["sum(c)"].to_numpy(zero_copy_only=False)
+            for lv, rv, cv in zip(ls, rs, cs):
+                cand = (-int(cv), lv, rv)
+                if best is None or cand < best:
+                    best = cand
+        if best is None or -best[0] < int(min_pair_count):
+            break
+        cnt, left, right = -best[0], best[1], best[2]
+        merges.append((left, right))
+        rows.append((len(merges), left, right, cnt))
+
+    return pd.DataFrame(rows, columns=["rank", "left", "right",
+                                       "pair_count"])

@@ -4264,6 +4264,7 @@ def build_queries() -> dict:
         "q21_waiting_suppliers": q_q21_waiting_suppliers,
         "kl_source_divergence_docs": q_kl_source_divergence_docs,
         "length_band_docs": q_length_band_docs,
+        "bpe_train_docs": q_bpe_train_docs,
     }
 
 
@@ -9977,3 +9978,17 @@ SELECT doc_id, d.lang, n_chars
 FROM documents d JOIN b USING (lang)
 WHERE n_chars BETWEEN lo AND hi
 """
+
+
+def q_bpe_train_docs(sf_dir):
+    """Tokenizer-training pipeline stage: learn 24 BPE merges over the
+    documents corpus (functions/text.py bpe_train — one corpus pass to
+    a word-frequency Dataset, then |vocab|-table merge rounds).
+    Rows-only: the rounds are sequentially dependent, so there is no
+    single-query SQL oracle; exact parity vs a single-process reference
+    implementation is pinned by tests/test_bpe_train.py under multiple
+    block splits."""
+    from ..functions.text import bpe_train
+
+    docs = read_table(table_path(sf_dir, "documents"), columns=["text"])
+    return bpe_train(docs, n_merges=24)
