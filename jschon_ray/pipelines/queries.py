@@ -4265,6 +4265,7 @@ def build_queries() -> dict:
         "kl_source_divergence_docs": q_kl_source_divergence_docs,
         "length_band_docs": q_length_band_docs,
         "bpe_train_docs": q_bpe_train_docs,
+        "audio_loudnorm_clips": q_audio_loudnorm_clips,
     }
 
 
@@ -9992,3 +9993,48 @@ def q_bpe_train_docs(sf_dir):
 
     docs = read_table(table_path(sf_dir, "documents"), columns=["text"])
     return bpe_train(docs, n_merges=24)
+
+
+def q_audio_loudnorm_clips(sf_dir):
+    """Loudness normalization (stages/analysis.py LoudnessNormalizer:
+    gated program loudness -> single gain to -23 dB) over the raw-PCM
+    clips, aggregated IN RAY to one row per (loudnorm_ok, gain sign
+    band) with count + mean pre-loudness + mean |gain| — the corpus
+    leveling report. Payload bytes are dropped in-stage before the
+    aggregate so only metric columns shuffle. Rows-only: DSP is not
+    SQL-expressible; post-normalization convergence to the target is
+    pinned by tests/test_loudnorm.py re-measuring the emitted PCM."""
+    from ray.data.aggregate import Count, Mean
+
+    from ..sources.clips import clips_cache_dir
+    from ..stages.analysis import LoudnessNormalizer
+    from ..stages.taskpool import stage_fn
+
+    ds = read_table(clips_cache_dir(sf_dir),
+                    columns=["clip_id", "bytes", "sr_hz", "codec"])
+    ln = ds.map_batches(stage_fn(LoudnessNormalizer),
+                        batch_format="pyarrow", batch_size=256)
+
+    def to_metrics(t: pa.Table) -> pa.Table:
+        g = t["gain_db"].to_numpy(zero_copy_only=False)
+        band = np.where(np.isnan(g), "n/a",
+                        np.where(g >= 0, "boost", "cut"))
+        ld = t["loudness_db"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "loudnorm_ok": t["loudnorm_ok"],
+            "gain_band": pa.array(band, pa.string()),
+            "loudness_db": pa.array(ld, mask=np.isnan(ld)),
+            "abs_gain_db": pa.array(np.abs(g), mask=np.isnan(g)),
+        })
+
+    out = ln.map_batches(to_metrics, batch_format="pyarrow") \
+        .groupby(["loudnorm_ok", "gain_band"]).aggregate(
+            Count(alias_name="n"),
+            Mean("loudness_db", alias_name="mean_loudness_db",
+                 ignore_nulls=True),
+            Mean("abs_gain_db", alias_name="mean_abs_gain_db",
+                 ignore_nulls=True)).to_pandas()
+    for c in ("mean_loudness_db", "mean_abs_gain_db"):
+        out[c] = out[c].round(4)
+    return out.sort_values(["loudnorm_ok", "gain_band"]) \
+        .reset_index(drop=True)

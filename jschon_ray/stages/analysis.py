@@ -819,3 +819,86 @@ class PitchShifter:
         cols["shift_ok"] = pa.array(ok)
         cols["n_samples"] = pa.array(nsamp)
         return pa.table(cols)
+
+
+class LoudnessNormalizer:
+    """Two-phase loudness normalization per clip (measure -> gain), the
+    corpus-leveling stage an ASR/TTS data pipeline runs before feature
+    extraction: EBU-R128-FLAVORED gated program loudness (400 ms blocks,
+    75 % overlap, -70 dB absolute gate then a -10 dB relative gate;
+    K-weighting omitted — mono synthetic PCM, documented deviation) and
+    a single linear gain to `target_db`, clamped to ±`max_gain_db` so
+    pathological near-silence cannot explode. Re-emits s16le payloads
+    plus (loudness_db, gain_db, n_samples, loudnorm_ok); undecodable or
+    fully-gated clips keep their payload with loudnorm_ok=false (QC /
+    quarantine routing, same contract as SilenceTrimmer).
+
+    Batch math: block mean-squares for the whole batch come from ONE
+    cumulative-sum pass per clip (no per-block Python loop); gating and
+    gain are O(blocks-per-clip) numpy reductions.
+    """
+
+    def __init__(self, target_db: float = -23.0, block_ms: int = 400,
+                 hop_divisor: int = 4, abs_gate_db: float = -70.0,
+                 rel_gate_db: float = -10.0, max_gain_db: float = 30.0):
+        self.target_db = float(target_db)
+        self.block_ms = int(block_ms)
+        self.hop_divisor = int(hop_divisor)
+        self.abs_gate_db = float(abs_gate_db)
+        self.rel_gate_db = float(rel_gate_db)
+        self.max_gain_db = float(max_gain_db)
+
+    def _loudness_db(self, s: np.ndarray, sr: int) -> float | None:
+        L = max(1, (sr * self.block_ms) // 1000)
+        H = max(1, L // self.hop_divisor)
+        if len(s) < L:
+            blocks = np.array([float(np.mean(s * s))]) if len(s) else None
+        else:
+            c = np.concatenate(([0.0], np.cumsum(s.astype(np.float64) ** 2)))
+            starts = np.arange(0, len(s) - L + 1, H)
+            blocks = (c[starts + L] - c[starts]) / L
+        if blocks is None or not len(blocks):
+            return None
+        bdb = 10.0 * np.log10(np.maximum(blocks, 1e-30))
+        keep = bdb > self.abs_gate_db
+        if not keep.any():
+            return None
+        ungated = 10.0 * np.log10(max(float(blocks[keep].mean()), 1e-30))
+        keep2 = keep & (bdb > ungated + self.rel_gate_db)
+        if not keep2.any():
+            keep2 = keep
+        return 10.0 * np.log10(max(float(blocks[keep2].mean()), 1e-30))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n, rows, sigs, rates = _decode_batch(batch)
+        out_bytes = batch["bytes"].to_pylist()
+        out_codec = batch["codec"].to_pylist()
+        ok = np.zeros(n, bool)
+        loud = np.full(n, np.nan, np.float64)
+        gain = np.full(n, np.nan, np.float64)
+        kept = np.zeros(n, np.int64)
+
+        for j, i in enumerate(rows):
+            ld = self._loudness_db(sigs[j], rates[j])
+            if ld is None:
+                continue
+            g = float(np.clip(self.target_db - ld,
+                              -self.max_gain_db, self.max_gain_db))
+            scaled = sigs[j] * (10.0 ** (g / 20.0))
+            pcm = np.clip(scaled * 32768.0, -32768, 32767).astype("<i2")
+            out_bytes[i] = pcm.tobytes()
+            out_codec[i] = "pcm_s16le"
+            loud[i] = round(ld, 4)
+            gain[i] = round(g, 4)
+            kept[i] = len(pcm)
+            ok[i] = True
+
+        cols = {name: batch[name] for name in batch.column_names
+                if name not in ("bytes", "codec")}
+        cols["bytes"] = pa.array(out_bytes, pa.binary())
+        cols["codec"] = pa.array(out_codec, pa.string())
+        cols["loudnorm_ok"] = pa.array(ok)
+        cols["loudness_db"] = pa.array(loud, pa.float64())
+        cols["gain_db"] = pa.array(gain, pa.float64())
+        cols["n_samples"] = pa.array(kept)
+        return pa.table(cols)

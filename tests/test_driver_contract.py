@@ -105,6 +105,7 @@ def test_query_matches_oracle(entry_mod, con, name):
     "media_image_features", "media_frame_sample", "audio_features_clips",
     "audio_pitch_clips", "audio_cmvn_clips", "kmeans_embeddings", "audio_specaugment_clips", "cluster_balanced_sample",
     "embedding_pca_evr", "embedding_linear_probe", "bpe_train_docs",
+    "audio_loudnorm_clips",
 ])
 def test_rows_only_queries_run(entry_mod, name):
     out = to_pandas(entry_mod.queries()[name](SF_DIR))
