@@ -989,7 +989,7 @@ def source_kl_divergence(ds, *, group_col: str = "source",
 
 def bpe_train(ds, *, col: str = "text", n_merges: int = 20,
               lowercase: bool = True, end_of_word: str = "▁",
-              min_pair_count: int = 2):
+              min_pair_count: int = 2, min_word_count: int = 1):
     """Distributed BPE merge training (Sennrich-style tokenizer
     learning) — the iterative op a tokenizer-building pipeline runs
     before token counting can use real merges (bpe_token_count_batch
@@ -1028,7 +1028,19 @@ def bpe_train(ds, *, col: str = "text", n_merges: int = 20,
     freq = ds.map_batches(
         functools.partial(vocab_count_partial, col=col,
                           lowercase=lowercase),
-        batch_format="pyarrow").groupby("tok").sum("n").materialize()
+        batch_format="pyarrow").groupby("tok").sum("n")
+    if int(min_word_count) > 1:
+        # web-scale control: the unique-word table is hapax-dominated;
+        # pruning rare words bounds the per-round table at a quantified
+        # cost (a word below the floor can contribute at most
+        # min_word_count-1 to any pair count)
+        floor = int(min_word_count)
+
+        def prune(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater_equal(t["sum(n)"], floor))
+
+        freq = freq.map_batches(prune, batch_format="pyarrow")
+    freq = freq.materialize()
 
     def apply_merges(word: str, merges: tuple) -> list:
         syms = list(word) + [end_of_word]
