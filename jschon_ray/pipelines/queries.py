@@ -4257,6 +4257,10 @@ def build_queries() -> dict:
         "audio_pitchshift_clips": q_audio_pitchshift_clips,
         "customer_rfm": q_customer_rfm,
         "pareto_parts_revenue": q_pareto_parts_revenue,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q4_order_priority": q_q4_order_priority,
+        "q13_customer_distribution": q_q13_customer_distribution,
+        "q14_promo_effect": q_q14_promo_effect,
         "q6_forecast_revenue": q_q6_forecast_revenue,
         "q7_volume_shipping": q_q7_volume_shipping,
         "q8_market_share": q_q8_market_share,
@@ -4464,6 +4468,10 @@ def build_oracles() -> dict:
             _audio_pitchshift_sql("/root/testdata/sf0.01"),
         "customer_rfm": _RFM_SQL,
         "pareto_parts_revenue": _PARETO_SQL,
+        "q3_shipping_priority": _Q3_SHIPPING_SQL,
+        "q4_order_priority": _Q4_PRIORITY_SQL,
+        "q13_customer_distribution": _Q13_CUSTDIST_SQL,
+        "q14_promo_effect": _Q14_PROMO_SQL,
         "q6_forecast_revenue": _Q6_FORECAST_SQL,
         "q7_volume_shipping": _Q7_VOLUME_SHIPPING_SQL,
         "q8_market_share": _Q8_MARKET_SHARE_SQL,
@@ -10038,3 +10046,304 @@ def q_audio_loudnorm_clips(sf_dir):
         out[c] = out[c].round(4)
     return out.sort_values(["loudnorm_ok", "gain_band"]) \
         .reset_index(drop=True)
+
+
+# --- TPC-H analogue batch 2: Q3 / Q4 / Q13 / Q14 -------------------------
+
+
+def q_q3_shipping_priority(sf_dir):
+    """TPC-H Q3 analogue (shipping priority): top-10 open orders by
+    unshipped revenue in the BUILDING segment. Scale split: the
+    segment filter prunes customer to ~1/5 BEFORE its bucketed hash
+    join with orders (both fact-sized at scale, narrow key columns
+    only), lineitem is date-pruned at the read side and joined on
+    o_orderkey, and the top-10 runs as per-block partial top-k ->
+    O(blocks x 10) driver merge — never a global sort.
+
+    Reference analogy: conjunction of `enum` + range keywords
+    (jschon vocabulary/validation.py:49-55, :78-84) feeding a
+    cross-resource `$ref` lookup (core.py:82-103), reduced to an
+    ordered report. Money math is exact e4 integers:
+    rev_e4 = price_e2 * (100 - disc_e2).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.join import hash_join
+
+    cut = pd.Timestamp("1998-06-01")
+
+    cust = read_table(table_path(sf_dir, "customer"),
+                      columns=["c_custkey", "c_mktsegment"])
+
+    def filt_cust(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["c_mktsegment"], "BUILDING")
+        return pa.table(
+            {"o_custkey": t.filter(pc.fill_null(keep, False))["c_custkey"]})
+
+    cust = cust.map_batches(filt_cust, batch_format="pyarrow")
+
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_custkey",
+                                 "o_orderdate", "o_orderpriority"])
+
+    def filt_orders(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["o_orderdate"], pa.scalar(cut))
+        return t.filter(pc.fill_null(keep, False))
+
+    orders = orders.map_batches(filt_orders, batch_format="pyarrow")
+    co = hash_join(orders, cust, on="o_custkey", how="inner") \
+        .select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_shipdate",
+                             "l_extendedprice", "l_discount"])
+
+    def proj_li(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["l_shipdate"], pa.scalar(cut))
+        t = t.filter(pc.fill_null(keep, False))
+        p = pc.round(pc.multiply(t["l_extendedprice"], 100.0),
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        d = pc.round(pc.multiply(t["l_discount"], 100.0),
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        rev = pc.multiply(p, pc.subtract(pa.scalar(100, pa.int64()), d))
+        return pa.table({"o_orderkey": t["l_orderkey"], "rev_e4": rev})
+
+    li = li.map_batches(proj_li, batch_format="pyarrow")
+
+    per_order = hash_join(li, co, on="o_orderkey", how="inner") \
+        .groupby(["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .aggregate(Sum("rev_e4", alias_name="revenue_e4"))
+
+    def block_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["revenue_e4", "o_orderkey"],
+                              ascending=[False, True]).head(10)
+
+    out = per_order.map_batches(block_top, batch_format="pandas") \
+        .to_pandas()  # O(blocks x 10) rows
+    out["revenue_e4"] = out["revenue_e4"].round().astype("int64")
+    out = out.sort_values(["revenue_e4", "o_orderkey"],
+                          ascending=[False, True]).head(10)
+    return out[["o_orderkey", "revenue_e4", "o_orderdate",
+                "o_orderpriority"]].reset_index(drop=True)
+
+
+_Q3_SHIPPING_SQL = """
+SELECT o_orderkey, revenue_e4, o_orderdate, o_orderpriority
+FROM (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS revenue_e4,
+         o_orderdate, o_orderpriority
+  FROM customer, orders, lineitem
+  WHERE c_mktsegment = 'BUILDING'
+    AND c_custkey = o_custkey
+    AND l_orderkey = o_orderkey
+    AND o_orderdate < TIMESTAMP '1998-06-01'
+    AND l_shipdate > TIMESTAMP '1998-06-01'
+  GROUP BY 1, 3, 4) t
+ORDER BY revenue_e4 DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_q4_order_priority(sf_dir):
+    """TPC-H Q4 analogue (order priority checking). The reference
+    predicate pair (l_commitdate < l_receiptdate) does not exist in
+    this table's columns; the late-shipment test becomes
+    EXISTS(lineitem shipped > 60 days after o_orderdate). Pattern:
+    quarter-pruned orders bucket-hash-join the (orderkey, shipdate)
+    projection of lineitem, the lateness test runs vectorized per
+    batch, and the EXISTS collapses through a distinct groupby on
+    o_orderkey BEFORE the tiny per-priority count — duplicate late
+    lines never reach the final exchange.
+    """
+    import datetime as _dt
+
+    from ray.data.aggregate import Count
+
+    from ..functions.join import hash_join
+
+    lo = pd.Timestamp("1997-07-01")
+    hi = pd.Timestamp("1997-10-01")
+
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"])
+
+    def filt_orders(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                       pc.less(t["o_orderdate"], pa.scalar(hi)))
+        t = t.filter(pc.fill_null(keep, False))
+        return pa.table({"l_orderkey": t["o_orderkey"],
+                         "o_orderdate": t["o_orderdate"],
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    orders = orders.map_batches(filt_orders, batch_format="pyarrow")
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_shipdate"])
+
+    j = hash_join(li, orders, on="l_orderkey", how="inner")
+
+    def late_only(t: pa.Table) -> pa.Table:
+        lim = pc.add(t["o_orderdate"],
+                     pa.scalar(_dt.timedelta(days=60)))
+        keep = pc.greater(t["l_shipdate"], lim)
+        t = t.filter(pc.fill_null(keep, False))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    distinct_late = j.map_batches(late_only, batch_format="pyarrow") \
+        .groupby(["l_orderkey", "o_orderpriority"]) \
+        .aggregate(Count(alias_name="_n"))
+
+    out = distinct_late.groupby("o_orderpriority") \
+        .aggregate(Count(alias_name="order_count")).to_pandas()
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+_Q4_PRIORITY_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_q13_customer_distribution(sf_dir):
+    """TPC-H Q13 analogue (customer order-count distribution): orders
+    per customer excluding urgent ones, then the histogram of those
+    counts including zero-order customers. Scale split: the per-cust
+    count is one keyed exchange over the date/priority-pruned orders
+    projection; the zero-fill runs as a bucketed LEFT hash join of the
+    customer key column against the (already O(customers)-bounded)
+    count table; the histogram is a second tiny exchange whose output
+    is O(distinct counts).
+    """
+    from ray.data.aggregate import Count
+
+    from ..functions.join import hash_join
+
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_custkey", "o_orderpriority"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["o_orderpriority"], "1-URGENT")
+        t = t.filter(pc.fill_null(keep, False))
+        return pa.table({"c_custkey": t["o_custkey"]})
+
+    per_cust = orders.map_batches(filt, batch_format="pyarrow") \
+        .groupby("c_custkey").aggregate(Count(alias_name="c_count"))
+
+    cust = read_table(table_path(sf_dir, "customer"),
+                      columns=["c_custkey"])
+
+    j = hash_join(cust, per_cust, on="c_custkey", how="left")
+
+    def zero_fill(t: pa.Table) -> pa.Table:
+        c = pc.fill_null(t["c_count"], 0).cast(pa.int64())
+        return pa.table({"c_count": c})
+
+    out = j.map_batches(zero_fill, batch_format="pyarrow") \
+        .groupby("c_count").aggregate(Count(alias_name="custdist")) \
+        .to_pandas()
+    out["c_count"] = out["c_count"].astype("int64")
+    out["custdist"] = out["custdist"].astype("int64")
+    return out.sort_values(["custdist", "c_count"],
+                           ascending=[False, False]).reset_index(drop=True)
+
+
+_Q13_CUSTDIST_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_q14_promo_effect(sf_dir):
+    """TPC-H Q14 analogue (promotion effect): promo-part revenue vs
+    total revenue for one ship month, both as exact e4 integers (the
+    percentage is a trivial driver-side division; returning the two
+    integers keeps the oracle comparison exact). Scale split: lineitem
+    is month-pruned and projected to (partkey, rev_e4) BEFORE the
+    bucketed hash join against the (p_partkey, is_promo) projection of
+    part — part is fact-sized at SF 100k, so no broadcast; only a
+    9-byte dim row per part enters the exchange. The final reduction
+    is two-int partials per block, no shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.join import hash_join
+
+    lo = pd.Timestamp("1997-09-01")
+    hi = pd.Timestamp("1997-10-01")
+
+    part = read_table(table_path(sf_dir, "part"),
+                      columns=["p_partkey", "p_type"])
+
+    def proj_part(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": t["p_partkey"],
+            "is_promo": pc.equal(t["p_type"], "PROMO")})
+
+    part = part.map_batches(proj_part, batch_format="pyarrow")
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_partkey", "l_shipdate",
+                             "l_extendedprice", "l_discount"])
+
+    def proj_li(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                       pc.less(t["l_shipdate"], pa.scalar(hi)))
+        t = t.filter(pc.fill_null(keep, False))
+        p = pc.round(pc.multiply(t["l_extendedprice"], 100.0),
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        d = pc.round(pc.multiply(t["l_discount"], 100.0),
+                     round_mode="half_towards_infinity").cast(pa.int64())
+        rev = pc.multiply(p, pc.subtract(pa.scalar(100, pa.int64()), d))
+        return pa.table({"l_partkey": t["l_partkey"], "rev_e4": rev})
+
+    li = li.map_batches(proj_li, batch_format="pyarrow")
+    j = hash_join(li, part, on="l_partkey", how="inner")
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = t["rev_e4"]
+        promo = pc.sum(pc.if_else(pc.fill_null(t["is_promo"], False),
+                                  rev, pa.scalar(0, pa.int64()))).as_py() or 0
+        total = pc.sum(rev).as_py() or 0
+        return pa.table({"promo_rev_e4": pa.array([promo], pa.int64()),
+                         "total_rev_e4": pa.array([total], pa.int64())})
+
+    agg = j.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("promo_rev_e4", alias_name="promo_rev_e4"),
+        Sum("total_rev_e4", alias_name="total_rev_e4"))
+    return pd.DataFrame({
+        "promo_rev_e4": [int(agg["promo_rev_e4"] or 0)],
+        "total_rev_e4": [int(agg["total_rev_e4"] or 0)]})
+
+
+_Q14_PROMO_SQL = """
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS total_rev_e4
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
