@@ -4150,6 +4150,7 @@ def build_queries() -> dict:
         "q4_late_orders": q_q4_late_orders,
         "q14_promo_share": q_q14_promo_share,
         "q17_small_qty_revenue": q_q17_small_qty_revenue,
+        "q12_shipping_delay_bands": q_q12_shipping_delay_bands,
         "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
         "q22_idle_rich_customers": q_q22_idle_rich_customers,
         "covar_lineitem": q_covar_lineitem,
@@ -4401,6 +4402,7 @@ def build_oracles() -> dict:
         "q4_late_orders": _Q4_LATE_ORDERS_SQL,
         "q14_promo_share": _Q14_PROMO_SHARE_SQL,
         "q17_small_qty_revenue": _Q17_SMALL_QTY_SQL,
+        "q12_shipping_delay_bands": _Q12_DELAY_SQL,
         "q19_disjunctive_revenue": _Q19_DISJUNCTIVE_SQL,
         "q22_idle_rich_customers": _Q22_IDLE_RICH_SQL,
         "covar_lineitem": _COVAR_SQL,
@@ -10347,3 +10349,88 @@ WHERE l_partkey = p_partkey
   AND l_shipdate >= TIMESTAMP '1997-09-01'
   AND l_shipdate < TIMESTAMP '1997-10-01'
 """
+
+
+# --- TPC-H analogue: Q12 (shipping-delay priority bands) ------------------
+
+
+def q_q12_shipping_delay_bands(sf_dir):
+    """TPC-H Q12 analogue (shipping-mode priority counting). The
+    reference's l_shipmode column does not exist in this table; the
+    mode bands become shipping-DELAY bands (shipdate - orderdate:
+    <30d / 30-90d / >90d), counting critical-priority (1-URGENT,
+    2-HIGH) vs other orders per band for one ship year. One bucketed
+    hash join on the orderkey, then a vectorized band/priority
+    classification and an O(bands) exchange.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.join import hash_join
+
+    lo = pd.Timestamp("1997-01-01")
+    hi = pd.Timestamp("1998-01-01")
+
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"])
+
+    def proj_orders(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": t["o_orderkey"],
+                         "o_orderdate": t["o_orderdate"],
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    orders = orders.map_batches(proj_orders, batch_format="pyarrow")
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_shipdate"])
+
+    def filt_li(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                       pc.less(t["l_shipdate"], pa.scalar(hi)))
+        return t.filter(pc.fill_null(keep, False))
+
+    li = li.map_batches(filt_li, batch_format="pyarrow")
+    j = hash_join(li, orders, on="l_orderkey", how="inner")
+
+    def classify(t: pa.Table) -> pa.Table:
+        delay = pc.days_between(t["o_orderdate"], t["l_shipdate"])
+        d = delay.to_numpy(zero_copy_only=False)
+        band = np.where(d < 30, "under_30d",
+                        np.where(d <= 90, "30_to_90d", "over_90d"))
+        pri = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        high = np.isin(pri, ("1-URGENT", "2-HIGH")).astype(np.int64)
+        return pa.table({"delay_band": pa.array(band, pa.string()),
+                         "high_line_count": pa.array(high),
+                         "low_line_count": pa.array(1 - high)})
+
+    out = j.map_batches(classify, batch_format="pyarrow") \
+        .groupby("delay_band").aggregate(
+            Sum("high_line_count", alias_name="high_line_count"),
+            Sum("low_line_count", alias_name="low_line_count")) \
+        .to_pandas()
+    for c in ("high_line_count", "low_line_count"):
+        out[c] = out[c].round().astype("int64")
+    return out.sort_values("delay_band").reset_index(drop=True)
+
+
+_Q12_DELAY_SQL = """
+SELECT delay_band,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM (
+  SELECT o_orderpriority,
+         CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30
+              THEN 'under_30d'
+              WHEN date_diff('day', o_orderdate, l_shipdate) <= 90
+              THEN '30_to_90d'
+              ELSE 'over_90d' END AS delay_band
+  FROM orders, lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01') t
+GROUP BY delay_band
+ORDER BY delay_band
+"""
+
