@@ -4470,7 +4470,7 @@ def build_oracles() -> dict:
             _audio_pitchshift_sql("/root/testdata/sf0.01"),
         "customer_rfm": _RFM_SQL,
         "pareto_parts_revenue": _PARETO_SQL,
-        "q3_shipping_priority": _Q3_SHIPPING_SQL,
+        "q3_shipping_priority": _Q3_SHIPPING_PRIORITY_SQL,
         "q4_order_priority": _Q4_PRIORITY_SQL,
         "q13_customer_distribution": _Q13_CUSTDIST_SQL,
         "q14_promo_effect": _Q14_PROMO_SQL,
@@ -10129,7 +10129,7 @@ def q_q3_shipping_priority(sf_dir):
                 "o_orderpriority"]].reset_index(drop=True)
 
 
-_Q3_SHIPPING_SQL = """
+_Q3_SHIPPING_PRIORITY_SQL = """
 SELECT o_orderkey, revenue_e4, o_orderdate, o_orderpriority
 FROM (
   SELECT l_orderkey AS o_orderkey,

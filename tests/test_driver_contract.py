@@ -88,6 +88,7 @@ def test_all_queries_have_unique_names(entry_mod):
     "ann_topk", "embedding_neardup", "ngram_jaccard_docs",
     "ann_topk_ivf",
     "skew_lineitem", "histogram_lineitem", "q3_shipping",
+    "q3_shipping_priority", "q12_shipping_delay_bands",
 ])
 def test_query_matches_oracle(entry_mod, con, name):
     qs = entry_mod.queries()
