@@ -75,15 +75,18 @@ def validate_audio_decodable(row) -> None:
 # ones built in. All are strict-syntax checks implemented on the stdlib
 # (no network, no locale), registered opt-in like everything else.
 
-_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+# re.ASCII throughout: RFC 3339 grammars are ASCII-digit only, but
+# Python's \d otherwise matches any Unicode decimal (e.g. Bengali '২') —
+# the official suite's "invalid non-ASCII digit" cases catch this.
+_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$", re.ASCII)
 _TIME_RE = re.compile(
-    r"^\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})$")
+    r"^\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})$", re.ASCII)
 _DATETIME_RE = re.compile(
     r"^\d{4}-\d{2}-\d{2}[Tt]\d{2}:\d{2}:\d{2}(\.\d+)?"
-    r"([Zz]|[+-]\d{2}:\d{2})$")
+    r"([Zz]|[+-]\d{2}:\d{2})$", re.ASCII)
 _DURATION_RE = re.compile(
     r"^P(?!$)(\d+Y)?(\d+M)?(\d+W)?(\d+D)?"
-    r"(T(?=\d)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?$")
+    r"(T(?=\d)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?$", re.ASCII)
 _EMAIL_RE = re.compile(r"^[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+"
                        r"@[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
                        r"(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}"
@@ -124,8 +127,20 @@ def validate_time(value: str) -> None:
     if _TIME_RE.fullmatch(value) is None:
         raise ValueError(f"'{value}' is not a valid time")
     h, m, s = int(value[0:2]), int(value[3:5]), int(value[6:8])
-    if h > 23 or m > 59 or s > 60:              # 60 = leap second
+    off_min = 0
+    if value[-1] not in "Zz":
+        sign = 1 if value[-6] == "+" else -1
+        oh, om = int(value[-5:-3]), int(value[-2:])
+        if oh > 23 or om > 59:
+            raise ValueError(f"'{value}' has an invalid time offset")
+        off_min = sign * (oh * 60 + om)
+    if h > 23 or m > 59 or s > 60:
         raise ValueError(f"'{value}' is not a valid time")
+    if s == 60:
+        # leap seconds only occur at 23:59:60 UTC (RFC 3339 §5.7) — an
+        # offset-local :60 must normalize to exactly that instant.
+        if (h * 60 + m - off_min) % 1440 != 23 * 60 + 59:
+            raise ValueError(f"'{value}' is not a valid leap second")
 
 
 @format_validator("date-time")

@@ -28,6 +28,7 @@ import pytest
 
 from jschon_ray.vspec.catalog import SpecCatalog
 from jschon_ray.vspec.evaluator import compile_spec
+from jschon_ray.vspec.formats import all_registered
 from jschon_ray.vspec.row_oracle import RowEvaluator
 
 CORPUS_DIR = pathlib.Path(__file__).parent / "suite_corpus"
@@ -85,6 +86,9 @@ SHARED_WITH_2019 = {
     "bignum.json", "id.json", "unknownKeyword.json",
     # optional groups shared verbatim by both drafts
     "optional_float_overflow.json", "optional_non_bmp.json",
+    # uniqueItems' deep-equality semantics are identical in 2019-09
+    # (validation.py:163-177 is registered unchanged in both catalogs)
+    "uniqueItems.json",
 }
 
 
@@ -104,11 +108,18 @@ def _collect():
             continue
         for path in sorted(vdir.glob("*.json")):
             file_sets.append((vdir.name, path, ""))
-            if vdir.name == "2020-12" and path.name in SHARED_WITH_2019:
+            shared = (path.name in SHARED_WITH_2019
+                      or path.name.startswith("optional_format_"))
+            if vdir.name == "2020-12" and shared:
                 file_sets.append(("2019-09", path, "shared/"))
             if vdir.name == "2020-12" and path.name not in NEXT_EXCLUDE:
                 file_sets.append(("next", path, "shared/"))
     for version, path, tag in file_sets:
+            # optional/format group: runs with format assertion enabled in
+            # both engines (the official suite's format-assertion config;
+            # reference analogue = catalog.enable_formats,
+            # catalog/__init__.py:267-279)
+            fmt = path.name.startswith("optional_format_")
             with open(path) as f:
                 cases = json.load(f)
             for case in cases:
@@ -130,7 +141,7 @@ def _collect():
                             reason=st.get("reason", "")))
                     params.append(pytest.param(
                         version, case["schema"], test["data"],
-                        test["valid"], case.get("remotes", {}),
+                        test["valid"], case.get("remotes", {}), fmt,
                         id=tid, marks=marks))
     return params
 
@@ -174,9 +185,10 @@ def _register_remotes(catalog, remotes):
         catalog.register(doc, uri=r_uri)
 
 
-@pytest.mark.parametrize("version,schema,data,valid,remotes", _PARAMS)
-def test_suite_case(version, schema, data, valid, remotes):
+@pytest.mark.parametrize("version,schema,data,valid,remotes,fmt", _PARAMS)
+def test_suite_case(version, schema, data, valid, remotes, fmt):
     schema = _inject_dialect(schema, version)
+    formats = all_registered() if fmt else None
 
     # Anonymous root schemas get a synthetic URI so '#/...' refs resolve
     # (the reference harness likewise gives every suite schema a catalog
@@ -186,7 +198,7 @@ def test_suite_case(version, schema, data, valid, remotes):
         uri = "https://suite.jschon-ray.local/case"
 
     # --- engine 1: per-row oracle ------------------------------------
-    ev = RowEvaluator(SpecCatalog())
+    ev = RowEvaluator(SpecCatalog(), formats=formats)
     ev.dialect = version
     _register_remotes(ev.catalog, remotes)
     result = ev.evaluate(schema, data, uri=uri)
@@ -204,7 +216,7 @@ def test_suite_case(version, schema, data, valid, remotes):
         case_catalog = SpecCatalog()
         _register_remotes(case_catalog, remotes)
         cs = compile_spec(schema, table.schema, uri=uri,
-                          catalog=case_catalog)
+                          catalog=case_catalog, formats=formats)
         vvalid, vviols = cs.evaluate_table(table)
     except NotImplementedError:
         return  # engine explicitly defers this construct to the oracle
@@ -244,7 +256,13 @@ def test_reference_agrees_with_corpus():
     for p in _PARAMS:
         if p.marks:  # ledgered skip/xfail (suite_status.json) — a known
             continue  # deviation, not an agreement target
-        version, schema, data, valid, remotes = p.values
+        version, schema, data, valid, remotes, fmt = p.values
+        if fmt:
+            # optional/format files assert with OUR registered validators;
+            # the reference ships none of the standard string formats
+            # (only the decorator registry) so it runs them annotation-only
+            # and cannot agree on the invalid cases.
+            continue
         schema = _inject_dialect(schema, version)
         h = handles[version]
         try:
@@ -270,7 +288,7 @@ def test_reference_agrees_with_corpus():
 def test_corpus_size():
     """The corpus must stay substantial — suite-style coverage, not a
     handful of smoke cases."""
-    assert len(_PARAMS) >= 3640
+    assert len(_PARAMS) >= 6900
 
 
 def test_vectorized_cross_check_coverage():
@@ -403,8 +421,10 @@ def test_output_basic_byte_parity_with_reference():
     mismatches = []
     registered = {v: set() for v in handles}
     for p in _PARAMS:
-        version, schema, data, valid, remotes = p.values
-        if version not in handles:
+        version, schema, data, valid, remotes, fmt = p.values
+        if version not in handles or fmt:
+            # format-assertion files use OUR validators; the reference
+            # runs them annotation-only (no byte-parity target there)
             continue
         schema = _inject_dialect(schema, version)
         n += 1
