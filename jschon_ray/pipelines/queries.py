@@ -4024,6 +4024,7 @@ def build_queries() -> dict:
     return {
         # relational / aggregates
         "q1_pricing_summary": q_q1_pricing_summary,
+        "zorder_pruning_lineitem": q_zorder_pruning_lineitem,
         "top_orders": q_top_orders,
         "customers_per_region": q_customers_per_region,
         "referential_lineitem_orders": q_referential_lineitem_orders,
@@ -4277,6 +4278,7 @@ def build_queries() -> dict:
 def build_oracles() -> dict:
     sql = {
         "q1_pricing_summary": _Q1_SQL,
+        "zorder_pruning_lineitem": _ZORDER_PRUNING_SQL,
         "top_orders": _TOP_ORDERS_SQL,
         "customers_per_region": _CUSTOMERS_PER_REGION_SQL,
         "referential_lineitem_orders": _REFERENTIAL_SQL,
@@ -10434,3 +10436,65 @@ GROUP BY delay_band
 ORDER BY delay_band
 """
 
+
+
+# ---------------------------------------------------------------------------
+# z-order clustered layout + stats-pruned scan (functions/layout.py)
+# ---------------------------------------------------------------------------
+
+def q_zorder_pruning_lineitem(sf_dir):
+    """Box-selective aggregate over a z-order-clustered lineitem layout:
+    cluster once by Morton-interleaved (l_partkey, l_suppkey) rank bits
+    into 32 z-sorted parquet files, then answer the box predicate by
+    reading ONLY the files whose footer min/max stats intersect it
+    (functions/layout.py zorder_write/pruned_scan — the data-layout
+    complement of read-time column pruning; no jschon analogue, the
+    reference has no storage layer at all, json.py:34). The clustered
+    layout is a /tmp cache fingerprinted by source size+mtime (ADVICE
+    r2 posture), and the result is layout-independent — byte-equal to
+    the same aggregate over the original file, which is exactly what
+    the DuckDB oracle checks."""
+    import os
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.layout import pruned_scan, zorder_write
+
+    tag = _index_cache_tag(sf_dir, "lineitem")
+    out_dir = f"/tmp/jschon_ray_zorder_{tag}"
+    if not os.path.exists(os.path.join(out_dir, "_manifest.json")):
+        ds = read_table(table_path(sf_dir, "lineitem"),
+                        columns=["l_partkey", "l_suppkey", "l_quantity",
+                                 "l_returnflag"])
+        zorder_write(ds, ["l_partkey", "l_suppkey"], out_dir,
+                     num_files=32)
+
+    box = {"l_partkey": (100, 400), "l_suppkey": (10, 60)}
+    ds, stats = pruned_scan(out_dir, box)
+
+    def to_exact(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "qty": pc.round(t["l_quantity"]).cast(pa.int64()),
+        })
+
+    out = ds.map_batches(to_exact, batch_format="pyarrow") \
+        .groupby("l_returnflag") \
+        .aggregate(Sum("qty", alias_name="sum_qty"),
+                   Count(alias_name="n_rows")) \
+        .to_pandas()
+    out["sum_qty"] = out["sum_qty"].astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+_ZORDER_PRUNING_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_partkey BETWEEN 100 AND 400
+  AND l_suppkey BETWEEN 10 AND 60
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

@@ -1,0 +1,99 @@
+"""Z-order clustered layout + stats-pruned scan (functions/layout.py)."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from jschon_ray.functions.layout import (
+    interleave_bits,
+    pruned_scan,
+    zorder_write,
+)
+
+
+def _morton_ref(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((x >> b) & 1) << (2 * b)
+        z |= ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def test_interleave_bits_matches_reference():
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 1 << 16, 200).astype(np.uint64)
+    y = rng.integers(0, 1 << 16, 200).astype(np.uint64)
+    z = interleave_bits([x, y], bits=16)
+    for i in range(0, 200, 17):
+        assert int(z[i]) == _morton_ref(int(x[i]), int(y[i]))
+
+
+def test_interleave_bits_three_cols_distinct_positions():
+    one = np.array([1], np.uint64)
+    zero = np.array([0], np.uint64)
+    assert int(interleave_bits([one, zero, zero], bits=4)[0]) == 1
+    assert int(interleave_bits([zero, one, zero], bits=4)[0]) == 2
+    assert int(interleave_bits([zero, zero, one], bits=4)[0]) == 4
+
+
+@pytest.fixture()
+def clustered_dir(ray_session, tmp_path):
+    rng = np.random.default_rng(42)
+    n = 20_000
+    t = pa.table({
+        "a": rng.integers(0, 1000, n),
+        "b": rng.integers(0, 1000, n),
+        "payload": rng.normal(size=n),
+    })
+    out = str(tmp_path / "zorder")
+    info = zorder_write(ray.data.from_arrow(t), ["a", "b"], out,
+                        num_files=16, sample_per_block=2048)
+    assert info["files"] == 16
+    assert info["rows"] == n
+    yield out, t
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_zorder_box_scan_exact_and_pruned(clustered_dir):
+    out, t = clustered_dir
+    box = {"a": (100, 199), "b": (400, 499)}  # ~1% of the domain
+    ds, stats = pruned_scan(out, box)
+    got = ds.to_pandas().sort_values(["a", "b", "payload"]) \
+        .reset_index(drop=True)
+
+    df = t.to_pandas()
+    exp = df[(df.a.between(*box["a"])) & (df.b.between(*box["b"]))] \
+        .sort_values(["a", "b", "payload"]).reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    assert (got["payload"].to_numpy() == exp["payload"].to_numpy()).all()
+
+    # the point of the layout: a 1%-of-domain box must NOT touch most
+    # files (random layout would touch all 16)
+    assert stats["files_total"] == 16
+    assert stats["files_read"] <= 8, stats
+
+
+def test_zorder_scan_empty_box(clustered_dir):
+    out, _ = clustered_dir
+    ds, stats = pruned_scan(out, {"a": (5000, 6000), "b": (0, 999)})
+    assert stats["files_read"] == 0
+    assert ds.count() == 0
+
+
+def test_zorder_nulls_cluster_low(ray_session, tmp_path):
+    t = pa.table({
+        "a": pa.array([None, 1, 2, None, 500, 900] * 100,
+                      type=pa.float64()),
+        "b": pa.array(list(range(600)), type=pa.int64()),
+    })
+    out = str(tmp_path / "zn")
+    info = zorder_write(ray.data.from_arrow(t), ["a", "b"], out,
+                        num_files=4, sample_per_block=512)
+    assert info["rows"] == 600  # nulls written, not dropped
+    ds, _ = pruned_scan(out, {"a": (900, 900)})
+    assert ds.count() == 100
