@@ -4272,6 +4272,11 @@ def build_queries() -> dict:
         "length_band_docs": q_length_band_docs,
         "bpe_train_docs": q_bpe_train_docs,
         "audio_loudnorm_clips": q_audio_loudnorm_clips,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q9_product_profit": q_q9_product_profit,
+        "q11_important_parts": q_q11_important_parts,
+        "q16_supplier_part_counts": q_q16_supplier_part_counts,
+        "q20_promotion_suppliers": q_q20_promotion_suppliers,
     }
 
 
@@ -4488,6 +4493,11 @@ def build_oracles() -> dict:
             _clips_violation_counts_sql("/root/testdata/sf0.01"),
         "grouped_stats_codec":
             _grouped_stats_codec_sql("/root/testdata/sf0.01"),
+        "q2_min_cost_supplier": _Q2_MIN_COST_SQL,
+        "q9_product_profit": _Q9_PRODUCT_PROFIT_SQL,
+        "q11_important_parts": _Q11_IMPORTANT_PARTS_SQL,
+        "q16_supplier_part_counts": _Q16_SUPPLIER_COUNTS_SQL,
+        "q20_promotion_suppliers": _Q20_PROMOTION_SQL,
     }
     return sql
 
@@ -10497,4 +10507,428 @@ WHERE l_partkey BETWEEN 100 AND 400
   AND l_suppkey BETWEEN 10 AND 60
 GROUP BY l_returnflag
 ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H analogue completion: Q2 / Q9 / Q11 / Q16 / Q20 (no partsupp table in
+# the driver testdata, so each states its adapted cost/stock proxy — the
+# reference semantics being mirrored are the classic TPC-H shapes:
+# min-cost-supplier, product profit, important stock, supplier-part counts,
+# promotion shortlist).
+
+
+def q_q2_min_cost_supplier(sf_dir):
+    """TPC-H Q2 analogue (min-cost supplier per part within a region).
+
+    Without a partsupp table the 'supply cost' proxy is the cheapest
+    discounted line ever shipped for a (part, supplier) pair:
+    cost_e2 = min round(l_extendedprice*100*(1-l_discount)). Scale
+    split: the part filter (STANDARD, size>=10) and the EUROPE
+    supplier dim are broadcast value-sets; lineitem pre-aggregates
+    (part, supplier) -> min cost per block before ONE groupby whose
+    key count is bounded by |parts| x |region suppliers| (a dim
+    product, not a fact count). The per-part min + tie surface run
+    over that bounded result, exactly like the oracle's QUALIFY."""
+    from ray.data.aggregate import Min
+
+    part = read_table(table_path(sf_dir, "part"),
+                      columns=["p_partkey", "p_type", "p_size"]).to_pandas()
+    part = part[(part.p_type == "STANDARD") & (part.p_size >= 10)]
+    part_keys = pa.array(sorted(int(k) for k in part.p_partkey), pa.int64())
+
+    nation = read_table(table_path(sf_dir, "nation")).to_pandas()
+    region = read_table(table_path(sf_dir, "region")).to_pandas()
+    eu_nations = set(
+        int(k) for k in nation.merge(
+            region[region.r_name == "EUROPE"],
+            left_on="n_regionkey", right_on="r_regionkey").n_nationkey)
+    supp = read_table(table_path(sf_dir, "supplier"),
+                      columns=["s_suppkey", "s_name",
+                               "s_nationkey"]).to_pandas()
+    supp = supp[supp.s_nationkey.astype(int).isin(eu_nations)]
+    supp_keys = pa.array(sorted(int(k) for k in supp.s_suppkey), pa.int64())
+    name_of = dict(zip((int(k) for k in supp.s_suppkey), supp.s_name))
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_partkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_in(t["l_partkey"], value_set=part_keys),
+            pc.is_in(t["l_suppkey"], value_set=supp_keys))
+        t = t.filter(pc.fill_null(keep, False))
+        cost = pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"], 100.0),
+            pc.subtract(1.0, t["l_discount"])),
+            round_mode="half_towards_infinity").cast(pa.int64())
+        key = pc.add(pc.multiply(t["l_partkey"], 1 << 20), t["l_suppkey"])
+        tbl = pa.table({"ps_key": key, "cost_e2": cost})
+        return tbl.group_by("ps_key").aggregate([("cost_e2", "min")]) \
+                  .rename_columns(["ps_key", "cost_e2"])
+
+    agg = li.map_batches(partial, batch_format="pyarrow") \
+            .groupby("ps_key") \
+            .aggregate(Min("cost_e2", alias_name="cost_e2")).to_pandas()
+    if len(agg) == 0:
+        return pd.DataFrame({"p_partkey": pd.Series([], dtype="int64"),
+                             "s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype=object),
+                             "cost_e2": pd.Series([], dtype="int64")})
+    agg["p_partkey"] = (agg.ps_key // (1 << 20)).astype("int64")
+    agg["s_suppkey"] = (agg.ps_key % (1 << 20)).astype("int64")
+    agg["cost_e2"] = agg.cost_e2.astype("int64")
+    best = agg.groupby("p_partkey").cost_e2.transform("min")
+    out = agg[agg.cost_e2 == best].copy()
+    out["s_name"] = out.s_suppkey.map(name_of)
+    return out[["p_partkey", "s_suppkey", "s_name", "cost_e2"]] \
+        .sort_values(["p_partkey", "s_suppkey"]).reset_index(drop=True)
+
+
+_Q2_MIN_COST_SQL = """
+WITH eu AS (
+  SELECT s_suppkey, s_name FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+pf AS (
+  SELECT p_partkey FROM part
+  WHERE p_type = 'STANDARD' AND p_size >= 10),
+cost AS (
+  SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+         min(CAST(round(l_extendedprice * 100 * (1 - l_discount))
+                  AS BIGINT)) AS cost_e2
+  FROM lineitem
+  JOIN pf ON l_partkey = p_partkey
+  JOIN eu ON l_suppkey = s_suppkey
+  GROUP BY 1, 2)
+SELECT p_partkey, s_suppkey, s_name, cost_e2
+FROM cost JOIN eu USING (s_suppkey)
+QUALIFY cost_e2 = min(cost_e2) OVER (PARTITION BY p_partkey)
+ORDER BY p_partkey, s_suppkey
+"""
+
+
+def q_q9_product_profit(sf_dir):
+    """TPC-H Q9 analogue (product-type profit by nation and year).
+
+    profit_e2 = sum(round(l_extendedprice*100*(1-l_discount))
+                    - round(60*p_retailprice*l_quantity)) over parts
+    whose name contains 'widget' — the partsupp.ps_supplycost term is
+    replaced by 0.6*p_retailprice (a broadcast part attribute; both
+    engines round the cent-scaled term identically, and 60*retail*qty
+    has fractional part in {0,.2,.4,.6,.8} so no half-way ties exist).
+    Scale split: part and supplier->nation dims broadcast into the
+    lineitem scan; lineitem x orders is the one large-large bucketed
+    hash join; per-block partials reduce to <= 25 nations x years
+    rows before the final groupby."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.join import hash_join
+
+    part = read_table(table_path(sf_dir, "part"),
+                      columns=["p_partkey", "p_name",
+                               "p_retailprice"]).to_pandas()
+    part = part[part.p_name.str.contains("widget")]
+    pdim = pa.table({
+        "l_partkey": pa.array(part.p_partkey.astype("int64")),
+        "p_retailprice": pa.array(part.p_retailprice.astype("float64"))})
+
+    supp = read_table(table_path(sf_dir, "supplier"),
+                      columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sdim = pa.table({
+        "l_suppkey": pa.array(supp.s_suppkey.astype("int64")),
+        "s_nationkey": pa.array(supp.s_nationkey.astype("int64"))})
+
+    nation = read_table(table_path(sf_dir, "nation")).to_pandas()
+    nation_name = dict(zip((int(k) for k in nation.n_nationkey),
+                           nation.n_name))
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_orderkey", "l_partkey", "l_suppkey",
+                             "l_quantity", "l_extendedprice",
+                             "l_discount"])
+
+    def project_li(t: pa.Table) -> pa.Table:
+        j = t.join(pdim, keys="l_partkey", join_type="inner")
+        j = j.join(sdim, keys="l_suppkey", join_type="inner")
+        rev = pc.round(pc.multiply(
+            pc.multiply(j["l_extendedprice"], 100.0),
+            pc.subtract(1.0, j["l_discount"])),
+            round_mode="half_towards_infinity").cast(pa.int64())
+        cost = pc.round(pc.multiply(
+            pc.multiply(j["p_retailprice"], 60.0), j["l_quantity"]),
+            round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"l_orderkey": j["l_orderkey"],
+                         "s_nationkey": j["s_nationkey"],
+                         "profit_e2": pc.subtract(rev, cost)})
+
+    li = li.map_batches(project_li, batch_format="pyarrow")
+
+    orders = read_table(table_path(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_orderdate"])
+
+    def project_orders(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["o_orderkey"],
+            "o_year": pc.year(t["o_orderdate"]).cast(pa.int64())})
+
+    orders = orders.map_batches(project_orders, batch_format="pyarrow")
+    joined = hash_join(li, orders, on="l_orderkey", how="inner")
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = pc.add(pc.multiply(t["s_nationkey"], 10000), t["o_year"])
+        tbl = pa.table({"ny_key": key, "profit_e2": t["profit_e2"]})
+        return tbl.group_by("ny_key").aggregate([("profit_e2", "sum")]) \
+                  .rename_columns(["ny_key", "profit_e2"])
+
+    agg = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("ny_key") \
+        .aggregate(Sum("profit_e2", alias_name="profit_e2")).to_pandas()
+    if len(agg) == 0:
+        return pd.DataFrame({"nation": pd.Series([], dtype=object),
+                             "o_year": pd.Series([], dtype="int64"),
+                             "profit_e2": pd.Series([], dtype="int64")})
+    agg["nation"] = (agg.ny_key // 10000).astype(int).map(nation_name)
+    agg["o_year"] = (agg.ny_key % 10000).astype("int64")
+    agg["profit_e2"] = agg.profit_e2.astype("int64")
+    return agg[["nation", "o_year", "profit_e2"]] \
+        .sort_values(["nation", "o_year"]).reset_index(drop=True)
+
+
+_Q9_PRODUCT_PROFIT_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * 100 * (1 - l_discount))
+                     AS BIGINT)
+              - CAST(round(60.0 * p_retailprice * l_quantity)
+                     AS BIGINT)) AS BIGINT) AS profit_e2
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_q11_important_parts(sf_dir):
+    """TPC-H Q11 analogue (important stock): parts whose ASIA-supplied
+    revenue exceeds TWICE the mean per-part ASIA revenue (a scale-free
+    threshold — TPC-H's fixed `> fraction * total` cutoff empties out
+    as |parts| grows past 1/fraction). The partsupp
+    ps_availqty*ps_supplycost value term is replaced by discounted
+    lineitem revenue from ASIA suppliers (a broadcast supplier
+    value-set). Per-block (partkey, rev) partials bound the groupby at
+    |parts| keys; the threshold pass runs over that O(parts) result
+    with Python-int cross-multiplication (no float division, no int64
+    overflow at scale)."""
+    from ray.data.aggregate import Sum
+
+    nation = read_table(table_path(sf_dir, "nation")).to_pandas()
+    region = read_table(table_path(sf_dir, "region")).to_pandas()
+    asia_nations = set(
+        int(k) for k in nation.merge(
+            region[region.r_name == "ASIA"],
+            left_on="n_regionkey", right_on="r_regionkey").n_nationkey)
+    supp = read_table(table_path(sf_dir, "supplier"),
+                      columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp.s_nationkey.astype(int).isin(asia_nations)]
+    supp_keys = pa.array(sorted(int(k) for k in supp.s_suppkey), pa.int64())
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_partkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["l_suppkey"], value_set=supp_keys)
+        t = t.filter(pc.fill_null(keep, False))
+        rev = pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"], 100.0),
+            pc.subtract(1.0, t["l_discount"])),
+            round_mode="half_towards_infinity").cast(pa.int64())
+        tbl = pa.table({"p_partkey": t["l_partkey"], "value_e2": rev})
+        return tbl.group_by("p_partkey").aggregate([("value_e2", "sum")]) \
+                  .rename_columns(["p_partkey", "value_e2"])
+
+    agg = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("p_partkey") \
+        .aggregate(Sum("value_e2", alias_name="value_e2")).to_pandas()
+    if len(agg) == 0:
+        return pd.DataFrame({"p_partkey": pd.Series([], dtype="int64"),
+                             "value_e2": pd.Series([], dtype="int64")})
+    agg["value_e2"] = agg.value_e2.astype("int64")
+    total = sum(int(v) for v in agg.value_e2)
+    n = len(agg)
+    keep = [int(v) * n > 2 * total for v in agg.value_e2]
+    out = agg[pd.Series(keep, index=agg.index)]
+    return out[["p_partkey", "value_e2"]] \
+        .sort_values(["value_e2", "p_partkey"],
+                     ascending=[False, True]).reset_index(drop=True)
+
+
+_Q11_IMPORTANT_PARTS_SQL = """
+WITH v AS (
+  SELECT l_partkey AS p_partkey,
+         sum(CAST(round(l_extendedprice * 100 * (1 - l_discount))
+                  AS BIGINT)) AS value_e2
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY 1)
+SELECT p_partkey, CAST(value_e2 AS BIGINT) AS value_e2
+FROM v
+WHERE value_e2 * (SELECT count(*) FROM v)
+      > 2 * (SELECT sum(value_e2) FROM v)
+ORDER BY value_e2 DESC, p_partkey
+"""
+
+
+def q_q16_supplier_part_counts(sf_dir):
+    """TPC-H Q16 analogue (supplier count per part attribute triple):
+    distinct suppliers that shipped each (brand, type, size) class,
+    excluding negative-balance suppliers (the 'customer complaints'
+    exclusion proxy). Scale split: the part attribute dim and the
+    excluded-supplier set broadcast into the scan; per-block unique
+    (partkey, suppkey) pairs shuffle into a groupby bounded by the
+    |parts| x |suppliers| dim product — never by fact rows; the attr
+    rollup + distinct count run over that bounded pair set."""
+    part = read_table(table_path(sf_dir, "part"),
+                      columns=["p_partkey", "p_brand", "p_type",
+                               "p_size"]).to_pandas()
+    sizes = {1, 4, 7, 10, 13, 16, 19, 22, 25}
+    part = part[(part.p_brand != "Brand#13") & (part.p_type != "PROMO")
+                & (part.p_size.astype(int).isin(sizes))]
+    part_keys = pa.array(sorted(int(k) for k in part.p_partkey), pa.int64())
+    attr_of = {int(k): (b, t, int(s)) for k, b, t, s in zip(
+        part.p_partkey, part.p_brand, part.p_type, part.p_size)}
+
+    supp = read_table(table_path(sf_dir, "supplier"),
+                      columns=["s_suppkey", "s_acctbal"]).to_pandas()
+    bad = sorted(int(k) for k in supp[supp.s_acctbal < 0].s_suppkey)
+    bad_keys = pa.array(bad, pa.int64())
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_partkey", "l_suppkey"])
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["l_partkey"], value_set=part_keys)
+        if len(bad):
+            keep = pc.and_(keep, pc.invert(
+                pc.is_in(t["l_suppkey"], value_set=bad_keys)))
+        t = t.filter(pc.fill_null(keep, False))
+        key = pc.add(pc.multiply(t["l_partkey"], 1 << 20), t["l_suppkey"])
+        uniq = pc.unique(key)
+        return pa.table({"ps_key": uniq})
+
+    pairs = li.map_batches(block_pairs, batch_format="pyarrow") \
+        .groupby("ps_key").count().to_pandas()
+    if len(pairs) == 0:
+        return pd.DataFrame({"p_brand": pd.Series([], dtype=object),
+                             "p_type": pd.Series([], dtype=object),
+                             "p_size": pd.Series([], dtype="int64"),
+                             "supplier_cnt": pd.Series([], dtype="int64")})
+    pk = (pairs.ps_key // (1 << 20)).astype(int)
+    sk = (pairs.ps_key % (1 << 20)).astype(int)
+    df = pd.DataFrame({"attr": pk.map(attr_of), "s": sk})
+    g = df.groupby("attr").s.nunique()
+    out = pd.DataFrame({
+        "p_brand": [a[0] for a in g.index],
+        "p_type": [a[1] for a in g.index],
+        "p_size": pd.array([a[2] for a in g.index], dtype="int64"),
+        "supplier_cnt": pd.array(g.values, dtype="int64")})
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True]).reset_index(drop=True)
+
+
+_Q16_SUPPLIER_COUNTS_SQL = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_q20_promotion_suppliers(sf_dir):
+    """TPC-H Q20 analogue (potential part promotion shortlist):
+    suppliers whose 1997 shipped quantity of '%bolt%' parts is
+    strictly above the mean over suppliers that shipped any such
+    part (the ps_availqty > 0.5*sum(qty) stock test is replaced by
+    an above-average shipped-volume test — same shape: a per-supplier
+    aggregate compared against a corpus statistic). The part filter
+    broadcasts; per-block (suppkey, qty) partials bound the groupby
+    at |suppliers| keys; the mean comparison cross-multiplies Python
+    ints (qty_sum * n > total) so no float division enters the
+    verdict."""
+    from ray.data.aggregate import Sum
+
+    lo = pd.Timestamp("1997-01-01")
+    hi = pd.Timestamp("1998-01-01")
+
+    part = read_table(table_path(sf_dir, "part"),
+                      columns=["p_partkey", "p_name"]).to_pandas()
+    part = part[part.p_name.str.contains("bolt")]
+    part_keys = pa.array(sorted(int(k) for k in part.p_partkey), pa.int64())
+
+    li = read_table(table_path(sf_dir, "lineitem"),
+                    columns=["l_partkey", "l_suppkey", "l_quantity",
+                             "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_in(t["l_partkey"], value_set=part_keys),
+            pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi))))
+        t = t.filter(pc.fill_null(keep, False))
+        qty = t["l_quantity"].cast(pa.int64())
+        tbl = pa.table({"s_suppkey": t["l_suppkey"], "qty_sum": qty})
+        return tbl.group_by("s_suppkey").aggregate([("qty_sum", "sum")]) \
+                  .rename_columns(["s_suppkey", "qty_sum"])
+
+    agg = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("s_suppkey") \
+        .aggregate(Sum("qty_sum", alias_name="qty_sum")).to_pandas()
+    if len(agg) == 0:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype=object),
+                             "qty_sum": pd.Series([], dtype="int64")})
+    agg["qty_sum"] = agg.qty_sum.astype("int64")
+    total = sum(int(v) for v in agg.qty_sum)
+    n = len(agg)
+    keep = [int(v) * n > total for v in agg.qty_sum]
+    out = agg[pd.Series(keep, index=agg.index)].copy()
+
+    supp = read_table(table_path(sf_dir, "supplier"),
+                      columns=["s_suppkey", "s_name"]).to_pandas()
+    out = out.merge(supp, on="s_suppkey")
+    return out[["s_suppkey", "s_name", "qty_sum"]] \
+        .sort_values("s_suppkey").reset_index(drop=True)
+
+
+_Q20_PROMOTION_SQL = """
+WITH s AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%bolt%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, qty_sum
+FROM s JOIN supplier USING (s_suppkey)
+WHERE qty_sum * (SELECT count(*) FROM s) > (SELECT sum(qty_sum) FROM s)
+ORDER BY s_suppkey
 """
