@@ -1160,3 +1160,132 @@ def _keep_canonical_shuffle(ds, cc, id_col: str, *, node_col: str,
         cc.map_batches(tag_removed, batch_format="pyarrow"))
     return tagged.groupby("_b").map_groups(bucket_filter,
                                            batch_format="pyarrow")
+
+
+def substring_dup_spans(ds, *, id_col: str = "doc_id", col: str = "text",
+                        window: int = 40, stride: int = 10,
+                        num_buckets: int = 64):
+    """Exact substring (character-window) cross-document duplication
+    audit — the bounded, shuffle-friendly form of suffix-array exact
+    substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): every length-`window` character
+    span starting at a multiple of `stride` is hashed; a span is
+    DUPLICATED if its exact content occurs in >= 2 DISTINCT documents.
+    Per document (only documents owning >= 1 duplicated span):
+
+      n_windows     strided spans the doc contributes,
+      n_dup_windows how many are cross-doc duplicated,
+      dup_chars     characters covered by the union of its duplicated
+                    spans (overlapping spans merged exactly).
+
+    Distinct from segment_dedup_counts twofold: character granularity
+    with OVERLAPPING spans (catches duplication at any alignment up to
+    the stride), and cross-document occurrence (self-repeats inside
+    one doc do not count).
+
+    Plan (payload text never shuffles; all exchanged rows are 3-int):
+      1. map_batches: each batch's texts concatenate into ONE UTF-32
+         code-point buffer; every span hash is a vectorized weighted
+         sum over a sliding window view (chunked so the temp matrix
+         stays bounded) — no per-row Python loop, no span strings.
+         Emits (w_hash, doc_id, pos, n_windows, _b=mix(w_hash)%B).
+      2. groupby(_b).map_groups: all global occurrences of a span hash
+         share a bucket, so a within-bucket distinct-doc count >= 2 is
+         the GLOBAL cross-doc verdict; only duplicated rows survive,
+         re-keyed _db=mix(doc_id)%B.
+      3. groupby(_db).map_groups: per doc, sort positions once and
+         merge intervals with one vectorized diff (union coverage =
+         sum(min(gap, window)) + window).
+
+    Span equality is by 64-bit polynomial hash over code points (same
+    convention as segment_dedup_counts / exact_dedup); the oracle
+    compares true substrings.
+    """
+    P = np.uint64(0x100000001B3)
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+    weights = P ** np.arange(window, dtype=np.uint64)
+    W, S = int(window), int(stride)
+
+    def emit_windows(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "w_hash": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "n_windows": pa.array([], pa.int64()),
+            "_b": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
+        texts = t[col].to_pylist()
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        buf = np.frombuffer(
+            "".join(texts).encode("utf-32-le"), dtype=np.uint32)
+        lens = np.array([len(s) for s in texts], dtype=np.int64)
+        nw = np.where(lens >= W, (lens - W) // S + 1, 0)
+        total = int(nw.sum())
+        if total == 0 or len(buf) < W:
+            return empty
+        doc_off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        win_first = np.concatenate(([0], np.cumsum(nw)[:-1]))
+        local = np.arange(total, dtype=np.int64) - np.repeat(win_first, nw)
+        pos = local * S
+        starts = np.repeat(doc_off, nw) + pos
+        view = np.lib.stride_tricks.sliding_window_view(buf, W)
+        h = np.empty(total, dtype=np.uint64)
+        CHUNK = 1 << 16
+        for i in range(0, total, CHUNK):
+            sl = starts[i:i + CHUNK]
+            h[i:i + CHUNK] = (view[sl].astype(np.uint64)
+                              * weights).sum(axis=1)
+        h = (h ^ (h >> np.uint64(29))) * MIX
+        bucket = ((h * MIX) >> np.uint64(40)) % np.uint64(num_buckets)
+        return pa.table({
+            "w_hash": pa.array(h.view(np.int64)),
+            id_col: pa.array(np.repeat(ids, nw)),
+            "pos": pa.array(pos),
+            "n_windows": pa.array(np.repeat(nw, nw).astype(np.int64)),
+            "_b": pa.array(bucket.astype(np.int64))})
+
+    def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
+        cols = [id_col, "pos", "n_windows", "_db"]
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.array([], "int64") for c in cols})
+        ndoc = g.groupby("w_hash")[id_col].transform("nunique")
+        g = g[ndoc >= 2]
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.array([], "int64") for c in cols})
+        db = (_bucket_of(g[id_col], num_buckets)).astype(np.int64)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "pos": g["pos"].to_numpy(),
+            "n_windows": g["n_windows"].to_numpy(),
+            "_db": db})
+
+    def doc_coverage(g: pd.DataFrame) -> pd.DataFrame:
+        cols = [id_col, "n_windows", "n_dup_windows", "dup_chars"]
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.array([], "int64") for c in cols})
+        g = g.sort_values([id_col, "pos"])
+        ids = g[id_col].to_numpy()
+        pos = g["pos"].to_numpy()
+        new_doc = np.concatenate(([True], ids[1:] != ids[:-1]))
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[:-1] = np.minimum(pos[1:] - pos[:-1], W)
+        gap[-1] = W
+        gap[np.concatenate((new_doc[1:], [True]))] = W   # last of each doc
+        out = pd.DataFrame({id_col: ids, "_c": gap}) \
+            .groupby(id_col, as_index=False) \
+            .agg(n_dup_windows=("_c", "size"), dup_chars=("_c", "sum"))
+        nwin = g.iloc[np.flatnonzero(new_doc)][[id_col, "n_windows"]]
+        out = out.merge(nwin, on=id_col)
+        return out[cols].astype(
+            {c: np.int64 for c in cols})
+
+    wins = ds.map_batches(emit_windows, batch_format="pyarrow")
+    dups = wins.groupby("_b").map_groups(bucket_dups,
+                                         batch_format="pandas")
+    per_doc = dups.groupby("_db").map_groups(doc_coverage,
+                                             batch_format="pandas")
+    return per_doc.map_batches(
+        lambda t: t.select([id_col, "n_windows", "n_dup_windows",
+                            "dup_chars"]),
+        batch_format="pyarrow")

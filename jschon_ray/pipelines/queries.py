@@ -4277,6 +4277,8 @@ def build_queries() -> dict:
         "q11_important_parts": q_q11_important_parts,
         "q16_supplier_part_counts": q_q16_supplier_part_counts,
         "q20_promotion_suppliers": q_q20_promotion_suppliers,
+        "substring_dup_docs": q_substring_dup_docs,
+        "fingerprint_lookup_clips": q_fingerprint_lookup_clips,
     }
 
 
@@ -4498,6 +4500,7 @@ def build_oracles() -> dict:
         "q11_important_parts": _Q11_IMPORTANT_PARTS_SQL,
         "q16_supplier_part_counts": _Q16_SUPPLIER_COUNTS_SQL,
         "q20_promotion_suppliers": _Q20_PROMOTION_SQL,
+        "substring_dup_docs": _SUBSTRING_DUP_SQL,
     }
     return sql
 
@@ -10932,3 +10935,89 @@ FROM s JOIN supplier USING (s_suppkey)
 WHERE qty_sum * (SELECT count(*) FROM s) > (SELECT sum(qty_sum) FROM s)
 ORDER BY s_suppkey
 """
+
+
+def q_substring_dup_docs(sf_dir):
+    """Exact substring cross-doc duplication audit (bounded
+    suffix-array-style span dedup): overlapping 40-char windows at
+    stride 10, duplicated = identical content in >= 2 distinct docs;
+    per owning doc, window counts + exact union char coverage. Narrow
+    3-int rows shuffle twice (hash bucket, then doc bucket); document
+    text never leaves the scan stage."""
+    from ..functions.dedup import substring_dup_spans
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "text"])
+    return substring_dup_spans(ds, id_col="doc_id", col="text",
+                               window=40, stride=10)
+
+
+_SUBSTRING_DUP_SQL = """
+WITH wins AS (
+  SELECT doc_id, CAST(t.i * 10 AS BIGINT) AS pos,
+         substr(text, CAST(t.i * 10 + 1 AS BIGINT), 40) AS w,
+         CAST((length(text) - 40) // 10 + 1 AS BIGINT) AS n_windows
+  FROM documents,
+       UNNEST(range(CAST((length(text) - 40) // 10 + 1 AS BIGINT)))
+         AS t(i)
+  WHERE length(text) >= 40
+), freq AS (
+  SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2
+), dup AS (
+  SELECT doc_id, pos, n_windows FROM wins JOIN freq USING (w)
+), cov AS (
+  SELECT doc_id, n_windows,
+         CASE WHEN lead(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   IS NULL
+              THEN 40
+              ELSE least(lead(pos) OVER (PARTITION BY doc_id
+                                         ORDER BY pos) - pos, 40)
+         END AS c
+  FROM dup
+)
+SELECT doc_id, n_windows,
+       CAST(count(*) AS BIGINT) AS n_dup_windows,
+       CAST(sum(c) AS BIGINT) AS dup_chars
+FROM cov
+GROUP BY doc_id, n_windows
+"""
+
+
+def q_fingerprint_lookup_clips(sf_dir):
+    """Query-by-example audio retrieval: fingerprint 4 deterministic
+    query clips (members of planted duplicate groups in the fp corpus),
+    broadcast their landmarks, and probe the corpus landmark stream —
+    the corpus side never shuffles; only per-candidate vote partials
+    do. Each query retrieves itself (dt=0) plus its duplicate-group
+    partners at the planted frame offsets. Rows-only: DSP is not
+    SQL-expressible."""
+    from ..sources.clips import fp_corpus_cache_dir, fp_plan
+    from ..stages.fingerprint import AudioFingerprinter, fingerprint_lookup
+    from ..stages.taskpool import stage_fn
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    n = {"sf0.001": 500, "sf0.01": 5000, "sf0.1": 20000}.get(tag, 500)
+    ids, dup = fp_plan(n, seed=17)
+    query_ids = [ids[i] for i in sorted(dup)[:4]]   # 4 planted copies
+
+    corpus = read_table(fp_corpus_cache_dir(sf_dir),
+                        columns=["clip_id", "bytes", "codec"])
+    qset = pa.array(query_ids, pa.string())
+    qtab = pa.Table.from_pandas(
+        corpus.map_batches(
+            lambda t: t.filter(pc.is_in(t["clip_id"], value_set=qset)),
+            batch_format="pyarrow").to_pandas(),
+        preserve_index=False)          # 4 rows — driver-small by design
+    q_landmarks = AudioFingerprinter()(qtab)
+
+    lm = corpus.map_batches(stage_fn(AudioFingerprinter),
+                            batch_format="pyarrow", batch_size=128)
+    hits = fingerprint_lookup(lm, q_landmarks, min_matches=40)
+    out = hits.to_pandas()
+    if not len(out.columns):   # ray to_pandas drops cols when all-empty
+        out = pd.DataFrame({"query_id": pd.Series([], dtype=object),
+                            "clip_id": pd.Series([], dtype=object),
+                            "matches": pd.Series([], dtype="int64"),
+                            "dt": pd.Series([], dtype="int64")})
+    return out.sort_values(["query_id", "clip_id"]) \
+        .reset_index(drop=True)

@@ -271,3 +271,126 @@ def fingerprint_match_pairs(landmarks, *, min_matches: int = 12,
         pa.table({"id_a": pa.array([], pa.string()),
                   "id_b": pa.array([], pa.string()),
                   "matches": pa.array([], pa.int64())})).union(out)
+
+
+def fingerprint_lookup(landmarks, query_landmarks, *, min_matches: int = 12,
+                       n_buckets: int = 64):
+    """Query-by-example audio retrieval (the Shazam probe): find, for each
+    of a SMALL set of query clips, every corpus clip sharing >=
+    `min_matches` landmark hashes at one consistent time offset.
+
+    The dual of `fingerprint_match_pairs`: dedup shuffles the corpus
+    landmark table against itself; retrieval BROADCASTS the query
+    landmarks (a few hundred rows per query clip) and probes them inside
+    the corpus landmark scan, so the corpus side never shuffles at all —
+    the only exchanged rows are per-(corpus clip, query, dt) partial vote
+    counts, bounded by shared-hash candidates, never by corpus size. At
+    100 TB this is the difference between an all-to-all exchange and a
+    map-side semi-join: `ray.put` once, `np.searchsorted` per batch.
+
+    `query_landmarks`: (clip_id, fp_hash, t1) rows for the query clips
+    (run AudioFingerprinter over the query table — it is driver-small).
+    Returns a lazy Dataset (query_id, clip_id, matches, dt): `matches` is
+    the best same-offset vote count, `dt` its offset (corpus t1 - query
+    t1). Self-matches surface with dt=0 when the query is in the corpus.
+    """
+    import pandas as pd
+    import ray
+
+    from ..state.sketches import hash_array
+
+    if isinstance(query_landmarks, pa.Table):
+        qdf = query_landmarks.to_pandas()
+    else:
+        qdf = query_landmarks
+    q_names = sorted(qdf["clip_id"].unique().tolist())
+    code_of = {n: i for i, n in enumerate(q_names)}
+    qh = qdf["fp_hash"].to_numpy(np.int64)
+    order = np.argsort(qh, kind="stable")
+    qh = qh[order]
+    qcode = qdf["clip_id"].map(code_of).to_numpy(np.int64)[order]
+    qt = qdf["t1"].to_numpy(np.int64)[order]
+    probe_ref = ray.put((qh, qcode, qt))
+
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def _empty_part() -> pa.Table:
+        return pa.table({"clip_id": pa.array([], pa.string()),
+                         "qcode": pa.array([], pa.int64()),
+                         "dt": pa.array([], pa.int64()),
+                         "votes": pa.array([], pa.int64()),
+                         "bucket": pa.array([], pa.int64())})
+
+    def probe(t: pa.Table, ref) -> pa.Table:
+        qh_, qcode_, qt_ = ray.get(ref)   # zero-copy from the local store
+        if t.num_rows == 0 or len(qh_) == 0:
+            return _empty_part()
+        h = t["fp_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.searchsorted(qh_, h, side="left")
+        hi = np.searchsorted(qh_, h, side="right")
+        cnt = hi - lo
+        rows = np.flatnonzero(cnt)
+        if len(rows) == 0:
+            return _empty_part()
+        cnt_nz = cnt[rows]
+        rep = np.repeat(rows, cnt_nz)
+        first = np.concatenate(([0], np.cumsum(cnt_nz)[:-1]))
+        qpos = (np.arange(int(cnt_nz.sum()), dtype=np.int64)
+                - np.repeat(first, cnt_nz)) + np.repeat(lo[rows], cnt_nz)
+        t1 = t["t1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t["clip_id"].to_pandas()
+        part = pd.DataFrame({
+            "clip_id": ids.iloc[rep].to_numpy(),
+            "qcode": qcode_[qpos],
+            "dt": t1[rep] - qt_[qpos]}) \
+            .groupby(["clip_id", "qcode", "dt"], sort=False) \
+            .size().reset_index(name="votes")
+        with np.errstate(over="ignore"):
+            b = (hash_array(part["clip_id"])
+                 ^ (part["qcode"].to_numpy(np.uint64) * GOLD))
+        part["bucket"] = (b % np.uint64(n_buckets)).view(np.int64)
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    import functools
+
+    votes = landmarks.map_batches(
+        functools.partial(probe, ref=probe_ref), batch_format="pyarrow")
+
+    name_arr = np.asarray(q_names, dtype=object)
+
+    def combine(g: pd.DataFrame):
+        empty = pa.table({"query_id": pa.array([], pa.string()),
+                          "clip_id": pa.array([], pa.string()),
+                          "matches": pa.array([], pa.int64()),
+                          "dt": pa.array([], pa.int64())})
+        if len(g) == 0:
+            return empty
+        s = g.groupby(["clip_id", "qcode", "dt"], sort=False)["votes"] \
+            .sum().reset_index()
+        # layout-invariant tie-break: best votes, then smallest dt
+        s = s.sort_values(["clip_id", "qcode", "votes", "dt"],
+                          ascending=[True, True, False, True])
+        best = s.drop_duplicates(["clip_id", "qcode"], keep="first")
+        best = best[best["votes"] >= min_matches]
+        if not len(best):
+            return empty
+        return pa.table({
+            "query_id": pa.array(
+                name_arr[best["qcode"].to_numpy(np.int64)].tolist(),
+                pa.string()),
+            "clip_id": pa.array(best["clip_id"].tolist(), pa.string()),
+            "matches": pa.array(best["votes"].to_numpy(np.int64)),
+            "dt": pa.array(best["dt"].to_numpy(np.int64))})
+
+    out = votes.groupby("bucket").map_groups(combine, batch_format="pandas")
+    import ray.data
+
+    # zero-row typed seed keeps (query_id, clip_id, matches, dt) on an
+    # all-empty result (same convention as fingerprint_match_pairs /
+    # dedup._with_schema_seed; Dataset.to_pandas() still drops columns
+    # for fully-empty datasets — callers needing pandas rebuild there)
+    hit_schema = pa.schema([("query_id", pa.string()),
+                            ("clip_id", pa.string()),
+                            ("matches", pa.int64()),
+                            ("dt", pa.int64())])
+    return ray.data.from_arrow(hit_schema.empty_table()).union(out)

@@ -144,3 +144,57 @@ def test_partial_containment_detected(ray_session):
     assert ("full", "part") in set(zip(pairs["id_a"], pairs["id_b"]))
     assert not any("other" in p for pr in zip(pairs["id_a"], pairs["id_b"])
                    for p in pr)
+
+
+def test_fingerprint_lookup_retrieves_planted_groups(ray_session):
+    from jschon_ray.sources.clips import fp_plan, fp_truth_pairs
+    from jschon_ray.stages.fingerprint import fingerprint_lookup
+
+    n = 300
+    t, truth = generate_fp_clips(n, seed=23)
+    t = t.select(["clip_id", "bytes", "codec"])
+    ids, dup = fp_plan(n, seed=23)
+    assert dup, "plan must plant duplicates"
+    groups = {}
+    for a, b in truth:
+        groups.setdefault(a, set()).add(b)
+        groups.setdefault(b, set()).add(a)
+
+    query_ids = [ids[i] for i in sorted(dup)[:3]]
+    fp = AudioFingerprinter()
+    mask = pa.compute.is_in(t["clip_id"],
+                            value_set=pa.array(query_ids, pa.string()))
+    q_landmarks = fp(t.filter(mask))
+
+    corpus = ray.data.from_arrow(t).map_batches(
+        stage_fn(AudioFingerprinter), batch_format="pyarrow",
+        batch_size=64)
+    out = fingerprint_lookup(corpus, q_landmarks,
+                             min_matches=40).to_pandas()
+
+    for q in query_ids:
+        got = out[out.query_id == q]
+        # self-match at offset zero, with the strongest possible score
+        me = got[got.clip_id == q]
+        assert len(me) == 1 and int(me.dt.iloc[0]) == 0
+        # retrieved set == the planted duplicate group, nothing else
+        assert set(got.clip_id) - {q} == groups.get(q, set())
+
+
+def test_fingerprint_lookup_no_queries_in_corpus(ray_session):
+    from jschon_ray.stages.fingerprint import fingerprint_lookup
+
+    t, _ = generate_fp_clips(60, seed=31)
+    t = t.select(["clip_id", "bytes", "codec"])
+    # query clips from a DIFFERENT seed: no content overlap expected
+    tq, _ = generate_fp_clips(4, seed=99)
+    fp = AudioFingerprinter()
+    q_landmarks = fp(tq.select(["clip_id", "bytes", "codec"]))
+
+    corpus = ray.data.from_arrow(t).map_batches(
+        stage_fn(AudioFingerprinter), batch_format="pyarrow",
+        batch_size=64)
+    hits = fingerprint_lookup(corpus, q_landmarks, min_matches=40)
+    # the zero-row typed seed keeps the schema on an all-empty result
+    assert hits.schema().names == ["query_id", "clip_id", "matches", "dt"]
+    assert hits.count() == 0
