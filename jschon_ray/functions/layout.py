@@ -212,3 +212,108 @@ def pruned_scan(out_dir: str, predicates: dict[str, tuple], **read_kwargs):
         return ds, {"files_total": len(files), "files_read": 0}
     ds = ray.data.read_parquet(keep, filter=expr, **read_kwargs)
     return ds, {"files_total": len(files), "files_read": len(keep)}
+
+
+# --------------------------------------------------------------------------
+# hash-partitioned layout + per-file Bloom sidecars (point-lookup pruning)
+# --------------------------------------------------------------------------
+
+def hash_partition_write(ds, key_col: str, out_dir: str, *,
+                         num_files: int = 32) -> dict:
+    """Write ``ds`` hash-partitioned by ``key_col`` into ``num_files``
+    parquet files (every key's rows land in exactly ONE file — the
+    layout point lookups want, where z-order wants box scans).
+    Deterministic file names per bucket make task retries idempotent.
+    Returns {"files": n, "rows": n}.
+    """
+    from ..state.sketches import hash_array
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        k = pd.Series(t[key_col].to_numpy(zero_copy_only=False))
+        b = (hash_array(k) % np.uint64(num_files)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    def write_bucket(g: pa.Table) -> pa.Table:
+        b = int(g["__bucket"][0].as_py())
+        g = g.drop_columns(["__bucket"])
+        path = os.path.join(out_dir, f"part-{b:05d}.parquet")
+        pq.write_table(g, path)
+        return pa.table({"file": [path], "rows": [g.num_rows]})
+
+    manifest = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__bucket") \
+        .map_groups(write_bucket, batch_format="pyarrow").to_pandas()
+    return {"files": len(manifest), "rows": int(manifest["rows"].sum())}
+
+
+def bloom_index_write(out_dir: str, col: str, *, num_bits: int = 1 << 20,
+                      num_hashes: int = 4) -> dict:
+    """Build one Bloom-filter sidecar per ``part-*.parquet`` file in
+    ``out_dir`` over ``col`` (written as ``<file>.bloom``). Min/max
+    footer stats prune RANGE predicates; point lookups over a
+    hash-partitioned or unclustered layout need per-file MEMBERSHIP —
+    this is the classic file-skipping bloom index of analytic table
+    formats. One Ray task per file reads ONLY the key column; the
+    driver never sees row data. Returns {"files": n}.
+    """
+    import glob
+
+    import ray
+
+    from ..state.sketches import BloomFilter, hash_array
+
+    files = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+
+    @ray.remote(num_cpus=1)
+    def build_one(path: str) -> str:
+        import pandas as pd
+        t = pq.read_table(path, columns=[col])
+        bf = BloomFilter(num_bits=num_bits, num_hashes=num_hashes)
+        vals = t[col].drop_null()
+        if len(vals):
+            bf.add_hashes(hash_array(
+                pd.Series(vals.to_numpy(zero_copy_only=False))))
+        side = path + ".bloom"
+        with open(side, "wb") as f:
+            f.write(bf.to_bytes())
+        return side
+
+    ray.get([build_one.remote(f) for f in files])
+    return {"files": len(files)}
+
+
+def bloom_point_scan(out_dir: str, col: str, keys, **read_kwargs):
+    """Read only the files whose Bloom sidecar MAY contain any of
+    ``keys`` (no false negatives: a file skipped by its bloom provably
+    holds none of the keys), with the exact ``IN`` residual filter
+    applied inside the read. Sidecars are O(KB) driver metadata reads —
+    no data pages are touched for skipped files.
+
+    Returns (dataset, {"files_total": n, "files_read": n}).
+    """
+    import glob
+
+    import pandas as pd
+    import ray.data
+    from pyarrow import dataset as pads
+
+    from ..state.sketches import BloomFilter, hash_array
+
+    files = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    key_hashes = hash_array(pd.Series(list(keys)))
+    keep = []
+    for f in files:
+        with open(f + ".bloom", "rb") as fh:
+            bf = BloomFilter.from_bytes(fh.read())
+        if bool(bf.contains_hashes(key_hashes).any()):
+            keep.append(f)
+
+    expr = pads.field(col).isin(list(keys))
+    if not keep:
+        ds = ray.data.read_parquet(files[:1], filter=expr, **read_kwargs)
+        return ds, {"files_total": len(files), "files_read": 0}
+    ds = ray.data.read_parquet(keep, filter=expr, **read_kwargs)
+    return ds, {"files_total": len(files), "files_read": len(keep)}

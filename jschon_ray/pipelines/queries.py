@@ -4279,6 +4279,7 @@ def build_queries() -> dict:
         "q20_promotion_suppliers": q_q20_promotion_suppliers,
         "substring_dup_docs": q_substring_dup_docs,
         "fingerprint_lookup_clips": q_fingerprint_lookup_clips,
+        "bloom_pointlookup_lineitem": q_bloom_pointlookup_lineitem,
     }
 
 
@@ -4501,6 +4502,7 @@ def build_oracles() -> dict:
         "q16_supplier_part_counts": _Q16_SUPPLIER_COUNTS_SQL,
         "q20_promotion_suppliers": _Q20_PROMOTION_SQL,
         "substring_dup_docs": _SUBSTRING_DUP_SQL,
+        "bloom_pointlookup_lineitem": _BLOOM_POINTLOOKUP_SQL,
     }
     return sql
 
@@ -11021,3 +11023,69 @@ def q_fingerprint_lookup_clips(sf_dir):
                             "dt": pd.Series([], dtype="int64")})
     return out.sort_values(["query_id", "clip_id"]) \
         .reset_index(drop=True)
+
+
+_BLOOM_LOOKUP_KEYS = [97 * i for i in range(1, 25)]   # deterministic probes
+
+
+def q_bloom_pointlookup_lineitem(sf_dir):
+    """Point-lookup aggregate over a hash-partitioned lineitem layout
+    with per-file Bloom sidecars: partition once by l_orderkey into 32
+    files (each key wholly in one file), index each file with a Bloom
+    filter over the key column, then answer a 24-key IN probe by
+    reading ONLY the files whose sidecar may contain a probe key
+    (functions/layout.py hash_partition_write / bloom_index_write /
+    bloom_point_scan — membership skipping where min/max stats cannot
+    prune point sets; no false negatives, so the result is byte-equal
+    to the unpruned filter, which is exactly what the oracle checks).
+    Layout + sidecars are a /tmp cache fingerprinted by source
+    size+mtime."""
+    import os
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.layout import (bloom_index_write, bloom_point_scan,
+                                    hash_partition_write)
+
+    tag = _index_cache_tag(sf_dir, "lineitem")
+    out_dir = f"/tmp/jschon_ray_bloomidx_{tag}"
+    if not os.path.exists(os.path.join(out_dir, "_INDEXED")):
+        ds = read_table(table_path(sf_dir, "lineitem"),
+                        columns=["l_orderkey", "l_extendedprice",
+                                 "l_discount"])
+        hash_partition_write(ds, "l_orderkey", out_dir, num_files=32)
+        bloom_index_write(out_dir, "l_orderkey")
+        with open(os.path.join(out_dir, "_INDEXED"), "w") as f:
+            f.write("ok")
+
+    ds, stats = bloom_point_scan(out_dir, "l_orderkey",
+                                 _BLOOM_LOOKUP_KEYS)
+
+    def to_exact(t: pa.Table) -> pa.Table:
+        rev = pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"], 100.0),
+            pc.subtract(1.0, t["l_discount"])),
+            round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_e2": rev})
+
+    out = ds.map_batches(to_exact, batch_format="pyarrow") \
+        .groupby("l_orderkey") \
+        .aggregate(Sum("rev_e2", alias_name="rev_e2"),
+                   Count(alias_name="n_lines")) \
+        .to_pandas()
+    out["rev_e2"] = out["rev_e2"].astype("int64")
+    out["n_lines"] = out["n_lines"].astype("int64")
+    return out[["l_orderkey", "n_lines", "rev_e2"]] \
+        .sort_values("l_orderkey").reset_index(drop=True)
+
+
+_BLOOM_POINTLOOKUP_SQL = f"""
+SELECT l_orderkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * 100 * (1 - l_discount))
+                     AS BIGINT)) AS BIGINT) AS rev_e2
+FROM lineitem
+WHERE l_orderkey IN ({', '.join(str(k) for k in _BLOOM_LOOKUP_KEYS)})
+GROUP BY 1
+ORDER BY 1
+"""

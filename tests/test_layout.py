@@ -97,3 +97,38 @@ def test_zorder_nulls_cluster_low(ray_session, tmp_path):
     assert info["rows"] == 600  # nulls written, not dropped
     ds, _ = pruned_scan(out, {"a": (900, 900)})
     assert ds.count() == 100
+
+
+def test_bloom_point_scan_prunes_and_is_exact(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from jschon_ray.functions.layout import (bloom_index_write,
+                                             bloom_point_scan,
+                                             hash_partition_write)
+
+    n = 20000
+    rng = np.random.default_rng(3)
+    t = pa.table({"k": pa.array(np.arange(n, dtype=np.int64)),
+                  "v": pa.array(rng.integers(0, 100, n).astype(np.int64))})
+    out = str(tmp_path / "bloomidx")
+    info = hash_partition_write(ray.data.from_arrow(t), "k", out,
+                                num_files=16)
+    assert info["files"] == 16 and info["rows"] == n
+    bloom_index_write(out, "k", num_bits=1 << 16)
+
+    keys = [5, 777, 13000]
+    ds, stats = bloom_point_scan(out, "k", keys)
+    got = ds.to_pandas().sort_values("k").reset_index(drop=True)
+    assert got.k.tolist() == sorted(keys)           # no false negatives
+    assert got.v.tolist() == [int(t["v"][k].as_py()) for k in sorted(keys)]
+    # membership skipping must beat reading everything (3 keys live in
+    # <= 3 of 16 files; bloom fp could admit a few more, never all)
+    assert stats["files_read"] <= 6 < stats["files_total"] == 16
+
+    # absent keys: every file may be bloom-skipped; result is empty but
+    # the schema survives via the residual-filtered single-file read
+    ds2, stats2 = bloom_point_scan(out, "k", [10 ** 9, 10 ** 9 + 1])
+    assert ds2.count() == 0
+    assert stats2["files_read"] <= 1
