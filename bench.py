@@ -218,6 +218,12 @@ def run_benchmarks() -> dict:
     timed("audio_fingerprint_dedup",
           lambda: Q.q_audio_fingerprint_dedup_clips(SF_DIR).count())
 
+    # 12. exact substring span dedup (bounded suffix-array form):
+    # strided UTF-32 window hashes -> cross-doc distinct verdict ->
+    # per-doc interval-union coverage; 3-int rows shuffle, text never
+    timed("substring_dup_docs",
+          lambda: Q.q_substring_dup_docs(SF_DIR).count())
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "headline_pipelines_total",

@@ -4280,6 +4280,8 @@ def build_queries() -> dict:
         "substring_dup_docs": q_substring_dup_docs,
         "fingerprint_lookup_clips": q_fingerprint_lookup_clips,
         "bloom_pointlookup_lineitem": q_bloom_pointlookup_lineitem,
+        "filter_cascade_docs": q_filter_cascade_docs,
+        "grouped_split_docs": q_grouped_split_docs,
     }
 
 
@@ -4503,6 +4505,8 @@ def build_oracles() -> dict:
         "q20_promotion_suppliers": _Q20_PROMOTION_SQL,
         "substring_dup_docs": _SUBSTRING_DUP_SQL,
         "bloom_pointlookup_lineitem": _BLOOM_POINTLOOKUP_SQL,
+        "filter_cascade_docs": _FILTER_CASCADE_SQL,
+        "grouped_split_docs": _GROUPED_SPLIT_SQL,
     }
     return sql
 
@@ -11088,4 +11092,128 @@ FROM lineitem
 WHERE l_orderkey IN ({', '.join(str(k) for k in _BLOOM_LOOKUP_KEYS)})
 GROUP BY 1
 ORDER BY 1
+"""
+
+
+def q_filter_cascade_docs(sf_dir):
+    """Staged quality-filter cascade with per-stage survivor accounting
+    — the yield report every corpus-cleaning pipeline publishes (each
+    gate sees only the previous gate's survivors): length band ->
+    language allowlist -> minimum word count -> mean-word-length cap.
+    ONE streaming pass: cumulative masks per batch emit 4 partial
+    (stage, n_in, n_out) rows per block, summed in one tiny groupby —
+    counts are additive across blocks, so the global funnel is exact.
+    The mean-word-length gate cross-multiplies integers
+    (nonspace <= 8 * n_words) so no float division enters a verdict."""
+    from ray.data.aggregate import Sum
+
+    STAGES = ["length", "lang", "min_words", "mean_word_len"]
+    LANGS = ("en", "de", "fr", "es")
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["text", "lang", "n_chars"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        texts = t["text"].to_pandas()
+        nw = texts.str.split().str.len().fillna(0).to_numpy(np.int64)
+        nonspace = texts.str.replace(r"\s", "", regex=True) \
+            .str.len().to_numpy(np.int64)
+        nchars = t["n_chars"].to_numpy(zero_copy_only=False)
+        lang = t["lang"].to_pandas()
+        m1 = (nchars >= 120) & (nchars <= 480)
+        m2 = m1 & lang.isin(LANGS).to_numpy()
+        m3 = m2 & (nw >= 20)
+        m4 = m3 & (nonspace <= 8 * nw)
+        ins = np.array([n, m1.sum(), m2.sum(), m3.sum()], np.int64)
+        outs = np.array([m1.sum(), m2.sum(), m3.sum(), m4.sum()],
+                        np.int64)
+        return pa.table({"stage_no": pa.array([1, 2, 3, 4], pa.int64()),
+                         "n_in": pa.array(ins), "n_out": pa.array(outs)})
+
+    agg = ds.map_batches(partials, batch_format="pyarrow") \
+        .groupby("stage_no") \
+        .aggregate(Sum("n_in", alias_name="n_in"),
+                   Sum("n_out", alias_name="n_out")).to_pandas()
+    agg = agg.sort_values("stage_no").reset_index(drop=True)
+    agg["stage"] = [STAGES[i - 1] for i in agg.stage_no]
+    agg["n_in"] = agg.n_in.astype("int64")
+    agg["n_out"] = agg.n_out.astype("int64")
+    return agg[["stage_no", "stage", "n_in", "n_out"]]
+
+
+_FILTER_CASCADE_SQL = r"""
+WITH f AS (
+  SELECT n_chars, lang,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '')) AS nw,
+         length(regexp_replace(text, '\s', '', 'g')) AS nonspace
+  FROM documents),
+m AS (
+  SELECT (n_chars BETWEEN 120 AND 480) AS p1,
+         (n_chars BETWEEN 120 AND 480)
+           AND lang IN ('en', 'de', 'fr', 'es') AS p2,
+         (n_chars BETWEEN 120 AND 480)
+           AND lang IN ('en', 'de', 'fr', 'es') AND nw >= 20 AS p3,
+         (n_chars BETWEEN 120 AND 480)
+           AND lang IN ('en', 'de', 'fr', 'es') AND nw >= 20
+           AND nonspace <= 8 * nw AS p4
+  FROM f)
+SELECT CAST(1 AS BIGINT) AS stage_no, 'length' AS stage,
+       CAST(count(*) AS BIGINT) AS n_in,
+       CAST(count(*) FILTER (WHERE p1) AS BIGINT) AS n_out FROM m
+UNION ALL
+SELECT 2, 'lang', CAST(count(*) FILTER (WHERE p1) AS BIGINT),
+       CAST(count(*) FILTER (WHERE p2) AS BIGINT) FROM m
+UNION ALL
+SELECT 3, 'min_words', CAST(count(*) FILTER (WHERE p2) AS BIGINT),
+       CAST(count(*) FILTER (WHERE p3) AS BIGINT) FROM m
+UNION ALL
+SELECT 4, 'mean_word_len', CAST(count(*) FILTER (WHERE p3) AS BIGINT),
+       CAST(count(*) FILTER (WHERE p4) AS BIGINT) FROM m
+ORDER BY stage_no
+"""
+
+
+def q_grouped_split_docs(sf_dir):
+    """Leakage-safe train/heldout split: the split key is the SOURCE,
+    not the document, so near-duplicates within one crawl source can
+    never straddle the boundary (the contamination failure mode of
+    per-doc splits). Pure per-batch kernel over the hashed source —
+    no shuffle, layout-invariant; the per-(source, split) counts it
+    returns PROVE the invariant: every source maps to exactly one
+    split."""
+    from ray.data.aggregate import Count
+
+    from ..functions.split import assign_split
+
+    ds = read_table(table_path(sf_dir, "documents"),
+                    columns=["doc_id", "source"])
+    ds = ds.map_batches(
+        functools.partial(assign_split, id_col="source",
+                          fracs={"train": 0.8, "heldout": 0.2}),
+        batch_format="pyarrow")
+
+    def key(t: pa.Table) -> pa.Table:
+        return pa.table({"source_split": pc.binary_join_element_wise(
+            t["source"], t["split"], "|")})
+
+    out = ds.map_batches(key, batch_format="pyarrow") \
+        .groupby("source_split") \
+        .aggregate(Count(alias_name="n_docs")).to_pandas()
+    parts = out.source_split.str.split("|")
+    out["source"] = parts.str[0]
+    out["split"] = parts.str[1]
+    out["n_docs"] = out.n_docs.astype("int64")
+    return out[["source", "split", "n_docs"]] \
+        .sort_values(["source", "split"]).reset_index(drop=True)
+
+
+_GROUPED_SPLIT_SQL = f"""
+SELECT source,
+       CASE WHEN u < 0.8 THEN 'train' ELSE 'heldout' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM (SELECT source, {_U_SQL.format(id='source')} AS u FROM documents)
+GROUP BY 1, 2
+ORDER BY 1, 2
 """
