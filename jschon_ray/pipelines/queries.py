@@ -4282,6 +4282,7 @@ def build_queries() -> dict:
         "bloom_pointlookup_lineitem": q_bloom_pointlookup_lineitem,
         "filter_cascade_docs": q_filter_cascade_docs,
         "grouped_split_docs": q_grouped_split_docs,
+        "merge_orders_cdc": q_merge_orders_cdc,
     }
 
 
@@ -4507,6 +4508,7 @@ def build_oracles() -> dict:
         "bloom_pointlookup_lineitem": _BLOOM_POINTLOOKUP_SQL,
         "filter_cascade_docs": _FILTER_CASCADE_SQL,
         "grouped_split_docs": _GROUPED_SPLIT_SQL,
+        "merge_orders_cdc": _MERGE_ORDERS_CDC_SQL,
     }
     return sql
 
@@ -11216,4 +11218,111 @@ SELECT source,
 FROM (SELECT source, {_U_SQL.format(id='source')} AS u FROM documents)
 GROUP BY 1, 2
 ORDER BY 1, 2
+"""
+
+
+def q_merge_orders_cdc(sf_dir):
+    """CDC MERGE apply (upsert engine op): a change-set of DELETEs
+    (o_orderkey % 97 == 0), UPDATEs (price +1.00 where key % 10 == 3)
+    and INSERTs (key + 10_000_000 clones where key % 1000 == 1) is
+    applied to the base orders table through ONE bucketed full-outer
+    co-group on the key (functions/join.hash_join how='full'): a
+    matched DELETE drops the row, a matched UPDATE replaces it, an
+    unmatched delta row inserts — the reference's JSONPatch add/
+    remove/replace ops (vspec/patch.py; reference json.py:327-445)
+    lifted from one document to a keyed table. Verdict surface: the
+    merged table's per-priority counts and exact cent sums (every op
+    type shifts them)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.join import hash_join
+
+    base = read_table(table_path(sf_dir, "orders"),
+                      columns=["o_orderkey", "o_orderpriority",
+                               "o_totalprice"])
+
+    def project_base(t: pa.Table) -> pa.Table:
+        price = pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                         round_mode="half_towards_infinity") \
+            .cast(pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_orderpriority": t["o_orderpriority"],
+                         "price_e2": price})
+
+    base = base.map_batches(project_base, batch_format="pyarrow")
+
+    def make_delta(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        # DELETE takes precedence: a key matching both rules gets ONE
+        # delta row (one op per key is the CDC-feed invariant the
+        # full-outer apply relies on)
+        dele = t.filter(pa.array(k % 97 == 0))
+        upd = t.filter(pa.array((k % 10 == 3) & (k % 97 != 0)))
+        ins = t.filter(pa.array(k % 1000 == 1))
+        out = pa.table({
+            "o_orderkey": pa.concat_arrays([
+                dele["o_orderkey"].combine_chunks(),
+                upd["o_orderkey"].combine_chunks(),
+                pc.add(ins["o_orderkey"], 10_000_000).combine_chunks()]),
+            "op": pa.array(["D"] * dele.num_rows + ["U"] * upd.num_rows
+                           + ["I"] * ins.num_rows, pa.string()),
+            "new_priority": pa.concat_arrays([
+                dele["o_orderpriority"].combine_chunks(),
+                upd["o_orderpriority"].combine_chunks(),
+                ins["o_orderpriority"].combine_chunks()]),
+            "new_price_e2": pa.concat_arrays([
+                dele["price_e2"].combine_chunks(),
+                pc.add(upd["price_e2"], 100).combine_chunks(),
+                ins["price_e2"].combine_chunks()])})
+        return out
+
+    delta = base.map_batches(make_delta, batch_format="pyarrow")
+    merged = hash_join(base, delta, on="o_orderkey", how="full")
+
+    def apply_ops(t: pa.Table) -> pa.Table:
+        op = t["op"].to_numpy(zero_copy_only=False)
+        pri = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        price = t["price_e2"].to_numpy(zero_copy_only=False)
+        npri = t["new_priority"].to_numpy(zero_copy_only=False)
+        nprice = t["new_price_e2"].to_numpy(zero_copy_only=False)
+        keep = op != "D"                       # matched deletes drop
+        out_pri = np.where((op == "U") | (op == "I"), npri, pri)
+        out_price = np.where((op == "U") | (op == "I"),
+                             nprice, price)
+        return pa.table({
+            "o_orderpriority": pa.array(out_pri[keep].tolist(),
+                                        pa.string()),
+            "price_e2": pa.array(
+                out_price[keep].astype(np.int64))})
+
+    agg = merged.map_batches(apply_ops, batch_format="pyarrow") \
+        .groupby("o_orderpriority") \
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("price_e2", alias_name="sum_price_e2")) \
+        .to_pandas()
+    agg["n_orders"] = agg.n_orders.astype("int64")
+    agg["sum_price_e2"] = agg.sum_price_e2.astype("int64")
+    return agg.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+_MERGE_ORDERS_CDC_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_e2
+  FROM orders),
+merged AS (
+  SELECT o_orderpriority, price_e2 FROM base
+  WHERE o_orderkey % 97 <> 0 AND o_orderkey % 10 <> 3
+  UNION ALL
+  SELECT o_orderpriority, price_e2 + 100 FROM base
+  WHERE o_orderkey % 10 = 3 AND o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderpriority, price_e2 FROM base
+  WHERE o_orderkey % 1000 = 1)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(price_e2) AS BIGINT) AS sum_price_e2
+FROM merged
+GROUP BY 1
+ORDER BY 1
 """
