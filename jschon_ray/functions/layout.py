@@ -246,6 +246,8 @@ def hash_partition_write(ds, key_col: str, out_dir: str, *,
     manifest = ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("__bucket") \
         .map_groups(write_bucket, batch_format="pyarrow").to_pandas()
+    if len(manifest) == 0:     # empty input: zero groups, column-less frame
+        return {"files": 0, "rows": 0}
     return {"files": len(manifest), "rows": int(manifest["rows"].sum())}
 
 
@@ -303,6 +305,10 @@ def bloom_point_scan(out_dir: str, col: str, keys, **read_kwargs):
     from ..state.sketches import BloomFilter, hash_array
 
     files = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    if not files:
+        raise ValueError(
+            f"bloom_point_scan: no part-*.parquet files under {out_dir} "
+            "(empty layout — write it with hash_partition_write first)")
     key_hashes = hash_array(pd.Series(list(keys)))
     keep = []
     for f in files:

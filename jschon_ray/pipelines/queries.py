@@ -10558,6 +10558,9 @@ def q_q2_min_cost_supplier(sf_dir):
                       columns=["s_suppkey", "s_name",
                                "s_nationkey"]).to_pandas()
     supp = supp[supp.s_nationkey.astype(int).isin(eu_nations)]
+    if len(supp) and int(supp.s_suppkey.max()) >= (1 << 20):
+        raise ValueError("q2_min_cost_supplier: s_suppkey exceeds the "
+                         "2^20 (partkey, suppkey) pack width")
     supp_keys = pa.array(sorted(int(k) for k in supp.s_suppkey), pa.int64())
     name_of = dict(zip((int(k) for k in supp.s_suppkey), supp.s_name))
 
@@ -10821,6 +10824,9 @@ def q_q16_supplier_part_counts(sf_dir):
 
     supp = read_table(table_path(sf_dir, "supplier"),
                       columns=["s_suppkey", "s_acctbal"]).to_pandas()
+    if len(supp) and int(supp.s_suppkey.max()) >= (1 << 20):
+        raise ValueError("q16_supplier_part_counts: s_suppkey exceeds "
+                         "the 2^20 (partkey, suppkey) pack width")
     bad = sorted(int(k) for k in supp[supp.s_acctbal < 0].s_suppkey)
     bad_keys = pa.array(bad, pa.int64())
 
@@ -11008,14 +11014,16 @@ def q_fingerprint_lookup_clips(sf_dir):
     ids, dup = fp_plan(n, seed=17)
     query_ids = [ids[i] for i in sorted(dup)[:4]]   # 4 planted copies
 
-    corpus = read_table(fp_corpus_cache_dir(sf_dir),
+    import pyarrow.parquet as pq
+
+    corpus_dir = fp_corpus_cache_dir(sf_dir)
+    corpus = read_table(corpus_dir,
                         columns=["clip_id", "bytes", "codec"])
-    qset = pa.array(query_ids, pa.string())
-    qtab = pa.Table.from_pandas(
-        corpus.map_batches(
-            lambda t: t.filter(pc.is_in(t["clip_id"], value_set=qset)),
-            batch_format="pyarrow").to_pandas(),
-        preserve_index=False)          # 4 rows — driver-small by design
+    # the 4 query rows come from a pushed-down parquet predicate —
+    # kilobytes read, not a second full corpus scan
+    qtab = pq.read_table(corpus_dir,
+                         columns=["clip_id", "bytes", "codec"],
+                         filters=[("clip_id", "in", query_ids)])
     q_landmarks = AudioFingerprinter()(qtab)
 
     lm = corpus.map_batches(stage_fn(AudioFingerprinter),
@@ -11120,7 +11128,7 @@ def q_filter_cascade_docs(sf_dir):
         texts = t["text"].to_pandas()
         nw = texts.str.split().str.len().fillna(0).to_numpy(np.int64)
         nonspace = texts.str.replace(r"\s", "", regex=True) \
-            .str.len().to_numpy(np.int64)
+            .str.len().fillna(0).to_numpy(np.int64)
         nchars = t["n_chars"].to_numpy(zero_copy_only=False)
         lang = t["lang"].to_pandas()
         m1 = (nchars >= 120) & (nchars <= 480)
@@ -11259,6 +11267,13 @@ def q_merge_orders_cdc(sf_dir):
         dele = t.filter(pa.array(k % 97 == 0))
         upd = t.filter(pa.array((k % 10 == 3) & (k % 97 != 0)))
         ins = t.filter(pa.array(k % 1000 == 1))
+        # insert keys must land OUTSIDE the base keyspace or the
+        # full-outer apply would silently REPLACE a real order instead
+        # of inserting — fail loud past the offset
+        if len(k) and int(k.max()) >= 10_000_000:
+            raise ValueError(
+                "merge_orders_cdc: base o_orderkey >= 10_000_000 "
+                "collides with the synthetic insert keyspace")
         out = pa.table({
             "o_orderkey": pa.concat_arrays([
                 dele["o_orderkey"].combine_chunks(),
