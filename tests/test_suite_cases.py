@@ -89,6 +89,11 @@ SHARED_WITH_2019 = {
     # uniqueItems' deep-equality semantics are identical in 2019-09
     # (validation.py:163-177 is registered unchanged in both catalogs)
     "uniqueItems.json",
+    # wrapper-transparency matrix: every wrapper shape (allOf/anyOf/
+    # oneOf/not-not/if-then-else/$ref) exists with identical verdict
+    # semantics in 2019-09; generator verified all 500 triples against
+    # the reference under 2020-12, 2019-09 AND next
+    "generated_wrapper_matrix.json",
 }
 
 
