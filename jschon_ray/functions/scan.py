@@ -77,7 +77,7 @@ def global_rank(ds, *, id_col: str, seed: int = 42,
     Two-phase scan (see module docstring); emits (id_col, out). Ranks are
     globally contiguous 0..n-1 regardless of partitioning.
     """
-    keyed = ds.map_batches(
+    keyed = ds.select_columns([id_col]).map_batches(
         _hash_bucket_batch, batch_format="pyarrow",
         fn_kwargs=dict(id_col=id_col, seed=seed, num_buckets=num_buckets))
     # consumed twice (bucket totals, then the rank pass) — materialize the
@@ -118,7 +118,7 @@ def global_ntile(ds, *, id_col: str, k: int, seed: int = 42,
     never the data); the tile is a pure function of (rank, total, k), so
     the second pass stays embarrassingly parallel.
     """
-    keyed = ds.map_batches(
+    keyed = ds.select_columns([id_col]).map_batches(
         _hash_bucket_batch, batch_format="pyarrow",
         fn_kwargs=dict(id_col=id_col, seed=seed, num_buckets=num_buckets))
     keyed = keyed.materialize()
@@ -157,12 +157,15 @@ def pack_sequences(ds, *, id_col: str, tokens_col: str, budget: int,
     offsets, only balance degrades. Emits (id_col, tokens_col, pack_id,
     pack_pos) where pack_pos is the token offset inside the pack.
     """
-    import pyarrow.compute as pc
-
-    stats = ds.aggregate(*_min_max(id_col))
+    narrow = ds.select_columns([id_col, tokens_col])
+    stats = narrow.aggregate(*_min_max(id_col))
     lo, hi = stats[f"min({id_col})"], stats[f"max({id_col})"]
+    if lo is None:               # empty input: no packs
+        import ray.data
+
+        return ray.data.from_items([])
     edges = np.linspace(lo, hi, num_buckets + 1)[1:-1]
-    keyed = ds.map_batches(
+    keyed = narrow.map_batches(
         _range_bucket_batch, batch_format="pyarrow",
         fn_kwargs=dict(id_col=id_col, edges=edges))
     keyed = keyed.materialize()  # consumed twice; narrow columns only
@@ -180,7 +183,6 @@ def pack_sequences(ds, *, id_col: str, tokens_col: str, budget: int,
             out: excl // budget,
             "pack_pos": excl % budget})
 
-    del pc
     return keyed.groupby("_bucket").map_groups(pack_group)
 
 
@@ -273,16 +275,24 @@ def weighted_sample_topk(ds, *, id_col: str, weight_col: str, k: int,
         key[ok] = np.log(u[ok]) / w[ok]
         order = np.argsort(-key, kind="stable")[:k]
         order = order[np.isfinite(key[order])]
+        idx = pa.array(order, pa.int64())
         return pa.table({
-            id_col: pa.array([ids[i] for i in order]),
-            weight_col: t[weight_col].take(pa.array(order, pa.int64())),
-            "_key": pa.array(key[order]),
+            id_col: t[id_col].take(idx),      # typed even when empty
+            weight_col: t[weight_col].take(idx),
+            "_key": pa.array(key[order], pa.float64()),
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     # k per block -> the candidate set is tiny; one driver-side merge
-    cand = pa.concat_tables(
-        list(parts.iter_batches(batch_format="pyarrow")))
+    tables = list(parts.iter_batches(batch_format="pyarrow"))
+    if not tables:
+        # empty input or no row with a valid positive weight
+        sch = ds.schema()
+        id_type = dict(zip(sch.names, sch.types))[id_col]
+        w_type = dict(zip(sch.names, sch.types))[weight_col]
+        return pa.schema([(id_col, id_type),
+                          (weight_col, w_type)]).empty_table()
+    cand = pa.concat_tables(tables)
     key = cand["_key"].to_numpy(zero_copy_only=False)
     ids = cand[id_col].to_numpy(zero_copy_only=False)
     order = np.lexsort((ids, -key))[:k]

@@ -164,6 +164,11 @@ def _resolve_buckets(ds, num_buckets, *, row_bytes: int = 64,
     to be order-of-magnitude right. ``ds.count()`` on the usual fresh
     parquet read resolves from file metadata; if counting fails, fall
     back to the historical default of 64.
+
+    CAVEAT: on a TRANSFORMED lineage (filter/map/join upstream),
+    ``ds.count()`` executes the whole upstream pipeline once just for
+    the row count — pass an explicit ``num_buckets`` there instead of
+    None to avoid the double execution.
     """
     if num_buckets is not None:
         return num_buckets
@@ -182,7 +187,13 @@ def _key_bucket(batch: pa.Table, *, key_col: str,
     appears in output, so any stable hash works."""
     col = batch[key_col]
     if pa.types.is_integer(col.type):
-        k = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = col.to_numpy(zero_copy_only=False)
+        if v.dtype.kind == "f":   # nulls decay int columns to float+NaN
+            # deterministic routing for null keys (NaN->uint64 is
+            # platform-defined and warns); NaN rows still group apart
+            # downstream — callers wanting null-key semantics prefilter
+            v = np.nan_to_num(v, nan=-1.0)
+        k = v.astype(np.uint64)
         mixed = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
         b = (mixed % np.uint64(num_buckets)).astype(np.int32)
     else:
@@ -304,7 +315,6 @@ def funnel_conversion(ds, *, user_col: str, ts_col: str, type_col: str,
     min over step_a events of (first step_b at-or-after) - ts, null if
     no (a, b) pair exists.
     """
-    import functools
 
     within_us = _to_us_windows(within)
     narrow = ds.select_columns([user_col, ts_col, type_col])
@@ -339,10 +349,6 @@ def funnel_conversion(ds, *, user_col: str, ts_col: str, type_col: str,
         is_b_s = is_b[order]
         n = len(g)
         idx = np.arange(n, dtype=np.int64)
-        new_seg = np.empty(n, dtype=bool)
-        new_seg[0] = True
-        new_seg[1:] = users[1:] != users[:-1]
-        seg = np.maximum.accumulate(np.where(new_seg, idx, 0))
         # nearest upcoming b index per row = forward-fill of b positions
         # over the REVERSED array (walking backward, remember the last b
         # seen); run globally, then kill hits beyond the row's segment
@@ -401,7 +407,6 @@ def retention_cohorts(ds, *, user_col: str, ts_col: str,
     bucket is `cohort` and who were active `offset` units later
     (offset 0 = the cohort size).
     """
-    import functools
 
     freq = {"week": "W", "day": "D", "hour": "h"}[unit]
     narrow = ds.select_columns([user_col, ts_col])
@@ -460,7 +465,6 @@ def event_bigrams(ds, *, user_col: str, ts_col: str, tie_col: str,
     transition-matrix-sized groupby. Null user/ts rows are dropped.
     Emits (prev, next, n).
     """
-    import functools
 
     narrow = ds.select_columns([user_col, ts_col, tie_col, type_col])
 
@@ -537,7 +541,7 @@ def keyed_moving_median(ds, *, key_col: str, ts_col: str, tie_col: str,
             src = idx - j
             ok = src >= seg
             lag[j, ok] = v[src[ok]]
-        med = np.round(np.nanmedian(lag, axis=0), decimals)
+        med = _round_half_away(np.nanmedian(lag, axis=0), decimals)
         return pd.DataFrame({key_col: keys,
                              tie_col: g[tie_col].to_numpy(),
                              "med": med})
@@ -900,8 +904,8 @@ def keyed_rolling_stats(ds, *, key_col: str, ts_col: str, tie_col: str,
         std = np.where(cnt > 1, std, np.nan)
         return pd.DataFrame({key_col: keys,
                              tie_col: g[tie_col].to_numpy(),
-                             "roll_mean": np.round(mean, decimals),
-                             "roll_std": np.round(std, decimals)})
+                             "roll_mean": _round_half_away(mean, decimals),
+                             "roll_std": _round_half_away(std, decimals)})
 
     return keyed.groupby("_bucket").map_groups(scan_bucket,
                                                batch_format="pandas")
@@ -1016,7 +1020,8 @@ def keyed_transition_counts(ds, *, key_col: str, ts_col: str,
                              "p": pd.Series([], dtype="float64")})
     total["n"] = total["n"].astype("int64")
     tot = total.groupby("cur_type")["n"].transform("sum")
-    total["p"] = (total["n"] / tot).round(decimals)
+    total["p"] = _round_half_away(
+        (total["n"] / tot).to_numpy(np.float64), decimals)
     return total
 
 
@@ -1208,7 +1213,7 @@ def keyed_ewma(ds, *, key_col: str, ts_col: str, tie_col: str,
                 y[s:e] = yb
         return pd.DataFrame({key_col: keys,
                              tie_col: g[tie_col].to_numpy(),
-                             "ewma": np.round(y, decimals)})
+                             "ewma": _round_half_away(y, decimals)})
 
     return keyed.groupby("_bucket").map_groups(scan_bucket,
                                                batch_format="pandas")

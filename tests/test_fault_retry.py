@@ -72,3 +72,25 @@ def test_hash_partition_write_idempotent_overwrite(ray_session, tmp_path):
     total = sum(pq.read_table(os.path.join(out, f)).num_rows
                 for f in sorted(second))
     assert total == n
+
+
+def test_scan_ops_empty_and_degenerate_inputs(ray_session):
+    """Edge inputs that used to crash: all-invalid weights and empty
+    datasets must return empty results, not ArrowInvalid/TypeError."""
+    import pyarrow as pa
+
+    from jschon_ray.functions.scan import pack_sequences, \
+        weighted_sample_topk
+
+    t = pa.table({"id": pa.array(["a", "b", "c"], pa.string()),
+                  "w": pa.array([0.0, -1.0, 0.0], pa.float64())})
+    out = weighted_sample_topk(ray.data.from_arrow(t), id_col="id",
+                               weight_col="w", k=2)
+    assert out.num_rows == 0
+    assert out.schema.names == ["id", "w"]
+
+    empty = pa.table({"id": pa.array([], pa.int64()),
+                      "tok": pa.array([], pa.int64())})
+    packed = pack_sequences(ray.data.from_arrow(empty), id_col="id",
+                            tokens_col="tok", budget=128)
+    assert packed.count() == 0
