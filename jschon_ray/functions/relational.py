@@ -53,6 +53,8 @@ def pivot_agg(ds, *, row_key: str, col_codes_batch, categories: list,
         if value_col:
             vals = t[value_col].to_numpy(zero_copy_only=False) \
                 .astype(np.float64)
+            # SQL SUM skips NULLs; a NaN weight would poison the cell
+            vals = np.nan_to_num(vals, nan=0.0)
             sums = np.bincount(flat, weights=vals[keep],
                                minlength=len(uniq) * ncat) \
                 .reshape(len(uniq), ncat)
@@ -87,7 +89,8 @@ def grouped_median_lowcard(ds, *, key: str, value_col: str,
     """
     counts = ds.select_columns([key, value_col]) \
         .map_batches(
-            lambda t: t.group_by([key, value_col])
+            lambda t: t.filter(pc.is_valid(t[value_col]))
+                       .group_by([key, value_col])
                        .aggregate([([], "count_all")]),
             batch_format="pyarrow") \
         .groupby([key, value_col]).sum("count_all")
@@ -143,7 +146,10 @@ def grouped_mode_lowcard(ds, *, key: str, value_col: str,
     (key, out, n_mode) with n_mode the exact occurrence count.
     """
     def partial(t: pa.Table) -> pa.Table:
-        df = t.select([key, value_col]).to_pandas()
+        # NULL values are ignored (SQL mode() semantics); null KEYS are
+        # kept as their own group (dropna=False)
+        df = t.filter(pc.is_valid(t[value_col])) \
+            .select([key, value_col]).to_pandas()
         c = df.groupby([key, value_col], sort=False, dropna=False) \
             .size().reset_index(name="n")
         return pa.Table.from_pandas(c, preserve_index=False)
@@ -374,7 +380,8 @@ def grouped_trimmed_mean_lowcard(ds, *, key: str, value_col: str,
     integers."""
     counts = ds.select_columns([key, value_col]) \
         .map_batches(
-            lambda t: t.group_by([key, value_col])
+            lambda t: t.filter(pc.is_valid(t[value_col]))
+                       .group_by([key, value_col])
                        .aggregate([([], "count_all")]),
             batch_format="pyarrow") \
         .groupby([key, value_col]).sum("count_all")
@@ -411,7 +418,8 @@ def grouped_percentile_cont_lowcard(ds, *, key: str, value_col: str,
     Output: one row per key, one `{prefix}{q*100:g}` column per q."""
     counts = ds.select_columns([key, value_col]) \
         .map_batches(
-            lambda t: t.group_by([key, value_col])
+            lambda t: t.filter(pc.is_valid(t[value_col]))
+                       .group_by([key, value_col])
                        .aggregate([([], "count_all")]),
             batch_format="pyarrow") \
         .groupby([key, value_col]).sum("count_all")
@@ -457,7 +465,11 @@ def grouped_weighted_median_lowcard(ds, *, key: str, value_col: str,
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(value_col, kind="mergesort")
-        w = g["sum(w)"].to_numpy(np.int64)
+        w = g["sum(w)"].to_numpy()   # keep dtype: float weights stay float
+        if w.dtype.kind == "f":
+            w = w.astype(np.float64)
+        else:
+            w = w.astype(np.int64)
         if (w < 0).any():
             raise ValueError(
                 "grouped_weighted_median_lowcard requires non-negative "
@@ -465,11 +477,13 @@ def grouped_weighted_median_lowcard(ds, *, key: str, value_col: str,
                 "per-value weight sum")
         v = g[value_col].to_numpy()
         cum = np.cumsum(w)
-        total = int(cum[-1])
-        # smallest v with 2*cumw >= total (integer compare, no halves)
+        total = cum[-1]
+        # smallest v with 2*cumw >= total (exact compare: ints stay
+        # ints; float weights compare in float64 without truncation)
         i = int(np.searchsorted(2 * cum, total))
+        total_out = float(total) if w.dtype.kind == "f" else int(total)
         return pd.DataFrame({key: [g[key].iloc[0]], out: [v[i]],
-                             "total_w": [total]})
+                             "total_w": [total_out]})
 
     return counts.groupby(key).map_groups(finish, batch_format="pandas")
 
@@ -517,6 +531,8 @@ def grouped_spearman(ds, *, key: str, x_col: str, y_col: str,
         for k, sub in g.groupby(key, sort=False):
             x = sub[x_col].to_numpy(np.float64)
             y = sub[y_col].to_numpy(np.float64)
+            ok = ~(np.isnan(x) | np.isnan(y))   # SQL corr drops NULL pairs
+            x, y, sub = x[ok], y[ok], sub[ok]
             rx = _rank2(x)
             ry = _rank2(y)
             n = len(sub)
@@ -617,10 +633,13 @@ def grouped_zscore(ds, *, key: str, value_col: str, keep_cols=(),
 
     keep_cols = list(keep_cols)
 
+    mean_map = {k: v[0] for k, v in stats.items()}
+    std_map = {k: v[1] for k, v in stats.items()}
+
     def standardize(t: pa.Table) -> pa.Table:
         df = t.select([key, value_col] + keep_cols).to_pandas()
-        ms = df[key].map({k: v[0] for k, v in stats.items()})
-        ss = df[key].map({k: v[1] for k, v in stats.items()})
+        ms = df[key].map(mean_map)
+        ss = df[key].map(std_map)
         v = df[value_col].to_numpy(np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):
             z = (v - ms.to_numpy(np.float64)) / ss.to_numpy(np.float64)
@@ -759,6 +778,9 @@ def aggregate_consistency_violations(detail, master, *, key: str,
     3/14890 rows at sf0.01).
     """
     def partial(t: pa.Table) -> pa.Table:
+        # SQL SUM skips NULL details; NaN would cast to INT64_MIN and
+        # corrupt the key's whole sum
+        t = t.filter(pc.is_valid(t[detail_value_col]))
         v = t[detail_value_col].to_numpy(zero_copy_only=False) * 100
         # 2-decimal money times 0.05-step multipliers lands EXACTLY on
         # half cents; match SQL round()'s half-away-from-zero (np.round

@@ -27,6 +27,8 @@ def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
     flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False) \
         .astype(np.float64)
     n = len(arr)
+    if n == 0:      # reshape(0, -1) raises; empty blocks score nothing
+        return np.zeros((0, 0), dtype=np.float64)
     return flat.reshape(n, -1)
 
 
@@ -50,6 +52,12 @@ class TopKScorer:
         self.round = round_decimals
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:     # empty blocks score nothing
+            return pa.table({
+                "query_id": pa.array(np.asarray(self.qids)[:0]),
+                "neighbor_id": pa.array([], batch.schema.field(
+                    self.id_col).type),
+                "sim": pa.array([], pa.float64())})
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         m = _normalize(_embedding_matrix(batch, self.emb_col))
         sims = m @ self.qmat.T                      # (n_rows, n_queries)
@@ -114,15 +122,20 @@ def embedding_neardup_exact(ds, *, id_col="vec_id", emb_col="embedding",
     full = {"ids": [], "mat": []}
     for b in ds.select_columns([id_col, emb_col]) \
             .iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
         full["ids"].append(b[id_col].to_numpy(zero_copy_only=False))
         full["mat"].append(_embedding_matrix(b, emb_col))
     all_ids = np.concatenate(full["ids"])
     all_mat = _normalize(np.concatenate(full["mat"]))
     ref = ray.put({"ids": all_ids, "mat": all_mat})
 
-    id_type = None
-
     def score(batch: pa.Table) -> pa.Table:
+        idt0 = batch.schema.field(id_col).type
+        if batch.num_rows == 0:
+            return pa.table({"id_a": pa.array([], idt0),
+                             "id_b": pa.array([], idt0),
+                             "sim": pa.array([], pa.float64())})
         other = ray.get(ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         m = _normalize(_embedding_matrix(batch, emb_col))
@@ -165,6 +178,12 @@ def embedding_neardup_pairs(ds, *, id_col="vec_id", emb_col="embedding",
     with id_a < id_b.
     """
     def emit(batch: pa.Table, planes) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                id_col: batch[id_col],
+                "band": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+                emb_col: batch[emb_col]})
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         m = _normalize(_embedding_matrix(batch, emb_col))
         tabs = []
@@ -236,6 +255,7 @@ def train_centroids(ds, *, emb_col="embedding", n_centroids=16,
         _embedding_matrix(b, emb_col)
         for b in sample.limit(max_sample).iter_batches(
             batch_format="pyarrow")
+        if b.num_rows
     ]
     x = _normalize(np.concatenate(mats))
     rng = np.random.default_rng(seed)
@@ -268,6 +288,10 @@ class IVFTopKScorer:
         self.round = round_decimals
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         m = _normalize(_embedding_matrix(batch, self.emb_col))
         assign = np.argmax(m @ self.cent.T, axis=1)
@@ -350,6 +374,11 @@ def _cell_assign_fn(cent_ref, id_col: str, emb_col: str):
     (they must stay identical: appended rows assigned differently from
     built rows would land where probes don't look first)."""
     def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            cell = np.zeros(0, np.int32)
+            batch = batch.select([id_col, emb_col])
+            batch = batch.append_column("cell_id", pa.array(cell))
+            return batch.append_column("cell", pa.array(cell))
         cent = ray.get(cent_ref)
         m = _normalize(_embedding_matrix(batch, emb_col))
         cell = np.argmax(m @ cent.T, axis=1).astype(np.int32)
@@ -551,6 +580,10 @@ def semantic_dedup(ds, *, id_col="vec_id", emb_col="embedding",
     cent_ref = ray.put(centroids)
 
     def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: batch[id_col],
+                             emb_col: batch[emb_col],
+                             "cluster": pa.array([], pa.int32())})
         cent = ray.get(cent_ref)
         m = _normalize(_embedding_matrix(batch, emb_col))
         cell = np.argmax(m @ cent.T, axis=1).astype(np.int32)
@@ -568,14 +601,18 @@ def semantic_dedup(ds, *, id_col="vec_id", emb_col="embedding",
         m = _normalize(np.vstack(g[emb_col].to_numpy()[order]).astype(
             np.float64))
         keep = np.zeros(n, dtype=bool)
-        kept_rows = []
+        # preallocated kept-matrix: appending to a Python list and
+        # re-asarray-ing per row is O(c^2 * dim) extra copying
+        kept = np.empty_like(m)
+        n_kept = 0
         for i in range(n):
-            if kept_rows:
-                sims = np.asarray(kept_rows) @ m[i]
+            if n_kept:
+                sims = kept[:n_kept] @ m[i]
                 if sims.max() > threshold:
                     continue
             keep[i] = True
-            kept_rows.append(m[i])
+            kept[n_kept] = m[i]
+            n_kept += 1
         return pd.DataFrame({
             id_col: ids,
             "cluster": np.full(n, int(g["cluster"].iloc[0]),
@@ -616,6 +653,7 @@ def pq_train(ds, *, emb_col="embedding", m=8, n_codes=256,
         _embedding_matrix(b, emb_col)
         for b in sample.limit(max_sample).iter_batches(
             batch_format="pyarrow")
+        if b.num_rows
     ]
     x = _normalize(np.concatenate(mats))
     d = x.shape[1]
@@ -654,6 +692,11 @@ class PQEncoder:
     def __call__(self, batch: pa.Table) -> pa.Table:
         m, k, sub = self.books.shape
         ids = batch[self.id_col]
+        if batch.num_rows == 0:
+            return pa.table({
+                self.id_col: ids,
+                "pq_code": pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.uint8()), m)})
         x = _normalize(_embedding_matrix(batch, self.emb_col))
         codes = np.empty((len(x), m), np.uint8)
         for j in range(m):
@@ -1269,7 +1312,10 @@ class AnnIndex:
             return stats
         # flat pq: encode with frozen codebooks, add code files
         books = _load_codebooks(self.index_dir)
-        codes = pq_encode(ds, books, id_col=id_col, emb_col=emb_col)
+        # materialize once: write + count off the same blocks (a lazy
+        # count would re-run the whole encode over ds a second time)
+        codes = pq_encode(ds, books, id_col=id_col,
+                          emb_col=emb_col).materialize()
         codes.write_parquet(os.path.join(self.index_dir, "codes"))
         return {"n_appended": codes.count(), "imbalance": 0.0}
 

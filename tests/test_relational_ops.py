@@ -293,3 +293,65 @@ def test_aggregate_consistency_violations(ray_session):
     assert out.loc[3, "diff_cents"] == 200
     assert out.loc[4, "reason"] == "missing_detail"
     assert out.loc[4, "diff_cents"] == 0
+
+
+def test_null_value_semantics_match_sql(ray_session):
+    """NULL values must follow SQL aggregate semantics: ignored by
+    mode/median/percentile/trimmed-mean/corr-like aggregates, skipped by
+    SUM cells in pivots — pinned against DuckDB on a null-heavy table."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from jschon_ray.functions.relational import (grouped_median_lowcard,
+                                                 grouped_mode_lowcard,
+                                                 grouped_spearman,
+                                                 pivot_agg)
+
+    t = pa.table({
+        "k": pa.array(["a"] * 6 + ["b"] * 4, pa.string()),
+        "v": pa.array([1, 1, 2, None, None, None, 5, None, 5, 7],
+                      pa.int64()),
+        "x": pa.array([1.0, 2.0, None, 4.0, 5.0, 6.0,
+                       1.0, 2.0, 3.0, None], pa.float64()),
+        "cat": pa.array(["p", "q", "p", "q", "p", "q",
+                         "p", "p", "q", "q"], pa.string()),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    ds = ray.data.from_arrow(t)
+
+    med = grouped_median_lowcard(ds, key="k", value_col="v") \
+        .to_pandas().set_index("k")["median"].to_dict()
+    sql_med = dict(con.execute(
+        "SELECT k, median(v) FROM t GROUP BY 1").fetchall())
+    assert med == sql_med, (med, sql_med)
+
+    mode = grouped_mode_lowcard(ds, key="k", value_col="v").to_pandas()
+    # group a: values [1,1,2] -> mode 1 (NULLs ignored); group b: 5
+    got = dict(zip(mode.k, mode.mode_value))
+    assert got == {"a": 1, "b": 5}, got
+
+    def codes(batch):
+        c = batch["cat"].to_numpy(zero_copy_only=False)
+        return np.where(c == "p", 0, np.where(c == "q", 1, -1))
+
+    piv = pivot_agg(ds, row_key="k", col_codes_batch=codes,
+                    categories=["p", "q"], value_col="x").to_pandas()
+    sums = con.execute("""
+        SELECT k, coalesce(sum(x) FILTER (cat='p'), 0) AS p,
+                  coalesce(sum(x) FILTER (cat='q'), 0) AS q
+        FROM t GROUP BY 1""").df().set_index("k")
+    for _, r in piv.iterrows():
+        assert abs(r["cp_sum"] - sums.loc[r["k"], "p"]) < 1e-9
+        assert abs(r["cq_sum"] - sums.loc[r["k"], "q"]) < 1e-9
+
+    rho = grouped_spearman(ray.data.from_arrow(pa.table({
+        "k": pa.array(["g"] * 4, pa.string()),
+        "x": pa.array([1.0, 2.0, None, 4.0], pa.float64()),
+        "y": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+    })), key="k", x_col="x", y_col="y").to_pandas()
+    # NULL pair dropped -> perfect rank agreement over the 3 left
+    assert int(rho.n.iloc[0]) == 3 and float(rho.rho.iloc[0]) == 1.0
