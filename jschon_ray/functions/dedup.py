@@ -432,7 +432,8 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def simhash_pairs(ds, id_col: str, text_col: str, *, max_hamming: int = 3,
-                  bands: int = 4, n_buckets: int = 64):
+                  bands: int = 4, n_buckets: int = 64,
+                  max_bucket: int = 200):
     """Near-dup pairs by SimHash: band the 64-bit signature into `bands`
     16-bit chunks (two equal chunks guarantee candidates for hamming<=3),
     groupby chunk buckets, verify exact hamming distance in-bucket.
@@ -446,6 +447,11 @@ def simhash_pairs(ds, id_col: str, text_col: str, *, max_hamming: int = 3,
     from .graph import pair_bucket_of
 
     def emit(batch: pa.Table) -> pa.Table:
+        # empty/null docs all hash to signature 0 and would pairwise
+        # match each other — like minhash_lsh_pairs, they never pair
+        texts = batch[text_col].to_pylist()
+        keep = np.array([bool(t) and bool(t.split()) for t in texts])
+        batch = batch.filter(pa.array(keep))
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         sig = simhash_signatures(batch[text_col].to_pylist())
         width = 64 // bands
@@ -491,6 +497,11 @@ def simhash_pairs(ds, id_col: str, text_col: str, *, max_hamming: int = 3,
         out_a, out_b, out_h = [], [], []
         for k in np.unique(sizes):          # one triu grid per size class
             if k < 2:
+                continue
+            if k > max_bucket:
+                # a chunk shared by many docs is non-discriminative (the
+                # stop-word of simhash banding): DROP it — same rule as
+                # minhash_lsh_pairs — to keep pair fan-out linear
                 continue
             segs = starts[sizes == k]
             grid = segs[:, None] + np.arange(int(k))[None, :]
@@ -826,6 +837,8 @@ def editdist_blocked_pairs(ds, id_col: str, text_col: str, *,
     strings. Skewed hot blocks are bounded by key granularity; a hotter
     corpus would extend the key (first+last word) the same way.
     """
+    id_type = _col_type(ds, id_col)
+
     def keyed(t: pa.Table) -> pa.Table:
         txt = t[text_col]
         keep = pc.and_(pc.is_valid(txt), pc.not_equal(txt, ""))
@@ -879,8 +892,8 @@ def editdist_blocked_pairs(ds, id_col: str, text_col: str, *,
             rb.append(np.tile(ids[g_v], len(g_u)))
             rd.append(np.full(len(g_u) * len(g_v), dist, np.int64))
         if not ra:
-            return pa.table({out_a: pa.array([], pa.string()),
-                             out_b: pa.array([], pa.string()),
+            return pa.table({out_a: pa.array([], id_type),
+                             out_b: pa.array([], id_type),
                              out_dist: pa.array([], pa.int64())})
         a = np.concatenate(ra)
         b = np.concatenate(rb)
@@ -890,10 +903,10 @@ def editdist_blocked_pairs(ds, id_col: str, text_col: str, *,
         swap = a > b
         a2 = np.where(swap, b, a)
         b2 = np.where(swap, a, b)
-        # arrow out: string columns, never pandas object blocks (Ray's
+        # arrow out, id-typed: never pandas object blocks (Ray's
         # block-size estimation degrades badly on object dtype)
-        return pa.table({out_a: pa.array(a2, pa.string()),
-                         out_b: pa.array(b2, pa.string()),
+        return pa.table({out_a: pa.array(a2).cast(id_type),
+                         out_b: pa.array(b2).cast(id_type),
                          out_dist: pa.array(dist, pa.int64())})
 
     pairs = keyed_ds.groupby("_block").map_groups(
@@ -1007,6 +1020,7 @@ def segment_dedup_counts(ds, *, id_col: str = "doc_id", col: str = "text",
     MIX = np.uint64(0x9E3779B97F4A7C15)
 
     def emit_segments(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[col]))   # null text carries no segments
         texts = t[col].to_pandas()
         ids = t[id_col].to_numpy(zero_copy_only=False)
         if len(texts) == 0:
@@ -1215,7 +1229,7 @@ def substring_dup_spans(ds, *, id_col: str = "doc_id", col: str = "text",
             "_b": pa.array([], pa.int64())})
         if len(t) == 0:
             return empty
-        texts = t[col].to_pylist()
+        texts = [x if x is not None else "" for x in t[col].to_pylist()]
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         buf = np.frombuffer(
             "".join(texts).encode("utf-32-le"), dtype=np.uint32)

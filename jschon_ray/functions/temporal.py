@@ -59,29 +59,67 @@ def _nullable(col: pd.Series) -> pd.Series:
     return col
 
 
-def _merge_asof_group(df: pd.DataFrame, *, on: str, left_cols, right_cols,
-                      direction: str, tolerance_us, how: str,
-                      right_tie) -> pd.DataFrame:
-    """Vectorized as-of merge of one co-grouped (left+right) frame.
+def _arrow_ts_i8(col) -> np.ndarray:
+    """int64 view of a timestamp/numeric Arrow column (datetimes in us).
+    Nulls are filled with 0 — callers mask them out of the match set
+    separately (a NaT->INT64_MIN conversion would both break searchsorted
+    sortedness and spuriously match the earliest row in forward mode)."""
+    import pyarrow.compute as pc
 
-    `df` carries left columns, right columns (already under their output
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.timestamp("us")).cast(pa.int64())
+    elif col.type != pa.int64():
+        col = col.cast(pa.int64())
+    return pc.fill_null(col, 0).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+
+
+def _merge_asof_group(t: pa.Table, *, on: str, left_cols, right_cols,
+                      direction: str, tolerance_us, how: str,
+                      right_tie) -> pa.Table:
+    """Vectorized as-of merge of one co-grouped (left+right) Arrow table.
+
+    `t` carries left columns, right columns (already under their output
     names, with the right timestamp in `right_cols[0]`), and `__side`
-    (1=left, 0=right)."""
+    (1=left, 0=right). All column plumbing stays Arrow: the sides are
+    SPLIT before any pandas conversion, so the structural nulls in the
+    other side's slots never widen int64 payloads to float64 (the
+    2^53-precision hazard hash_join's docstring names), and the matched
+    right values are emitted via Arrow take + if_else — int64 stays
+    int64 with true nulls for unmatched rows."""
+    import pyarrow.compute as pc
+
     right_on = right_cols[0]
-    left = df[df["__side"] == 1]
-    right = df[df["__side"] == 0]
+    side = t["__side"]
+    lt_t = t.filter(pc.equal(side, 1)).select(left_cols)
+    rt_t = t.filter(pc.equal(side, 0)).select(right_cols)
+    # a null right timestamp can never be the nearest match
+    rt_t = rt_t.filter(pc.is_valid(rt_t[right_on]))
+
     # tie rule: among equal right timestamps pick the MAX right_tie. The
     # backward probe lands on the last row of an equal-ts run, the forward
     # probe on the first — so the run is ordered tie-ascending for
     # backward, tie-descending for forward.
-    sort_keys = [right_on] + ([right_tie] if right_tie else [])
-    ascending = [True] + ([direction == "backward"] if right_tie else [])
-    right = right.sort_values(sort_keys, ascending=ascending, kind="stable")
+    if rt_t.num_rows:
+        rdf = rt_t.select([right_on] + ([right_tie] if right_tie else [])) \
+            .to_pandas()
+        sort_keys = [right_on] + ([right_tie] if right_tie else [])
+        ascending = [True] + ([direction == "backward"] if right_tie
+                              else [])
+        ridx = rdf.sort_values(sort_keys, ascending=ascending,
+                               kind="stable").index.to_numpy(np.int64)
+        rt_t = rt_t.take(pa.array(ridx))
 
-    lt = _ts_to_i8(left[on])
+    n_left = lt_t.num_rows
+    lts_ok = pc.is_valid(lt_t[on]).to_numpy(zero_copy_only=False) \
+        if n_left else np.zeros(0, bool)
+    lt = _arrow_ts_i8(lt_t[on]) if n_left else np.zeros(0, np.int64)
     order = np.argsort(lt, kind="stable")
     lt_sorted = lt[order]
-    rt = _ts_to_i8(right[right_on]) if len(right) else np.zeros(0, np.int64)
+    rt = _arrow_ts_i8(rt_t[right_on]) if rt_t.num_rows \
+        else np.zeros(0, np.int64)
 
     if direction == "backward":
         idx = np.searchsorted(rt, lt_sorted, side="right") - 1
@@ -95,20 +133,23 @@ def _merge_asof_group(df: pd.DataFrame, *, on: str, left_cols, right_cols,
         if tolerance_us is not None and len(rt):
             gap = rt[np.clip(idx, 0, len(rt) - 1)] - lt_sorted
             valid &= gap <= tolerance_us
+    valid &= lts_ok[order]                # null left ts never matches
 
-    left_ordered = left.iloc[order].reset_index(drop=True)
-    out = {c: left_ordered[c] for c in left_cols}
-    vmask = pd.Series(valid)
+    left_ordered = lt_t.take(pa.array(order, pa.int64()))
+    cols = {c: left_ordered[c] for c in left_cols}
     safe = np.clip(idx, 0, max(len(rt) - 1, 0))
+    vmask = pa.array(valid)
     for c in right_cols:
-        if len(right):
-            col = _nullable(right[c].iloc[safe].reset_index(drop=True))
-            out[c] = col.where(vmask)
+        typ = rt_t.schema.field(c).type
+        if rt_t.num_rows:
+            taken = rt_t[c].take(pa.array(safe, pa.int64())) \
+                .combine_chunks()
+            cols[c] = pc.if_else(vmask, taken, pa.scalar(None, typ))
         else:
-            out[c] = _nullable(df[c].iloc[:0]).reindex(range(len(left)))
-    res = pd.DataFrame(out)
+            cols[c] = pa.nulls(n_left, typ)
+    res = pa.table(cols)
     if how == "inner":
-        res = res[valid]
+        res = res.filter(vmask)
     return res
 
 
@@ -204,13 +245,13 @@ def asof_join(left, right, *, on: str, by: str, direction: str = "backward",
         right_cols=right_cols, direction=direction, tolerance_us=tol_us,
         how=how, right_tie=right_tie)
 
-    def merge_group(df: pd.DataFrame) -> pd.DataFrame:
+    def merge_group(t: pa.Table) -> pa.Table:
         if bucket_us is not None:
-            df = df.drop(columns=["__bucket"])
-        return merge(df)
+            t = t.drop_columns(["__bucket"])
+        return merge(t)
 
     return unioned.groupby(group_keys).map_groups(merge_group,
-                                                  batch_format="pandas")
+                                                  batch_format="pyarrow")
 
 
 def range_join_broadcast(ds, intervals, *, value_col: str,
@@ -244,6 +285,14 @@ def range_join_broadcast(ds, intervals, *, value_col: str,
     def probe(t: pa.Table) -> pa.Table:
         v = t[value_col].to_numpy(zero_copy_only=False)
         notna = ~pd.isna(v)
+        if len(idf) == 0:
+            # empty interval table: zero matches (inner) / all-null
+            # interval columns (left); hi[safe] below would IndexError
+            cols = {c: t[c] for c in t.column_names}
+            for c in (lo_col, hi_col, *extra_cols):
+                cols[c] = pa.nulls(t.num_rows)
+            out = pa.table(cols)
+            return out if how == "left" else out.slice(0, 0)
         if not overlapping:
             idx = np.searchsorted(lo, v, side="right") - 1
             safe = np.clip(idx, 0, len(lo) - 1)
@@ -410,25 +459,34 @@ def interval_join(left, right, *, by: str, lo_col: str = "lo",
                      batch_format="pyarrow")
 
     def bucketize(t: pa.Table) -> pa.Table:
-        import pandas as pd_
+        # shared pair-key mixer (graph.pair_bucket_of): keep every
+        # pair-keyed operator on the one mixing convention instead of
+        # per-row string concatenation
+        from ..state.sketches import hash_array
+        from .graph import pair_bucket_of
 
-        key = pd_.Series(t[by].to_pandas().astype(str)) + "|" \
-            + pd_.Series(t["_tile"].to_pandas().astype(str))
-        h = pd_.util.hash_pandas_object(key, index=False)
-        return t.append_column(
-            "_bucket",
-            pa.array((h.to_numpy() % np.uint64(num_buckets))
-                     .astype(np.int64)))
+        kh = hash_array(t[by].to_pandas()).astype(np.uint64)
+        tiles = t["_tile"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = pair_bucket_of(kh, tiles.view(np.uint64), num_buckets)
+        return t.append_column("_bucket", pa.array(b))
 
     tagged = lt.union(rt).map_batches(bucketize, batch_format="pyarrow")
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["_side"] == 1]
-        rg = g[g["_side"] == 0]
-        lcols = [by, "_tile"] + left_cols + [lo_col, hi_col]
-        rcols = [by, "_tile"] + [c + suffix for c in right_cols] \
-            + [lo_col + suffix, hi_col + suffix]
-        cand = lg[lcols].merge(rg[rcols], on=[by, "_tile"])
+    lcols = [by, "_tile"] + left_cols + [lo_col, hi_col]
+    rcols = [by, "_tile"] + [c + suffix for c in right_cols] \
+        + [lo_col + suffix, hi_col + suffix]
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # split sides BEFORE pandas: each side's own columns carry no
+        # structural nulls, so int64 payloads stay int64 (the unioned
+        # frame's typed nulls would widen them to float64 and corrupt
+        # values past 2^53)
+        sidec = t["_side"]
+        lg = t.filter(pc.equal(sidec, 1)).select(lcols).to_pandas()
+        rg = t.filter(pc.equal(sidec, 0)).select(rcols).to_pandas()
+        cand = lg.merge(rg, on=[by, "_tile"])
         if not len(cand):
             return cand.drop(columns=["_tile"]).assign(
                 overlap=pd.Series([], dtype="int64"))
@@ -444,7 +502,7 @@ def interval_join(left, right, *, by: str, lo_col: str = "lo",
         return out
 
     joined = tagged.groupby("_bucket").map_groups(join_bucket,
-                                                  batch_format="pandas")
+                                                  batch_format="pyarrow")
 
     def repair(t: pa.Table) -> pa.Table:
         cols = {}

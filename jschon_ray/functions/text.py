@@ -125,6 +125,11 @@ def lang_id_batch(batch: pa.Table, col: str = "text",
     best = np.argmax(scores, axis=0)  # first max wins, matching SQL CASE
     langs = np.array(LANG_ORDER, dtype=object)[best]
     langs[scores.max(axis=0) == 0] = "unknown"
+    # null text: every count is null->NaN, argmax picks index 0 and the
+    # ==0 sentinel never fires — label it unknown explicitly
+    null_rows = pc.is_null(batch[col]).to_numpy(zero_copy_only=False)
+    if null_rows.any():
+        langs[null_rows] = "unknown"
     return batch.append_column(out, pa.array(langs, pa.string()))
 
 
@@ -188,9 +193,14 @@ def parse_json_column(batch: pa.Table, col: str, *,
         arr = arr.combine_chunks()
     arr = arr.cast(pa.string())
     null_mask = pc.is_null(arr)
-    n_nulls = arr.null_count
-    if n_nulls:
-        arr = pc.fill_null(arr, "{}")
+    arr = pc.fill_null(arr, "{}")
+    # the NDJSON reader silently SKIPS blank lines, desyncing the parsed
+    # row count from the batch: blank rows parse as the null struct too
+    blank = pc.equal(pc.utf8_trim_whitespace(arr), "")
+    if pc.any(blank).as_py():
+        arr = pc.if_else(blank, pa.scalar("{}"), arr)
+        null_mask = pc.or_(null_mask, blank)
+    n_nulls = int(pc.sum(null_mask.cast(pa.int64())).as_py() or 0)
     payload = "\n".join(arr.to_pylist()).encode()
     if not batch.num_rows:
         parsed = pa.table({})
