@@ -10029,7 +10029,7 @@ def q_bpe_train_docs(sf_dir):
 
 
 def q_audio_loudnorm_clips(sf_dir):
-    """Loudness normalization (stages/analysis.py LoudnessNormalizer:
+    """Loudness normalization (stages/analysis.py R128LoudnessNormalizer:
     gated program loudness -> single gain to -23 dB) over the raw-PCM
     clips, aggregated IN RAY to one row per (loudnorm_ok, gain sign
     band) with count + mean pre-loudness + mean |gain| — the corpus
@@ -10040,12 +10040,12 @@ def q_audio_loudnorm_clips(sf_dir):
     from ray.data.aggregate import Count, Mean
 
     from ..sources.clips import clips_cache_dir
-    from ..stages.analysis import LoudnessNormalizer
+    from ..stages.analysis import R128LoudnessNormalizer
     from ..stages.taskpool import stage_fn
 
     ds = read_table(clips_cache_dir(sf_dir),
                     columns=["clip_id", "bytes", "sr_hz", "codec"])
-    ln = ds.map_batches(stage_fn(LoudnessNormalizer),
+    ln = ds.map_batches(stage_fn(R128LoudnessNormalizer),
                         batch_format="pyarrow", batch_size=256)
 
     def to_metrics(t: pa.Table) -> pa.Table:

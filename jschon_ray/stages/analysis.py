@@ -247,6 +247,7 @@ class ChromaFeatures:
             tot = pooled.sum(axis=1, keepdims=True)
             pooled = pooled / np.where(tot > 0, tot, 1.0)
             pk = np.argmax(pooled, axis=1).astype(np.int32)
+            pk[tot.ravel() <= 0] = -1   # digital silence: no tonal peak
             for j, i in enumerate(rows):
                 chroma[i] = pooled[j].astype(np.float32)
                 peak[i] = pk[j]
@@ -419,11 +420,13 @@ class TimeStretcher:
         codecs = batch["codec"].to_pylist()
         srs = batch["sr_hz"].to_pylist()
 
+        durs = batch["dur_ms"].to_pylist() \
+            if "dur_ms" in batch.column_names else [None] * n
         out_bytes: list = [None] * n
         out_ns = np.zeros(n, np.int64)
         ok = np.zeros(n, bool)
 
-        frames, counts, rows, sigrates = [], [], [], []
+        frames, counts, rows = [], [], []
         for i in range(n):
             if payloads[i] is None or srs[i] is None or srs[i] <= 0:
                 continue
@@ -440,7 +443,6 @@ class TimeStretcher:
             frames.append(f[idx] * self.window)
             counts.append(nf)
             rows.append(i)
-            sigrates.append(int(srs[i]))
 
         if rows:
             X = np.fft.rfft(np.concatenate(frames), axis=1)
@@ -482,7 +484,7 @@ class TimeStretcher:
                     acc[m:m + nf] += blocks[:, m, :]
                     nrm[m:m + nf] += wb[m]
                 sig = acc.ravel() / np.maximum(nrm.ravel(), 1e-8)
-                pcm = np.clip(sig * 32768.0, -32768, 32767) \
+                pcm = np.clip(np.rint(sig * 32768.0), -32768, 32767) \
                     .astype("<i2")
                 out_bytes[i] = pcm.tobytes()
                 out_ns[i] = len(pcm)
@@ -490,12 +492,17 @@ class TimeStretcher:
 
         cols = {name: batch[name] for name in batch.column_names
                 if name != "bytes"}
-        cols["bytes"] = pa.array(out_bytes, pa.binary())
+        # keep-original-payload contract on failed rows (the sibling
+        # stages' rule: a transient decode failure must not erase the
+        # clip's audio or duration metadata)
+        cols["bytes"] = pa.array(
+            [out_bytes[i] if ok[i] else payloads[i] for i in range(n)],
+            pa.binary())
         cols["codec"] = pa.array(
             ["pcm_s16le" if ok[i] else (codecs[i] if codecs[i] else None)
              for i in range(n)], pa.string())
         dur = [int(out_ns[i] * 1000 / srs[i]) if ok[i] and srs[i]
-               else None for i in range(n)]
+               else durs[i] for i in range(n)]
         cols["dur_ms"] = pa.array(dur, pa.int32())
         cols["stretch_ok"] = pa.array(ok)
         cols["n_samples"] = pa.array(out_ns)
@@ -703,7 +710,8 @@ class Compressor:
             out[:m] *= sample_gain[:m]
             if len(s) > nf * L:
                 out[nf * L:] *= gain[-1]
-            pcm = np.clip(out * 32768.0, -32768, 32767).astype("<i2")
+            pcm = np.clip(np.rint(out * 32768.0), -32768, 32767) \
+                .astype("<i2")
             out_bytes[i] = pcm.tobytes()
             out_codec[i] = "pcm_s16le"
             mean_gr_db[i] = float(g.mean())
@@ -821,7 +829,7 @@ class PitchShifter:
         return pa.table(cols)
 
 
-class LoudnessNormalizer:
+class R128LoudnessNormalizer:
     """Two-phase loudness normalization per clip (measure -> gain), the
     corpus-leveling stage an ASR/TTS data pipeline runs before feature
     extraction: EBU-R128-FLAVORED gated program loudness (400 ms blocks,
@@ -885,7 +893,8 @@ class LoudnessNormalizer:
             g = float(np.clip(self.target_db - ld,
                               -self.max_gain_db, self.max_gain_db))
             scaled = sigs[j] * (10.0 ** (g / 20.0))
-            pcm = np.clip(scaled * 32768.0, -32768, 32767).astype("<i2")
+            pcm = np.clip(np.rint(scaled * 32768.0), -32768,
+                          32767).astype("<i2")
             out_bytes[i] = pcm.tobytes()
             out_codec[i] = "pcm_s16le"
             loud[i] = round(ld, 4)

@@ -529,10 +529,15 @@ class SegmentExtractor:
         srs = batch["sr_hz"].to_pylist()
         seg_col = batch["segments"].to_pylist()
         ids = batch["clip_id"].to_pylist()
+        vad_ok = batch["vad_ok"].to_pylist() \
+            if self.require_ok and "vad_ok" in batch.column_names \
+            else None
 
         out = {"clip_id": [], "seg_idx": [], "start_ms": [], "end_ms": [],
                "dur_ms": [], "bytes": [], "sr_hz": []}
         for i in range(batch.num_rows):
+            if vad_ok is not None and not vad_ok[i]:
+                continue
             segs = seg_col[i]
             if not segs:
                 continue
@@ -727,7 +732,9 @@ class SpecAugment:
         out = {"clip_id": [], "source_clip_id": [], "mel_fbank": [],
                "mel_frames": [], "mel_ok": []}
         for i in range(batch.num_rows):
-            if not oks[i] or fb[i] is None:
+            bad = (not oks[i]) or fb[i] is None \
+                or len(fb[i]) != int(nfr[i]) * self.n_mels
+            if bad:   # incl. upstream n_mels mismatch — same rule as MFCC
                 out["clip_id"].append(ids[i])
                 out["source_clip_id"].append(ids[i])
                 out["mel_fbank"].append(None)

@@ -60,6 +60,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     data = payload[44:44 + dlen]
     if len(data) < dlen:
         raise DecodeError(f"truncated data chunk ({len(data)} < {dlen})")
+    if dlen % 2:
+        raise DecodeError(f"odd data chunk length {dlen}")
     return np.frombuffer(data, dtype="<i2"), sr
 
 
@@ -186,7 +188,7 @@ class ClipDecoder:
     fast path fall back to the per-row decoders for byte-identical errors.
     """
 
-    def __init__(self, tol_ms: float = 1.5, batch_copy_columns=None):
+    def __init__(self, tol_ms: float = 1.5):
         self.tol_ms = tol_ms
 
     # -- per-row fallback (exact reference of behavior) -------------------
@@ -212,7 +214,9 @@ class ClipDecoder:
         if len(pcm):
             f = pcm.astype(np.float64)
             rms[i] = float(np.sqrt(np.mean(f * f)))
-            clip_ratio[i] = float(np.mean(np.abs(pcm) >= 32767))
+            # int16 domain test: abs(-32768) overflows back to -32768
+            clip_ratio[i] = float(np.mean((pcm >= 32767)
+                                          | (pcm <= -32767)))
         ok[i] = True
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -305,6 +309,10 @@ class ClipDecoder:
                     err[i] = ("DecodeError: truncated data chunk "
                               f"({have} < {want})")
                 k = ~trunc
+                odd = (dlen2 % 2 != 0) & k
+                for i, dl in zip(rows2[odd], dlen2[odd]):
+                    err[i] = f"DecodeError: odd data chunk length {dl}"
+                k &= ~odd
                 declared_sr[rows2[k]] = wsr2[k]
                 reg_rows.append(rows2[k])
                 reg_starts.append(s2[k] + 44)

@@ -168,7 +168,10 @@ def test_time_stretch_flags_undecodable():
     out = TimeStretcher(rate=1.2)(_table(
         [("bad", b"\x00", 16000, "opus")]))
     r = out.to_pylist()[0]
-    assert not r["stretch_ok"] and r["bytes"] is None
+    # keep-original-payload contract: a failed row is FLAGGED but its
+    # audio bytes and codec survive untouched (sibling-stage rule)
+    assert not r["stretch_ok"]
+    assert r["bytes"] == b"\x00" and r["codec"] == "opus"
 
 
 # ------------------------------------------------------------ AudioChunker

@@ -94,3 +94,76 @@ def test_sharded_writer(tmp_path):
     t1 = pq.read_table(paths[0])
     write_clips_dataset(str(tmp_path), 100, seed=1, num_shards=4)
     assert pq.read_table(paths[0]).equals(t1)
+
+
+def test_odd_wav_data_chunk_flagged_and_siblings_uncorrupted():
+    """An odd-length WAV data chunk must error THAT row only — the bulk
+    packed int16 view used to misalign and silently corrupt the stats
+    of subsequent valid rows in the same gather group."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+
+    from jschon_ray.stages.decode import ClipDecoder, DecodeError, \
+        decode_wav
+
+    def wav(pcm_bytes: bytes, sr=16000) -> bytes:
+        return (b"RIFF" + struct.pack("<I", 36 + len(pcm_bytes))
+                + b"WAVEfmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr,
+                                            sr * 2, 2, 16)
+                + b"data" + struct.pack("<I", len(pcm_bytes))
+                + pcm_bytes)
+
+    good_pcm = np.full(100, 1000, "<i2").tobytes()
+    rows = [wav(b"\x01\x02\x03"),       # odd data chunk
+            wav(b"\x01\x02\x03\x04\x05"),
+            wav(good_pcm)]
+    t = pa.table({
+        "clip_id": pa.array(["odd1", "odd2", "good"], pa.string()),
+        "bytes": pa.array(rows, pa.binary()),
+        "codec": pa.array(["wav"] * 3, pa.string()),
+        "sr_hz": pa.array([16000] * 3, pa.int32()),
+        "dur_ms": pa.array([None, None, None], pa.int32())})
+    out = ClipDecoder()(t).to_pylist()
+    assert not out[0]["decode_ok"] and "odd data chunk" in \
+        out[0]["decode_error"]
+    assert not out[1]["decode_ok"]
+    assert out[2]["decode_ok"]
+    assert abs(out[2]["rms"] - 1000.0) < 1e-9   # siblings uncorrupted
+
+    # the per-row decoder raises DecodeError (not a bare ValueError
+    # that escapes every stage's handler)
+    try:
+        decode_wav(rows[0])
+        raise AssertionError("expected DecodeError")
+    except DecodeError:
+        pass
+
+
+def test_slow_row_clipping_counts_full_scale_negative():
+    import numpy as np
+    import pyarrow as pa
+
+    from jschon_ray.stages.decode import ClipDecoder
+
+    pcm = np.array([-32768, 0, 0, 0], "<i2")
+    # route through the SLOW path via an unknown-structure fake header
+    t = pa.table({
+        "clip_id": pa.array(["c"], pa.string()),
+        "bytes": pa.array([pcm.tobytes()], pa.binary()),
+        "codec": pa.array(["pcm_s16le"], pa.string()),
+        "sr_hz": pa.array([16000], pa.int32()),
+        "dur_ms": pa.array([None], pa.int32())})
+    fast = ClipDecoder()(t).to_pylist()[0]
+    slow = [0.0]
+    dec = ClipDecoder()
+    ok = np.zeros(1, bool)
+    err = [None]
+    frames = np.zeros(1, np.int64)
+    mdur = np.full(1, np.nan)
+    rms = np.full(1, np.nan)
+    clip_ratio = np.full(1, np.nan)
+    dec._slow_row(pcm.tobytes(), "pcm_s16le", 16000, None, 0, ok, err,
+                  frames, mdur, rms, clip_ratio)
+    assert fast["clipping_ratio"] == clip_ratio[0] == 0.25

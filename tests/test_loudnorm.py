@@ -7,7 +7,8 @@ import numpy as np
 import pyarrow as pa
 import pytest
 
-from jschon_ray.stages.analysis import LoudnessNormalizer
+from jschon_ray.stages.analysis import \
+    R128LoudnessNormalizer as LoudnessNormalizer
 
 
 def make_clip(sr, dur_s, amp, freq=440.0):
