@@ -143,11 +143,20 @@ class Instances:
 
     def field_present(self, name) -> np.ndarray:
         arr = self.field(name)
-        return self.present & _np_bool(pc.is_valid(arr), False)
+        ok = self.present & _np_bool(pc.is_valid(arr), False)
+        nulls = self.nulls_as_values()
+        if nulls.any():
+            # a JSON-null struct ELEMENT owns no fields, but Arrow may
+            # store physically-valid garbage in its child slots
+            ok = ok & ~nulls
+        return ok
 
     def child(self, name) -> "Instances":
         arr = self.field(name)
         present = self.present & _np_bool(pc.is_valid(arr), False)
+        nulls = self.nulls_as_values()
+        if nulls.any():
+            present = present & ~nulls
         return Instances(self.n, arr, None, present,
                          _const_child_loc(self.loc, name),
                          arrow_jtype(arr.type))
@@ -443,6 +452,15 @@ class FallbackCS(CSchema):
         null_vals = inst.nulls_as_values()
         prev_dialect = self.ev.dialect
         self.ev.dialect = self.dialect
+        try:
+            self._eval_cells(cells, values, null_vals, n, inst, valid,
+                             entries)
+        finally:
+            self.ev.dialect = prev_dialect
+        return SchemaOut(valid, entries)
+
+    def _eval_cells(self, cells, values, null_vals, n, inst, valid,
+                    entries):
         for i in cells:
             v = values[i]
             if v is None and not null_vals[i]:
@@ -470,8 +488,6 @@ class FallbackCS(CSchema):
                 entries.append(Entry(
                     [self.site.seq, (int(i), order)], kloc, absloc, loc,
                     mask, err if isinstance(err, str) else json_str(err)))
-        self.ev.dialect = prev_dialect
-        return SchemaOut(valid, entries)
 
 
 class _SuffixedCellLoc:
@@ -729,8 +745,27 @@ class MultipleOfCKw(CKw):
             invop = np.zeros(inst.n, bool)
         else:
             uniq, inv = np.unique(v, return_inverse=True)
-            verdicts = np.array([self._decimal_ok(u) if not np.isnan(u) else True
-                                 for u in uniq], dtype=object)
+            if len(uniq) > self.MAX_UNIQUE:
+                # the docstring's low-cardinality assumption failed:
+                # keep the loop bounded with a persistent verdict cache
+                # (each distinct value pays the Decimal cost once per
+                # actor lifetime, not once per batch)
+                cache = getattr(self, "_verdict_cache", None)
+                if cache is None:
+                    cache = self._verdict_cache = {}
+                verdicts = np.empty(len(uniq), dtype=object)
+                for j, u in enumerate(uniq):
+                    if np.isnan(u):
+                        verdicts[j] = True
+                        continue
+                    got = cache.get(u)
+                    if got is None and u not in cache:
+                        got = cache[u] = self._decimal_ok(u)
+                    verdicts[j] = got
+            else:
+                verdicts = np.array(
+                    [self._decimal_ok(u) if not np.isnan(u) else True
+                     for u in uniq], dtype=object)
             ok_u = np.array([bool(x) for x in verdicts], bool)
             invop_u = np.array([x is None for x in verdicts], bool)
             valid = ok_u[inv] | ~app
@@ -862,6 +897,18 @@ class PatternCKw(CKw):
             try:
                 ok = pc.match_substring_regex(inst.values, self.kval)
                 valid = _ok(app, ok)
+                if "$" in self.kval:
+                    # RE2 '$' is strict end-of-text; Python re (the
+                    # reference engine) also matches before ONE trailing
+                    # newline — re-check just the newline-ending values
+                    nl = pc.fill_null(
+                        pc.ends_with(pc.cast(inst.values, pa.string()),
+                                     "\n"), False) \
+                        .to_numpy(zero_copy_only=False)
+                    redo = app & nl & ~valid
+                    if redo.any():
+                        valid = valid.copy()
+                        valid[redo] = self._py_eval(inst, redo)[redo]
             except pa.ArrowInvalid:
                 valid = self._py_eval(inst, app)
         else:
@@ -976,7 +1023,6 @@ class UniqueItemsCKw(CKw):
             if self.numeric:
                 vals = pd.Series(flat.cast(pa.float64()).to_numpy(
                     zero_copy_only=False))
-                key = vals.where(vals.notna(), other=np.inf * -0)  # placeholder
                 key = vals.astype(object).where(vals.notna(), "\0null")
             else:
                 key = pd.Series(flat.to_pylist(), dtype=object)
@@ -1413,7 +1459,7 @@ class MaxPropertiesCKw(CKw):
 
     def evaluate(self, inst, siblings):
         cnt = _present_property_count(inst)
-        valid = (cnt <= self.kval) | ~inst.present
+        valid = (cnt <= self.kval) | ~_applicable(inst)
         fails = ~valid
         entries = [self.entry(fails, inst.loc, self.msg)] if fails.any() else []
         return KwOut(valid, entries=entries)
@@ -1429,7 +1475,7 @@ class MinPropertiesCKw(CKw):
 
     def evaluate(self, inst, siblings):
         cnt = _present_property_count(inst)
-        valid = (cnt >= self.kval) | ~inst.present
+        valid = (cnt >= self.kval) | ~_applicable(inst)
         fails = ~valid
         entries = [self.entry(fails, inst.loc, self.msg)] if fails.any() else []
         return KwOut(valid, entries=entries)
@@ -1462,7 +1508,7 @@ class RequiredCKw(CKw):
                 m = np.ones(inst.n, bool)
             miss[n] = m
             any_missing |= m
-        any_missing &= inst.present
+        any_missing &= _applicable(inst)
         valid = ~any_missing
         entries = []
         if any_missing.any():
@@ -1500,7 +1546,7 @@ class DependentRequiredCKw(CKw):
             for m in dm.values():
                 any_dm |= m
             failing |= tp & any_dm
-        failing &= inst.present
+        failing &= _applicable(inst)
         valid = ~failing
         entries = []
         if failing.any():
@@ -1927,8 +1973,12 @@ class Compiler:
             return ItemsCKw(site, sub, n_prefix)
         if key == "additionalItems":  # reached only in the 2019-09 dialect
             items_val = schema.get("items")
-            if not isinstance(items_val, list):
-                return None  # discarded unless items is positional
+            if not isinstance(items_val, list) or len(items_val) == 0:
+                # discarded unless items is NON-EMPTY positional: the
+                # reference gates on an INT items annotation, and the
+                # empty array form yields annotation None
+                # (legacy.py:96-112)
+                return None
             elem_site = self._elem_site(site, site.seq, into_node=True)
             sub = self.compile_schema(kval, elem_site,
                                       suppress_root_error=True)
@@ -2260,6 +2310,22 @@ def compile_spec(spec, table_schema: pa.Schema, *, uri=None, catalog=None,
     comp = Compiler(catalog, formats)
     if isinstance(spec, dict) and ("$id" in spec or uri):
         base = comp.catalog.register(spec, uri)
+    elif isinstance(spec, dict):
+        # anonymous document: register under a content-derived synthetic
+        # URI so internal '#/$defs/...' refs resolve (the reference
+        # assigns anonymous schemas a synthetic UUID URI the same way,
+        # jsonschema.py __init__; content hash keeps re-compiles of the
+        # same spec idempotent in a shared catalog)
+        import hashlib
+        import json as _json
+
+        digest = hashlib.md5(
+            _json.dumps(spec, sort_keys=True, default=str).encode()) \
+            .hexdigest()
+        # https scheme: urllib's urljoin only resolves fragments against
+        # hierarchical schemes (a urn: base would be dropped)
+        base = comp.catalog.register(
+            spec, f"https://jschon-ray.dev/anon/{digest}")
     else:
         base = uri
     site = Site("object", None, "", base, "", ())
@@ -2271,18 +2337,19 @@ def compile_spec(spec, table_schema: pa.Schema, *, uri=None, catalog=None,
 
 
 def _columns_used(spec, table_schema) -> list:
-    """Columns a spec actually reads — for pruning at read_parquet time."""
+    """Columns a spec actually reads — for pruning at read_parquet time.
+
+    Conservative allowlist: ANY keyword outside the known column-narrow
+    set (incl. $dynamicRef/$recursiveRef, plugin keywords, applicators)
+    disables pruning — a pruned read under a keyword whose resolved
+    target reads other columns would silently fail every check."""
     if not isinstance(spec, dict):
         return list(table_schema.names)
-    narrow_keys = {"properties"}
-    wide = set(spec.keys()) - {
+    safe = {
         "$id", "$schema", "$defs", "$comment", "title", "description",
-        "properties", "required", "dependentRequired",
+        "properties", "required", "dependentRequired", "type",
     }
-    if wide & {"additionalProperties", "patternProperties", "propertyNames",
-               "minProperties", "maxProperties", "unevaluatedProperties",
-               "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
-               "$ref", "dependentSchemas", "enum", "const"}:
+    if set(spec.keys()) - safe:
         return list(table_schema.names)
     used = set(spec.get("properties", {}).keys())
     used |= set(spec.get("required", []))

@@ -59,6 +59,9 @@ def parse_uri_fragment(fragment: str) -> str:
     return unquote(fragment)
 
 
+_ARRAY_TOK = __import__("re").compile(r"0|[1-9][0-9]*")
+
+
 def evaluate(pointer: str, doc):
     """Resolve a pointer against plain-Python JSON data.
 
@@ -70,6 +73,10 @@ def evaluate(pointer: str, doc):
         if isinstance(node, dict):
             node = node[tok]
         elif isinstance(node, list):
+            # RFC 6901 array tokens: 0 | [1-9][0-9]* — negative and
+            # leading-zero tokens must fail, not resolve Python-style
+            if not _ARRAY_TOK.fullmatch(tok):
+                raise IndexError(f"invalid array index {tok!r}")
             node = node[int(tok)]
         else:
             raise KeyError(f"cannot index {type(node).__name__} with {tok!r}")
