@@ -33,6 +33,13 @@ ONLY = os.environ.get("RAY_GRAFT_BENCH", "")
 def run_benchmarks() -> dict:
     import ray
 
+    from jschon_ray.state.raylog import quiet_empty_schema_warnings
+
+    # drop ray's benign once-per-operator warning for zero-yield task
+    # bundles (empty shuffle partitions carry no schema); genuine
+    # non-empty schema divergences still log — see state/raylog.py
+    quiet_empty_schema_warnings()
+
     if not ray.is_initialized():
         # worker_process_setup_hook: pin the glibc allocator in EVERY
         # worker (incl. read tasks) before the first big allocation —

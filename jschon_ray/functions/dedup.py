@@ -1259,25 +1259,29 @@ def substring_dup_spans(ds, *, id_col: str = "doc_id", col: str = "text",
             "n_windows": pa.array(np.repeat(nw, nw).astype(np.int64)),
             "_b": pa.array(bucket.astype(np.int64))})
 
-    def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_dups(g: pd.DataFrame) -> pa.Table:
+        # always Arrow out with a pinned schema — empty pandas partials
+        # produce nameless PandasBlockSchema RefBundles that trip the
+        # streaming executor's schema-unification warning
         cols = [id_col, "pos", "n_windows", "_db"]
+        empty = pa.table({c: pa.array([], pa.int64()) for c in cols})
         if len(g) == 0:
-            return pd.DataFrame({c: pd.array([], "int64") for c in cols})
+            return empty
         ndoc = g.groupby("w_hash")[id_col].transform("nunique")
         g = g[ndoc >= 2]
         if len(g) == 0:
-            return pd.DataFrame({c: pd.array([], "int64") for c in cols})
+            return empty
         db = (_bucket_of(g[id_col], num_buckets)).astype(np.int64)
-        return pd.DataFrame({
-            id_col: g[id_col].to_numpy(),
-            "pos": g["pos"].to_numpy(),
-            "n_windows": g["n_windows"].to_numpy(),
-            "_db": db})
+        return pa.table({
+            id_col: pa.array(g[id_col].to_numpy(), pa.int64()),
+            "pos": pa.array(g["pos"].to_numpy(), pa.int64()),
+            "n_windows": pa.array(g["n_windows"].to_numpy(), pa.int64()),
+            "_db": pa.array(db)})
 
-    def doc_coverage(g: pd.DataFrame) -> pd.DataFrame:
+    def doc_coverage(g: pd.DataFrame) -> pa.Table:
         cols = [id_col, "n_windows", "n_dup_windows", "dup_chars"]
         if len(g) == 0:
-            return pd.DataFrame({c: pd.array([], "int64") for c in cols})
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
         g = g.sort_values([id_col, "pos"])
         ids = g[id_col].to_numpy()
         pos = g["pos"].to_numpy()
@@ -1291,8 +1295,8 @@ def substring_dup_spans(ds, *, id_col: str = "doc_id", col: str = "text",
             .agg(n_dup_windows=("_c", "size"), dup_chars=("_c", "sum"))
         nwin = g.iloc[np.flatnonzero(new_doc)][[id_col, "n_windows"]]
         out = out.merge(nwin, on=id_col)
-        return out[cols].astype(
-            {c: np.int64 for c in cols})
+        out = out[cols].astype({c: np.int64 for c in cols})
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     wins = ds.map_batches(emit_windows, batch_format="pyarrow")
     dups = wins.groupby("_b").map_groups(bucket_dups,

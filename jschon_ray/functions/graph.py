@@ -70,10 +70,40 @@ def pair_bucket_of(a: np.ndarray, b: np.ndarray,
         .astype(np.int64)
 
 
+def _cc_local(a: np.ndarray, b: np.ndarray) -> tuple:
+    """Vectorized min-label propagation with pointer doubling over an
+    in-memory edge list. Returns (nodes, components) with component =
+    min node id, matching the distributed path exactly.
+
+    Nodes are factorized and the codes RANKED by node value so that
+    min-code == min-node-id; each round is two np.minimum.at scatters
+    plus a `lab[lab]` shortcut — O((N+E) log N) total."""
+    codes, uniques = pd.factorize(np.concatenate([a, b]))
+    uniques = np.asarray(uniques)
+    order = np.argsort(uniques, kind="mergesort")
+    rank = np.empty(len(uniques), np.int64)
+    rank[order] = np.arange(len(uniques), dtype=np.int64)
+    codes = rank[codes]
+    by_rank = uniques[order]
+    n = len(uniques)
+    ca, cb = codes[:len(a)], codes[len(a):]
+    lab = np.arange(n, dtype=np.int64)
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, ca, lab[cb])
+        np.minimum.at(new, cb, lab[ca])
+        new = np.minimum(new, new[new])
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return by_rank, by_rank[lab]
+
+
 def connected_components(edges, *, src: str = "id_a", dst: str = "id_b",
                          out_node: str = "node",
                          out_comp: str = "component",
-                         num_buckets: int = 64, max_rounds: int = 50):
+                         num_buckets: int = 64, max_rounds: int = 50,
+                         small_edge_limit: int = 2_000_000):
     """Connected components of the undirected graph given by an edge
     Dataset. Returns a Dataset (out_node, out_comp) covering every node
     that appears in any edge; `out_comp` is the component's MINIMUM node
@@ -84,8 +114,49 @@ def connected_components(edges, *, src: str = "id_a", dst: str = "id_b",
     none on the input — edges may arrive in any order/partitioning; the
     hash-bucket co-group re-keys everything. The driver loop holds only
     one scalar (changed-count) per round.
+
+    Scale split: the edge relation is the ALREADY-THRESHOLDED pair set —
+    usually orders of magnitude smaller than the corpus — and each
+    distributed round costs two shuffles of it. When the edge count is
+    at most `small_edge_limit` (default 2M edges ≈ 32 MB of int64 pairs,
+    a bounded driver-side footprint like a broadcast-join build side),
+    the loop runs as ONE vectorized in-memory pass instead, saving the
+    per-round scheduling floor that dominates small graphs. Above the
+    bound — or with `small_edge_limit=None` — the distributed
+    pointer-doubling loop (10M-edge evidence in BASELINE.md) takes over.
     """
-    narrow = edges.select_columns([src, dst])
+    # project with map_batches, not select_columns: ray 2.49's Project
+    # operator passes ZERO-ROW blocks through UNPROJECTED, so a
+    # union-seeded pair Dataset (typed empty seed + empty group partials,
+    # dedup._with_schema_seed) would emit mixed-width bundles and trip
+    # the executor's schema-divergence warning with two non-empty-looking
+    # schemas. Empty blocks mapped here lose their schema entirely, which
+    # downstream unification ignores.
+    def project(t: pa.Table) -> pa.Table:
+        return t.select([src, dst])
+
+    narrow = edges.map_batches(project,
+                               batch_format="pyarrow").materialize()
+
+    if small_edge_limit is not None \
+            and narrow.count() <= small_edge_limit:
+        import ray.data
+
+        df = narrow.to_pandas()
+        if len(df) == 0:
+            # an all-empty projected Dataset may carry no schema; the
+            # pre-projection input still does
+            sch = narrow.schema() or edges.schema()
+            try:
+                node_t = sch.types[sch.names.index(src)]
+            except (AttributeError, ValueError):
+                node_t = pa.int64()
+            return ray.data.from_arrow(pa.table({
+                out_node: pa.array([], node_t),
+                out_comp: pa.array([], node_t)}))
+        nodes, comps = _cc_local(df[src].to_numpy(), df[dst].to_numpy())
+        return ray.data.from_arrow(pa.table({
+            out_node: pa.array(nodes), out_comp: pa.array(comps)}))
 
     def init_msgs(t: pa.Table) -> pa.Table:
         a = t[src].to_pandas()

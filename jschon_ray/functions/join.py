@@ -273,6 +273,51 @@ def broadcast_join(ds, small, *, on: str, how: str = "inner",
     )
 
 
+_SALT_COL = "__salted_key"
+
+
+def _salt_probe(batch: pa.Table, *, on: str, hot: pa.Array,
+                num_salts: int) -> pa.Table:
+    """Probe-side salting: cold rows get salt 0; a hot key's rows are
+    dealt round-robin over `num_salts` salts, so its per-salted-key row
+    count is bounded by ceil(hot_rows / num_salts) per batch."""
+    import pyarrow.compute as pc
+
+    k = batch[on]
+    is_hot = pc.fill_null(pc.is_in(k, value_set=hot), False) \
+               .to_numpy(zero_copy_only=False)
+    salt = np.zeros(batch.num_rows, np.int64)
+    salt[is_hot] = np.arange(int(is_hot.sum())) % num_salts
+    s = pc.binary_join_element_wise(
+        pc.cast(k, pa.string()),
+        pa.array(salt.astype("U"), pa.string()), "#")
+    return batch.append_column(_SALT_COL, s)
+
+
+def _explode_build(batch: pa.Table, *, on: str, hot: pa.Array,
+                   num_salts: int) -> pa.Table:
+    """Build-side replication: cold rows carry salt 0 once; each hot
+    build row is replicated once per salt so every probe salt finds its
+    match. Extra rows = |hot build rows| x num_salts."""
+    import pyarrow.compute as pc
+
+    is_hot = pc.fill_null(pc.is_in(batch[on], value_set=hot), False)
+    cold = batch.filter(pc.invert(is_hot))
+    hotp = batch.filter(is_hot)
+    zero = pa.array(np.zeros(cold.num_rows, np.int64).astype("U"),
+                    pa.string())
+    parts = [cold.append_column(
+        _SALT_COL, pc.binary_join_element_wise(
+            pc.cast(cold[on], pa.string()), zero, "#"))]
+    for sgroup in range(num_salts):
+        tag = pa.array(np.full(hotp.num_rows, sgroup,
+                               np.int64).astype("U"), pa.string())
+        parts.append(hotp.append_column(
+            _SALT_COL, pc.binary_join_element_wise(
+                pc.cast(hotp[on], pa.string()), tag, "#")))
+    return pa.concat_tables(parts)
+
+
 def salted_hash_join(left, right, *, on: str, hot_keys,
                      num_salts: int = 8, how: str = "inner",
                      num_buckets: int = 32, suffixes=("", "_r")):
@@ -304,42 +349,57 @@ def salted_hash_join(left, right, *, on: str, hot_keys,
             " and would emit duplicate unmatched copies under full-outer")
 
     hot = pa.array(sorted(set(hot_keys)))
-    skey = "__salted_key"
+    skey = _SALT_COL
 
-    def salt_left(batch: pa.Table) -> pa.Table:
-        k = batch[on]
-        is_hot = pc.fill_null(pc.is_in(k, value_set=hot), False) \
-                   .to_numpy(zero_copy_only=False)
-        salt = np.zeros(batch.num_rows, np.int64)
-        salt[is_hot] = np.arange(int(is_hot.sum())) % num_salts
-        s = pc.binary_join_element_wise(
-            pc.cast(k, pa.string()),
-            pa.array(salt.astype("U"), pa.string()), "#")
-        return batch.append_column(skey, s)
-
-    def explode_right(batch: pa.Table) -> pa.Table:
-        k = batch[on]
-        is_hot = pc.fill_null(pc.is_in(k, value_set=hot), False)
-        cold = batch.filter(pc.invert(is_hot))
-        hotp = batch.filter(is_hot)
-        zero = pa.array(np.zeros(cold.num_rows, np.int64).astype("U"),
-                        pa.string())
-        parts = [cold.append_column(
-            skey, pc.binary_join_element_wise(
-                pc.cast(cold[on], pa.string()), zero, "#"))]
-        for sgroup in range(num_salts):
-            tag = pa.array(np.full(hotp.num_rows, sgroup,
-                                   np.int64).astype("U"), pa.string())
-            parts.append(hotp.append_column(
-                skey, pc.binary_join_element_wise(
-                    pc.cast(hotp[on], pa.string()), tag, "#")))
-        return pa.concat_tables(parts)
-
-    lefts = left.map_batches(salt_left, batch_format="pyarrow")
-    rights = right.map_batches(explode_right, batch_format="pyarrow") \
+    lefts = left.map_batches(
+        functools.partial(_salt_probe, on=on, hot=hot,
+                          num_salts=num_salts),
+        batch_format="pyarrow")
+    rights = right.map_batches(
+        functools.partial(_explode_build, on=on, hot=hot,
+                          num_salts=num_salts),
+        batch_format="pyarrow") \
         .map_batches(lambda t: t.drop_columns([on]),
                      batch_format="pyarrow")
     joined = hash_join(lefts, rights, on=skey, how=how,
                        num_buckets=num_buckets, suffixes=suffixes)
     return joined.map_batches(lambda t: t.drop_columns([skey]),
                               batch_format="pyarrow")
+
+
+def hash_join_auto(left, right, *, on: str, how: str = "inner",
+                   num_buckets: int = 32, num_salts: int = 8,
+                   skew_num: int = 1, skew_den: int = 100,
+                   suffixes=("", "_r")):
+    """`hash_join` with AUTOMATIC skew handling: one exact heavy-hitter
+    pass over the probe (left) side's key column (per-block count
+    combiner + keys-only groupby, relational.heavy_hitters) finds keys
+    holding more than ``skew_num/skew_den`` of the rows; if any exist
+    and `how` permits, the join runs as `salted_hash_join` with those
+    keys salted `num_salts` ways, otherwise as plain `hash_join`.
+
+    This is the auto-trigger the salted mode's docstring promises: a
+    fact×fact join no longer needs the caller to know its key
+    distribution — a 50%-hot key that would serialize one bucket's
+    map_groups task is detected and spread across `num_salts` tasks.
+    The detection pass reads ONLY the probe key column (pruned read if
+    the input is a fresh parquet scan) and shuffles one row per
+    distinct key per block, so its cost is a small fraction of the join
+    shuffle it protects.
+
+    'full' joins never salt (replicated build rows would duplicate
+    unmatched copies — see salted_hash_join) and fall through to the
+    plain plan unconditionally.
+    """
+    if how in ("inner", "left"):
+        from .relational import heavy_hitters
+
+        hot = heavy_hitters(left, col=on, num=skew_num, den=skew_den) \
+            .to_pandas()
+        if len(hot):
+            return salted_hash_join(
+                left, right, on=on, hot_keys=list(hot[on]),
+                num_salts=num_salts, how=how,
+                num_buckets=num_buckets, suffixes=suffixes)
+    return hash_join(left, right, on=on, how=how,
+                     num_buckets=num_buckets, suffixes=suffixes)

@@ -29,6 +29,34 @@ import pyarrow.compute as pc
 from ..functions.text import LANG_MARKERS
 from ..sources.io import read_table, table_path
 
+
+def finalize(out: pd.DataFrame, schema: dict) -> pd.DataFrame:
+    """Typed-empty-safe finalize for Dataset.to_pandas() results.
+
+    Ray's ``to_pandas()`` on an all-empty result (e.g. a groupby whose
+    input matched zero rows) yields a DataFrame with NO columns, so a
+    downstream ``out[col].astype(...)`` raises KeyError. This guarantees
+    every column in ``schema`` exists with the requested dtype and in the
+    given order: present columns are cast, columns missing from an EMPTY
+    frame are created as typed empties. A missing column on a non-empty
+    frame is still an error (that is a real bug, not the empty-result
+    artifact).
+
+    ``schema`` maps column name -> pandas dtype, or ``None`` to keep the
+    existing dtype (object columns, already-typed ones).
+    """
+    cols = {}
+    for col, dtype in schema.items():
+        if col in out.columns:
+            s = out[col]
+            cols[col] = s if dtype is None else s.astype(dtype)
+        elif len(out) == 0:
+            cols[col] = pd.Series([], dtype=(dtype or object))
+        else:
+            raise KeyError(col)
+    return pd.DataFrame(cols)
+
+
 # ---------------------------------------------------------------------------
 # per-row validation specs used by the validate_* queries
 
@@ -1741,8 +1769,11 @@ def q_dup_clusters_docs(sf_dir):
     # the edge Dataset directly, no driver-side pair materialization.
     # materialize() pins the (small, thresholded) pair set in the object
     # store because CC re-reads the edge relation every round.
-    pairs = ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.5) \
-        .select_columns(["id_a", "id_b"]).materialize()
+    # CC projects (id_a, id_b) internally with a map_batches select —
+    # select_columns here would pass the generator's typed-empty seed
+    # blocks through unprojected (mixed-width bundles, executor warning)
+    pairs = ngram_jaccard_pairs(ds, "doc_id", "text",
+                                threshold=0.5).materialize()
     if pairs.count() == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "component": pd.Series([], dtype="int64")})
@@ -2087,8 +2118,9 @@ def q_ann_topk(sf_dir):
                "matrix": _embedding_matrix(qt, "embedding")}
     ds = read_table(table_path(sf_dir, "embeddings"))
     out = ann_topk(ds, queries, k=5)
-    df = out.to_pandas()
-    df["rank"] = df["rank"].astype("int64")
+    df = finalize(out.to_pandas(), {"query_id": "int64",
+                                    "neighbor_id": "int64",
+                                    "rank": "int64"})
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
@@ -2106,8 +2138,9 @@ def q_ann_topk_ivf(sf_dir):
                "matrix": _embedding_matrix(qt, "embedding")}
     ds = read_table(table_path(sf_dir, "embeddings"))
     out = ann_topk_ivf(ds, queries, k=5, n_centroids=12, nprobe=12)
-    df = out.to_pandas()
-    df["rank"] = df["rank"].astype("int64")
+    df = finalize(out.to_pandas(), {"query_id": "int64",
+                                    "neighbor_id": "int64",
+                                    "rank": "int64"})
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
@@ -2268,10 +2301,9 @@ def q_semantic_dedup_embeddings(sf_dir):
 
     ds = read_table(table_path(sf_dir, "embeddings"))
     out = semantic_dedup(ds, n_clusters=12, threshold=0.92)
-    df = out.to_pandas().sort_values("vec_id").reset_index(drop=True)
-    df["vec_id"] = df["vec_id"].astype("int64")
-    df["cluster"] = df["cluster"].astype("int64")
-    return df
+    df = finalize(out.to_pandas(),
+                  {"vec_id": "int64", "cluster": "int64", "keep": "bool"})
+    return df.sort_values("vec_id").reset_index(drop=True)
 
 
 def q_embedding_neardup(sf_dir):
@@ -2723,8 +2755,8 @@ def q_dedup_corpus_docs(sf_dir):
     # edge Dataset straight into CC (no driver pair materialization;
     # materialize() pins the small thresholded pair set for CC's
     # per-round edge re-reads)
-    pairs = ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.5) \
-        .select_columns(["id_a", "id_b"]).materialize()
+    pairs = ngram_jaccard_pairs(ds, "doc_id", "text",
+                                threshold=0.5).materialize()
     survivors = ds.select_columns(["doc_id", "n_chars"])
     if pairs.count():
         cc = connected_components(pairs)
@@ -2848,7 +2880,7 @@ def q_clips_decode(sf_dir):
             batch_format="pyarrow") \
         .groupby(["valid", "decode_ok"]).sum("count_all")
     agg = counts.to_pandas().rename(columns={"sum(count_all)": "n"})
-    agg["n"] = agg["n"].astype("int64")
+    agg = finalize(agg, {"valid": None, "decode_ok": None, "n": "int64"})
     return agg.sort_values(["valid", "decode_ok"]).reset_index(drop=True)
 
 
@@ -3949,8 +3981,7 @@ def q_audio_fingerprint_clusters(sf_dir):
     # matched pairs stay a Dataset (typed string empties keep the schema
     # when no pair survives); materialize() pins the small pair set for
     # CC's per-round edge re-reads
-    pairs = q_audio_fingerprint_dedup_clips(sf_dir) \
-        .select_columns(["id_a", "id_b"]).materialize()
+    pairs = q_audio_fingerprint_dedup_clips(sf_dir).materialize()
     if pairs.count() == 0:
         return pd.DataFrame({"clip_id": pd.Series([], dtype=object),
                              "component": pd.Series([], dtype=object)})
@@ -4286,7 +4317,11 @@ def build_queries() -> dict:
     }
 
 
-def build_oracles() -> dict:
+def build_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
+    """Oracle SQL per query. The driver calls this with no argument and
+    compares at sf0.01 (driver contract); the clips-family oracles read a
+    deterministic /tmp cache derived from that sf_dir, so sweeps at other
+    scales (scripts/sweep_queries.py) pass the matching sf_dir instead."""
     sql = {
         "q1_pricing_summary": _Q1_SQL,
         "zorder_pruning_lineitem": _ZORDER_PRUNING_SQL,
@@ -4458,9 +4493,9 @@ def build_oracles() -> dict:
         # flagship clips oracles read the deterministic /tmp cache; the
         # driver runs side-by-side correctness at sf0.01 (driver contract),
         # which is the scale these strings are derived for
-        "clips_validation": _clips_validation_sql("/root/testdata/sf0.01"),
-        "speaking_rate_clips": _speaking_rate_sql("/root/testdata/sf0.01"),
-        "audio_chunk_clips": _audio_chunk_sql("/root/testdata/sf0.01"),
+        "clips_validation": _clips_validation_sql(sf_dir),
+        "speaking_rate_clips": _speaking_rate_sql(sf_dir),
+        "audio_chunk_clips": _audio_chunk_sql(sf_dir),
         "events_user_streaks": _USER_STREAKS_SQL,
         "events_markov_transitions": _MARKOV_SQL,
         "cohort_retention_matrix": _COHORT_MATRIX_SQL,
@@ -4472,15 +4507,15 @@ def build_oracles() -> dict:
         "trending_parts_decay": _TRENDING_SQL,
         "frequent_values_lineitem": _FREQUENT_VALUES_SQL,
         "audio_transcode_clips":
-            _audio_transcode_sql("/root/testdata/sf0.01"),
+            _audio_transcode_sql(sf_dir),
         "events_session_paths": _SESSION_PATHS_SQL,
         "scd2_orders_history": _SCD2_SQL,
-        "codec_sniff_clips": _codec_sniff_sql("/root/testdata/sf0.01"),
+        "codec_sniff_clips": _codec_sniff_sql(sf_dir),
         "bigram_logprob_docs": _BIGRAM_SQL,
         "zipf_fit_docs": _ZIPF_SQL,
         "ann_topk_ivf_appended": _ANN_TOPK_SQL,
         "audio_pitchshift_clips":
-            _audio_pitchshift_sql("/root/testdata/sf0.01"),
+            _audio_pitchshift_sql(sf_dir),
         "customer_rfm": _RFM_SQL,
         "pareto_parts_revenue": _PARETO_SQL,
         "q3_shipping_priority": _Q3_SHIPPING_PRIORITY_SQL,
@@ -4494,11 +4529,11 @@ def build_oracles() -> dict:
         "q21_waiting_suppliers": _Q21_WAITING_SQL,
         "kl_source_divergence_docs": _KL_SOURCE_SQL,
         "length_band_docs": _LENGTH_BAND_SQL,
-        "editdist_clips": _editdist_clips_sql("/root/testdata/sf0.01"),
+        "editdist_clips": _editdist_clips_sql(sf_dir),
         "clips_violation_counts":
-            _clips_violation_counts_sql("/root/testdata/sf0.01"),
+            _clips_violation_counts_sql(sf_dir),
         "grouped_stats_codec":
-            _grouped_stats_codec_sql("/root/testdata/sf0.01"),
+            _grouped_stats_codec_sql(sf_dir),
         "q2_min_cost_supplier": _Q2_MIN_COST_SQL,
         "q9_product_profit": _Q9_PRODUCT_PROFIT_SQL,
         "q11_important_parts": _Q11_IMPORTANT_PARTS_SQL,
@@ -6624,6 +6659,8 @@ def q_dense_rank_brands(sf_dir):
             .groupby(["p_type", "p_brand"]).aggregate(
                 Sum("rev_e4", alias_name="rev_e4"))
     df = agg.to_pandas()
+    df = finalize(df, {"p_type": None, "p_brand": None,
+                       "rev_e4": "float64"})
     df["rev_e4"] = df["rev_e4"].round().astype("int64")
     df = df.sort_values(["p_type", "rev_e4"],
                         ascending=[True, False], kind="mergesort")
@@ -7587,9 +7624,9 @@ def q_user_growth_daily(sf_dir):
     per_day = first_day.map_batches(day_counts, batch_format="pyarrow") \
                        .groupby("day_us") \
                        .aggregate(Sum("n_new", alias_name="n_new"))
-    df = per_day.to_pandas().sort_values("day_us").reset_index(drop=True)
-    df["n_new"] = df["n_new"].astype("int64")
-    df["day_us"] = df["day_us"].astype("int64")
+    df = finalize(per_day.to_pandas(),
+                  {"day_us": "int64", "n_new": "int64"})
+    df = df.sort_values("day_us").reset_index(drop=True)
     df["cum_users"] = df["n_new"].cumsum().astype("int64")
     return df
 
@@ -7746,12 +7783,14 @@ def q_join_skew_profile(sf_dir):
         return ds.map_batches(partial, batch_format="pyarrow") \
                  .groupby("bucket").aggregate(Sum(out, alias_name=out))
 
-    li = side_counts(read_table(table_path(sf_dir, "lineitem"),
-                                columns=["l_orderkey"]),
-                     "l_orderkey", "n_lineitem").to_pandas()
-    od = side_counts(read_table(table_path(sf_dir, "orders"),
-                                columns=["o_orderkey"]),
-                     "o_orderkey", "n_orders").to_pandas()
+    li = finalize(side_counts(read_table(table_path(sf_dir, "lineitem"),
+                                         columns=["l_orderkey"]),
+                              "l_orderkey", "n_lineitem").to_pandas(),
+                  {"bucket": "int64", "n_lineitem": "int64"})
+    od = finalize(side_counts(read_table(table_path(sf_dir, "orders"),
+                                         columns=["o_orderkey"]),
+                              "o_orderkey", "n_orders").to_pandas(),
+                  {"bucket": "int64", "n_orders": "int64"})
     out = li.merge(od, on="bucket", how="outer").fillna(0)
     out["bucket"] = out["bucket"].astype("int64")
     out["n_lineitem"] = out["n_lineitem"].astype("int64")
@@ -7795,8 +7834,8 @@ def q_events_type_share_daily(sf_dir):
     per = ds.map_batches(partial, batch_format="pyarrow") \
             .groupby(["day_us", "event_type"]) \
             .aggregate(Sum("n", alias_name="n")).to_pandas()
-    per["n"] = per["n"].astype("int64")
-    per["day_us"] = per["day_us"].astype("int64")
+    per = finalize(per, {"day_us": "int64", "event_type": None,
+                         "n": "int64"})
     tot = per.groupby("day_us")["n"].transform("sum")
     per["share"] = per["n"] / tot
     return per.sort_values(["day_us", "event_type"]) \
@@ -7999,7 +8038,8 @@ def q_mutual_info_flag_status(sf_dir):
     cells = ds.map_batches(partial, batch_format="pyarrow") \
               .groupby(["l_returnflag", "l_linestatus"]) \
               .aggregate(Sum("n", alias_name="n")).to_pandas()
-    cells["n"] = cells["n"].astype("int64")
+    cells = finalize(cells, {"l_returnflag": None, "l_linestatus": None,
+                             "n": "int64"})
     cells = cells.sort_values(["l_returnflag", "l_linestatus"]) \
                  .reset_index(drop=True)
     n = float(cells["n"].sum())
@@ -8226,8 +8266,7 @@ def q_audio_chunk_clips(sf_dir):
         batch_format="pyarrow", batch_size=256)
     out = chunks.groupby("clip_id").count().to_pandas() \
         .rename(columns={"count()": "chunks"})
-    out["chunks"] = out["chunks"].astype("int64")
-    return _ensure_columns(out, {"clip_id": "object", "chunks": "int64"})
+    return finalize(out, {"clip_id": None, "chunks": "int64"})
 
 
 def read_table_clips_pcm(sf_dir):
@@ -8406,7 +8445,7 @@ def q_lineitem_benford(sf_dir):
     out = ds.map_batches(digit_counts, batch_format="pyarrow") \
         .groupby("digit").aggregate(Sum("n", alias_name="n")) \
         .to_pandas()
-    out["n"] = out["n"].astype("int64")
+    out = finalize(out, {"digit": "int64", "n": "int64"})
     total = out["n"].sum()
     out["freq"] = (out["n"] / total).round(6)
     out["benford"] = np.log10(1.0 + 1.0 / out["digit"]).round(6)
@@ -8570,8 +8609,10 @@ def q_audio_trim_clips(sf_dir):
             Sum("n_samples", alias_name="total_kept_samples"),
             Mean("trimmed_ms", alias_name="mean_trimmed_ms")) \
         .to_pandas()
+    out = finalize(out, {"trim_ok": None, "n": "int64",
+                         "total_kept_samples": "int64",
+                         "mean_trimmed_ms": "float64"})
     out["mean_trimmed_ms"] = out["mean_trimmed_ms"].round(4)
-    out["total_kept_samples"] = out["total_kept_samples"].astype("int64")
     return out.sort_values("trim_ok").reset_index(drop=True)
 
 
@@ -8775,7 +8816,7 @@ def q_frequent_values_lineitem(sf_dir):
     agg = ds.map_batches(value_counts, batch_format="pyarrow") \
         .groupby(["col", "val"]).aggregate(Sum("n", alias_name="n")) \
         .to_pandas()
-    agg["n"] = agg["n"].astype("int64")
+    agg = finalize(agg, {"col": None, "val": None, "n": "int64"})
     agg = agg.sort_values(["col", "n", "val"],
                           ascending=[True, False, True])
     agg["rnk"] = agg.groupby("col").cumcount() + 1
@@ -8926,7 +8967,7 @@ def q_events_session_paths(sf_dir):
                                                   batch_format="pandas")
     agg = partial.groupby("path").aggregate(
         Sum("n", alias_name="n")).to_pandas()
-    agg["n"] = agg["n"].astype("int64")
+    agg = finalize(agg, {"path": None, "n": "int64"})
     top = agg.sort_values(["n", "path"],
                           ascending=[False, True]).head(10)
     return top.reset_index(drop=True)
@@ -9072,7 +9113,8 @@ def q_codec_sniff_clips(sf_dir):
     out = ds.map_batches(sniff, batch_format="pyarrow") \
         .groupby(["declared", "sniffed", "consistent"]) \
         .aggregate(Count(alias_name="n")).to_pandas()
-    out["n"] = out["n"].astype("int64")
+    out = finalize(out, {"declared": None, "sniffed": None,
+                         "consistent": None, "n": "int64"})
     return out.sort_values(["declared", "sniffed"]) \
         .reset_index(drop=True)
 
@@ -9262,9 +9304,7 @@ def q_audio_pitchshift_clips(sf_dir):
         .select_columns(["clip_id", "n_samples"]) \
         .groupby("clip_id").aggregate(
             Sum("n_samples", alias_name="out_samples")).to_pandas()
-    out["out_samples"] = out["out_samples"].astype("int64")
-    return _ensure_columns(out, {"clip_id": "object",
-                                 "out_samples": "int64"})
+    return finalize(out, {"clip_id": None, "out_samples": "int64"})
 
 
 def _audio_pitchshift_sql(sf_dir: str) -> str:
@@ -10225,7 +10265,7 @@ def q_q4_order_priority(sf_dir):
 
     out = distinct_late.groupby("o_orderpriority") \
         .aggregate(Count(alias_name="order_count")).to_pandas()
-    out["order_count"] = out["order_count"].astype("int64")
+    out = finalize(out, {"o_orderpriority": None, "order_count": "int64"})
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
@@ -10279,8 +10319,7 @@ def q_q13_customer_distribution(sf_dir):
     out = j.map_batches(zero_fill, batch_format="pyarrow") \
         .groupby("c_count").aggregate(Count(alias_name="custdist")) \
         .to_pandas()
-    out["c_count"] = out["c_count"].astype("int64")
-    out["custdist"] = out["custdist"].astype("int64")
+    out = finalize(out, {"c_count": "int64", "custdist": "int64"})
     return out.sort_values(["custdist", "c_count"],
                            ascending=[False, False]).reset_index(drop=True)
 
@@ -10504,8 +10543,8 @@ def q_zorder_pruning_lineitem(sf_dir):
         .aggregate(Sum("qty", alias_name="sum_qty"),
                    Count(alias_name="n_rows")) \
         .to_pandas()
-    out["sum_qty"] = out["sum_qty"].astype("int64")
-    out["n_rows"] = out["n_rows"].astype("int64")
+    out = finalize(out, {"l_returnflag": None, "sum_qty": "int64",
+                         "n_rows": "int64"})
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
@@ -11087,10 +11126,9 @@ def q_bloom_pointlookup_lineitem(sf_dir):
         .aggregate(Sum("rev_e2", alias_name="rev_e2"),
                    Count(alias_name="n_lines")) \
         .to_pandas()
-    out["rev_e2"] = out["rev_e2"].astype("int64")
-    out["n_lines"] = out["n_lines"].astype("int64")
-    return out[["l_orderkey", "n_lines", "rev_e2"]] \
-        .sort_values("l_orderkey").reset_index(drop=True)
+    out = finalize(out, {"l_orderkey": "int64", "n_lines": "int64",
+                         "rev_e2": "int64"})
+    return out.sort_values("l_orderkey").reset_index(drop=True)
 
 
 _BLOOM_POINTLOOKUP_SQL = f"""
@@ -11145,10 +11183,10 @@ def q_filter_cascade_docs(sf_dir):
         .groupby("stage_no") \
         .aggregate(Sum("n_in", alias_name="n_in"),
                    Sum("n_out", alias_name="n_out")).to_pandas()
+    agg = finalize(agg, {"stage_no": "int64", "n_in": "int64",
+                         "n_out": "int64"})
     agg = agg.sort_values("stage_no").reset_index(drop=True)
     agg["stage"] = [STAGES[i - 1] for i in agg.stage_no]
-    agg["n_in"] = agg.n_in.astype("int64")
-    agg["n_out"] = agg.n_out.astype("int64")
     return agg[["stage_no", "stage", "n_in", "n_out"]]
 
 
@@ -11211,6 +11249,7 @@ def q_grouped_split_docs(sf_dir):
     out = ds.map_batches(key, batch_format="pyarrow") \
         .groupby("source_split") \
         .aggregate(Count(alias_name="n_docs")).to_pandas()
+    out = finalize(out, {"source_split": None, "n_docs": "int64"})
     parts = out.source_split.str.split("|")
     out["source"] = parts.str[0]
     out["split"] = parts.str[1]
@@ -11315,8 +11354,8 @@ def q_merge_orders_cdc(sf_dir):
         .aggregate(Count(alias_name="n_orders"),
                    Sum("price_e2", alias_name="sum_price_e2")) \
         .to_pandas()
-    agg["n_orders"] = agg.n_orders.astype("int64")
-    agg["sum_price_e2"] = agg.sum_price_e2.astype("int64")
+    agg = finalize(agg, {"o_orderpriority": None, "n_orders": "int64",
+                         "sum_price_e2": "int64"})
     return agg.sort_values("o_orderpriority").reset_index(drop=True)
 
 

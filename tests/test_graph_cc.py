@@ -41,39 +41,52 @@ def run_cc(pairs, **kw):
     return dict(zip(res["node"], res["component"]))
 
 
-def test_two_components_int(ray_session):
-    got = run_cc([(1, 2), (2, 3), (10, 11)])
+# every small graph here exercises BOTH execution paths: the in-memory
+# fast path (small_edge_limit default) and the distributed
+# pointer-doubling loop (small_edge_limit=None)
+BOTH_PATHS = pytest.mark.parametrize(
+    "limit", [2_000_000, None], ids=["local", "distributed"])
+
+
+@BOTH_PATHS
+def test_two_components_int(ray_session, limit):
+    got = run_cc([(1, 2), (2, 3), (10, 11)], small_edge_limit=limit)
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
-def test_long_chain_needs_propagation_rounds(ray_session):
+@BOTH_PATHS
+def test_long_chain_needs_propagation_rounds(ray_session, limit):
     # a 40-node path: exercises multi-round propagation (pointer-doubling
     # shortcuts make this O(log diameter) rounds)
     pairs = [(i, i + 1) for i in range(40)]
-    got = run_cc(pairs, num_buckets=8)
+    got = run_cc(pairs, num_buckets=8, small_edge_limit=limit)
     assert got == {i: 0 for i in range(41)}
 
 
-def test_string_ids_lexicographic_min(ray_session):
+@BOTH_PATHS
+def test_string_ids_lexicographic_min(ray_session, limit):
     got = run_cc([("doc-b", "doc-c"), ("doc-c", "doc-a"),
-                  ("zzz", "yyy")])
+                  ("zzz", "yyy")], small_edge_limit=limit)
     assert got == {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
                    "zzz": "yyy", "yyy": "yyy"}
 
 
-def test_self_loops_and_duplicate_edges(ray_session):
-    got = run_cc([(5, 5), (1, 2), (2, 1), (1, 2)])
+@BOTH_PATHS
+def test_self_loops_and_duplicate_edges(ray_session, limit):
+    got = run_cc([(5, 5), (1, 2), (2, 1), (1, 2)],
+                 small_edge_limit=limit)
     assert got == {5: 5, 1: 1, 2: 1}
 
 
+@BOTH_PATHS
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_fuzz_vs_union_find(ray_session, seed):
+def test_fuzz_vs_union_find(ray_session, seed, limit):
     rng = np.random.default_rng(seed)
     n = 200
     m = int(rng.integers(50, 300))
     pairs = [(int(a), int(b))
              for a, b in rng.integers(0, n, size=(m, 2))]
-    got = run_cc(pairs, num_buckets=16)
+    got = run_cc(pairs, num_buckets=16, small_edge_limit=limit)
     assert got == uf_components(pairs)
 
 
@@ -82,7 +95,10 @@ def test_diameter_budget_raises(ray_session):
     df = pd.DataFrame(pairs, columns=["id_a", "id_b"])
     ds = ray.data.from_pandas(df)
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(ds, max_rounds=3).to_pandas()
+        # round budget only applies to the distributed loop; the local
+        # fast path always converges in one in-memory pass
+        connected_components(ds, max_rounds=3,
+                             small_edge_limit=None).to_pandas()
 
 
 def test_dup_clusters_keep_rule(ray_session):

@@ -188,6 +188,61 @@ class TestSaltedHashJoin:
         pd.testing.assert_frame_equal(a[sorted(a.columns)],
                                       b[sorted(b.columns)])
 
+    def test_auto_trigger_parity_on_skew(self, ray_session):
+        """hash_join_auto detects the >=50%-hot key via the
+        heavy-hitter pass and its salted plan matches the plain join
+        bit-for-bit."""
+        from jschon_ray.functions.join import hash_join, hash_join_auto
+        left, right = self._skewed()   # 90% of 5000 rows on key 7
+        a = hash_join_auto(ray.data.from_arrow(left),
+                           ray.data.from_arrow(right), on="k",
+                           num_salts=4).to_pandas()
+        b = hash_join(ray.data.from_arrow(left),
+                      ray.data.from_arrow(right), on="k").to_pandas()
+        a = a.sort_values(["k", "payload"]).reset_index(drop=True)
+        b = b.sort_values(["k", "payload"]).reset_index(drop=True)
+        assert len(a) == len(b) == 5000
+        pd.testing.assert_frame_equal(a[sorted(a.columns)],
+                                      b[sorted(b.columns)])
+
+    def test_auto_trigger_detects_hot_key(self, ray_session):
+        """The heavy-hitter pass feeding the auto-trigger flags exactly
+        the skewed key at the default 1% share threshold."""
+        from jschon_ray.functions.relational import heavy_hitters
+        left, _ = self._skewed()
+        hot = heavy_hitters(ray.data.from_arrow(left), col="k",
+                            num=1, den=4).to_pandas()   # >25% share
+        assert list(hot["k"]) == [7]
+
+    def test_salting_bounds_per_task_rows(self):
+        """The boundedness invariant the salted plan exists for: after
+        probe-side salting, no single shuffle key holds more than
+        cold_max + ceil(hot/num_salts) rows (vs 90% of the input on one
+        key unsalted), and the build side replicates hot rows exactly
+        num_salts times."""
+        import pyarrow.compute as pc
+
+        from jschon_ray.functions.join import (_SALT_COL, _explode_build,
+                                               _salt_probe)
+        left, right = self._skewed()
+        hot = pa.array([7], pa.int64())
+        salted = _salt_probe(left, on="k", hot=hot, num_salts=4)
+        per_key = salted.group_by(_SALT_COL) \
+            .aggregate([([], "count_all")]).column("count_all")
+        n_hot = pc.sum(pc.equal(left["k"], 7)).as_py()
+        cold_max = pc.max(
+            left.filter(pc.not_equal(left["k"], 7)).group_by("k")
+                .aggregate([([], "count_all")]).column("count_all")).as_py()
+        assert n_hot > len(left) // 2          # genuinely skewed input
+        bound = cold_max + (n_hot + 3) // 4
+        assert pc.max(per_key).as_py() <= bound
+
+        built = _explode_build(right, on="k", hot=hot, num_salts=4)
+        assert built.num_rows == right.num_rows + 3   # hot row x4 total
+        hot_copies = built.filter(pc.equal(built["k"], 7))
+        assert hot_copies.num_rows == 4
+        assert len(hot_copies.column(_SALT_COL).unique()) == 4
+
     def test_left_join_unmatched_survive(self, ray_session):
         from jschon_ray.functions.join import salted_hash_join
         left = pa.table({"k": pa.array([7, 7, 99], pa.int64()),
