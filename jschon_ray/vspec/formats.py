@@ -84,13 +84,13 @@ _TIME_RE = re.compile(
 _DATETIME_RE = re.compile(
     r"^\d{4}-\d{2}-\d{2}[Tt]\d{2}:\d{2}:\d{2}(\.\d+)?"
     r"([Zz]|[+-]\d{2}:\d{2})$", re.ASCII)
+# RFC 3339 appendix-A grammar: weeks are STANDALONE (P2W cannot combine
+# with Y/M/D or a time part); otherwise date designators in Y-M-D order
+# with an optional T part that must carry at least one component.
+# Fractional seconds kept (ISO 8601 extension the suite exercises).
 _DURATION_RE = re.compile(
-    r"^P(?!$)(\d+Y)?(\d+M)?(\d+W)?(\d+D)?"
-    r"(T(?=\d)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?$", re.ASCII)
-_EMAIL_RE = re.compile(r"^[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+"
-                       r"@[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
-                       r"(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}"
-                       r"[A-Za-z0-9])?)+$")
+    r"^P(?:\d+W|(?=\d|T\d)(\d+Y)?(\d+M)?(\d+D)?"
+    r"(T(?=\d)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?)$", re.ASCII)
 _UUID_RE = re.compile(r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
                       r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")
 _HOSTNAME_RE = re.compile(
@@ -108,9 +108,69 @@ def _regex_format(attr: str, rx: re.Pattern, what: str):
 
 
 _regex_format("duration", _DURATION_RE, "ISO 8601 duration")
-_regex_format("email", _EMAIL_RE, "email address")
 _regex_format("uuid", _UUID_RE, "UUID")
+
+
 _regex_format("hostname", _HOSTNAME_RE, "hostname")
+
+
+_EMAIL_ATEXT = r"[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]"
+_EMAIL_LOCAL_RE = re.compile(rf"^{_EMAIL_ATEXT}+(\.{_EMAIL_ATEXT}+)*$")
+_EMAIL_QUOTED_RE = re.compile(r'^"(?:[^"\\\r\n]|\\.)*"$')
+
+
+@format_validator("email")
+def validate_email(value: str) -> None:
+    """RFC 5321 mailbox syntax: dot-atom or quoted-string local part
+    (consecutive/leading/trailing dots rejected), hostname or
+    [IP-literal] domain."""
+    import ipaddress
+
+    local, sep, domain = value.rpartition("@")
+    bad = ValueError(f"'{value}' is not a valid email address")
+    if not sep or not local or not domain:
+        raise bad
+    if not (_EMAIL_LOCAL_RE.fullmatch(local)
+            or _EMAIL_QUOTED_RE.fullmatch(local)):
+        raise bad
+    if domain.startswith("[") and domain.endswith("]"):
+        lit = domain[1:-1]
+        try:
+            if lit.startswith("IPv6:"):
+                ipaddress.IPv6Address(lit[5:])
+            else:
+                ipaddress.IPv4Address(lit)
+        except ValueError:
+            raise bad from None
+    elif _HOSTNAME_RE.fullmatch(domain) is None or "." not in domain:
+        # single-label domains pinned invalid repo-wide
+        # (tests/test_formats_standard.py: 'a@b')
+        raise bad
+
+
+# RFC 6901 relative form (draft-handrews-relative-json-pointer): a
+# non-negative integer without leading zeros, then either '#' or a
+# (possibly empty) JSON pointer.
+_RELATIVE_JP_RE = re.compile(
+    r"^(0|[1-9][0-9]*)(#|(/([^~/]|~[01])*)*)$", re.ASCII)
+_regex_format("relative-json-pointer", _RELATIVE_JP_RE,
+              "relative JSON pointer")
+
+# RFC 3986 URI-reference at the charset level: the allowed character
+# repertoire (incl. delimiters) with well-formed percent-escapes; an
+# optional leading scheme. Rejects spaces, backslashes and bad escapes
+# — the classes the suite's uri-reference file probes.
+_URIREF_CHARS_RE = re.compile(
+    r"^(?:[A-Za-z][A-Za-z0-9+.\-]*:)?"
+    r"[A-Za-z0-9\-._~:/?#\[\]@!$&'()*+,;=%]*$", re.ASCII)
+_PCT_BAD_RE = re.compile(r"%(?![0-9A-Fa-f]{2})")
+
+
+@format_validator("uri-reference")
+def validate_uri_reference(value: str) -> None:
+    if _URIREF_CHARS_RE.fullmatch(value) is None \
+            or _PCT_BAD_RE.search(value):
+        raise ValueError(f"'{value}' is not a valid URI reference")
 
 
 @format_validator("date")

@@ -501,6 +501,16 @@ class RowEvaluator:
             node.fail(f"The object is missing dependent properties {missing}")
 
     # ---- format --------------------------------------------------------
+    def _kw_contentSchema(self, schema, kval, instance, ipath, node, *_):
+        """contentSchema annotates only beside a contentMediaType
+        sibling; alone it is DISCARDED, not annotated (reference
+        vocabulary/annotation.py:64-74 result.discard())."""
+        node.asserting = False
+        if isinstance(schema, dict) and "contentMediaType" in schema:
+            node.annotation = kval
+        else:
+            node.discarded = True
+
     def _kw_format(self, schema, kval, instance, ipath, node, *_):
         node.annotation = kval
         entry = self.formats.get(kval)

@@ -94,6 +94,23 @@ SHARED_WITH_2019 = {
     # semantics in 2019-09; generator verified all 500 triples against
     # the reference under 2020-12, 2019-09 AND next
     "generated_wrapper_matrix.json",
+    # round-4 matrices (scripts/gen_suite_corpus_r4.py): every triple
+    # cross-checked against the reference under 2020-12, 2019-09 AND
+    # next at generation time; the per-draft unevaluated/items grids
+    # live in their own directories and are NOT listed here
+    "generated_conditional_matrix.json",
+    "generated_propname_dependents.json",
+    "generated_contains_grid.json",
+    "generated_numeric_edges.json",
+    "generated_string_patterns.json",
+    "generated_enum_const_deep.json",
+    "generated_object_matrix2.json",
+    "generated_ref_scopes.json",
+    "generated_content_annotations.json",
+    "generated_composition_grid.json",
+    "generated_uniqueness_grid.json",
+    "generated_type_multi.json",
+    "generated_length_bounds_grid.json",
 }
 
 
@@ -293,7 +310,7 @@ def test_reference_agrees_with_corpus():
 def test_corpus_size():
     """The corpus must stay substantial — suite-style coverage, not a
     handful of smoke cases."""
-    assert len(_PARAMS) >= 6900
+    assert len(_PARAMS) >= 17000
 
 
 def test_vectorized_cross_check_coverage():
