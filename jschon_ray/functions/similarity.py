@@ -430,9 +430,21 @@ def build_ivf_index(ds, index_dir: str, *, id_col="vec_id",
                   "centroid": pa.array(list(centroids),
                                        pa.list_(pa.float64()))}),
         os.path.join(index_dir, "centroids.parquet"))
+    # per-cell row counts from parquet FOOTERS only (no data read) —
+    # makes imbalance()/needs_rebuild() observable from a fresh build,
+    # not just after appends
+    counts = {}
+    for name in os.listdir(cells_dir):
+        if not name.startswith("cell="):
+            continue
+        cdir = os.path.join(cells_dir, name)
+        n = sum(pqt.ParquetFile(os.path.join(cdir, f)).metadata.num_rows
+                for f in os.listdir(cdir) if f.endswith(".parquet"))
+        counts[name.split("=", 1)[1]] = int(n)
     manifest = {"n_centroids": int(len(centroids)),
                 "dim": int(centroids.shape[1]),
-                "id_col": id_col, "emb_col": emb_col}
+                "id_col": id_col, "emb_col": emb_col,
+                "cell_counts": counts}
     with open(os.path.join(index_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
     return manifest
@@ -1272,10 +1284,20 @@ class AnnIndex:
         return cls(index_dir)
 
     # ---- append -------------------------------------------------------
-    def append(self, ds) -> dict:
+    def append(self, ds, *, auto_rebuild: bool = False,
+               rebuild_threshold: float | None = None) -> dict:
         """Append rows without retraining (frozen centroids/codebooks).
         Returns stats incl. ``imbalance`` — check ``needs_rebuild()``
-        after drifting appends (see class docstring)."""
+        after drifting appends (see class docstring).
+
+        ``auto_rebuild=True`` automates the documented rebuild policy:
+        when the post-append imbalance exceeds ``rebuild_threshold``
+        (default: the class threshold), the index retrains over its OWN
+        on-disk raw cells via :meth:`rebuild` — no external corpus
+        handle needed — and the returned stats carry ``rebuilt=True``
+        plus the post-rebuild imbalance. ivf/ivfpq only (a flat pq
+        index stores no raw vectors to retrain from, and has no cells
+        to imbalance)."""
         import json as _json
 
         id_col = self.manifest["id_col"]
@@ -1309,6 +1331,13 @@ class AnnIndex:
                                    "manifest.json")) as f:
                 self.manifest = _json.load(f)
             self.manifest["kind"] = self.kind
+            if auto_rebuild and self.needs_rebuild(rebuild_threshold):
+                stats["imbalance_before_rebuild"] = self.imbalance()
+                self.rebuild()
+                stats["rebuilt"] = True
+                stats["imbalance"] = self.imbalance()
+            else:
+                stats["rebuilt"] = False
             return stats
         # flat pq: encode with frozen codebooks, add code files
         books = _load_codebooks(self.index_dir)
@@ -1356,6 +1385,49 @@ class AnnIndex:
         return out
 
     # ---- maintenance --------------------------------------------------
+    def rebuild(self, *, n_centroids: int | None = None) -> None:
+        """Retrain the index over its own on-disk raw vectors and swap
+        the fresh layout into place.
+
+        The ivf/ivfpq layouts keep EVERY raw vector under ``cells/``
+        (appends included), so the full corpus is one pruned parquet
+        read away — no external Dataset handle or re-ingest. The new
+        index is built in a sibling ``<dir>.rebuild`` directory and
+        atomically swapped via rename, so a crash mid-rebuild leaves
+        the original index intact (same idempotent-write posture as
+        functions/layout.py). Probes against the OLD layout remain
+        correct up to the swap (imbalance costs probe time, never
+        recall)."""
+        import shutil
+
+        if self.kind not in ("ivf", "ivfpq"):
+            raise ValueError("rebuild needs raw cells: kind must be "
+                             f"'ivf' or 'ivfpq', not {self.kind!r}")
+        id_col = self.manifest["id_col"]
+        emb_col = self.manifest["emb_col"]
+        corpus = ray.data.read_parquet(
+            os.path.join(self.index_dir, "cells"),
+            columns=[id_col, emb_col])
+        fresh = self.index_dir.rstrip("/") + ".rebuild"
+        if os.path.exists(fresh):
+            shutil.rmtree(fresh)
+        kwargs = dict(id_col=id_col, emb_col=emb_col,
+                      n_centroids=n_centroids
+                      or self.manifest.get("n_centroids", 16))
+        if self.kind == "ivfpq":
+            kwargs["m"] = self.manifest.get("pq_m", 16)
+            kwargs["n_codes"] = self.manifest.get("pq_codes", 256)
+        AnnIndex.build(corpus, fresh, kind=self.kind, **kwargs)
+        old = self.index_dir.rstrip("/") + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(self.index_dir, old)
+        os.rename(fresh, self.index_dir)
+        shutil.rmtree(old)
+        refreshed = AnnIndex(self.index_dir)
+        self.manifest = refreshed.manifest
+        self.kind = refreshed.kind
+
     def imbalance(self) -> float:
         counts = self.manifest.get("cell_counts")
         if not counts:

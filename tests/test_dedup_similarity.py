@@ -1,5 +1,7 @@
 """Dedup + similarity functions against synthetic near-duplicates."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -701,6 +703,69 @@ def test_ann_index_append_and_rebuild_policy(ray_session, tmp_path):
         .sort_values(["query_id", "rank"]).reset_index(drop=True)
     exact["rank"] = exact["rank"].astype("int64")
     pd.testing.assert_frame_equal(idx.probe(q, k=5, nprobe=8), exact)
+
+
+def test_ann_index_append_auto_rebuild(ray_session, tmp_path):
+    """A skewed append that blows past the imbalance threshold triggers
+    the automated rebuild (append(auto_rebuild=True)): the index
+    retrains over its own raw cells, imbalance collapses back toward
+    balanced, and probes on the rebuilt layout still return the exact
+    neighbors (recall preserved through the swap)."""
+    import ray.data as rd
+    from jschon_ray.functions.similarity import AnnIndex, ann_topk
+
+    t = embeddings_with_dups(n=240)
+    half = t.num_rows // 2
+    idx = AnnIndex.build(rd.from_arrow(t.slice(0, half)),
+                         str(tmp_path / "auto"), kind="ivf",
+                         n_centroids=8)
+
+    # skewed drift: every appended vector near ONE existing point, so
+    # frozen-centroid assignment piles them into a single cell
+    base = np.asarray(t["embedding"].to_pylist()[3], np.float64)
+    rng = np.random.default_rng(5)
+    skew = base[None, :] + 0.01 * rng.standard_normal((400, len(base)))
+    emb_type = t.schema.field("embedding").type
+    app = pa.table({
+        "vec_id": pa.array(np.arange(10_000, 10_400, dtype=np.int64)),
+        "embedding": pa.array(
+            list(skew.astype(np.float32)), emb_type)})
+
+    stats = idx.append(rd.from_arrow(app), auto_rebuild=True,
+                       rebuild_threshold=2.0)
+    assert stats["rebuilt"] is True
+    assert stats["imbalance_before_rebuild"] > 2.0
+    assert stats["imbalance"] < stats["imbalance_before_rebuild"]
+    assert idx.imbalance() == stats["imbalance"]
+    # all rows survived the swap
+    assert sum(int(v) for v in
+               idx.manifest["cell_counts"].values()) == half + 400
+
+    # recall preserved: covering probe == exact scan over old+new rows
+    both = pa.concat_tables([t.slice(0, half), app])
+    q = _queries_from(both, [10, half + 50])
+    q["ids"] = np.array([int(both["vec_id"][10].as_py()),
+                         int(both["vec_id"][half + 50].as_py())])
+    exact = ann_topk(rd.from_arrow(both), q, k=5).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    exact["rank"] = exact["rank"].astype("int64")
+    pd.testing.assert_frame_equal(idx.probe(q, k=5, nprobe=8), exact)
+
+
+def test_ann_index_append_no_trigger_stays_put(ray_session, tmp_path):
+    """A balanced append under the threshold must NOT rebuild."""
+    import ray.data as rd
+    from jschon_ray.functions.similarity import AnnIndex
+
+    t = embeddings_with_dups(n=240)
+    half = t.num_rows // 2
+    idx = AnnIndex.build(rd.from_arrow(t.slice(0, half)),
+                         str(tmp_path / "noauto"), kind="ivf",
+                         n_centroids=8)
+    stats = idx.append(rd.from_arrow(t.slice(half)), auto_rebuild=True,
+                       rebuild_threshold=50.0)
+    assert stats["rebuilt"] is False
+    assert not os.path.exists(str(tmp_path / "noauto") + ".rebuild")
 
 
 def test_ann_index_ivfpq_append_codes_searchable(ray_session, tmp_path):
