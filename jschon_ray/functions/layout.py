@@ -30,12 +30,52 @@ The sort is per-bucket (inside one map_groups group), never a global
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+
+
+def _atomic_write_table(table: pa.Table, path: str, **kw) -> None:
+    """Crash-safe parquet write: data lands under ``<path>.inprogress``
+    and becomes visible only via an atomic rename. A task killed
+    mid-write leaves an ``.inprogress`` orphan that every scan ignores;
+    a retried task overwrites both names idempotently (deterministic
+    per-bucket file names — same posture as jobs/validate_job.py)."""
+    tmp = path + ".inprogress"
+    pq.write_table(table, tmp, **kw)
+    os.replace(tmp, path)
+
+
+def _atomic_write_json(obj, path: str) -> None:
+    tmp = path + ".inprogress"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def _manifest_files(out_dir: str) -> list[str] | None:
+    """File list from the layout's ``_manifest.json``, or None when the
+    layout predates the manifest (fall back to glob). Scans prefer the
+    manifest so stale part files from an older, larger layout in the
+    same directory are never read — and a manifest entry whose file is
+    MISSING raises (interrupted overwrite: rebuild the layout)."""
+    mpath = os.path.join(out_dir, "_manifest.json")
+    if not os.path.exists(mpath):
+        return None
+    with open(mpath) as f:
+        rows = json.load(f)
+    files = sorted(r["file"] for r in rows)
+    missing = [f for f in files if not os.path.exists(f)]
+    if missing:
+        raise FileNotFoundError(
+            f"layout manifest at {mpath} lists missing files "
+            f"{missing[:3]} — the layout was interrupted mid-overwrite; "
+            "rewrite it")
+    return files
 
 
 # --------------------------------------------------------------------------
@@ -142,8 +182,8 @@ def zorder_write(ds, cols: list[str], out_dir: str, *,
         g = g.sort_by("__z").drop_columns(["__z", "__bucket"])
         path = os.path.join(out_dir, f"part-{b:05d}.parquet")
         # small row groups -> finer-grained footer stats for the scan
-        pq.write_table(g, path,
-                       row_group_size=max(8192, g.num_rows // 8))
+        _atomic_write_table(g, path,
+                            row_group_size=max(8192, g.num_rows // 8))
         stats = {"file": [path], "rows": [g.num_rows]}
         for c in cols:
             col = g[c]
@@ -156,7 +196,9 @@ def zorder_write(ds, cols: list[str], out_dir: str, *,
         .map_groups(write_bucket, batch_format="pyarrow") \
         .to_pandas()
     mpath = os.path.join(out_dir, "_manifest.json")
-    manifest.to_json(mpath, orient="records")
+    # manifest last + atomic: its presence certifies a COMPLETE layout
+    # (a killed run leaves parts but no manifest -> caller rewrites)
+    _atomic_write_json(manifest.to_dict(orient="records"), mpath)
     return {"files": len(manifest), "rows": int(manifest["rows"].sum()),
             "manifest": mpath}
 
@@ -180,7 +222,9 @@ def pruned_scan(out_dir: str, predicates: dict[str, tuple], **read_kwargs):
     import ray.data
     from pyarrow import dataset as pads
 
-    files = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    files = _manifest_files(out_dir)
+    if files is None:
+        files = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
     keep = []
     for f in files:
         md = pq.ParquetFile(f).metadata
@@ -240,7 +284,7 @@ def hash_partition_write(ds, key_col: str, out_dir: str, *,
         b = int(g["__bucket"][0].as_py())
         g = g.drop_columns(["__bucket"])
         path = os.path.join(out_dir, f"part-{b:05d}.parquet")
-        pq.write_table(g, path)
+        _atomic_write_table(g, path)
         return pa.table({"file": [path], "rows": [g.num_rows]})
 
     manifest = ds.map_batches(tag, batch_format="pyarrow") \
@@ -248,6 +292,8 @@ def hash_partition_write(ds, key_col: str, out_dir: str, *,
         .map_groups(write_bucket, batch_format="pyarrow").to_pandas()
     if len(manifest) == 0:     # empty input: zero groups, column-less frame
         return {"files": 0, "rows": 0}
+    _atomic_write_json(manifest.to_dict(orient="records"),
+                       os.path.join(out_dir, "_manifest.json"))
     return {"files": len(manifest), "rows": int(manifest["rows"].sum())}
 
 
@@ -279,8 +325,10 @@ def bloom_index_write(out_dir: str, col: str, *, num_bits: int = 1 << 20,
             bf.add_hashes(hash_array(
                 pd.Series(vals.to_numpy(zero_copy_only=False))))
         side = path + ".bloom"
-        with open(side, "wb") as f:
+        tmp = side + ".inprogress"
+        with open(tmp, "wb") as f:
             f.write(bf.to_bytes())
+        os.replace(tmp, side)   # crash-safe: scans never see a torn blob
         return side
 
     ray.get([build_one.remote(f) for f in files])
@@ -304,7 +352,9 @@ def bloom_point_scan(out_dir: str, col: str, keys, **read_kwargs):
 
     from ..state.sketches import BloomFilter, hash_array
 
-    files = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    files = _manifest_files(out_dir)
+    if files is None:
+        files = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
     if not files:
         raise ValueError(
             f"bloom_point_scan: no part-*.parquet files under {out_dir} "

@@ -57,6 +57,7 @@ def session_counts(ds, *, key_col="user_id", ts_col="ts",
     gap_us = int(gap_minutes) * 60_000_000
 
     narrow = ds.select_columns([key_col, ts_col, tie_col])
+    narrow = _non_null_rows(narrow, [key_col, ts_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
                           num_buckets=_resolve_buckets(ds, num_buckets)),
@@ -105,6 +106,7 @@ def session_stats(ds, *, key_col="user_id", ts_col="ts",
     gap_us = int(gap_minutes) * 60_000_000
 
     narrow = ds.select_columns([key_col, ts_col, tie_col])
+    narrow = _non_null_rows(narrow, [key_col, ts_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
                           num_buckets=_resolve_buckets(ds, num_buckets)),
@@ -202,6 +204,26 @@ def _key_bucket(batch: pa.Table, *, key_col: str,
     return batch.append_column("_bucket", pa.array(b))
 
 
+
+def _non_null_rows(ds, cols):
+    """Keyed-scan NULL convention (pinned by
+    tests/test_windows_null_edges.py): a row with a null partition key,
+    null ordering timestamp, or null interval bound has no place in the
+    scan — dropped up front, the SQL `WHERE key IS NOT NULL AND ts IS
+    NOT NULL` prefilter. The windowed GROUP BY family (tumbling /
+    hopping) deliberately does NOT use this: SQL GROUP BY keeps null
+    groups, and so do they."""
+    cols = list(cols)
+
+    def drop(batch: pa.Table) -> pa.Table:
+        mask = None
+        for c in cols:
+            m = pc.is_valid(batch[c])
+            mask = m if mask is None else pc.and_(mask, m)
+        return batch.filter(mask)
+
+    return ds.map_batches(drop, batch_format="pyarrow")
+
 def keyed_window_scan(ds, *, key_col: str, ts_col: str, tie_col: str,
                       value_col: str, k: int = 5, num_buckets: int | None = None,
                       to_int=None):
@@ -224,6 +246,7 @@ def keyed_window_scan(ds, *, key_col: str, ts_col: str, tie_col: str,
     Emits (key_col, tie_col, row_in_key, cum_value, roll_sum, roll_n).
     """
     narrow = ds.select_columns([key_col, ts_col, tie_col, value_col])
+    narrow = _non_null_rows(narrow, [key_col, ts_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
                           num_buckets=_resolve_buckets(ds, num_buckets)),
@@ -279,6 +302,12 @@ def hopping_agg(ds, *, key_cols=("event_type",), ts_col="ts",
     from ray.data.aggregate import Count, Sum
 
     def explode(t: pa.Table) -> pa.Table:
+        # a null timestamp belongs to no hop, so it must not be
+        # replicated m times: it contributes ONE row to the null-window
+        # group (SQL GROUP BY keeps null groups once per source row)
+        has_ts = pc.is_valid(t[ts_col])
+        nulls = t.filter(pc.invert(has_ts))
+        t = t.filter(has_ts)
         ts_us = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
         k = pc.floor(pc.divide(ts_us.cast(pa.float64()), stride_us))
         k = k.cast(pa.int64())
@@ -288,6 +317,11 @@ def hopping_agg(ds, *, key_cols=("event_type",), ts_col="ts",
             start = pc.multiply(pc.subtract(k, j), stride_us) \
                 .cast(pa.timestamp("us"))
             parts.append(base.append_column("window_start", start))
+        if nulls.num_rows:
+            parts.append(
+                nulls.select(list(key_cols) + [value_col]).append_column(
+                    "window_start",
+                    pa.nulls(nulls.num_rows, pa.timestamp("us"))))
         return pa.concat_tables(parts)
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
@@ -318,6 +352,7 @@ def funnel_conversion(ds, *, user_col: str, ts_col: str, type_col: str,
 
     within_us = _to_us_windows(within)
     narrow = ds.select_columns([user_col, ts_col, type_col])
+    narrow = _non_null_rows(narrow, [user_col, ts_col])
 
     def prefilter(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -467,6 +502,7 @@ def event_bigrams(ds, *, user_col: str, ts_col: str, tie_col: str,
     """
 
     narrow = ds.select_columns([user_col, ts_col, tie_col, type_col])
+    narrow = _non_null_rows(narrow, [user_col, ts_col])
 
     def prefilter(t: pa.Table) -> pa.Table:
         keep = pc.and_(pc.is_valid(t[user_col]), pc.is_valid(t[ts_col]))
@@ -520,6 +556,7 @@ def keyed_moving_median(ds, *, key_col: str, ts_col: str, tie_col: str,
     float interpolation hash-matches the oracle.
     """
     narrow = ds.select_columns([key_col, ts_col, tie_col, value_col])
+    narrow = _non_null_rows(narrow, [key_col, ts_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
                           num_buckets=_resolve_buckets(ds, num_buckets)),
@@ -566,6 +603,7 @@ def keyed_lag(ds, *, key_col: str, ts_col: str, tie_col: str,
     delta is rounded to `decimals` so it hash-matches a SQL oracle.
     """
     narrow = ds.select_columns([key_col, ts_col, tie_col, value_col])
+    narrow = _non_null_rows(narrow, [key_col, ts_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
                           num_buckets=_resolve_buckets(ds, num_buckets)),
@@ -620,6 +658,7 @@ def keyed_lead(ds, *, key_col: str, ts_col: str, tie_col: str,
     event / churn-gap inputs). Mirror image of `keyed_lag`: same
     bucketed segmented scan, diff taken forward."""
     narrow = ds.select_columns([key_col, ts_col, tie_col, value_col])
+    narrow = _non_null_rows(narrow, [key_col, ts_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
                           num_buckets=_resolve_buckets(ds, num_buckets)),
@@ -675,6 +714,7 @@ def keyed_throttle(ds, *, key_col: str, ts_col: str, tie_col: str,
     first-of-key rows. One narrow bucketed shuffle, vectorized diff.
     """
     narrow = ds.select_columns([key_col, ts_col, tie_col])
+    narrow = _non_null_rows(narrow, [key_col, ts_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
                           num_buckets=_resolve_buckets(ds, num_buckets)),
@@ -722,8 +762,12 @@ def keyed_latest(ds, *, key_cols: list, ts_col: str, tie_col: str,
     first-touch attribution). Rows hash-bucket on the FIRST key
     (composite keys never split), then one sorted keep-last pass per
     bucket — no per-key dispatch, duplicates collapse inside the
-    bucket so the output is bounded by the key-domain size."""
-    keyed = ds.map_batches(
+    bucket so the output is bounded by the key-domain size.
+
+    NULL convention: rows with a null key component or null timestamp
+    are dropped up front — without this, NaT sorts LAST under pandas
+    and a timestamp-less row silently wins the 'latest' slot."""
+    keyed = _non_null_rows(ds, list(key_cols) + [ts_col]).map_batches(
         functools.partial(_key_bucket, key_col=key_cols[0],
                           num_buckets=_resolve_buckets(ds, num_buckets)),
         batch_format="pyarrow")
@@ -746,6 +790,7 @@ def keyed_distinct_runs(ds, *, key_col: str, ts_col: str, tie_col: str,
     the dedup used to collapse repeated states/heartbeats into
     transitions. Same bucketed segmented scan as `keyed_lag`."""
     narrow = ds.select_columns([key_col, ts_col, tie_col, run_col])
+    narrow = _non_null_rows(narrow, [key_col, ts_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
                           num_buckets=_resolve_buckets(ds, num_buckets)),
@@ -776,6 +821,7 @@ def keyed_percent_rank(ds, *, key_col: str, value_col: str, tie_col: str,
     columns; keys never split, so per-key sizes are known inside the
     bucket and the pct divides two exact integers."""
     narrow = ds.select_columns([key_col, value_col, tie_col])
+    narrow = _non_null_rows(narrow, [key_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
                           num_buckets=_resolve_buckets(ds, num_buckets)),
@@ -824,6 +870,7 @@ def keyed_cume_dist(ds, *, key_col: str, value_col: str, tie_col: str,
     grouped_percentile_cont_lowcard shape) — counts shuffle, rows
     don't."""
     narrow = ds.select_columns([key_col, value_col, tie_col])
+    narrow = _non_null_rows(narrow, [key_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
                           num_buckets=_resolve_buckets(ds, num_buckets)),
@@ -875,6 +922,7 @@ def keyed_rolling_stats(ds, *, key_col: str, ts_col: str, tie_col: str,
     import warnings
 
     narrow = ds.select_columns([key_col, ts_col, tie_col, value_col])
+    narrow = _non_null_rows(narrow, [key_col, ts_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
                           num_buckets=_resolve_buckets(ds, num_buckets)),
@@ -924,6 +972,7 @@ def keyed_streaks(ds, *, key_col: str, ts_col: str,
     key: max_streak, n_active_units, n_streaks.
     """
     narrow = ds.select_columns([key_col, ts_col])
+    narrow = _non_null_rows(narrow, [key_col, ts_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
                           num_buckets=_resolve_buckets(
@@ -983,6 +1032,7 @@ def keyed_transition_counts(ds, *, key_col: str, ts_col: str,
     P(next|cur) is derived from the global counts.
     """
     narrow = ds.select_columns([key_col, ts_col, tie_col, type_col])
+    narrow = _non_null_rows(narrow, [key_col, ts_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
                           num_buckets=_resolve_buckets(
@@ -1039,6 +1089,7 @@ def cohort_retention_matrix(ds, *, key_col: str, ts_col: str,
     bounded (cohort x offset) matrix.
     """
     narrow = ds.select_columns([key_col, ts_col])
+    narrow = _non_null_rows(narrow, [key_col, ts_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
                           num_buckets=_resolve_buckets(
@@ -1048,6 +1099,16 @@ def cohort_retention_matrix(ds, *, key_col: str, ts_col: str,
     unit_us = int(unit_s) * 1_000_000
 
     def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # null keys / null timestamps carry no cohort membership — same
+        # drop convention as the rest of the keyed family (a null key
+        # would surface as IntCastingNaNError from the groupby
+        # transform; a NaT would alias to int64-min and fabricate a
+        # cohort)
+        g = g.dropna(subset=[key_col, ts_col])
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("cohort_unit", "unit_offset",
+                                           "n_keys")})
         ts_us = g[ts_col].to_numpy().astype("datetime64[us]") \
                                     .astype(np.int64)
         d = pd.DataFrame({key_col: g[key_col].to_numpy(),
@@ -1090,6 +1151,7 @@ def keyed_interval_coverage(ds, *, key_col: str, lo_col: str,
     per key with n_windows and covered units.
     """
     narrow = ds.select_columns([key_col, lo_col, hi_col])
+    narrow = _non_null_rows(narrow, [key_col, lo_col, hi_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
                           num_buckets=_resolve_buckets(
@@ -1159,6 +1221,7 @@ def keyed_ewma(ds, *, key_col: str, ts_col: str, tie_col: str,
             "the blocked rescaling uses (1-alpha)**(-i), which is "
             "undefined/overflowing outside that range")
     narrow = ds.select_columns([key_col, ts_col, tie_col, value_col])
+    narrow = _non_null_rows(narrow, [key_col, ts_col])
     keyed = narrow.map_batches(
         functools.partial(_key_bucket, key_col=key_col,
                           num_buckets=_resolve_buckets(ds, num_buckets)),

@@ -737,6 +737,60 @@ GROUP BY d.priority_class
 """
 
 
+_EVENT_TYPE_DIM = [("click", 1), ("view", 2), ("purchase", 3),
+                   ("signup", 4), ("error", 5)]
+
+
+def q_events_skew_join_auto(sf_dir):
+    """Skew-aware join auto-trigger end to end (functions/join.py
+    hash_join_auto): events join a per-type dim Dataset on event_type —
+    a 5-value key where EVERY key is a >1% heavy hitter, so the exact
+    heavy-hitter pass flags all of them and the plan runs as
+    salted_hash_join (hot build rows replicated per salt, probe rows
+    dealt round-robin). The oracle pins that salting never changes the
+    join result. Contrast orders_broadcast_enrich (broadcast plan) and
+    orders_by_segment (unsalted bucketed shuffle)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.join import hash_join_auto
+
+    events = read_table(table_path(sf_dir, "events"),
+                        columns=["event_type", "value"])
+
+    def to_milli(t: pa.Table) -> pa.Table:
+        v = pc.round(pc.multiply(pc.fill_null(t["value"], 0.0), 1000.0)) \
+            .cast(pa.int64())
+        return pa.table({"event_type": t["event_type"], "value_e3": v})
+
+    dim = ray.data.from_arrow(pa.table({
+        "event_type": pa.array([t for t, _ in _EVENT_TYPE_DIM]),
+        "type_code": pa.array([c for _, c in _EVENT_TYPE_DIM],
+                              pa.int64())}))
+    joined = hash_join_auto(
+        events.map_batches(to_milli, batch_format="pyarrow"), dim,
+        on="event_type", num_salts=4, skew_num=1, skew_den=100)
+    agg = joined.groupby("type_code").aggregate(
+        Count(alias_name="n_events"),
+        Sum("value_e3", alias_name="sum_value_e3")).to_pandas()
+    agg = finalize(agg, {"type_code": "int64", "n_events": "int64",
+                         "sum_value_e3": "int64"})
+    return agg.sort_values("type_code").reset_index(drop=True)
+
+
+def _event_type_dim_sql():
+    rows = ", ".join(f"('{t}', {c})" for t, c in _EVENT_TYPE_DIM)
+    return f"""
+SELECT d.type_code, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(coalesce(e.value, 0) * 1000) AS BIGINT))
+            AS BIGINT) AS sum_value_e3
+FROM events e JOIN (VALUES {rows}) d(event_type, type_code)
+  ON e.event_type = d.event_type
+GROUP BY d.type_code
+ORDER BY d.type_code
+"""
+
+
 def q_uniqueness_lineitem_composite(sf_dir):
     """Composite-key uniqueness: (l_orderkey, l_linenumber) duplicates —
     the uniqueItems shuffle generalized to multi-column keys."""
@@ -4075,6 +4129,7 @@ def build_queries() -> dict:
         "stratified_sample_events": q_stratified_sample_events,
         "orders_broadcast_enrich": q_orders_broadcast_enrich,
         "uniqueness_lineitem_composite": q_uniqueness_lineitem_composite,
+        "events_skew_join_auto": q_events_skew_join_auto,
         "events_user_windows": q_events_user_windows,
         "events_moving_median": q_events_moving_median,
         "docs_ntile": q_docs_ntile,
@@ -4344,6 +4399,7 @@ def build_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "stratified_sample_events": _STRATIFIED_SQL,
         "orders_broadcast_enrich": _priority_dim_sql(),
         "uniqueness_lineitem_composite": _UNIQUENESS_COMPOSITE_SQL,
+        "events_skew_join_auto": _event_type_dim_sql(),
         "events_user_windows": _EVENTS_USER_WINDOWS_SQL,
         "events_moving_median": _EVENTS_MOVING_MEDIAN_SQL,
         "docs_ntile": _DOCS_NTILE_SQL,

@@ -70,7 +70,8 @@ def test_hash_partition_write_idempotent_overwrite(ray_session, tmp_path):
     assert sorted(first) == sorted(second)
     import pyarrow.parquet as pq
     total = sum(pq.read_table(os.path.join(out, f)).num_rows
-                for f in sorted(second))
+                for f in sorted(second)
+                if f.startswith("part-") and f.endswith(".parquet"))
     assert total == n
 
 

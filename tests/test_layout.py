@@ -132,3 +132,126 @@ def test_bloom_point_scan_prunes_and_is_exact(ray_session, tmp_path):
     ds2, stats2 = bloom_point_scan(out, "k", [10 ** 9, 10 ** 9 + 1])
     assert ds2.count() == 0
     assert stats2["files_read"] <= 1
+
+
+# --------------------------------------------------------------------------
+# kill-mid-write / interrupted-layout posture (VERDICT r3 item 8): layout
+# writes carry the same manifest + idempotent retry guarantees the
+# fault-injection tests pin for shard outputs. Kills are simulated the
+# same way test_resume.py does — by leaving exactly the on-disk state a
+# SIGKILL at that point would leave.
+
+
+def _zorder_input(n=20_000):
+    rng = np.random.default_rng(42)
+    return pa.table({
+        "a": rng.integers(0, 1000, n),
+        "b": rng.integers(0, 1000, n),
+        "payload": rng.normal(size=n),
+    })
+
+
+def test_zorder_kill_mid_write_then_rerun_exact(ray_session, tmp_path):
+    """A run killed mid-write leaves torn .inprogress files and NO
+    manifest; the caller's completeness check (manifest presence — the
+    gate q_zorder_pruning_lineitem uses) sees an incomplete layout, the
+    rerun overwrites idempotently, and scans never read torn files."""
+    from jschon_ray.functions.layout import zorder_write
+
+    t = _zorder_input()
+    out = str(tmp_path / "zkill")
+    os.makedirs(out)
+    # state a kill during bucket writes would leave: some finished
+    # parts, one torn .inprogress, no _manifest.json
+    zorder_write(ray.data.from_arrow(t.slice(0, 4_000)), ["a", "b"],
+                 out, num_files=16, sample_per_block=2048)
+    os.remove(os.path.join(out, "_manifest.json"))
+    for junk in ("part-00003.parquet.inprogress",
+                 "part-99999.parquet.inprogress"):
+        with open(os.path.join(out, junk), "wb") as f:
+            f.write(b"torn parquet bytes")
+
+    assert not os.path.exists(os.path.join(out, "_manifest.json"))
+
+    # rerun over the FULL input (what the cache gate triggers)
+    info = zorder_write(ray.data.from_arrow(t), ["a", "b"], out,
+                        num_files=16, sample_per_block=2048)
+    assert info["files"] == 16 and info["rows"] == t.num_rows
+
+    box = {"a": (100, 199), "b": (400, 499)}
+    ds, stats = pruned_scan(out, box)
+    got = ds.to_pandas().sort_values(["a", "b", "payload"]) \
+        .reset_index(drop=True)
+    df = t.to_pandas()
+    exp = df[(df.a.between(*box["a"])) & (df.b.between(*box["b"]))] \
+        .sort_values(["a", "b", "payload"]).reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    assert (got["payload"].to_numpy() == exp["payload"].to_numpy()).all()
+    assert stats["files_total"] == 16     # .inprogress junk never counted
+
+
+def test_zorder_manifest_ignores_stale_parts(ray_session, tmp_path):
+    """Scans are manifest-driven: part files from an older, LARGER
+    layout left in the same directory are not read (glob would)."""
+    from jschon_ray.functions.layout import zorder_write
+
+    t = _zorder_input(8_000)
+    out = str(tmp_path / "zstale")
+    zorder_write(ray.data.from_arrow(t), ["a", "b"], out,
+                 num_files=32, sample_per_block=2048)
+    # overwrite with a SMALLER layout: files part-00008..31 are stale
+    zorder_write(ray.data.from_arrow(t), ["a", "b"], out,
+                 num_files=8, sample_per_block=2048)
+    ds, stats = pruned_scan(out, {"a": (0, 999), "b": (0, 999)})
+    assert stats["files_total"] == 8      # manifest, not glob
+    assert ds.count() == t.num_rows       # every row exactly once
+
+
+def test_bloom_kill_mid_index_then_rerun_exact(ray_session, tmp_path):
+    """A kill during bloom_index_write leaves some sidecars missing and
+    one torn .inprogress blob; the rerun (what the _INDEXED cache gate
+    triggers) overwrites every sidecar idempotently and the point scan
+    is exact."""
+    from jschon_ray.functions.layout import (bloom_index_write,
+                                             bloom_point_scan,
+                                             hash_partition_write)
+
+    n = 20_000
+    rng = np.random.default_rng(3)
+    t = pa.table({"k": pa.array(np.arange(n, dtype=np.int64)),
+                  "v": pa.array(rng.integers(0, 100, n)
+                                .astype(np.int64))})
+    out = str(tmp_path / "bkill")
+    hash_partition_write(ray.data.from_arrow(t), "k", out, num_files=16)
+    bloom_index_write(out, "k", num_bits=1 << 16)
+
+    # simulate the kill: drop half the sidecars, tear one mid-write
+    sides = sorted(f for f in os.listdir(out) if f.endswith(".bloom"))
+    for s in sides[:8]:
+        os.remove(os.path.join(out, s))
+    with open(os.path.join(out, sides[8] + ".inprogress"), "wb") as f:
+        f.write(b"torn bloom")
+
+    info = bloom_index_write(out, "k", num_bits=1 << 16)
+    assert info["files"] == 16
+
+    keys = [5, 777, 13000]
+    ds, stats = bloom_point_scan(out, "k", keys)
+    got = ds.to_pandas().sort_values("k").reset_index(drop=True)
+    assert got.k.tolist() == sorted(keys)
+    assert stats["files_read"] <= 6 < stats["files_total"] == 16
+
+
+def test_manifest_with_missing_file_raises(ray_session, tmp_path):
+    """A manifest entry whose part file vanished (interrupted
+    OVERWRITE of a complete layout) must fail loudly, not silently
+    scan a partial layout."""
+    from jschon_ray.functions.layout import zorder_write
+
+    t = _zorder_input(4_000)
+    out = str(tmp_path / "zmiss")
+    zorder_write(ray.data.from_arrow(t), ["a", "b"], out,
+                 num_files=8, sample_per_block=2048)
+    os.remove(os.path.join(out, "part-00002.parquet"))
+    with pytest.raises(FileNotFoundError, match="interrupted"):
+        pruned_scan(out, {"a": (0, 999), "b": (0, 999)})
