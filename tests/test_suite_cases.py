@@ -111,6 +111,10 @@ SHARED_WITH_2019 = {
     "generated_uniqueness_grid.json",
     "generated_type_multi.json",
     "generated_length_bounds_grid.json",
+    # $ref through unknown-keyword locations is dialect-independent
+    # pointer resolution (the reference CatalogErrors on these —
+    # suite-optional; both our engines resolve them)
+    "optional_ref_of_unknown_keyword.json",
 }
 
 

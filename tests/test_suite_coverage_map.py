@@ -69,7 +69,6 @@ def test_absent_set_is_the_known_one():
         "optional/format/uri-template",
         "optional/id",
         "optional/no-schema",
-        "optional/refOfUnknownKeyword",
     ], absent
 
 
