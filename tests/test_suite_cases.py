@@ -115,6 +115,10 @@ SHARED_WITH_2019 = {
     # pointer resolution (the reference CatalogErrors on these —
     # suite-optional; both our engines resolve them)
     "optional_ref_of_unknown_keyword.json",
+    # identifier-in-non-schema-position semantics are identical in
+    # 2019-09 ($anchor/$id both exist there with the same registration
+    # rules)
+    "optional_anchor.json", "optional_id.json",
 }
 
 

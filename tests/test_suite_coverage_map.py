@@ -58,7 +58,6 @@ def test_absent_set_is_the_known_one():
     absent = sorted(n for d in DRAFTS
                     for n, e in MAP[d].items() if e["status"] == "absent")
     assert absent == [
-        "optional/anchor",
         "optional/cross-draft",
         "optional/dependencies-compatibility",
         "optional/dynamicRef",
@@ -67,7 +66,6 @@ def test_absent_set_is_the_known_one():
         "optional/format/iri",
         "optional/format/iri-reference",
         "optional/format/uri-template",
-        "optional/id",
         "optional/no-schema",
     ], absent
 
