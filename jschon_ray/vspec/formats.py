@@ -173,6 +173,61 @@ def validate_uri_reference(value: str) -> None:
         raise ValueError(f"'{value}' is not a valid URI reference")
 
 
+# RFC 3987 IRI / IRI-reference: the URI-reference charset extended with
+# ucschar (U+00A0..D7FF, F900..FDCF, FDF0..FFEF and the supplementary
+# planes). Same charset-level posture as uri-reference: reject spaces,
+# control chars, backslashes, unpaired surrogates and bad escapes.
+_IRI_UCS = (" -퟿豈-﷏ﷰ-￯"
+            "\U00010000-\U0001fffd\U00020000-\U0002fffd"
+            "\U00030000-\U0003fffd\U00040000-\U0004fffd"
+            "\U00050000-\U0005fffd\U00060000-\U0006fffd"
+            "\U00070000-\U0007fffd\U00080000-\U0008fffd"
+            "\U00090000-\U0009fffd\U000a0000-\U000afffd"
+            "\U000b0000-\U000bfffd\U000c0000-\U000cfffd"
+            "\U000d0000-\U000dfffd\U000e1000-\U000efffd")
+_IRIREF_CHARS_RE = re.compile(
+    r"^(?:[A-Za-z][A-Za-z0-9+.\-]*:)?"
+    r"[A-Za-z0-9\-._~:/?#\[\]@!$&'()*+,;=%" + _IRI_UCS + r"]*$")
+_IRI_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
+@format_validator("iri-reference")
+def validate_iri_reference(value: str) -> None:
+    if _IRIREF_CHARS_RE.fullmatch(value) is None \
+            or _PCT_BAD_RE.search(value):
+        raise ValueError(f"'{value}' is not a valid IRI reference")
+
+
+@format_validator("iri")
+def validate_iri(value: str) -> None:
+    """Absolute IRI: IRI-reference charset plus a required scheme."""
+    validate_iri_reference(value)
+    if _IRI_SCHEME_RE.match(value) is None:
+        raise ValueError(f"'{value}' is not an absolute IRI "
+                         "(missing scheme)")
+
+
+# RFC 6570 URI Template: literals (the uri-reference charset minus the
+# expression braces) interleaved with well-formed expressions
+#   {[op] varname[:1-4digits|*] (, varname[:digits|*])*}
+# varname = varchar (["."] varchar)* ; varchar = ALPHA/DIGIT/_/pct.
+_URI_TEMPLATE_VAR = (r"(?:[A-Za-z0-9_]|%[0-9A-Fa-f]{2})"
+                     r"(?:\.?(?:[A-Za-z0-9_]|%[0-9A-Fa-f]{2}))*"
+                     r"(?::[1-9][0-9]{0,3}|\*)?")
+_URI_TEMPLATE_EXPR = (r"\{[+#./;?&=,!@|]?" + _URI_TEMPLATE_VAR
+                      + r"(?:," + _URI_TEMPLATE_VAR + r")*\}")
+_URI_TEMPLATE_LITERAL = r"[^{}]*"
+_URI_TEMPLATE_RE = re.compile(
+    f"^(?:{_URI_TEMPLATE_LITERAL}(?:{_URI_TEMPLATE_EXPR}"
+    f"{_URI_TEMPLATE_LITERAL})*)$")
+
+
+@format_validator("uri-template")
+def validate_uri_template(value: str) -> None:
+    if _URI_TEMPLATE_RE.fullmatch(value) is None:
+        raise ValueError(f"'{value}' is not a valid URI template")
+
+
 @format_validator("date")
 def validate_date(value: str) -> None:
     import datetime

@@ -63,9 +63,6 @@ def test_absent_set_is_the_known_one():
         "optional/dynamicRef",
         "optional/format/idn-email",
         "optional/format/idn-hostname",
-        "optional/format/iri",
-        "optional/format/iri-reference",
-        "optional/format/uri-template",
         "optional/no-schema",
     ], absent
 
