@@ -58,7 +58,6 @@ def test_absent_set_is_the_known_one():
     absent = sorted(n for d in DRAFTS
                     for n, e in MAP[d].items() if e["status"] == "absent")
     assert absent == [
-        "optional/cross-draft",
         "optional/dependencies-compatibility",
         "optional/dynamicRef",
         "optional/format/idn-email",
