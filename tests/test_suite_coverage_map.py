@@ -59,7 +59,6 @@ def test_absent_set_is_the_known_one():
                     for n, e in MAP[d].items() if e["status"] == "absent")
     assert absent == [
         "optional/dependencies-compatibility",
-        "optional/dynamicRef",
         "optional/format/idn-email",
         "optional/format/idn-hostname",
         "optional/no-schema",
