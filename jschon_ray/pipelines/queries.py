@@ -3976,7 +3976,11 @@ def q_audio_fingerprint_dedup_clips(sf_dir):
                     columns=["clip_id", "bytes", "codec"])
     lm = ds.map_batches(stage_fn(AudioFingerprinter),
                         batch_format="pyarrow", batch_size=128)
-    return fingerprint_match_pairs(lm, min_matches=40)
+    # one shuffle block per CPU: the chord corpus reads as ~100 tiny
+    # payload blocks and the landmark shuffle would pay per-block task
+    # overhead (stages/fingerprint.py coalesce_blocks note)
+    return fingerprint_match_pairs(lm, min_matches=40,
+                                   coalesce_blocks=32)
 
 
 def q_audio_denoise_clips(sf_dir):
