@@ -114,13 +114,35 @@ def run_benchmarks() -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
+    if ONLY == "features":
+        # compute-bound scaling leg (GRAFT_SCALE_STAGE=features): framed
+        # FFT feature extraction — per-clip DSP dominates the wall, so
+        # this isolates the ENGINE's scheduling/scaling behavior from
+        # the single-box memory-bandwidth ceiling that caps the verdict
+        # passes (one shared memory bus; a real 4N-node cluster brings
+        # 4N buses). Full-suite legs stay the primary evidence.
+        n_f = timed("audio_features", _features_only(clips_dir))
+        extras["features_clips_per_sec"] = round(
+            n_f / timings["audio_features"], 1)
+        total = round(sum(timings.values()), 3)
+        return {"metric": "features_only", "value": total, "unit": "sec",
+                "queries": timings, "sf": SF_DIR, "num_cpus": NUM_CPUS,
+                **extras}
+
+
     # 1. flagship: full constraint suite + uniqueness + referential on clips.
     # NB: measured — overlapping these executions with driver threads makes
     # them contend for the same CPU slots and is ~3x SLOWER than serial.
     def flagship():
+        # three sequential executions, NOT the one-job union
+        # (flagship_summary): measured 2.7 s vs 7.1 s at 16 cores — the
+        # union plan denies the read->validate fusion its full worker
+        # set while the shuffle branches hold slots
         out = clip_validation_pipeline(clips_dir)
-        return flagship_summary(out)   # one executed job for all five
-                                       # counters (validate.py)
+        s = summarize_verdicts(out["verdicts"])
+        s["n_dupe_keys"] = out["dupes"].count()
+        s["n_referential"] = out["referential"].count()
+        return s
 
     s = timed("clips_validation", flagship)
     extras["clips_rows"] = s["n"]
@@ -313,13 +335,23 @@ def run_scaling():
         # "N cpus" leg cannot borrow extra host threads for driver-side
         # kernels (ray already caps workers per task)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   RAY_GRAFT_BENCH="flagship",
+                   RAY_GRAFT_BENCH=os.environ.get("GRAFT_SCALE_STAGE",
+                                                  "flagship"),
                    GRAFT_CLIPS_N=str(scale_rows),
                    GRAFT_SCALE_DECODE="0",
                    OMP_NUM_THREADS=str(ncpu))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             check=True, cwd=os.path.dirname(
+        # taskset: pin the WHOLE process tree (driver, raylet, object
+        # store, workers) to exactly ncpu cores — ray.init(num_cpus=N)
+        # only caps worker slots, so without pinning the driver-side
+        # runtime free-rides on every other host core and the small leg
+        # reads faster than an N-core NODE ever could (the proxy is
+        # emulating node sizes, and on a node the driver shares the
+        # node's cores)
+        cmd = ["taskset", "-c", f"0-{ncpu - 1}", sys.executable,
+               os.path.abspath(__file__)]
+        out = subprocess.run(cmd, env=env, capture_output=True,
+                             text=True, check=True,
+                             cwd=os.path.dirname(
                                  os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 

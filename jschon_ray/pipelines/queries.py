@@ -2897,14 +2897,13 @@ FROM p WHERE d <= 4 GROUP BY id_a, id_b
 def q_clips_validation(sf_dir):
     """Flagship constraint suite over the synthesized clips table."""
     from ..sources.clips import clips_cache_dir
-    from .validate import clip_validation_pipeline, flagship_summary
+    from .validate import clip_validation_pipeline, summarize_verdicts
 
     d = clips_cache_dir(sf_dir)
     out = clip_validation_pipeline(d)
-    # one executed job for the whole scalar summary (validate.py
-    # flagship_summary) — three sequential executions cost ~40% of the
-    # flagship wall in pure job latency at 4M rows / 16 CPUs
-    s = flagship_summary(out)
+    s = summarize_verdicts(out["verdicts"])
+    s["n_dupe_keys"] = out["dupes"].count()
+    s["n_referential"] = out["referential"].count()
     return pd.DataFrame([s])
 
 

@@ -377,11 +377,17 @@ def flagship_summary(out) -> dict:
 
     ``summarize_verdicts`` + ``dupes.count()`` + ``referential.count()``
     cost three sequential driver-blocking executions, each paying plan/
-    submit/collect latency — at 4M rows / 16 CPUs that fixed cost was
-    ~40% of the flagship wall. Here every branch reduces to narrow
+    submit/collect latency. Here every branch reduces to narrow
     (metric, value) partial rows, the three lazy pipelines UNION into
-    one plan, and a single tiny groupby-sum lands at most five rows on
-    the driver. Same numbers, one barrier.
+    one plan, and the tiny partials stream to the driver. Same numbers,
+    one barrier.
+
+    MEASURED CAVEAT (why the bench does NOT use this): with ample CPUs
+    the three-job plan is ~2.6x FASTER (2.7 s vs 7.1 s at 16 cores /
+    4M rows) — inside the union the shuffle branches hold worker slots
+    the fused read->validate stage would otherwise saturate. Prefer
+    this single-job form only when job-submit latency dominates (few
+    CPUs, many tiny inputs, or remote submission).
 
     Returns {n, n_valid, n_violations, n_dupe_keys, n_referential}.
     """
