@@ -133,7 +133,15 @@ def connected_components(edges, *, src: str = "id_a", dst: str = "id_b",
     # schemas. Empty blocks mapped here lose their schema entirely, which
     # downstream unification ignores.
     def project(t: pa.Table) -> pa.Table:
-        return t.select([src, dst])
+        # drop edges with a NULL endpoint in BOTH paths: the local
+        # fast path would otherwise factorize None to code -1 and remap
+        # it onto the LAST-ranked real node (fabricating edges), while
+        # the distributed loop's pandas groupby silently drops NaN keys
+        # — the same convention, now explicit and path-identical
+        t = t.select([src, dst])
+        import pyarrow.compute as _pc
+        return t.filter(_pc.and_(_pc.is_valid(t[src]),
+                                 _pc.is_valid(t[dst])))
 
     narrow = edges.map_batches(project,
                                batch_format="pyarrow").materialize()

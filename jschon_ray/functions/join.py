@@ -390,12 +390,24 @@ def hash_join_auto(left, right, *, on: str, how: str = "inner",
     'full' joins never salt (replicated build rows would duplicate
     unmatched copies — see salted_hash_join) and fall through to the
     plain plan unconditionally.
+
+    COST NOTE: the detection pass EXECUTES the probe pipeline once
+    (key column only, so a fresh parquet read prunes to one column) and
+    the join executes it again — lazy Datasets don't cache. If `left`
+    carries expensive upstream transforms, pass it materialized (or
+    detect on the raw read and transform after) so the heavy work runs
+    once.
     """
     if how in ("inner", "left"):
         from .relational import heavy_hitters
 
         hot = heavy_hitters(left, col=on, num=skew_num, den=skew_den) \
             .to_pandas()
+        # a NULL key can be a heavy hitter (arrow group_by keeps the
+        # null group) but must never enter the hot SET: it matches no
+        # build row, sorted() would compare None against real keys,
+        # and int keys would decay to a float value_set through NaN
+        hot = hot[hot[on].notna()]
         if len(hot):
             return salted_hash_join(
                 left, right, on=on, hot_keys=list(hot[on]),

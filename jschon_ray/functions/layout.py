@@ -225,6 +225,10 @@ def pruned_scan(out_dir: str, predicates: dict[str, tuple], **read_kwargs):
     files = _manifest_files(out_dir)
     if files is None:
         files = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    if not files:
+        raise ValueError(
+            f"pruned_scan: layout at {out_dir} is empty (no files in the "
+            "manifest) — rewrite it with zorder_write first")
     keep = []
     for f in files:
         md = pq.ParquetFile(f).metadata
@@ -291,6 +295,11 @@ def hash_partition_write(ds, key_col: str, out_dir: str, *,
         .groupby("__bucket") \
         .map_groups(write_bucket, batch_format="pyarrow").to_pandas()
     if len(manifest) == 0:     # empty input: zero groups, column-less frame
+        # an EMPTY manifest must still land: a previous layout's
+        # manifest (and parts) in the same dir would otherwise survive
+        # and manifest-driven scans would silently serve the old rows
+        # for a layout the caller was just told is empty
+        _atomic_write_json([], os.path.join(out_dir, "_manifest.json"))
         return {"files": 0, "rows": 0}
     _atomic_write_json(manifest.to_dict(orient="records"),
                        os.path.join(out_dir, "_manifest.json"))

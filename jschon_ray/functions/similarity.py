@@ -1226,6 +1226,8 @@ class AnnIndex:
         import json as _json
 
         self.index_dir = index_dir
+        if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+            self._recover_interrupted_rebuild(index_dir)
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.manifest = _json.load(f)
         kind = self.manifest.get("kind")
@@ -1235,6 +1237,21 @@ class AnnIndex:
             kind = ("ivfpq" if has_codes and has_cells
                     else "pq" if has_codes else "ivf")
         self.kind = kind
+
+    @staticmethod
+    def _recover_interrupted_rebuild(index_dir: str) -> None:
+        """Close the rebuild swap's crash window: POSIX cannot exchange
+        two directories atomically, so ``rebuild`` renames the live dir
+        to ``<dir>.old`` and the fresh one into place — a kill between
+        the two renames leaves NO dir at ``index_dir``. Opening an index
+        recovers deterministically: prefer the COMPLETE fresh layout
+        (it holds every row the old one did), else restore the old."""
+        base = index_dir.rstrip("/")
+        fresh, old = base + ".rebuild", base + ".old"
+        if os.path.exists(os.path.join(fresh, "manifest.json")):
+            os.rename(fresh, index_dir)
+        elif os.path.exists(os.path.join(old, "manifest.json")):
+            os.rename(old, index_dir)
 
     # ---- build --------------------------------------------------------
     @classmethod
@@ -1393,11 +1410,14 @@ class AnnIndex:
         (appends included), so the full corpus is one pruned parquet
         read away — no external Dataset handle or re-ingest. The new
         index is built in a sibling ``<dir>.rebuild`` directory and
-        atomically swapped via rename, so a crash mid-rebuild leaves
-        the original index intact (same idempotent-write posture as
-        functions/layout.py). Probes against the OLD layout remain
-        correct up to the swap (imbalance costs probe time, never
-        recall)."""
+        swapped in via two renames. POSIX cannot exchange directories
+        atomically, so a kill INSIDE the two-rename window leaves no
+        dir at ``index_dir`` — the next ``AnnIndex(index_dir)``
+        recovers deterministically (``_recover_interrupted_rebuild``:
+        prefer the complete fresh layout, else restore ``.old``). A
+        crash anywhere else leaves the original index fully intact.
+        Probes against the OLD layout remain correct up to the swap
+        (imbalance costs probe time, never recall)."""
         import shutil
 
         if self.kind not in ("ivf", "ivfpq"):

@@ -352,7 +352,6 @@ def funnel_conversion(ds, *, user_col: str, ts_col: str, type_col: str,
 
     within_us = _to_us_windows(within)
     narrow = ds.select_columns([user_col, ts_col, type_col])
-    narrow = _non_null_rows(narrow, [user_col, ts_col])
 
     def prefilter(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -502,7 +501,6 @@ def event_bigrams(ds, *, user_col: str, ts_col: str, tie_col: str,
     """
 
     narrow = ds.select_columns([user_col, ts_col, tie_col, type_col])
-    narrow = _non_null_rows(narrow, [user_col, ts_col])
 
     def prefilter(t: pa.Table) -> pa.Table:
         keep = pc.and_(pc.is_valid(t[user_col]), pc.is_valid(t[ts_col]))

@@ -342,11 +342,13 @@ FROM events GROUP BY event_type
 
 
 def _ensure_columns(df: pd.DataFrame, schema: dict) -> pd.DataFrame:
-    """Empty Ray Datasets lose their schema through to_pandas(); pin it."""
+    """Weaker sibling of `finalize`: pins the schema ONLY when
+    to_pandas() dropped every column, passing non-empty frames through
+    untouched (no casting, extra columns kept). Prefer `finalize` for
+    new call sites; this stays for the pass-through sites."""
     if len(df.columns):
         return df
-    return pd.DataFrame({c: pd.Series([], dtype=t)
-                         for c, t in schema.items()})
+    return finalize(df, schema)
 
 
 def q_uniqueness_orders(sf_dir):
@@ -453,7 +455,7 @@ def q_events_tumbling_hour(sf_dir):
                     columns=["event_type", "ts", "value"])
     agg = tumbling_agg(ds, key_cols=("event_type",), unit="hour")
 
-    def finalize(t: pa.Table) -> pa.Table:
+    def finish_block(t: pa.Table) -> pa.Table:
         # `value` carries exactly 2 decimals; emit the window sum as an
         # integer of cents so the result is bit-deterministic regardless
         # of float summation order (ray block order vs duckdb scan order).
@@ -464,7 +466,7 @@ def q_events_tumbling_hour(sf_dir):
                          t["window_start"].cast(pa.timestamp("us")))
         return t.select(["event_type", "window_start", "n", "sum_value_e2"])
 
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    return agg.map_batches(finish_block, batch_format="pyarrow")
 
 
 _EVENTS_TUMBLING_SQL = """
@@ -522,7 +524,7 @@ def q_events_asof_click_view(sf_dir):
     joined = asof_join(clicks, views, on="ts", by="user_id",
                        direction="backward", right_tie="view_event_id")
 
-    def finalize(t: pa.Table) -> pa.Table:
+    def finish_block(t: pa.Table) -> pa.Table:
         gap = pc.subtract(t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
                           t["ts_r"].cast(pa.timestamp("us"))
                           .cast(pa.int64()))
@@ -533,7 +535,7 @@ def q_events_asof_click_view(sf_dir):
             "gap_us": gap.cast(pa.int64()),
         })
 
-    return joined.map_batches(finalize, batch_format="pyarrow")
+    return joined.map_batches(finish_block, batch_format="pyarrow")
 
 
 _EVENTS_ASOF_SQL = """
@@ -632,7 +634,7 @@ def q_events_hopping_30m(sf_dir):
     agg = hopping_agg(ds, key_cols=("event_type",), width_minutes=60,
                       stride_minutes=30)
 
-    def finalize(t: pa.Table) -> pa.Table:
+    def finish_block(t: pa.Table) -> pa.Table:
         cents = pc.round(pc.multiply(t["sum_value"], 100.0)).cast(pa.int64())
         return pa.table({
             "event_type": t["event_type"],
@@ -641,7 +643,7 @@ def q_events_hopping_30m(sf_dir):
             "sum_value_e2": cents,
         })
 
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    return agg.map_batches(finish_block, batch_format="pyarrow")
 
 
 _EVENTS_HOPPING_SQL = """
@@ -890,10 +892,10 @@ def q_validate_events_props(sf_dir):
         batch_format="pyarrow")
     verdicts = validate_dataset(ds, PROPS_SPEC)
 
-    def finalize(t: pa.Table) -> pa.Table:
+    def finish_block(t: pa.Table) -> pa.Table:
         return pa.table({"event_id": t["event_id"], "valid": t["valid"]})
 
-    return verdicts.map_batches(finalize, batch_format="pyarrow")
+    return verdicts.map_batches(finish_block, batch_format="pyarrow")
 
 
 _EVENTS_PROPS_SQL = """

@@ -861,3 +861,36 @@ def test_segment_dedup_counts_vs_bruteforce(ray_session):
     assert len(got) == len(docs)
     for i in range(len(docs)):
         assert (got.loc[i, "n_segs"], got.loc[i, "n_dup_segs"]) == want[i], i
+
+
+def test_ann_index_rebuild_crash_window_recovery(ray_session, tmp_path):
+    """The rebuild swap's two renames are not atomic; opening an index
+    whose dir vanished mid-swap recovers the complete layout — fresh
+    preferred, else the old one restored."""
+    import shutil
+
+    import ray.data as rd
+    from jschon_ray.functions.similarity import AnnIndex
+
+    t = embeddings_with_dups(n=120)
+    base = str(tmp_path / "crashy")
+    idx = AnnIndex.build(rd.from_arrow(t), base, kind="ivf",
+                         n_centroids=4)
+    q = _queries_from(t, [3])
+    want = idx.probe(q, k=3, nprobe=4)
+
+    # crash AFTER rename(index_dir -> .old), BEFORE rename(.rebuild ->
+    # index_dir), with a COMPLETE fresh layout waiting
+    shutil.copytree(base, base + ".rebuild")
+    os.rename(base, base + ".old")
+    rec = AnnIndex(base)                       # recovers the fresh dir
+    pd.testing.assert_frame_equal(rec.probe(q, k=3, nprobe=4), want)
+    assert not os.path.exists(base + ".rebuild")
+    shutil.rmtree(base + ".old")    # recovery keeps .old (data-safe);
+                                    # the next rebuild clears it
+
+    # crash with an INCOMPLETE fresh layout: fall back to .old
+    os.rename(base, base + ".old")
+    os.makedirs(base + ".rebuild")             # no manifest inside
+    rec2 = AnnIndex(base)
+    pd.testing.assert_frame_equal(rec2.probe(q, k=3, nprobe=4), want)

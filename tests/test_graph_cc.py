@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 import ray.data
 
@@ -107,3 +108,18 @@ def test_dup_clusters_keep_rule(ray_session):
     res = dup_clusters(ds, id_name="doc_id").to_pandas()
     keep = set(res.loc[res["doc_id"] == res["component"], "doc_id"])
     assert keep == {1, 7}
+
+
+@BOTH_PATHS
+def test_null_endpoint_edges_dropped(ray_session, limit):
+    """Edges with a NULL endpoint carry no connectivity: both paths
+    drop them identically (the local path would otherwise factorize
+    None to -1 and fabricate an edge onto the last-ranked node)."""
+    t = pa.table({
+        "id_a": pa.array([1, 10, None, 1], pa.int64()),
+        "id_b": pa.array([2, 11, 1, None], pa.int64())})
+    import pyarrow as _pa
+    res = connected_components(ray.data.from_arrow(t),
+                               small_edge_limit=limit).to_pandas()
+    got = dict(zip(res["node"], res["component"]))
+    assert got == {1: 1, 2: 1, 10: 10, 11: 10}

@@ -243,6 +243,29 @@ class TestSaltedHashJoin:
         assert hot_copies.num_rows == 4
         assert len(hot_copies.column(_SALT_COL).unique()) == 4
 
+    def test_auto_trigger_null_heavy_key_excluded(self, ray_session):
+        """A NULL probe key above the share threshold must not enter
+        the hot set (sorted() would compare None to real keys); the
+        join result matches the plain plan, nulls matching nothing."""
+        from jschon_ray.functions.join import hash_join, hash_join_auto
+        left = pa.table({
+            "k": pa.array(["hot"] * 40 + [None] * 40
+                          + [f"c{i}" for i in range(20)], pa.string()),
+            "payload": pa.array(np.arange(100, dtype=np.int64))})
+        right = pa.table({"k": pa.array(["hot", "c3"], pa.string()),
+                          "dim": pa.array([1, 2], pa.int64())})
+        a = hash_join_auto(ray.data.from_arrow(left),
+                           ray.data.from_arrow(right), on="k",
+                           num_salts=3, skew_num=1,
+                           skew_den=4).to_pandas()
+        b = hash_join(ray.data.from_arrow(left),
+                      ray.data.from_arrow(right), on="k").to_pandas()
+        a = a.sort_values(["k", "payload"]).reset_index(drop=True)
+        b = b.sort_values(["k", "payload"]).reset_index(drop=True)
+        assert len(a) == len(b) == 41          # 40 hot + 1 c3
+        pd.testing.assert_frame_equal(a[sorted(a.columns)],
+                                      b[sorted(b.columns)])
+
     def test_left_join_unmatched_survive(self, ray_session):
         from jschon_ray.functions.join import salted_hash_join
         left = pa.table({"k": pa.array([7, 7, 99], pa.int64()),
