@@ -69,7 +69,7 @@ def kmeans_fit(ds, *, vec_col: str = "embedding", k: int = 8,
 
     narrow = ds.select_columns([vec_col]).materialize()
     sample = _batch_matrix(
-        pa.Table.from_pandas(narrow.limit(sample_size).to_pandas()),
+        pa.Table.from_pandas(narrow.limit(sample_size).to_pandas()).replace_schema_metadata(None),
         vec_col)
     rng = np.random.default_rng(seed)
     cents = _kmeanspp(sample, k, rng)

@@ -232,13 +232,13 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, *,
         d["pair_bucket"] = (pb % np.uint64(n_buckets)).view(np.int64)
         # always Arrow out: a map_groups fn must return ONE block type
         # (Ray's builder asserts on mixed Arrow/pandas group outputs)
-        return pa.Table.from_pandas(d, preserve_index=False)
+        return pa.Table.from_pandas(d, preserve_index=False).replace_schema_metadata(None)
 
     cand = banded.groupby("route").map_groups(
         route_pairs, batch_format="pandas")
     cand = cand.groupby("pair_bucket").map_groups(
         lambda g: pa.Table.from_pandas(
-            g.drop_duplicates(["id_a", "id_b"]), preserve_index=False),
+            g.drop_duplicates(["id_a", "id_b"]), preserve_index=False).replace_schema_metadata(None),
         batch_format="pandas").materialize()
 
     # --- stage 4: exact intersection counts, candidates only ----------
@@ -317,7 +317,7 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, *,
         pb = (hash_array(part["id_a"])
               ^ (hash_array(part["id_b"]) * np.uint64(0x9E3779B97F4A7C15)))
         part["pair_bucket"] = (pb % np.uint64(n_buckets)).view(np.int64)
-        return pa.Table.from_pandas(part, preserve_index=False)
+        return pa.Table.from_pandas(part, preserve_index=False).replace_schema_metadata(None)
 
     partials = cand_postings.groupby("bucket").map_groups(
         bucket_copairs, batch_format="pandas")
@@ -351,7 +351,7 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, *,
         agg["jaccard"] = inter / uni
         agg = agg[agg["jaccard"] >= threshold]
         return pa.Table.from_pandas(agg[["id_a", "id_b", "jaccard"]],
-                                    preserve_index=False)
+                                    preserve_index=False).replace_schema_metadata(None)
 
     out = final_in.groupby("pair_bucket").map_groups(
         finish, batch_format="pandas")
@@ -522,7 +522,7 @@ def simhash_pairs(ds, id_col: str, text_col: str, *, max_hamming: int = 3,
         pb = (hash_array(d["id_a"])
               ^ (hash_array(d["id_b"]) * np.uint64(0x9E3779B97F4A7C15)))
         d["pair_bucket"] = (pb % np.uint64(n_buckets)).view(np.int64)
-        return pa.Table.from_pandas(d, preserve_index=False)
+        return pa.Table.from_pandas(d, preserve_index=False).replace_schema_metadata(None)
 
     pairs = banded.groupby("route").map_groups(
         route_pairs, batch_format="pandas")
@@ -530,7 +530,7 @@ def simhash_pairs(ds, id_col: str, text_col: str, *, max_hamming: int = 3,
     def dedup_bucket(g: pd.DataFrame):
         out = g.drop_duplicates(["id_a", "id_b"])
         return pa.Table.from_pandas(out[["id_a", "id_b", "hamming"]],
-                                    preserve_index=False)
+                                    preserve_index=False).replace_schema_metadata(None)
 
     out = pairs.groupby("pair_bucket").map_groups(
         dedup_bucket, batch_format="pandas")
@@ -636,7 +636,7 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, *,
         pb = (hash_array(part["id_a"])
               ^ (hash_array(part["id_b"]) * np.uint64(0x9E3779B97F4A7C15)))
         part["pair_bucket"] = (pb % np.uint64(n_buckets)).view(np.int64)
-        return pa.Table.from_pandas(part, preserve_index=False)
+        return pa.Table.from_pandas(part, preserve_index=False).replace_schema_metadata(None)
 
     copairs = postings.groupby("bucket").map_groups(
         bucket_copairs, batch_format="pandas")
@@ -658,7 +658,7 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, *,
                 ("jaccard", pa.float64())])
         return pa.Table.from_pandas(
             agg[["id_a", "id_b", "inter", "uni", "jaccard"]],
-            preserve_index=False)
+            preserve_index=False).replace_schema_metadata(None)
 
     out = copairs.groupby("pair_bucket").map_groups(
         combine_pairs, batch_format="pandas")
@@ -1296,7 +1296,7 @@ def substring_dup_spans(ds, *, id_col: str = "doc_id", col: str = "text",
         nwin = g.iloc[np.flatnonzero(new_doc)][[id_col, "n_windows"]]
         out = out.merge(nwin, on=id_col)
         out = out[cols].astype({c: np.int64 for c in cols})
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     wins = ds.map_batches(emit_windows, batch_format="pyarrow")
     dups = wins.groupby("_b").map_groups(bucket_dups,

@@ -42,7 +42,7 @@ def time_gapfill_counts(ds, *, key_col: str, ts_col: str,
             spec["s"] = (value_col, "sum")
         agg = df.groupby([key_col, "window_start"], sort=False) \
             .agg(**spec).reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     sums = ["n"] + (["s"] if value_col else [])
     merged = ds.map_batches(partial, batch_format="pyarrow") \

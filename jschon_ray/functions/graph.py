@@ -317,7 +317,7 @@ def triangle_count(edges, *, src: str = "id_a", dst: str = "id_b",
         u = np.minimum(a, b)
         v = np.maximum(a, b)
         d = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
-        return pa.Table.from_pandas(d, preserve_index=False)
+        return pa.Table.from_pandas(d, preserve_index=False).replace_schema_metadata(None)
 
     # distinct via a bucketed map_groups (multi-key ray groupby pays a
     # per-block shuffle cost that dominates on many-tiny-block inputs)
@@ -407,7 +407,7 @@ def triangle_count(edges, *, src: str = "id_a", dst: str = "id_b",
                 "deg": np.zeros(len(j), np.int64),
                 "is_deg": np.zeros(len(j), np.int8)})
             out["_b"] = _bucket_of(out["key"], num_buckets)
-            return pa.Table.from_pandas(out, preserve_index=False)
+            return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
         with_du = e.map_batches(edge_rows_u, batch_format="pyarrow") \
             .union(deg_ds.map_batches(deg_rows, batch_format="pyarrow")) \
@@ -714,7 +714,7 @@ def pagerank_dataset(edges, *, src: str = "id_a", dst: str = "id_b",
         part = j.groupby("d", sort=False)["share"].sum().reset_index()
         part.columns = ["node", "c"]
         part["_b"] = _bucket_of(part["node"], num_buckets)
-        return pa.Table.from_pandas(part, preserve_index=False)
+        return pa.Table.from_pandas(part, preserve_index=False).replace_schema_metadata(None)
 
     for _ in range(int(iters)):
         dang_share = damping * _dangling(state) / nv
@@ -750,7 +750,7 @@ def pagerank_dataset(edges, *, src: str = "id_a", dst: str = "id_b",
                 "outdeg": st["outdeg"].to_numpy(),
                 "rank": base + damping * inc + _ds})
             out["_b"] = _bucket_of(out["node"], num_buckets)
-            return pa.Table.from_pandas(out, preserve_index=False)
+            return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
         # repartition caps the state's block count: the sort-based
         # groupby emits ~as many blocks as it receives, and the union

@@ -251,7 +251,7 @@ def broadcast_join(ds, small, *, on: str, how: str = "inner",
     import ray
 
     if isinstance(small, pd.DataFrame):
-        small = pa.Table.from_pandas(small, preserve_index=False)
+        small = pa.Table.from_pandas(small, preserve_index=False).replace_schema_metadata(None)
     n_keys = len(small.column(on).unique())
     if n_keys != small.num_rows:
         raise ValueError(f"broadcast_join: small side not unique on {on!r}")
@@ -367,6 +367,38 @@ def salted_hash_join(left, right, *, on: str, hot_keys,
                               batch_format="pyarrow")
 
 
+#: logical ops whose re-execution costs ~a pruned re-read: the scan
+#: itself, in-memory inputs, projections/limits, and our metadata-strip
+#: stage (sources.io._strip_block_meta — schema-only, fuses with the read)
+_CHEAP_OPS = {"Read", "InputData", "FromArrow", "FromPandas", "FromItems",
+              "FromNumpy", "Project", "Limit"}
+
+
+def _plan_is_cheap(ds) -> bool:
+    """True when re-executing `ds` twice is acceptable: its logical plan
+    is a linear chain of scan / projection / metadata-only ops, so the
+    second execution is a (column-pruned) re-read rather than a re-run
+    of real transforms. Unknown plan shapes return False (safe side:
+    materialize once rather than compute twice)."""
+    try:
+        node = ds._plan._logical_plan.dag
+    except Exception:
+        return False
+    while True:
+        name = type(node).__name__
+        if name == "MapBatches":
+            if "_strip_block_meta" not in (getattr(node, "name", "") or ""):
+                return False
+        elif name not in _CHEAP_OPS:
+            return False
+        deps = node.input_dependencies
+        if not deps:
+            return True
+        if len(deps) != 1:
+            return False
+        node = deps[0]
+
+
 def hash_join_auto(left, right, *, on: str, how: str = "inner",
                    num_buckets: int = 32, num_salts: int = 8,
                    skew_num: int = 1, skew_den: int = 100,
@@ -391,16 +423,20 @@ def hash_join_auto(left, right, *, on: str, how: str = "inner",
     unmatched copies — see salted_hash_join) and fall through to the
     plain plan unconditionally.
 
-    COST NOTE: the detection pass EXECUTES the probe pipeline once
-    (key column only, so a fresh parquet read prunes to one column) and
-    the join executes it again — lazy Datasets don't cache. If `left`
-    carries expensive upstream transforms, pass it materialized (or
-    detect on the raw read and transform after) so the heavy work runs
-    once.
+    COST NOTE: the detection pass and the join each consume the probe
+    Dataset, and lazy Datasets don't cache — so when `left` carries
+    real upstream transforms (anything beyond scan / projection /
+    metadata ops, per `_plan_is_cheap`) it is `materialize()`d ONCE
+    here and both passes read the cached blocks; a plain pruned scan is
+    left lazy, since its second execution is a cheap one-column
+    re-read. Object-store cost of the materialization is the probe's
+    post-transform size — the same bytes the join shuffle moves anyway.
     """
     if how in ("inner", "left"):
         from .relational import heavy_hitters
 
+        if not _plan_is_cheap(left):
+            left = left.materialize()
         hot = heavy_hitters(left, col=on, num=skew_num, den=skew_den) \
             .to_pandas()
         # a NULL key can be a heavy hitter (arrow group_by keeps the

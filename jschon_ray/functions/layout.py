@@ -38,6 +38,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from ..sources.io import read_parquet_clean
+
 
 def _atomic_write_table(table: pa.Table, path: str, **kw) -> None:
     """Crash-safe parquet write: data lands under ``<path>.inprogress``
@@ -256,9 +258,9 @@ def pruned_scan(out_dir: str, predicates: dict[str, tuple], **read_kwargs):
         # empty selection: the residual filter over any pruned file
         # yields zero rows (its footer already proved no overlap), so one
         # file read preserves the schema at no row cost
-        ds = ray.data.read_parquet(files[:1], filter=expr, **read_kwargs)
+        ds = read_parquet_clean(files[:1], filter=expr, **read_kwargs)
         return ds, {"files_total": len(files), "files_read": 0}
-    ds = ray.data.read_parquet(keep, filter=expr, **read_kwargs)
+    ds = read_parquet_clean(keep, filter=expr, **read_kwargs)
     return ds, {"files_total": len(files), "files_read": len(keep)}
 
 
@@ -378,7 +380,7 @@ def bloom_point_scan(out_dir: str, col: str, keys, **read_kwargs):
 
     expr = pads.field(col).isin(list(keys))
     if not keep:
-        ds = ray.data.read_parquet(files[:1], filter=expr, **read_kwargs)
+        ds = read_parquet_clean(files[:1], filter=expr, **read_kwargs)
         return ds, {"files_total": len(files), "files_read": 0}
-    ds = ray.data.read_parquet(keep, filter=expr, **read_kwargs)
+    ds = read_parquet_clean(keep, filter=expr, **read_kwargs)
     return ds, {"files_total": len(files), "files_read": len(keep)}

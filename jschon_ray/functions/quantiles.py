@@ -201,7 +201,7 @@ def grouped_quantile_disc(ds, key: str, col: str, q: float, *,
         g = df.groupby(key, sort=False)
         agg = g.agg(n=(col, "size"), lo=(col, "min"),
                     hi=(col, "max")).reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     base = narrow.map_batches(base_partial, batch_format="pyarrow") \
         .to_pandas()

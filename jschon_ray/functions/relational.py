@@ -152,7 +152,7 @@ def grouped_mode_lowcard(ds, *, key: str, value_col: str,
             .select([key, value_col]).to_pandas()
         c = df.groupby([key, value_col], sort=False, dropna=False) \
             .size().reset_index(name="n")
-        return pa.Table.from_pandas(c, preserve_index=False)
+        return pa.Table.from_pandas(c, preserve_index=False).replace_schema_metadata(None)
 
     counts = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -178,7 +178,7 @@ def grouped_distinct_count(ds, *, key: str, value_col: str,
     def partial(t: pa.Table) -> pa.Table:
         df = t.select([key, value_col]).to_pandas() \
             .dropna(subset=[value_col]).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     pairs = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -210,7 +210,7 @@ def grouped_corr(ds, *, key: str, x_col: str, y_col: str,
                           "sx": x, "sy": y, "sxx": x * x, "syy": y * y,
                           "sxy": x * y})
         agg = m.groupby(key, sort=False).sum().reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
     merged = ds.map_batches(partial, batch_format="pyarrow") \
@@ -227,7 +227,7 @@ def grouped_corr(ds, *, key: str, x_col: str, y_col: str,
         with np.errstate(invalid="ignore", divide="ignore"):
             r = np.where((n >= 2) & (denom > 0), cov / denom, np.nan)
         return pa.Table.from_pandas(
-            pd.DataFrame({key: df[key], out: r}), preserve_index=False)
+            pd.DataFrame({key: df[key], out: r}), preserve_index=False).replace_schema_metadata(None)
 
     return merged.map_batches(finish, batch_format="pyarrow")
 
@@ -261,7 +261,7 @@ def rollup_agg(ds, *, keys: list, value_col: str):
         df["_v"] = df[value_col].astype(np.float64)
         agg = df.groupby(list(keys), sort=False, dropna=False) \
             .agg(n=("_v", "size"), s=("_v", "sum")).reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     finest = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(list(keys)).sum(["n", "s"]).to_pandas()
@@ -301,7 +301,7 @@ def cube_agg(ds, *, keys: list, value_col: str):
         df["_v"] = df[value_col].astype(np.float64)
         agg = df.groupby(list(keys), sort=False, dropna=False) \
             .agg(n=("_v", "size"), s=("_v", "sum")).reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     finest = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(list(keys)).sum(["n", "s"]).to_pandas()
@@ -340,7 +340,7 @@ def grouping_sets_agg(ds, *, keys: list, sets: list, value_col: str):
         df["_v"] = df[value_col].astype(np.float64)
         agg = df.groupby(list(keys), sort=False, dropna=False) \
             .agg(n=("_v", "size"), s=("_v", "sum")).reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     finest = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(list(keys)).sum(["n", "s"]).to_pandas()
@@ -578,7 +578,7 @@ def fd_violations(ds, *, determinant: list, dependent: str,
     def partial(t: pa.Table) -> pa.Table:
         df = t.select(cols).to_pandas() \
             .dropna(subset=[dependent]).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     pairs = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -616,7 +616,7 @@ def grouped_zscore(ds, *, key: str, value_col: str, keep_cols=(),
         m = pd.DataFrame({key: df[key], "n": np.float64(1.0),
                           "s": v, "ss": v * v})
         agg = m.groupby(key, sort=False).sum().reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     merged = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(key).sum(["n", "s", "ss"]).to_pandas()
@@ -646,7 +646,7 @@ def grouped_zscore(ds, *, key: str, value_col: str, keep_cols=(),
         cols = {c: df[c] for c in keep_cols + [key, value_col]}
         cols[out] = z
         return pa.Table.from_pandas(pd.DataFrame(cols),
-                                    preserve_index=False)
+                                    preserve_index=False).replace_schema_metadata(None)
 
     return ds.map_batches(standardize, batch_format="pyarrow")
 
@@ -671,7 +671,7 @@ def grouped_skew_kurt(ds, *, key: str, value_col: str,
         v = df[value_col].to_numpy(np.float64)
         m = pd.DataFrame({key: df[key], "n": np.float64(1.0), "s": v})
         agg = m.groupby(key, sort=False).sum().reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     stats = ds.map_batches(mean_partial, batch_format="pyarrow") \
         .groupby(key).sum(["n", "s"]).to_pandas()
@@ -687,7 +687,7 @@ def grouped_skew_kurt(ds, *, key: str, value_col: str,
         m = pd.DataFrame({key: df[key], "n": np.float64(1.0),
                           "c2": d * d, "c3": d ** 3, "c4": d ** 4})
         agg = m.groupby(key, sort=False).sum().reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     cols = ["n", "c2", "c3", "c4"]
     merged = ds.map_batches(centered_partial, batch_format="pyarrow") \
@@ -710,7 +710,7 @@ def grouped_skew_kurt(ds, *, key: str, value_col: str,
         kurt = np.where((n >= 4) & (s > 0), kurt, np.nan)
         return pa.Table.from_pandas(
             pd.DataFrame({key: df[key], skew_out: skew, kurt_out: kurt}),
-            preserve_index=False)
+            preserve_index=False).replace_schema_metadata(None)
 
     return merged.map_batches(finish, batch_format="pyarrow")
 
@@ -789,7 +789,7 @@ def aggregate_consistency_violations(detail, master, *, key: str,
         df = pd.DataFrame({key: t[key].to_numpy(zero_copy_only=False),
                            "_calc_cents": cents}) \
             .groupby(key, as_index=False)["_calc_cents"].sum()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     sums = detail.select_columns([key, detail_value_col]) \
         .map_batches(partial, batch_format="pyarrow") \
@@ -880,7 +880,9 @@ def copurchase_pairs(ds, *, order_col: str, item_col: str,
         out["n_orders"] = out["n_orders"].astype(np.int64)
         return out
 
-    partial = keyed.groupby("_bucket").map_groups(pairs_bucket,
+    from .blocks import arrow_out
+
+    partial = keyed.groupby("_bucket").map_groups(arrow_out(pairs_bucket),
                                                   batch_format="pandas")
 
     # final pair combine as a second bucketed map_groups rather than
@@ -906,7 +908,7 @@ def copurchase_pairs(ds, *, order_col: str, item_col: str,
     return partial.map_batches(add_pair_bucket,
                                batch_format="pyarrow") \
         .groupby("_pb").map_groups(
-            lambda g: combine_bucket(g.drop(columns=["_pb"])),
+            arrow_out(lambda g: combine_bucket(g.drop(columns=["_pb"]))),
             batch_format="pandas")
 
 
@@ -1140,7 +1142,7 @@ def skyline_2d(ds, *, min_col: str, max_col: str, keep_cols=()):
 
     def local_skyline(t: pa.Table) -> pa.Table:
         df = t.select(cols).to_pandas()
-        return pa.Table.from_pandas(sweep(df), preserve_index=False)
+        return pa.Table.from_pandas(sweep(df), preserve_index=False).replace_schema_metadata(None)
 
     pruned = ds.map_batches(local_skyline, batch_format="pyarrow")
     df = pruned.to_pandas()

@@ -18,6 +18,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from ..sources.io import read_parquet_clean
+
 
 def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch[col]
@@ -535,7 +537,7 @@ def ann_topk_ivf_from_index(index_dir: str, queries: dict, *, k=5,
             for c in sorted(cell_queries)]
     files = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
              for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         files, columns=[manifest["id_col"], manifest["emb_col"], "cell_id"])
 
     state = ray.put({"qids": qids, "qmat": qmat,
@@ -906,7 +908,7 @@ def build_ivfpq_index(ds, index_dir: str, *, id_col="vec_id",
     cells_dir = os.path.join(index_dir, "cells")
     files = [os.path.join(r, f) for r, _, fs in os.walk(cells_dir)
              for f in sorted(fs) if f.endswith(".parquet")]
-    raw = ray.data.read_parquet(files, columns=[id_col, emb_col,
+    raw = read_parquet_clean(files, columns=[id_col, emb_col,
                                                 "cell_id"])
 
     class _Encode(PQEncoder):
@@ -1037,7 +1039,7 @@ def ann_topk_ivfpq(index_dir: str, queries: dict, *, k=5, nprobe=4,
     cell_queries = {c: np.asarray(v) for c, v in cell_queries.items()}
 
     code_files = _cell_files(index_dir, "codes", sorted(cell_queries))
-    codes_ds = ray.data.read_parquet(
+    codes_ds = read_parquet_clean(
         code_files, columns=[man["id_col"], "pq_code", "cell_id"])
     state = ray.put({"books": books, "qids": qids, "qmat": qmat,
                      "cell_queries": cell_queries})
@@ -1083,7 +1085,7 @@ def ann_topk_ivfpq(index_dir: str, queries: dict, *, k=5, nprobe=4,
         return t.filter(pa.array(mask))
 
     cand_tbl = pa.concat_tables(list(
-        ray.data.read_parquet(raw_files, columns=[id_col, emb_col])
+        read_parquet_clean(raw_files, columns=[id_col, emb_col])
         .map_batches(keep_cands, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow")))
     ids = cand_tbl[id_col].to_numpy(zero_copy_only=False)
@@ -1323,7 +1325,7 @@ class AnnIndex:
             stats = append_to_ivf_index(ds, self.index_dir)
             if self.kind == "ivfpq" and stats["new_files"]:
                 books_ref = ray.put(_load_codebooks(self.index_dir))
-                raw = ray.data.read_parquet(
+                raw = read_parquet_clean(
                     stats["new_files"],
                     columns=[id_col, emb_col, "cell_id"])
 
@@ -1382,7 +1384,7 @@ class AnnIndex:
                 shortlist=shortlist, rerank=rerank,
                 round_decimals=round_decimals)
         else:
-            codes = ray.data.read_parquet(
+            codes = read_parquet_clean(
                 os.path.join(self.index_dir, "codes"))
             books = _load_codebooks(self.index_dir)
             if rerank and rerank_ds is not None:
@@ -1425,7 +1427,7 @@ class AnnIndex:
                              f"'ivf' or 'ivfpq', not {self.kind!r}")
         id_col = self.manifest["id_col"]
         emb_col = self.manifest["emb_col"]
-        corpus = ray.data.read_parquet(
+        corpus = read_parquet_clean(
             os.path.join(self.index_dir, "cells"),
             columns=[id_col, emb_col])
         fresh = self.index_dir.rstrip("/") + ".rebuild"

@@ -100,7 +100,7 @@ def mixture_resample(ds, *, id_col: str, group_col: str,
         u = _unit_hash(df[id_col])
         r = df[group_col].map(rates).fillna(0.0).to_numpy(np.float64)
         out = df.loc[u < r]
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return ds.map_batches(keep, batch_format="pyarrow")
 

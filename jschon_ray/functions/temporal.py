@@ -411,7 +411,7 @@ def interval_join(left, right, *, by: str, lo_col: str = "lo",
             out = df.iloc[idx][[by] + keep + [lo_col, hi_col]].copy()
             out["_tile"] = starts + within
             out["_side"] = side
-            return pa.Table.from_pandas(out, preserve_index=False)
+            return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
         return explode
 

@@ -526,7 +526,7 @@ def tfidf_top_terms(ds, *, col: str = "text", id_col: str = "doc_id",
         n_docs = int(dfp["p"].nunique())
         agg = pd.concat([agg, pd.DataFrame({"tok": [""], "n": [n_docs]})],
                         ignore_index=True)  # "" carries the N partial
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     merged = ds.map_batches(df_partial, batch_format="pyarrow") \
         .groupby("tok").sum("n")

@@ -454,7 +454,7 @@ def retention_cohorts(ds, *, user_col: str, ts_col: str,
             b = df[ts_col].dt.floor(freq)
         out = pd.DataFrame({user_col: df[user_col], "bucket": b}) \
             .drop_duplicates()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     keyed = narrow.map_batches(pairs, batch_format="pyarrow") \
         .map_batches(functools.partial(_key_bucket, key_col=user_col,

@@ -1090,9 +1090,67 @@ def q_tdigest_quantiles_lineitem(sf_dir):
     ds = read_table(table_path(sf_dir, "lineitem"),
                     columns=["l_returnflag", "l_extendedprice"])
     ds = _drop_null_rows(ds, ["l_returnflag"])
-    return grouped_tdigest_quantiles(
+    est = grouped_tdigest_quantiles(
         ds, key="l_returnflag", value_col="l_extendedprice",
-        qs=[0.5, 0.9, 0.99])
+        qs=[0.5, 0.9, 0.99]).to_pandas()
+
+    # Round-5 conversion to an INEQUALITY value oracle: one extra
+    # partial-sum pass over the same pruned read computes each
+    # estimate's exact rank interval [n_lt, n_le]/n per key; the emitted
+    # bools assert rank error <= 1.5% (tests pin <= 1%), which the SQL
+    # side pins to true — a silent digest regression now fails the
+    # driver compare. Raw estimates stay covered by the quantile unit
+    # tests.
+    labels = ["p50", "p90", "p99"]
+    qs_ = [0.5, 0.9, 0.99]
+    ests = {r["l_returnflag"]: [(lb, float(r[lb])) for lb in labels]
+            for _, r in est.iterrows()}
+
+    def rank_partial(t: pa.Table) -> pa.Table:
+        keys = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        vals = t["l_extendedprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ok = ~np.isnan(vals)
+        rows = {"l_returnflag": [], "label": [], "n_lt": [],
+                "n_le": [], "n": []}
+        for k, pairs in ests.items():
+            v = vals[ok & (keys == k)]
+            for lb, e in pairs:
+                rows["l_returnflag"].append(k)
+                rows["label"].append(lb)
+                rows["n_lt"].append(int((v < e).sum()))
+                rows["n_le"].append(int((v <= e).sum()))
+                rows["n"].append(len(v))
+        return pa.table({
+            "l_returnflag": pa.array(rows["l_returnflag"]),
+            "label": pa.array(rows["label"]),
+            "n_lt": pa.array(rows["n_lt"], pa.int64()),
+            "n_le": pa.array(rows["n_le"], pa.int64()),
+            "n": pa.array(rows["n"], pa.int64())})
+
+    ranks = ds.map_batches(rank_partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "label"]) \
+        .sum(["n_lt", "n_le", "n"]).to_pandas() \
+        .set_index(["l_returnflag", "label"])
+
+    out = []
+    for _, r in est.iterrows():
+        row = {"l_returnflag": r["l_returnflag"]}
+        for lb, q in zip(labels, qs_):
+            g = ranks.loc[(r["l_returnflag"], lb)]
+            n = g["sum(n)"]
+            row[f"{lb}_ok"] = bool(g["sum(n_lt)"] / n <= q + 0.015
+                                   and g["sum(n_le)"] / n >= q - 0.015)
+        out.append(row)
+    return pd.DataFrame(out).sort_values("l_returnflag") \
+        .reset_index(drop=True)
+
+
+_TDIGEST_QUANTILES_SQL = """
+SELECT l_returnflag, true AS p50_ok, true AS p90_ok, true AS p99_ok
+FROM lineitem WHERE l_returnflag IS NOT NULL
+GROUP BY l_returnflag
+"""
 
 
 def q_iqr_filter_lineitem(sf_dir):
@@ -2975,12 +3033,96 @@ WHERE codec IS NOT NULL GROUP BY codec
 
 
 def q_profile_sketches_lineitem(sf_dir):
+    """Mergeable-sketch column profile — round-5 conversion from
+    rows-only to a VALUE oracle. Exact profile fields (count / nulls /
+    min / max) compare bit-exactly to SQL; the sketch estimates become
+    INEQUALITY oracles: the query computes the exact complement itself
+    (distributed exact distinct; one partial-sum rank pass over the same
+    pruned read for the t-digest estimates) and emits pass/fail bools
+    the SQL pins to true — a silent sketch regression now breaks the
+    driver compare instead of passing rows-only. The float ``sum``
+    field is excluded from the comparable output (per-block addition
+    order makes its low bits nondeterministic vs SQL); it stays covered
+    by the sketch unit tests.
+
+    Bounds: HLL distinct within 3% of exact (unit tests pin ~2% at
+    2^12 registers); t-digest rank error within 1.5% (tests pin <=1%).
+    """
+    from ..functions.dedup import exact_distinct_counts
     from .stats import profile_dataset
 
     cols = ["l_quantity", "l_extendedprice"]
     ds = read_table(table_path(sf_dir, "lineitem"), columns=cols)
     prof = profile_dataset(ds, columns=cols)
-    return prof.stats_table()
+    st = prof.stats_table().to_pandas()
+
+    exact = exact_distinct_counts(ds, cols).to_pandas()
+    exact_d = dict(zip(exact["col"], exact["n_distinct"]))
+
+    plabels = ["p01", "p25", "p50", "p75", "p99"]
+    pq_ = [0.01, 0.25, 0.50, 0.75, 0.99]
+    ests = {r["column"]: [(lb, float(r[lb])) for lb in plabels]
+            for _, r in st.iterrows()}
+
+    def rank_partial(t: pa.Table) -> pa.Table:
+        rows = {"column": [], "label": [], "n_lt": [], "n_le": [],
+                "n": []}
+        for col, pairs in ests.items():
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            for label, e in pairs:
+                rows["column"].append(col)
+                rows["label"].append(label)
+                rows["n_lt"].append(int((v < e).sum()))
+                rows["n_le"].append(int((v <= e).sum()))
+                rows["n"].append(len(v))
+        return pa.table({"column": pa.array(rows["column"]),
+                         "label": pa.array(rows["label"]),
+                         "n_lt": pa.array(rows["n_lt"], pa.int64()),
+                         "n_le": pa.array(rows["n_le"], pa.int64()),
+                         "n": pa.array(rows["n"], pa.int64())})
+
+    ranks = ds.map_batches(rank_partial, batch_format="pyarrow") \
+        .groupby(["column", "label"]) \
+        .sum(["n_lt", "n_le", "n"]).to_pandas()
+    ranks = ranks.set_index(["column", "label"])
+
+    out_rows = []
+    for _, r in st.iterrows():
+        col = r["column"]
+        row = {"column": col, "kind": r["kind"],
+               "count": int(r["count"]), "nulls": int(r["nulls"]),
+               "min": float(r["min"]), "max": float(r["max"]),
+               "distinct_ok": abs(r["distinct_approx"] - exact_d[col])
+               <= 0.03 * exact_d[col]}
+        for lb, q in zip(plabels, pq_):
+            g = ranks.loc[(col, lb)]
+            n = g["sum(n)"]
+            row[f"{lb}_ok"] = bool(
+                g["sum(n_lt)"] / n <= q + 0.015
+                and g["sum(n_le)"] / n >= q - 0.015)
+        out_rows.append(row)
+    return pd.DataFrame(out_rows).sort_values("column") \
+        .reset_index(drop=True)
+
+
+_PROFILE_SKETCHES_SQL = """
+SELECT 'l_quantity' AS "column", 'numeric' AS kind,
+       CAST(count(*) AS BIGINT) AS count,
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS nulls,
+       CAST(min(l_quantity) AS DOUBLE) AS "min",
+       CAST(max(l_quantity) AS DOUBLE) AS "max",
+       true AS distinct_ok, true AS p01_ok, true AS p25_ok,
+       true AS p50_ok, true AS p75_ok, true AS p99_ok
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', 'numeric', count(*),
+       sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+       min(l_extendedprice), max(l_extendedprice),
+       true, true, true, true, true, true
+FROM lineitem
+"""
 
 
 def q_drift_lineitem_halves(sf_dir):
@@ -3015,6 +3157,19 @@ def q_drift_lineitem_halves(sf_dir):
             rows.append({"case": tag, "column": r["column"],
                          "drifted": r["drifted"]})
     return pd.DataFrame(rows)
+
+
+# Round-5 value oracle for the drift verdicts: the construction makes
+# the expected output a theorem — identical halves of one table must
+# not drift (KS between two samples of the same distribution is far
+# under the 0.1 threshold at these row counts) and a 3x-scaled copy
+# must (KS -> ~0.96). The SQL pins those verdict booleans, so a drift
+# detector that goes blind (or trigger-happy) fails the compare.
+_DRIFT_LINEITEM_SQL = """
+SELECT * FROM (VALUES ('same', 'l_quantity', false),
+                      ('scaled', 'l_quantity', true))
+  AS t("case", "column", drifted)
+"""
 
 
 def q_minhash_docs(sf_dir):
@@ -4424,6 +4579,11 @@ def build_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "order_totals_consistency": _ORDER_TOTALS_CONSISTENCY_SQL,
         "dedup_corpus_docs": _DEDUP_CORPUS_SQL,
         "quantiles_lineitem": _QUANTILES_LINEITEM_SQL,
+        # round-5 conversions of rows-only queries to value oracles
+        "events_ewma_value": _EVENTS_EWMA_SQL,
+        "profile_sketches_lineitem": _PROFILE_SKETCHES_SQL,
+        "tdigest_quantiles_lineitem": _TDIGEST_QUANTILES_SQL,
+        "drift_lineitem": _DRIFT_LINEITEM_SQL,
         "lineitem_mode_qty": _LINEITEM_MODE_SQL,
         "grouped_distinct_lineitem": _GROUPED_DISTINCT_SQL,
         "corr_lineitem": _CORR_LINEITEM_SQL,
@@ -7608,7 +7768,7 @@ def q_events_ohlc_hourly(sf_dir):
                     close_ts=("ts_us", "last"),
                     close_eid=("event_id", "last"),
                     close_c=("cents", "last")).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -8825,7 +8985,7 @@ def q_trending_parts_decay(sf_dir):
                            t["l_partkey"].to_numpy(zero_copy_only=False),
                            "w": w})
         out = df.groupby("l_partkey", as_index=False)["w"].sum()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     agg = ds.map_batches(decay_partial, batch_format="pyarrow") \
         .groupby("l_partkey").aggregate(Sum("w", alias_name="trend")) \
@@ -8873,7 +9033,7 @@ def q_frequent_values_lineitem(sf_dir):
                 "col": c, "val": s.index.astype(str),
                 "n": s.to_numpy(np.int64)}))
         return pa.Table.from_pandas(pd.concat(frames),
-                                    preserve_index=False)
+                                    preserve_index=False).replace_schema_metadata(None)
 
     agg = ds.map_batches(value_counts, batch_format="pyarrow") \
         .groupby(["col", "val"]).aggregate(Sum("n", alias_name="n")) \
@@ -8919,6 +9079,29 @@ def q_events_ewma_value(sf_dir):
                      alpha=0.3).to_pandas()
     return out.sort_values(["user_id", "event_id"]) \
         .reset_index(drop=True)
+
+
+# Value oracle for the EWMA recursion (round-5 conversion of a
+# rows-only query): DuckDB can express the per-row recursion as a
+# prefix-list fold — the window collects each row's ordered value
+# prefix, list_reduce seeds acc = xs[0] (= the y_0 = x_0 seed) and
+# folds alpha*x + (1-alpha)*acc left-to-right. O(n^2) in rows-per-key,
+# fine for the user_id<10 slice; exact to 6 decimals against the
+# blocked-rescaling operator at both test scales.
+_EVENTS_EWMA_SQL = r"""
+WITH src AS (
+  SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v
+  FROM events
+  WHERE user_id < 10 AND user_id IS NOT NULL AND ts IS NOT NULL),
+pre AS (
+  SELECT user_id, event_id,
+         list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS xs
+  FROM src)
+SELECT user_id, event_id,
+       round(list_reduce(xs, (acc, x) -> 0.3*x + 0.7*acc), 6) AS ewma
+FROM pre
+"""
 
 
 def q_audio_transcode_clips(sf_dir):

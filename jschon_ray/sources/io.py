@@ -59,6 +59,52 @@ def _detect_format(path) -> str:
     return _EXT_FORMAT.get(ext, "parquet")
 
 
+def _strip_block_meta(t):
+    """Drop schema-level metadata (pandas/parquet provenance blobs) from a
+    block.  Metadata-carrying ``pa.Schema`` objects are unhashable, which
+    makes Ray's shuffle-reduce schema deduplication (``unify_schemas``)
+    log ``Failed to hash the schemas`` on every reduce task, and the blob
+    itself is dead weight shipped with every block at scale.  Zero-copy:
+    only the schema wrapper changes, the column buffers are shared."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def read_parquet_clean(path, **kwargs):
+    """``ray.data.read_parquet`` with schema metadata stripped from every
+    block (see ``_strip_block_meta``).
+
+    Primary path: derive a metadata-free schema from the first file's
+    footer (pruned to ``columns`` when given) and pass it as
+    ``schema=`` — the datasource then emits clean blocks directly, with
+    no extra operator in the plan and no metadata inside the read task
+    (where a post-read strip stage cannot reach the
+    ``ReadParquet->SplitBlocks`` schema unification).  Fallback for
+    shapes where a single footer can't speak for the dataset (hive
+    partition dirs, unreadable first file): a fused zero-copy strip
+    stage after the read."""
+    import ray.data as rd
+
+    first = None
+    if isinstance(path, (list, tuple)) and path:
+        first = path[0]
+    elif isinstance(path, str) and not os.path.isdir(path):
+        first = path
+    if first is not None:
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            full = pq.read_schema(first)
+            names = kwargs.get("columns") or full.names
+            sch = pa.schema([full.field(n).remove_metadata()
+                             for n in names])
+            return rd.read_parquet(path, schema=sch, **kwargs)
+        except Exception:
+            pass
+    return rd.read_parquet(path, **kwargs).map_batches(
+        _strip_block_meta, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def read_table(path, *, columns=None, filter=None, override_num_blocks=None,
                format=None):
     """Read a table (file, directory of parts, or list of paths) as a
@@ -110,7 +156,7 @@ def read_table(path, *, columns=None, filter=None, override_num_blocks=None,
             kwargs["columns"] = list(columns)
         if filter is not None:
             kwargs["filter"] = filter
-        return rd.read_parquet(path, **kwargs)
+        return read_parquet_clean(path, **kwargs)
     if fmt == "json":
         ds = rd.read_json(path, **kwargs)
     elif fmt == "csv":

@@ -255,7 +255,7 @@ def fingerprint_match_pairs(landmarks, *, min_matches: int = 12,
               ^ (hash_array(part["id_b"]) * np.uint64(0x9E3779B97F4A7C15)))
         part["pair_bucket"] = (pb % np.uint64(n_buckets)).view(np.int64)
         # always Arrow out: a map_groups fn must return ONE block type
-        return pa.Table.from_pandas(part, preserve_index=False)
+        return pa.Table.from_pandas(part, preserve_index=False).replace_schema_metadata(None)
 
     votes = tagged.groupby("bucket").map_groups(
         bucket_votes, batch_format="pandas")
@@ -271,7 +271,7 @@ def fingerprint_match_pairs(landmarks, *, min_matches: int = 12,
                              "id_b": pa.array([], pa.string()),
                              "matches": pa.array([], pa.int64())})
         return pa.Table.from_pandas(best[["id_a", "id_b", "matches"]],
-                                    preserve_index=False)
+                                    preserve_index=False).replace_schema_metadata(None)
 
     out = votes.groupby("pair_bucket").map_groups(
         combine, batch_format="pandas")
@@ -361,7 +361,7 @@ def fingerprint_lookup(landmarks, query_landmarks, *, min_matches: int = 12,
             b = (hash_array(part["clip_id"])
                  ^ (part["qcode"].to_numpy(np.uint64) * GOLD))
         part["bucket"] = (b % np.uint64(n_buckets)).view(np.int64)
-        return pa.Table.from_pandas(part, preserve_index=False)
+        return pa.Table.from_pandas(part, preserve_index=False).replace_schema_metadata(None)
 
     import functools
 

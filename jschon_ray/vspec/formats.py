@@ -299,3 +299,227 @@ def validate_uri(value: str) -> None:
     if not parts.scheme:
         raise ValueError(f"'{value}' is not an absolute URI "
                          "(missing scheme)")
+
+
+# ---------------------------------------------------------------------------
+# idn-hostname / idn-email — pure-Python IDNA2008 subset (RFC 5890/5891/
+# 5892/5893 + RFC 6531 for the SMTPUTF8 mailbox), no idna package, no
+# network. Covers the rule classes the suite's optional/format files
+# probe: NFC form, hyphen placement (incl. the 3-4 "--" rule), leading
+# combining marks, RFC 5892 §2.6 exceptional PVALID / DISALLOWED code
+# points, the CONTEXTO rules (MIDDLE DOT, Greek keraia, Hebrew
+# geresh/gershayim, katakana middle dot, Arabic-Indic digit mixing),
+# CONTEXTJ virama rules for ZWJ/ZWNJ, the RFC 5893 Bidi rule, punycode
+# (xn--) round-trip validity, and label/name octet lengths.
+
+_IDNA_PVALID_EXCEPTIONS = frozenset("ßς۽۾་〇")
+_IDNA_DISALLOWED = frozenset(
+    "ـߺ〮〯〱〲〳〴〵〻")
+_IDNA_CONTEXT = frozenset("·͵׳״・‌‍")
+#: categories of PVALID-approximated code points (IDNA2008 is
+#: lowercase-only: Lu/Lt are DISALLOWED for non-ASCII; ASCII LDH labels
+#: are accepted case-insensitively per RFC 5890 §2.3.1)
+_IDNA_CATS = frozenset({"Ll", "Lo", "Lm", "Mn", "Mc", "Nd"})
+
+
+def _idna_cp_ok(ch: str) -> bool:
+    import unicodedata
+    if ch in _IDNA_DISALLOWED:
+        return False
+    if ch in _IDNA_PVALID_EXCEPTIONS or ch in _IDNA_CONTEXT or ch == "-":
+        return True
+    if ch.isascii():
+        return ch.isalnum()
+    return unicodedata.category(ch) in _IDNA_CATS
+
+
+def _greek(ch):
+    return "Ͱ" <= ch <= "Ͽ" or "ἀ" <= ch <= "῿"
+
+
+def _hebrew(ch):
+    return "֐" <= ch <= "׿"
+
+
+def _hira_kata_han(ch):
+    return ("ぁ" <= ch <= "ゟ"
+            or ("゠" <= ch <= "ヿ" and ch != "・")
+            or "一" <= ch <= "鿿" or "㐀" <= ch <= "䶿"
+            or "豈" <= ch <= "﫿"
+            or "\U00020000" <= ch <= "\U0002ffff")
+
+
+def _idna_context_ok(label: str) -> bool:
+    """RFC 5892 Appendix A contextual rules over one U-label."""
+    import unicodedata
+    for i, ch in enumerate(label):
+        prev = label[i - 1] if i else ""
+        nxt = label[i + 1] if i + 1 < len(label) else ""
+        if ch == "·":                       # MIDDLE DOT: l·l only
+            if prev != "l" or nxt != "l":
+                return False
+        elif ch == "͵":                     # Greek keraia
+            if not (nxt and _greek(nxt)):
+                return False
+        elif ch in "׳״":               # geresh / gershayim
+            if not (prev and _hebrew(prev)):
+                return False
+        elif ch in "‌‍":               # ZWNJ / ZWJ: after virama
+            if not (prev and unicodedata.combining(prev) == 9):
+                return False
+        elif ch == "・":                     # katakana middle dot
+            if not any(_hira_kata_han(c) for c in label):
+                return False
+    # Arabic-Indic and Extended Arabic-Indic digits must not mix
+    if any("٠" <= c <= "٩" for c in label) \
+            and any("۰" <= c <= "۹" for c in label):
+        return False
+    return True
+
+
+def _idna_bidi_ok(label: str) -> bool:
+    """RFC 5893 Bidi rule for one label (applied when the domain is a
+    'Bidi domain name', i.e. any label carries an RTL code point)."""
+    import unicodedata
+    dirs = [unicodedata.bidirectional(c) for c in label]
+    if not dirs:
+        return True
+    if dirs[0] in ("R", "AL"):
+        allowed = {"R", "AL", "AN", "EN", "ES", "CS", "ET", "ON", "BN",
+                   "NSM"}
+        if any(d not in allowed for d in dirs):
+            return False
+        if "AN" in dirs and "EN" in dirs:
+            return False
+        tail = [d for d in dirs if d != "NSM"]
+        return bool(tail) and tail[-1] in ("R", "AL", "EN", "AN")
+    if dirs[0] == "L":
+        allowed = {"L", "EN", "ES", "CS", "ET", "ON", "BN", "NSM"}
+        if any(d not in allowed for d in dirs):
+            return False
+        tail = [d for d in dirs if d != "NSM"]
+        return bool(tail) and tail[-1] in ("L", "EN")
+    return False                                  # digit-/symbol-initial
+
+
+def _idna_u_label_ok(label: str) -> bool:
+    import unicodedata
+    if not label or len(label.encode("utf-8")) == 0:
+        return False
+    if unicodedata.normalize("NFC", label) != label:
+        return False
+    if label.startswith("-") or label.endswith("-"):
+        return False
+    if len(label) >= 4 and label[2:4] == "--":    # RFC 5891 §4.2.3.1
+        return False
+    if unicodedata.category(label[0]).startswith("M"):
+        return False                              # no leading combining mark
+    if not all(_idna_cp_ok(c) for c in label):
+        return False
+    return _idna_context_ok(label)
+
+
+def _idna_a_label(label: str) -> str:
+    """ASCII (wire) form of a validated label, for octet-length checks;
+    raises ValueError on labels punycode cannot carry."""
+    if label.isascii():
+        return label
+    try:
+        return "xn--" + label.encode("punycode").decode("ascii")
+    except UnicodeError:
+        raise ValueError("punycode encoding failed") from None
+
+
+@format_validator("idn-hostname")
+def validate_idn_hostname(value: str) -> None:
+    """Internationalized hostname per RFC 5890: dot-separated U-labels /
+    A-labels / LDH labels, wire form ≤253 octets with each label ≤63."""
+    import unicodedata
+    bad = ValueError(f"'{value}' is not a valid IDN hostname")
+    if not value:
+        raise bad
+    # label separators: U+002E plus the IDNA2008 full-stop variants
+    name = value.translate({0x3002: ".", 0xff0e: ".", 0xff61: "."})
+    labels = name.split(".")
+    if any(not lb for lb in labels):              # empty label / dots
+        raise bad
+    wire = []
+    for lb in labels:
+        if lb.isascii():
+            low = lb.lower()
+            if low.startswith("xn--"):
+                # A-label: must round-trip to a valid U-label
+                try:
+                    u = low[4:].encode("ascii").decode("punycode")
+                except UnicodeError:
+                    raise bad from None
+                if not _idna_u_label_ok(u) or u.isascii():
+                    raise bad
+                wire.append(low)
+                continue
+            if _HOSTNAME_RE.fullmatch(lb) is None or lb.startswith("-") \
+                    or lb.endswith("-"):
+                raise bad
+            wire.append(low)
+            continue
+        if not _idna_u_label_ok(lb):
+            raise bad
+        try:
+            wire.append(_idna_a_label(lb))
+        except ValueError:
+            raise bad from None
+    # Bidi rule applies to every label once any label is RTL
+    def _rtl(lb):
+        return any(unicodedata.bidirectional(c) in ("R", "AL", "AN")
+                   for c in lb)
+    decoded = [lb if not lb.startswith("xn--")
+               else lb[4:].encode("ascii").decode("punycode")
+               for lb in (w.lower() for w in wire)]
+    if any(_rtl(lb) for lb in decoded):
+        if not all(_idna_bidi_ok(lb) for lb in decoded):
+            raise bad
+    if any(len(w) > 63 for w in wire) \
+            or len(".".join(wire)) > 253:
+        raise bad
+
+
+_IDN_LOCAL_RE = None
+
+
+@format_validator("idn-email")
+def validate_idn_email(value: str) -> None:
+    """RFC 6531 SMTPUTF8 mailbox: the RFC 5321 grammar with UTF8-non-
+    ascii added to atext (local part) and the domain as an idn-hostname
+    or address literal."""
+    import ipaddress
+
+    bad = ValueError(f"'{value}' is not a valid IDN email address")
+    local, sep, domain = value.rpartition("@")
+    if not sep or not local or not domain:
+        raise bad
+    if not (_EMAIL_QUOTED_RE.fullmatch(local)):
+        # dot-atom with UTF8-non-ascii atext: every non-ASCII char is
+        # allowed (RFC 6531 §3.3), ASCII chars must be atext
+        ascii_part = "".join(c if c.isascii() else "x" for c in local)
+        if _EMAIL_LOCAL_RE.fullmatch(ascii_part) is None:
+            raise bad
+        if any(not c.isascii() and c.isspace() for c in local):
+            raise bad
+    if domain.startswith("[") and domain.endswith("]"):
+        lit = domain[1:-1]
+        try:
+            if lit.startswith("IPv6:"):
+                ipaddress.IPv6Address(lit[5:])
+            else:
+                ipaddress.IPv4Address(lit)
+        except ValueError:
+            raise bad from None
+        return
+    try:
+        validate_idn_hostname(domain)
+    except ValueError:
+        raise bad from None
+    if "." not in domain.translate({0x3002: ".", 0xff0e: ".",
+                                    0xff61: "."}):
+        # single-label domains pinned invalid repo-wide (matches 'email')
+        raise bad

@@ -207,7 +207,8 @@ def evaluate_with_reference(spec: dict, instance, handle=None, fmt="basic"):
     """Run the reference evaluator; returns its output(fmt) dict."""
     handle = handle or load_reference()
     schema = handle["JSONSchema"](
-        dict(spec), catalog=handle["catalog"],
+        dict(spec) if isinstance(spec, dict) else spec,
+        catalog=handle["catalog"],
         metaschema_uri=handle["URI"](handle.get("meta", _META)))
     result = schema.evaluate(handle["JSON"](instance))
     return result.output(fmt)

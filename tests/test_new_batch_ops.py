@@ -280,6 +280,48 @@ class TestSaltedHashJoin:
         assert list(out["dim"]) == ["hot", "hot", None] or \
                list(out["dim"].fillna("NULL")) == ["hot", "hot", "NULL"]
 
+    def test_auto_join_runs_probe_transforms_once(self, ray_session,
+                                                  tmp_path):
+        """hash_join_auto must not execute a non-trivial probe pipeline
+        twice: the detection pass and the join share one materialized
+        probe. The probe's map_batches UDF drops a marker file per
+        invocation; a double execution would leave 2 markers for the
+        single input block."""
+        from jschon_ray.functions.join import hash_join_auto
+        left, right = self._skewed()
+        marks = tmp_path / "probe_calls"
+        marks.mkdir()
+
+        def expensive(t: pa.Table, _dir=str(marks)) -> pa.Table:
+            import os
+            import uuid
+            with open(os.path.join(_dir, uuid.uuid4().hex), "w"):
+                pass
+            return t
+
+        probe = ray.data.from_arrow(left).map_batches(
+            expensive, batch_format="pyarrow")
+        out = hash_join_auto(probe, ray.data.from_arrow(right),
+                             on="k", num_salts=4).to_pandas()
+        assert len(out) == 5000               # salted plan still correct
+        assert len(list(marks.iterdir())) == 1   # one block, executed once
+
+    def test_plan_is_cheap_classifier(self, ray_session):
+        """Scan/projection/metadata-only plans re-execute; anything with
+        a real transform materializes (safe side on unknown shapes)."""
+        from jschon_ray.functions.join import _plan_is_cheap
+        from jschon_ray.sources.io import read_table, table_path
+        import os
+        sf = os.environ.get("GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+        tbl = pa.table({"k": pa.array([1, 2], pa.int64())})
+        assert _plan_is_cheap(ray.data.from_arrow(tbl))
+        rd_ds = read_table(table_path(sf, "orders"),
+                           columns=["o_orderkey"])
+        assert _plan_is_cheap(rd_ds)          # scan + metadata strip only
+        assert not _plan_is_cheap(
+            rd_ds.map_batches(lambda t: t, batch_format="pyarrow"))
+        assert not _plan_is_cheap(rd_ds.groupby("o_orderkey").count())
+
 
 class TestKeyedCumeDist:
     def test_ties_counted_together(self, ray_session):

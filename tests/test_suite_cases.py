@@ -119,6 +119,11 @@ SHARED_WITH_2019 = {
     # 2019-09 ($anchor/$id both exist there with the same registration
     # rules)
     "optional_anchor.json", "optional_id.json",
+    # round-5 closures: unknown-keyword pass-through and default-dialect
+    # binding are dialect-independent; cross-checked under all three
+    # dialects at generation time (scripts/gen_suite_corpus_r5.py)
+    "optional_dependencies_compatibility.json",
+    "optional_no_schema.json",
 }
 
 

@@ -55,14 +55,14 @@ def test_every_corpus_file_is_accounted_for():
 
 
 def test_absent_set_is_the_known_one():
+    """Round 5 closed the last four absents (idn-hostname/idn-email via
+    the pure-Python IDNA2008-subset validators; dependencies-
+    compatibility and no-schema via reference-cross-checked harness
+    cases, scripts/gen_suite_corpus_r5.py). Nothing may regress to
+    absent."""
     absent = sorted(n for d in DRAFTS
                     for n, e in MAP[d].items() if e["status"] == "absent")
-    assert absent == [
-        "optional/dependencies-compatibility",
-        "optional/format/idn-email",
-        "optional/format/idn-hostname",
-        "optional/no-schema",
-    ], absent
+    assert absent == [], absent
 
 
 def test_required_files_all_covered():
