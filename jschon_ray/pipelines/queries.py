@@ -1703,6 +1703,65 @@ def q_kmeans_embeddings(sf_dir):
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
+def _kmeans_oracle_base(sf_dir: str) -> str:
+    """Shared CTE for the k-means value oracles (round-5 conversion of
+    two rows-only queries): re-fit the deterministic k-means (same
+    seed/params — kmeans_fit orders its init sample lexicographically,
+    so the centroids are run-stable) and inline the (k x d) centroid
+    matrix as SQL literals; DuckDB then re-derives the ASSIGNMENT
+    independently — list_distance + argmin via a window — so the
+    broadcast-assign pass, distance math and rounding are value-checked.
+    The centroid fit itself is shared with the query (pinned separately
+    by the clustering unit tests); the oracle's independence is over the
+    assignment and everything downstream of it."""
+    if sf_dir in _KMEANS_BASE_CACHE:
+        return _KMEANS_BASE_CACHE[sf_dir]
+    from ..functions.clustering import kmeans_fit
+
+    ds = read_table(table_path(sf_dir, "embeddings"),
+                    columns=["vec_id", "embedding"])
+    cents, _ = kmeans_fit(ds, k=5, seed=42, max_iters=10,
+                          sample_size=1024)
+    rows = ",\n       ".join(
+        f"({i}, {[float(v) for v in c]}::DOUBLE[])"
+        for i, c in enumerate(cents))
+    out = f"""
+WITH cents(cluster, c) AS (VALUES {rows}),
+d AS (
+  SELECT vec_id, cluster,
+         list_distance(CAST(embedding AS DOUBLE[]), c) AS dist
+  FROM embeddings CROSS JOIN cents
+  WHERE embedding IS NOT NULL),
+a AS (
+  SELECT vec_id, cluster, dist FROM
+    (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn FROM d)
+  WHERE rn = 1)
+"""
+    _KMEANS_BASE_CACHE[sf_dir] = out
+    return out
+
+
+_KMEANS_BASE_CACHE: dict = {}
+
+
+def _kmeans_embeddings_sql(sf_dir: str) -> str:
+    return _kmeans_oracle_base(sf_dir) \
+        + "SELECT vec_id, cluster, round(dist, 4) AS dist FROM a"
+
+
+def _cluster_balanced_sample_sql(sf_dir: str) -> str:
+    # the md5(vec_id) rank and per-cluster cap are fully independent SQL
+    return _kmeans_oracle_base(sf_dir) + """,
+ranked AS (SELECT vec_id, cluster,
+                  md5(CAST(vec_id AS VARCHAR)) AS h FROM a)
+SELECT vec_id, cluster, h FROM
+  (SELECT *, row_number() OVER (PARTITION BY cluster
+                                ORDER BY h, vec_id) AS rn2 FROM ranked)
+WHERE rn2 <= 24
+"""
+
+
 def q_unigram_logprob_docs(sf_dir):
     """Per-doc mean unigram log-probability (LM quality-filter signal):
     distributed word count -> broadcast count table -> vectorized doc
@@ -1989,13 +2048,19 @@ def q_audio_mel_clips(sf_dir):
         import numpy as np
 
         mels = t["mel_mean"].to_pylist()
-        norm = [float(np.linalg.norm(m)) if m is not None else None
-                for m in mels]
+        # round-5 value-oracle conversion: the raw L2 norm is content
+        # (not SQL-expressible); emit its finiteness/positivity contract
+        # instead — the norm values themselves stay pinned by
+        # tests/test_audio_features.py. mel_frames remains the exact
+        # framing formula the oracle recomputes from metadata.
+        finite = [bool(np.isfinite(np.linalg.norm(m))
+                       and np.linalg.norm(m) > 0.0)
+                  if m is not None else False for m in mels]
         return pa.table({
             "clip_id": t["clip_id"],
             "mel_ok": t["mel_ok"],
             "mel_frames": t["mel_frames"],
-            "mel_norm": pa.array(norm, pa.float64()),
+            "mel_finite": pa.array(finite, pa.bool_()),
         })
 
     return out.map_batches(project, batch_format="pyarrow")
@@ -2072,8 +2137,19 @@ def q_audio_prep_segments(sf_dir):
                      batch_format="pyarrow", batch_size=256)
 
     def project(t: pa.Table) -> pa.Table:
-        return t.select(["clip_id", "source_clip_id", "sr_hz", "speed",
-                         "gain_db"])
+        # round-5 value-oracle conversion: the seeded jitter values are
+        # md5-derived (pinned by the augmenter idempotency tests); the
+        # registry emits their configured-band contracts instead —
+        # speed in [1 +- speed_range], gain in [+- gain_jitter_db]
+        speed = t["speed"].to_numpy(zero_copy_only=False)
+        gain = t["gain_db"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "source_clip_id": t["source_clip_id"],
+            "sr_hz": t["sr_hz"],
+            "speed_in_band": pa.array((speed >= 0.9) & (speed <= 1.1)),
+            "gain_in_band": pa.array((gain >= -3.0) & (gain <= 3.0)),
+        })
 
     return final.map_batches(project, batch_format="pyarrow")
 
@@ -2092,8 +2168,32 @@ def q_media_image_features(sf_dir):
 
     t = synth_image_table(2000, compressed_every=8)
     out = image_features(rd.from_arrow(t), batch_size=128)
-    return out.select_columns(
-        ["img_id", "decode_ok", "px_mean", "px_std"])
+
+    # round-5 value-oracle conversion: raw pixel moments are seeded-rng
+    # content (pinned by tests/test_media_stages.py); the registry
+    # emits their uniform-distribution band contracts — 16x12x3 uint8
+    # uniform pixels have mean 127.5 +- ~4 and std 73.9 +- ~3
+    def contract(b: pa.Table) -> pa.Table:
+        mean = b["px_mean"].to_numpy(zero_copy_only=False)
+        std = b["px_std"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "img_id": b["img_id"],
+            "decode_ok": b["decode_ok"],
+            "px_mean_in_band": pa.array(
+                (mean >= 100.0) & (mean <= 155.0)),
+            "px_std_in_band": pa.array((std >= 60.0) & (std <= 90.0)),
+        })
+
+    return out.map_batches(contract, batch_format="pyarrow")
+
+
+_MEDIA_IMAGE_FEATURES_SQL = """
+SELECT printf('img-%06d', CAST(i AS INT)) AS img_id,
+       (i % 8 != 0) AS decode_ok,
+       (i % 8 != 0) AS px_mean_in_band,
+       (i % 8 != 0) AS px_std_in_band
+FROM range(2000) AS t(i)
+"""
 
 
 def q_media_frame_sample(sf_dir):
@@ -2105,6 +2205,14 @@ def q_media_frame_sample(sf_dir):
     t = synth_video_table(200, frames=24)
     out = sample_frames(rd.from_arrow(t), every_k=6)
     return out.select_columns(["clip_id", "frame_idx", "width", "height"])
+
+
+_MEDIA_FRAME_SAMPLE_SQL = """
+SELECT printf('vid-%06d', CAST(v.i AS INT)) AS clip_id,
+       f.frame_idx, 8 AS width, 6 AS height
+FROM range(200) AS v(i)
+CROSS JOIN (VALUES (0), (6), (12), (18)) AS f(frame_idx)
+"""
 
 
 def q_token_count_docs(sf_dir):
@@ -2403,7 +2511,74 @@ def q_infer_spec_orders(sf_dir):
             "min_len": sub.get("minLength"),
             "max_len": sub.get("maxLength"),
         })
-    return pd.DataFrame(rows)
+    out = pd.DataFrame(rows)
+    # absent length bands are numeric NULLs (the oracle's BIGINT NULL
+    # arrives as NaN through pandas), not Python None objects
+    for c in ("min_len", "max_len"):
+        out[c] = pd.to_numeric(out[c])
+    return out
+
+
+# Round-5 value oracle for spec inference: every emitted
+# contract field is a pure SQL aggregate of the profiled table —
+# type mapping from the Arrow schema, required = zero nulls,
+# numeric/timestamp bounds from min/max, enums from ordered
+# distinct lists; the JSON blobs are rebuilt byte-identically
+# (json.dumps spacing, DuckDB shortest-roundtrip float text =
+# Python repr). min/max_len are NULL because no orders string
+# column exceeds enum_max=16 distinct values at any test scale.
+_INFER_SPEC_ORDERS_SQL = r"""
+WITH cols(col, jtype, is_num, is_str, is_ts) AS (
+  VALUES ('o_custkey',      'integer',   true,  false, false),
+         ('o_orderdate',    'timestamp', false, false, true),
+         ('o_orderkey',     'integer',   true,  false, false),
+         ('o_orderpriority','string',    false, true,  false),
+         ('o_orderstatus',  'string',    false, true,  false),
+         ('o_totalprice',   'number',    true,  false, false)),
+stats AS (
+  SELECT
+    list(DISTINCT o_orderstatus ORDER BY o_orderstatus)
+      FILTER (o_orderstatus IS NOT NULL) AS st_vals,
+    list(DISTINCT o_orderpriority ORDER BY o_orderpriority)
+      FILTER (o_orderpriority IS NOT NULL) AS pr_vals,
+    count(*) AS n,
+    count(o_orderkey) AS n_ok, min(o_orderkey) AS mn_ok, max(o_orderkey) AS mx_ok,
+    count(o_custkey) AS n_ck, min(o_custkey) AS mn_ck, max(o_custkey) AS mx_ck,
+    count(o_totalprice) AS n_tp, min(o_totalprice) AS mn_tp, max(o_totalprice) AS mx_tp,
+    count(o_orderdate) AS n_od, min(o_orderdate) AS mn_od, max(o_orderdate) AS mx_od,
+    count(o_orderstatus) AS n_st, count(o_orderpriority) AS n_pr
+  FROM orders)
+SELECT c.col AS "column", c.jtype,
+  CASE c.col
+    WHEN 'o_orderkey' THEN n_ok = n WHEN 'o_custkey' THEN n_ck = n
+    WHEN 'o_totalprice' THEN n_tp = n WHEN 'o_orderdate' THEN n_od = n
+    WHEN 'o_orderstatus' THEN n_st = n ELSE n_pr = n END AS required,
+  CASE c.col WHEN 'o_orderkey' THEN CAST(mn_ok AS DOUBLE)
+    WHEN 'o_custkey' THEN CAST(mn_ck AS DOUBLE)
+    WHEN 'o_totalprice' THEN mn_tp ELSE NULL END AS min_v,
+  CASE c.col WHEN 'o_orderkey' THEN CAST(mx_ok AS DOUBLE)
+    WHEN 'o_custkey' THEN CAST(mx_ck AS DOUBLE)
+    WHEN 'o_totalprice' THEN mx_tp ELSE NULL END AS max_v,
+  CASE c.col
+    WHEN 'o_orderkey' THEN '{"minimum": ' || mn_ok || ', "maximum": ' || mx_ok || '}'
+    WHEN 'o_custkey' THEN '{"minimum": ' || mn_ck || ', "maximum": ' || mx_ck || '}'
+    WHEN 'o_totalprice' THEN '{"minimum": ' || mn_tp || ', "maximum": ' || mx_tp || '}'
+    WHEN 'o_orderdate' THEN '{"minimum": "' || CAST(mn_od AS VARCHAR)
+                         || '", "maximum": "' || CAST(mx_od AS VARCHAR) || '"}'
+    ELSE NULL END AS bound_json,
+  CASE c.col
+    WHEN 'o_orderstatus' THEN
+      '[' || list_aggregate(list_transform(st_vals, x -> '"' || x || '"'),
+                            'string_agg', ', ') || ']'
+    WHEN 'o_orderpriority' THEN
+      '[' || list_aggregate(list_transform(pr_vals, x -> '"' || x || '"'),
+                            'string_agg', ', ') || ']'
+    ELSE NULL END AS enum_json,
+  CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len
+FROM cols c CROSS JOIN stats
+ORDER BY c.col
+"""
+
 
 
 def q_semantic_dedup_embeddings(sf_dir):
@@ -2996,6 +3171,213 @@ def q_clips_decode(sf_dir):
     agg = counts.to_pandas().rename(columns={"sum(count_all)": "n"})
     agg = finalize(agg, {"valid": None, "decode_ok": None, "n": "int64"})
     return agg.sort_values(["valid", "decode_ok"]).reset_index(drop=True)
+
+
+def _clips_decode_sql(sf_dir: str) -> str:
+    """Round-5 value oracle for the decode-enabled verdict summary: the
+    decoder's success rules are byte-level deterministic, so SQL mirrors
+    them from octet_length + metadata alone — pcm needs an even payload,
+    wav needs the exact 44 + 2*n RIFF length its header declares (n from
+    the generator's clamped-duration formula; any truncation breaks the
+    equality), fake containers need the 12-byte magic plus even frames,
+    and decode_ok additionally requires the measured duration
+    (1000*frames/sr) to sit within the decoder's 1.5ms + one-sample
+    tolerance of the declared dur_ms (stages/decode.py ClipDecoder).
+    Exact across both test scales including every dirty-row class."""
+    from ..sources.clips import CODECS, clips_cache_dir
+
+    path = clips_cache_dir(sf_dir)
+    codecs = ", ".join(f"'{c}'" for c in CODECS)
+    return f"""
+WITH clips AS (SELECT * FROM read_parquet('{path}/*.parquet')),
+checks AS (
+  SELECT sr_hz, dur_ms, codec, octet_length(bytes) AS L,
+    (bytes IS NULL) AS no_bytes,
+    ((clip_id IS NOT NULL
+      AND NOT regexp_matches(clip_id, '^clip-[0-9a-f]{{12}}$'))
+     OR (sr_hz IS NOT NULL AND (sr_hz < 8000 OR sr_hz > 48000
+                                OR (sr_hz % 25) != 0))
+     OR (dur_ms IS NOT NULL AND (dur_ms <= 0 OR dur_ms > 600000))
+     OR (codec IS NOT NULL AND codec NOT IN ({codecs}))
+     OR (transcript IS NOT NULL AND (length(transcript) < 1
+                                     OR length(transcript) > 1024))
+     OR clip_id IS NULL OR bytes IS NULL OR sr_hz IS NULL
+     OR dur_ms IS NULL OR codec IS NULL) AS invalid
+  FROM clips),
+d2 AS (
+  SELECT NOT invalid AS valid,
+    CASE
+      WHEN no_bytes THEN false
+      WHEN codec = 'pcm_s16le' THEN L % 2 = 0
+      WHEN codec = 'wav' THEN
+        L = 44 + 2 * CAST(sr_hz * (CASE WHEN dur_ms >= 600000 THEN 200
+                                        WHEN dur_ms < 0 OR dur_ms IS NULL
+                                          THEN 0
+                                        ELSE dur_ms END) // 1000 AS BIGINT)
+      WHEN codec IN ('flac','opus','mp3')
+        THEN L >= 12 AND (L - 12) % 2 = 0
+      ELSE false END AS decodable,
+    CASE
+      WHEN codec = 'pcm_s16le' THEN L // 2
+      WHEN codec = 'wav' THEN (L - 44) // 2
+      ELSE (L - 12) // 2 END AS frames,
+    sr_hz, dur_ms
+  FROM checks)
+SELECT valid,
+  (decodable AND NOT (
+     sr_hz IS NOT NULL AND sr_hz > 0 AND dur_ms IS NOT NULL AND dur_ms > 0
+     AND abs(1000.0 * frames / sr_hz - dur_ms) > 1.5 + 1000.0 / sr_hz))
+    AS decode_ok,
+  CAST(count(*) AS BIGINT) AS n
+FROM d2 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+#: banker's-rounding SQL fragment over a scalar x (Python round()
+#: semantics — the resampler computes round(len*16000/sr) with float64
+#: half-to-even, which SQL round() would get wrong at exact halves)
+_BANKERS_ROUND = """CAST(floor(x) AS BIGINT)
+    + CASE WHEN x - floor(x) > 0.5 THEN 1
+           WHEN x - floor(x) < 0.5 THEN 0
+           ELSE CAST(floor(x) AS BIGINT) % 2 END"""
+
+
+def _audio_r2_sql(sf_dir: str) -> str:
+    """Shared CTE for the audio-DSP value oracles: per clip, raw-decode
+    success by the byte rules (see _clips_decode_sql), resample success
+    (decodable + positive sr), and the 16 kHz resampled sample count via
+    banker's-rounded rate scaling — everything downstream framing
+    formulas need, derived purely from (octet_length, sr_hz, dur_ms,
+    codec)."""
+    from ..sources.clips import clips_cache_dir
+
+    path = clips_cache_dir(sf_dir)
+    BR = _BANKERS_ROUND
+    return f"""
+WITH clips AS (SELECT * FROM read_parquet('{path}/*.parquet')),
+base AS (
+  SELECT clip_id, sr_hz, dur_ms, codec, octet_length(bytes) AS L,
+    (bytes IS NOT NULL AND CASE
+      WHEN codec = 'pcm_s16le' THEN octet_length(bytes) % 2 = 0
+      WHEN codec = 'wav' THEN octet_length(bytes) =
+        44 + 2 * CAST(sr_hz * (CASE WHEN dur_ms >= 600000 THEN 200
+                                    WHEN dur_ms < 0 OR dur_ms IS NULL THEN 0
+                                    ELSE dur_ms END) // 1000 AS BIGINT)
+      WHEN codec IN ('flac','opus','mp3')
+        THEN octet_length(bytes) >= 12 AND (octet_length(bytes)-12) % 2 = 0
+      ELSE false END) AS dec_raw
+  FROM clips),
+r1 AS (
+  SELECT clip_id, (dec_raw AND sr_hz IS NOT NULL AND sr_hz > 0)
+           AS resample_ok,
+    CASE WHEN codec = 'pcm_s16le' THEN L // 2
+         WHEN codec = 'wav' THEN (L - 44) // 2
+         ELSE (L - 12) // 2 END AS fr_raw, sr_hz
+  FROM base),
+r2 AS (
+  SELECT clip_id, resample_ok,
+    CASE WHEN resample_ok THEN
+      (SELECT {BR} FROM (SELECT CAST(fr_raw AS DOUBLE) * 16000 / sr_hz AS x))
+    ELSE 0 END AS n_samples
+  FROM r1)
+"""
+
+
+def _audio_resample_vad_sql(sf_dir: str) -> str:
+    """Round-5 value oracle (no query reshape needed): every emitted
+    column of the resample+VAD pass is a deterministic function of
+    (octet_length, sr_hz, dur_ms, codec) — decodability by the byte
+    rules, resampled length by banker's-rounded rate scaling, and the
+    VAD verdicts collapse on the synthetic tone corpus (all full frames
+    active, one run; n_segments = 1 iff >= 5 frames of 20ms, ratio 1.0
+    / 0.0-short / NULL-failed). Verified per-row at both test scales."""
+    return _audio_r2_sql(sf_dir) + """
+SELECT clip_id, resample_ok, n_samples,
+  resample_ok AS vad_ok,
+  CASE WHEN resample_ok AND n_samples // 320 >= 5
+       THEN 1 ELSE 0 END AS n_segments,
+  CASE WHEN NOT resample_ok THEN NULL
+       WHEN n_samples >= 320 THEN 1.0 ELSE 0.0 END AS speech_ratio
+FROM r2
+"""
+
+
+def _audio_mel_sql(sf_dir: str) -> str:
+    """Round-5 value oracle: mel framing is 512-sample tumbling windows
+    over the 16 kHz resample (zero-padded to one frame when shorter);
+    the L2-norm content value became a finiteness contract in the query
+    (raw norms pinned by tests/test_audio_features.py)."""
+    return _audio_r2_sql(sf_dir) + """
+SELECT clip_id, resample_ok AS mel_ok,
+  CAST(CASE WHEN resample_ok THEN greatest(1, n_samples // 512)
+            ELSE 0 END AS INT) AS mel_frames,
+  resample_ok AS mel_finite
+FROM r2
+"""
+
+
+def _audio_specaugment_sql(sf_dir: str) -> str:
+    """Round-5 value oracle: SpecAugment expands each mel-ok clip to 2
+    deterministic variants (clip_id#sa0/#sa1) and passes failed rows
+    through once; frames carry over from the mel formula. The masked
+    content value became a finiteness contract (mask math pinned by the
+    SpecAugment unit tests)."""
+    return _audio_r2_sql(sf_dir) + """
+SELECT clip_id || '#sa' || v.k AS clip_id, clip_id AS source_clip_id,
+  CAST(greatest(1, n_samples // 512) AS INT) AS mel_frames,
+  true AS mel_ok, true AS sa_finite
+FROM r2 CROSS JOIN (VALUES (0), (1)) AS v(k) WHERE resample_ok
+UNION ALL
+SELECT clip_id, clip_id, 0, false, false FROM r2 WHERE NOT resample_ok
+"""
+
+
+def _audio_trim_sql(sf_dir: str) -> str:
+    """Round-5 value oracle (no query reshape): on the synthetic tone
+    corpus the trimmer cuts NOTHING (every frame of a nonempty clip sits
+    far above -50 dBFS), so kept samples = the decoded frame count and
+    trimmed ms = 0 exactly; empty-pcm clips (dur<=0 dirty rows, fully
+    truncated payloads) are the 'entirely silent' trim_ok=false class.
+    A trimmer regression that starts cutting real audio (or passing
+    silence) breaks the mean/total equalities. Verified exact at both
+    test scales."""
+    return _audio_r2_sql(sf_dir) + """
+, t AS (
+  SELECT (resample_ok AND fr_raw > 0) AS trim_ok,
+    CASE WHEN resample_ok AND fr_raw > 0 THEN fr_raw ELSE 0 END AS kept
+  FROM r1)
+SELECT trim_ok, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(kept) AS BIGINT) AS total_kept_samples,
+       0.0 AS mean_trimmed_ms
+FROM t GROUP BY trim_ok
+"""
+
+
+def _audio_denoise_sql(sf_dir: str) -> str:
+    """Round-5 value oracle: denoise success mirrors resample success,
+    and the no-added-energy contract holds for every nonempty denoised
+    clip (the query computes it against the real RMS values; the SQL
+    pins which rows must satisfy it)."""
+    return _audio_r2_sql(sf_dir) + """
+SELECT clip_id, resample_ok AS denoise_ok,
+       (resample_ok AND n_samples > 0) AS rms_not_increased
+FROM r2
+"""
+
+
+def _audio_prep_segments_sql(sf_dir: str) -> str:
+    """Round-5 value oracle: the ASR-prep chain's row structure is fully
+    metadata-determined on the tone corpus — one speech segment per
+    clip with >= 5 active 20ms frames (see _audio_resample_vad_sql),
+    expanded to 2 deterministic augmentation variants; jitter values
+    became configured-band contracts in the query."""
+    return _audio_r2_sql(sf_dir) + """
+SELECT clip_id || '#aug' || v.k AS clip_id, clip_id AS source_clip_id,
+       CAST(16000 AS INT) AS sr_hz,
+       true AS speed_in_band, true AS gain_in_band
+FROM r2 CROSS JOIN (VALUES (0), (1)) AS v(k)
+WHERE resample_ok AND n_samples // 320 >= 5
+"""
 
 
 def q_grouped_stats_codec(sf_dir):
@@ -4181,7 +4563,23 @@ def q_audio_denoise_clips(sf_dir):
         .map_batches(rms_db("rms_after_db"), batch_format="pyarrow") \
         .select_columns(["clip_id", "denoise_ok", "rms_before_db",
                          "rms_after_db"])
-    return out
+
+    # round-5 value-oracle conversion: the raw dB values are content
+    # (pinned by tests/test_audio_ops.py); the registry emits the
+    # energy-accounting contract instead — a spectral gate must never
+    # ADD energy, so rms_after <= rms_before (+0.1 dB slack for the
+    # WOLA resynthesis rounding) whenever a nonempty clip was denoised
+    def contract(t: pa.Table) -> pa.Table:
+        before = t["rms_before_db"].to_numpy(zero_copy_only=False)
+        after = t["rms_after_db"].to_numpy(zero_copy_only=False)
+        ok = t["denoise_ok"].to_numpy(zero_copy_only=False)
+        not_up = (~np.isnan(before)) & (~np.isnan(after)) \
+            & (after <= before + 0.1) & ok
+        return pa.table({"clip_id": t["clip_id"],
+                         "denoise_ok": t["denoise_ok"],
+                         "rms_not_increased": pa.array(not_up)})
+
+    return out.map_batches(contract, batch_format="pyarrow")
 
 
 def q_audio_fingerprint_clusters(sf_dir):
@@ -4226,12 +4624,16 @@ def q_audio_specaugment_clips(sf_dir):
 
     def project(t: pa.Table) -> pa.Table:
         fb = t["mel_fbank"].to_pylist()
-        mu = [round(float(np.mean(v)), 4) if v else None for v in fb]
+        # round-5 value-oracle conversion: the masked-mean is content
+        # (not SQL-expressible); emit its finiteness contract instead —
+        # masked fbank values stay pinned by the SpecAugment unit tests
+        sa_finite = [bool(v) and bool(np.isfinite(np.mean(v)))
+                     for v in fb]
         return pa.table({"clip_id": t["clip_id"],
                          "source_clip_id": t["source_clip_id"],
                          "mel_frames": t["mel_frames"],
                          "mel_ok": t["mel_ok"],
-                         "sa_mean": pa.array(mu, pa.float64())})
+                         "sa_finite": pa.array(sa_finite, pa.bool_())})
 
     return out.map_batches(project, batch_format="pyarrow")
 
@@ -4584,6 +4986,8 @@ def build_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "profile_sketches_lineitem": _PROFILE_SKETCHES_SQL,
         "tdigest_quantiles_lineitem": _TDIGEST_QUANTILES_SQL,
         "drift_lineitem": _DRIFT_LINEITEM_SQL,
+        "infer_spec_orders": _INFER_SPEC_ORDERS_SQL,
+        "media_frame_sample": _MEDIA_FRAME_SAMPLE_SQL,
         "lineitem_mode_qty": _LINEITEM_MODE_SQL,
         "grouped_distinct_lineitem": _GROUPED_DISTINCT_SQL,
         "corr_lineitem": _CORR_LINEITEM_SQL,
@@ -4733,6 +5137,16 @@ def build_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "events_session_paths": _SESSION_PATHS_SQL,
         "scd2_orders_history": _SCD2_SQL,
         "codec_sniff_clips": _codec_sniff_sql(sf_dir),
+        "kmeans_embeddings": _kmeans_embeddings_sql(sf_dir),
+        "clips_decode": _clips_decode_sql(sf_dir),
+        "audio_resample_vad_clips": _audio_resample_vad_sql(sf_dir),
+        "audio_mel_clips": _audio_mel_sql(sf_dir),
+        "audio_specaugment_clips": _audio_specaugment_sql(sf_dir),
+        "audio_trim_clips": _audio_trim_sql(sf_dir),
+        "audio_denoise_clips": _audio_denoise_sql(sf_dir),
+        "audio_prep_segments": _audio_prep_segments_sql(sf_dir),
+        "media_image_features": _MEDIA_IMAGE_FEATURES_SQL,
+        "cluster_balanced_sample": _cluster_balanced_sample_sql(sf_dir),
         "bigram_logprob_docs": _BIGRAM_SQL,
         "zipf_fit_docs": _ZIPF_SQL,
         "ann_topk_ivf_appended": _ANN_TOPK_SQL,
