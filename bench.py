@@ -338,7 +338,8 @@ def run_scaling():
                    RAY_GRAFT_BENCH=os.environ.get("GRAFT_SCALE_STAGE",
                                                   "flagship"),
                    GRAFT_CLIPS_N=str(scale_rows),
-                   GRAFT_SCALE_DECODE="0",
+                   GRAFT_SCALE_DECODE=os.environ.get(
+                       "GRAFT_SCALE_DECODE", "0"),
                    OMP_NUM_THREADS=str(ncpu))
         # taskset: pin the WHOLE process tree (driver, raylet, object
         # store, workers) to exactly ncpu cores — ray.init(num_cpus=N)
