@@ -679,28 +679,54 @@ def exact_distinct_counts(ds, cols):
     Values are compared as strings (injective for scalar columns).
     """
     cols = list(cols)
+    num_buckets = 64
+
+    from ..state.sketches import hash_array
 
     def block_unique(t: pa.Table) -> pa.Table:
-        names, vals = [], []
-        for c in cols:
+        # vectorized: per-block unique values + an int64 value-hash
+        # bucket, no per-value Python (the old plan's to_pylist + a
+        # sort-based two-level groupby on raw strings was the profile
+        # conversion's bench pig: 5-6 s at sf0.1 vs ~0.5 s here)
+        import pandas as pd
+        frames = []
+        for ci, c in enumerate(cols):
             u = pc.unique(t[c])
-            u = u.filter(pc.is_valid(u)).cast(pa.string())
-            names.extend([c] * len(u))
-            vals.extend(u.to_pylist())
-        return pa.table({"col": pa.array(names, pa.string()),
-                         "value": pa.array(vals, pa.string())})
+            u = u.drop_null().cast(pa.string())
+            if len(u) == 0:
+                continue
+            h = hash_array(pd.Series(u.to_numpy(zero_copy_only=False)))
+            b = (h % np.uint64(num_buckets)).astype(np.int64)
+            frames.append(pa.table({
+                "ci": pa.array(np.full(len(u), ci, np.int32)),
+                "value": u,
+                "_b": pa.array(b)}))
+        if not frames:
+            return pa.table({"ci": pa.array([], pa.int32()),
+                             "value": pa.array([], pa.string()),
+                             "_b": pa.array([], pa.int64())})
+        return pa.concat_tables(frames)
 
-    pairs = ds.select_columns(cols) \
-        .map_batches(block_unique, batch_format="pyarrow")
-    distinct_pairs = pairs.groupby(["col", "value"]).count()
+    def bucket_count(g: pa.Table) -> pa.Table:
+        # a (col, value) pair lands wholly in one bucket (bucket = value
+        # hash), so per-bucket distinct-pair counts sum globally
+        agg = g.group_by(["ci", "value"]).aggregate([])
+        c2 = agg.group_by("ci").aggregate([([], "count_all")])
+        return pa.table({"ci": c2["ci"],
+                         "n": c2["count_all"].cast(pa.int64())})
 
-    def drop_value(t: pa.Table) -> pa.Table:
-        return t.select(["col"])
-
-    return distinct_pairs.map_batches(drop_value, batch_format="pyarrow") \
-        .groupby("col").count() \
-        .map_batches(lambda t: t.rename_columns(["col", "n_distinct"]),
-                     batch_format="pyarrow")
+    parts = ds.select_columns(cols) \
+        .map_batches(block_unique, batch_format="pyarrow") \
+        .groupby("_b").map_groups(bucket_count,
+                                  batch_format="pyarrow") \
+        .to_pandas()              # <= num_buckets x n_cols tiny rows
+    totals = parts.groupby("ci")["n"].sum() if len(parts) else {}
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "col": pa.array(cols, pa.string()),
+        "n_distinct": pa.array(
+            [int(totals.get(ci, 0)) for ci in range(len(cols))],
+            pa.int64())}))
 
 
 def _lev_vec(a: str, b: str, cap: int) -> int | None:
