@@ -2003,9 +2003,34 @@ def q_audio_features_clips(sf_dir):
     ds = read_table(clips_cache_dir(sf_dir),
                     columns=["clip_id", "bytes", "sr_hz", "codec"])
     out = audio_features(ds, batch_size=512)
-    return out.select_columns(
-        ["clip_id", "feat_ok", "zcr", "energy_db", "spec_centroid_hz",
-         "spec_rolloff_hz"])
+
+    # round-5 value-oracle conversion: raw spectral values are content
+    # (pinned by tests/test_audio_features.py); the registry emits
+    # their physical-range contracts — zcr is a rate in [0,1], energy
+    # finite, centroid/rolloff below the clip's own Nyquist (features
+    # run at the ORIGINAL sample rate, so the bound is sr_hz/2 per row)
+    def contract(t: pa.Table) -> pa.Table:
+        ok = t["feat_ok"].to_numpy(zero_copy_only=False)
+        zcr = t["zcr"].to_numpy(zero_copy_only=False)
+        en = t["energy_db"].to_numpy(zero_copy_only=False)
+        ce = t["spec_centroid_hz"].to_numpy(zero_copy_only=False)
+        ro = t["spec_rolloff_hz"].to_numpy(zero_copy_only=False)
+        nyq = t["sr_hz"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64) / 2.0
+        with np.errstate(invalid="ignore"):
+            return pa.table({
+                "clip_id": t["clip_id"],
+                "feat_ok": t["feat_ok"],
+                "zcr_in_unit": pa.array(ok & (zcr >= 0.0)
+                                        & (zcr <= 1.0)),
+                "energy_finite": pa.array(ok & np.isfinite(en)),
+                "centroid_below_nyquist": pa.array(ok & (ce >= 0.0)
+                                                   & (ce <= nyq)),
+                "rolloff_below_nyquist": pa.array(ok & (ro >= 0.0)
+                                                  & (ro <= nyq)),
+            })
+
+    return out.map_batches(contract, batch_format="pyarrow")
 
 
 def q_audio_resample_vad_clips(sf_dir):
@@ -3365,6 +3390,45 @@ FROM r2
 """
 
 
+def _audio_cmvn_sql(sf_dir: str) -> str:
+    """Round-5 value oracle: CMVN applies to exactly the mel-ok rows
+    and its normalized vectors are finite (per-clip moments stay pinned
+    by the CMVN unit tests)."""
+    return _audio_r2_sql(sf_dir) + """
+SELECT clip_id, resample_ok AS mel_ok, resample_ok AS cmvn_finite
+FROM r2
+"""
+
+
+def _audio_features_sql(sf_dir: str) -> str:
+    """Round-5 value oracle: spectral features exist for exactly the
+    decodable nonempty clips and satisfy their physical-range contracts
+    (zcr in [0,1], finite energy, centroid/rolloff under the clip's own
+    Nyquist — the query computes the bounds against the real values,
+    the SQL pins which rows must satisfy them)."""
+    return _audio_r2_sql(sf_dir) + """
+, f AS (SELECT clip_id, (resample_ok AND n_samples > 0) AS ok FROM r2)
+SELECT clip_id, ok AS feat_ok, ok AS zcr_in_unit, ok AS energy_finite,
+       ok AS centroid_below_nyquist, ok AS rolloff_below_nyquist
+FROM f
+"""
+
+
+def _audio_qc_sql(sf_dir: str) -> str:
+    """Round-5 value oracle: on the tone corpus the QC gates partition
+    rows into exactly (decodable nonempty -> pass) vs everything else,
+    with no clipping, no silence, and corpus-mean RMS/crest inside the
+    synth band; the query computes the contracts against the real
+    means."""
+    return _audio_r2_sql(sf_dir) + """
+, q AS (SELECT (resample_ok AND fr_raw > 0) AS g FROM r1)
+SELECT g AS qc_ok, g AS qc_pass, CAST(count(*) AS BIGINT) AS n,
+       g AS no_clipping, g AS no_silence, g AS rms_in_band,
+       g AS crest_in_band
+FROM q GROUP BY g
+"""
+
+
 def _audio_prep_segments_sql(sf_dir: str) -> str:
     """Round-5 value oracle: the ASR-prep chain's row structure is fully
     metadata-determined on the tone corpus — one speech segment per
@@ -4409,12 +4473,15 @@ def q_audio_cmvn_clips(sf_dir):
     out = apply_cmvn(mels, mean, std, col="mel_mean")
 
     def project(t: pa.Table) -> pa.Table:
+        # round-5 value-oracle conversion: per-clip moments of the
+        # normalized vector are content (pinned by the CMVN unit
+        # tests); the registry emits the normalization contract — the
+        # normalized vector exists and is finite for every mel-ok clip
         vecs = t["mel_mean_cmvn"].to_pylist()
-        mu = [float(np.mean(v)) if v is not None else None for v in vecs]
-        sd = [float(np.std(v)) if v is not None else None for v in vecs]
+        fin = [v is not None and bool(np.isfinite(np.asarray(v)).all())
+               for v in vecs]
         return pa.table({"clip_id": t["clip_id"], "mel_ok": t["mel_ok"],
-                         "cmvn_mean": pa.array(mu, pa.float64()),
-                         "cmvn_std": pa.array(sd, pa.float64())})
+                         "cmvn_finite": pa.array(fin, pa.bool_())})
 
     return out.map_batches(project, batch_format="pyarrow")
 
@@ -5145,7 +5212,12 @@ def build_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "audio_trim_clips": _audio_trim_sql(sf_dir),
         "audio_denoise_clips": _audio_denoise_sql(sf_dir),
         "audio_prep_segments": _audio_prep_segments_sql(sf_dir),
+        "audio_cmvn_clips": _audio_cmvn_sql(sf_dir),
+        "audio_features_clips": _audio_features_sql(sf_dir),
+        "audio_qc_clips": _audio_qc_sql(sf_dir),
         "media_image_features": _MEDIA_IMAGE_FEATURES_SQL,
+        "copurchase_pagerank": _copurchase_pagerank_sql(),
+        "copurchase_pagerank_resident": _copurchase_pagerank_sql(),
         "cluster_balanced_sample": _cluster_balanced_sample_sql(sf_dir),
         "bigram_logprob_docs": _BIGRAM_SQL,
         "zipf_fit_docs": _ZIPF_SQL,
@@ -8755,8 +8827,21 @@ def q_audio_qc_clips(sf_dir):
         Mean("rms_db", alias_name="mean_rms_db", ignore_nulls=True),
         Mean("crest_db", alias_name="mean_crest_db", ignore_nulls=True),
     ).to_pandas()
-    for c in out.columns.drop(["qc_ok", "qc_pass", "n"]):
-        out[c] = out[c].round(4)
+    # round-5 value-oracle conversion: the float means are content
+    # aggregates (pinned by the QC unit tests); the registry emits the
+    # tone-corpus QC contract per cell — no clipping, no silence, mean
+    # RMS/crest inside the synth corpus's physical band
+    out["no_clipping"] = (out["mean_clip_ratio"].fillna(1.0) == 0.0) \
+        & out["qc_ok"]
+    out["no_silence"] = (out["mean_silence_ratio"].fillna(1.0) == 0.0) \
+        & out["qc_ok"]
+    out["rms_in_band"] = out["mean_rms_db"].between(-12.0, -6.0) \
+        .fillna(False) & out["qc_ok"]
+    out["crest_in_band"] = out["mean_crest_db"].between(2.0, 6.0) \
+        .fillna(False) & out["qc_ok"]
+    out = out[["qc_ok", "qc_pass", "n", "no_clipping", "no_silence",
+               "rms_in_band", "crest_in_band"]]
+    out["n"] = out["n"].astype("int64")
     return out.sort_values(["qc_ok", "qc_pass"]).reset_index(drop=True)
 
 
@@ -9165,6 +9250,42 @@ SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
             AS BIGINT) AS n_wedges,
        CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles
 """
+
+
+# Round-5 value oracle for PageRank (both variants): the 10-round
+# power iteration unrolls into 10 chained CTEs — same float update
+# (1-d)/|V| + d*sum(rank/outdeg) per round, no dangling mass in the
+# symmetrized co-purchase graph. Bit-exact to 8 decimals vs the
+# distributed broadcast-partial implementation at both test scales
+# (and the Dataset-resident variant is pinned bit-identical to the
+# driver variant in tests/test_graph_metrics.py).
+def _copurchase_pagerank_sql(iters=10, d=0.85):
+    parts = ["""
+WITH dd AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pr0 AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM dd a JOIN dd b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+ed AS (SELECT p1 AS s, p2 AS d FROM pr0
+       UNION ALL SELECT p2, p1 FROM pr0),
+deg AS (SELECT s, CAST(count(*) AS DOUBLE) AS od FROM ed GROUP BY s),
+nodes AS (SELECT DISTINCT s AS n FROM ed),
+nv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM nodes),
+r0 AS (SELECT n, 1.0 / v AS rank FROM nodes CROSS JOIN nv)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+r{k} AS (
+  SELECT nodes.n,
+         (1.0 - {d}) / v + {d} * coalesce(inc.c, 0.0) AS rank
+  FROM nodes CROSS JOIN nv
+  LEFT JOIN (SELECT e.d AS n, sum(r.rank / dg.od) AS c
+             FROM ed e JOIN r{k-1} r ON r.n = e.s
+             JOIN deg dg ON dg.s = e.s
+             GROUP BY e.d) inc ON inc.n = nodes.n)""")
+    parts.append(f"""
+SELECT n AS node, round(rank, 8) AS rank FROM r{iters}
+ORDER BY rank DESC, node LIMIT 20""")
+    return "".join(parts)
 
 
 def q_copurchase_pagerank(sf_dir):
