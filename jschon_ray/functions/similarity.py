@@ -260,6 +260,12 @@ def train_centroids(ds, *, emb_col="embedding", n_centroids=16,
         if b.num_rows
     ]
     x = _normalize(np.concatenate(mats))
+    # iter_batches yields blocks in completion order, which is not
+    # stable across executions; the seeded init indexes the sample, so
+    # fix the row order first (same determinism bug class as
+    # clustering.kmeans_fit's limit() sample)
+    if len(x):
+        x = x[np.lexsort(x.T[::-1])]
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), min(n_centroids, len(x)), replace=False)]
     for _ in range(iters):
