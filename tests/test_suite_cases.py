@@ -124,6 +124,11 @@ SHARED_WITH_2019 = {
     # dialects at generation time (scripts/gen_suite_corpus_r5.py)
     "optional_dependencies_compatibility.json",
     "optional_no_schema.json",
+    # round-5b remote-scope tail: $id/anchor/chained-document semantics
+    # are identical in 2019-09 (cross-checked under all three dialects
+    # at generation, scripts/gen_suite_corpus_r5b.py); the dynamic/
+    # unevaluated remote file is 2020-12+next only and NOT listed here
+    "refRemote_scopes.json",
 }
 
 
