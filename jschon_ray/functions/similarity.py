@@ -940,6 +940,7 @@ def build_ivfpq_index(ds, index_dir: str, *, id_col="vec_id",
                                                id_col=id_col,
                                                emb_col=emb_col),
                     batch_format="pyarrow", concurrency=(1, 8)) \
+        .sort("cell") \
         .write_parquet(codes_dir, partition_cols=["cell"])
 
     mm, kk, sub = codebooks.shape
@@ -1166,6 +1167,7 @@ def append_to_ivf_index(ds, index_dir: str) -> dict:
     before = _file_set()
     ds.map_batches(_cell_assign_fn(cent_ref, id_col, emb_col),
                    batch_format="pyarrow") \
+        .sort("cell") \
         .write_parquet(cells_dir, partition_cols=["cell"])
 
     # incremental accounting: stat ONLY the files this write created;
@@ -1360,6 +1362,7 @@ class AnnIndex:
                                                id_col=id_col,
                                                emb_col=emb_col),
                     batch_format="pyarrow", concurrency=(1, 8)) \
+                    .sort("cell") \
                     .write_parquet(os.path.join(self.index_dir, "codes"),
                                    partition_cols=["cell"])
             with open(os.path.join(self.index_dir,
