@@ -686,6 +686,11 @@ def pq_train(ds, *, emb_col="embedding", m=8, n_codes=256,
         if b.num_rows
     ]
     x = _normalize(np.concatenate(mats))
+    # same determinism rule as train_centroids/kmeans_fit: block arrival
+    # order is unstable across executions and the seeded init indexes
+    # the sample — fix the row order first
+    if len(x):
+        x = x[np.lexsort(x.T[::-1])]
     d = x.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
