@@ -2078,9 +2078,10 @@ def q_audio_mel_clips(sf_dir):
         # instead — the norm values themselves stay pinned by
         # tests/test_audio_features.py. mel_frames remains the exact
         # framing formula the oracle recomputes from metadata.
-        finite = [bool(np.isfinite(np.linalg.norm(m))
-                       and np.linalg.norm(m) > 0.0)
-                  if m is not None else False for m in mels]
+        norms = [np.linalg.norm(m) if m is not None else None
+                 for m in mels]
+        finite = [n is not None and bool(np.isfinite(n) and n > 0.0)
+                  for n in norms]
         return pa.table({
             "clip_id": t["clip_id"],
             "mel_ok": t["mel_ok"],

@@ -89,6 +89,15 @@ def read_parquet_clean(path, **kwargs):
         first = path[0]
     elif isinstance(path, str) and not os.path.isdir(path):
         first = path
+    if kwargs.get("filter") is not None and kwargs.get("columns") \
+            is not None:
+        # ray's parquet datasource applies `schema` to the PROJECTED
+        # batch, so the derived schema must be pruned to `columns` —
+        # but a filter expression may reference columns OUTSIDE the
+        # projection (pyarrow filters then projects), and pyarrow
+        # expressions don't expose their field refs for a subset check.
+        # Take the strip-stage fallback for that combination.
+        first = None
     if first is not None:
         try:
             import pyarrow as pa
