@@ -55,6 +55,30 @@ def test_autodetect_and_pruning(orders_small):
     assert back.count() == ds.count()
 
 
+def test_parquet_filter_on_unprojected_column(ray_session):
+    """A filter referencing a column OUTSIDE the projection must still
+    apply (pyarrow filters before projecting). The metadata-free
+    schema= read path cannot express this (the derived schema is pruned
+    to the projection), so read_parquet_clean must take its strip-stage
+    fallback for the filter+columns combination — regression for the
+    round-5 review finding."""
+    import duckdb
+    import pyarrow.dataset as pads
+
+    path = "/root/testdata/sf0.001/orders.parquet"
+    ds = read_table(path, columns=["o_orderkey"],
+                    filter=pads.field("o_totalprice") > 100000.0)
+    df = ds.to_pandas()
+    assert list(df.columns) == ["o_orderkey"]
+    want = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{path}') "
+        "WHERE o_totalprice > 100000.0").fetchone()[0]
+    assert len(df) == want
+    # blocks still arrive metadata-free through the fallback
+    batch = ds.take_batch(1, batch_format="pyarrow")
+    assert batch.schema.metadata is None
+
+
 def test_filter_on_nonparquet(orders_small):
     ds, base = orders_small
     out = os.path.join(base, "filt")
