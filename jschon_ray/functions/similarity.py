@@ -428,6 +428,13 @@ def build_ivf_index(ds, index_dir: str, *, id_col="vec_id",
     cent_ref = ray.put(centroids)
 
     cells_dir = os.path.join(index_dir, "cells")
+    # a crashed earlier build leaves cell parts WITHOUT a manifest
+    # (manifest.json is written last); rerunning into the dirty dir
+    # would append duplicate part files and silently double rows —
+    # replace, same idempotent-rerun posture as functions/layout.py
+    if os.path.isdir(cells_dir):
+        import shutil as _sh
+        _sh.rmtree(cells_dir)
     os.makedirs(cells_dir, exist_ok=True)
     # sort by cell before the partitioned write: WITHOUT it every write
     # task splits its own rows across all C cell dirs, leaving
@@ -940,6 +947,9 @@ def build_ivfpq_index(ds, index_dir: str, *, id_col="vec_id",
             return out.append_column("cell", batch["cell_id"])
 
     codes_dir = os.path.join(index_dir, "codes")
+    if os.path.isdir(codes_dir):      # same crashed-build rerun guard
+        import shutil as _sh
+        _sh.rmtree(codes_dir)
     raw.map_batches(_Encode,
                     fn_constructor_kwargs=dict(books_ref=books_ref,
                                                id_col=id_col,
@@ -1303,6 +1313,9 @@ class AnnIndex:
             books = np.asarray(books)
             codes = pq_encode(ds, books, id_col=id_col, emb_col=emb_col)
             codes_dir = os.path.join(index_dir, "codes")
+            if os.path.isdir(codes_dir):   # crashed-build rerun guard
+                import shutil as _sh
+                _sh.rmtree(codes_dir)
             os.makedirs(codes_dir, exist_ok=True)
             codes.write_parquet(codes_dir)
             mm, kk, sub = books.shape

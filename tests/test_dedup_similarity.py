@@ -395,6 +395,51 @@ def test_ivf_persisted_index_exact_when_probing_all(ray_session, tmp_path):
     pd.testing.assert_frame_equal(exact, got)
 
 
+def test_ivf_build_rerun_over_crashed_build_is_exact(ray_session,
+                                                     tmp_path):
+    """A killed build leaves cell parts WITHOUT a manifest; rerunning
+    the build into the same index_dir must REPLACE them (appending
+    would silently double every row in the probed cells). Also pins
+    the sorted-cell layout: one part file per contiguous cell run, not
+    O(write_tasks x cells)."""
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+    from jschon_ray.functions.similarity import (_embedding_matrix,
+                                                 ann_topk,
+                                                 ann_topk_ivf_from_index,
+                                                 build_ivf_index)
+
+    t = embeddings_with_dups()
+    idx = str(tmp_path / "ivf_crash")
+    # simulate the crashed earlier build: stale parts, no manifest
+    os.makedirs(os.path.join(idx, "cells", "cell=0"))
+    with open(os.path.join(idx, "cells", "cell=0",
+                           "stale.parquet"), "wb") as f:
+        f.write(b"torn")
+    build_ivf_index(rd.from_arrow(t), idx, n_centroids=8)
+
+    n_files = sum(len(fs) for _, _, fs in
+                  os.walk(os.path.join(idx, "cells")))
+    assert n_files <= 64            # sorted layout, no stale survivors
+
+    q = {"ids": np.array([10, 20, 77]),
+         "matrix": np.vstack([_embedding_matrix(t.slice(i, 1),
+                                                "embedding")
+                              for i in (10, 20, 77)])}
+    exact = ann_topk(rd.from_arrow(t), q, k=5).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    got = ann_topk_ivf_from_index(idx, q, k=5, nprobe=8).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(exact, got)
+    # row accounting is exact (duplicated parts would inflate this)
+    import json as _json
+    with open(os.path.join(idx, "manifest.json")) as f:
+        counts = _json.load(f)["cell_counts"]
+    assert sum(counts.values()) == t.num_rows
+
+
 def test_ivf_persisted_index_pruned_recall_and_read(ray_session, tmp_path):
     """Pruned probing from the saved index keeps recall AND provably
     skips unprobed cell partitions at the read."""
