@@ -29,17 +29,48 @@ def add_tumbling_window(batch: pa.Table, *, ts_col: str = "ts",
 
 def tumbling_agg(ds, *, key_cols=("event_type",), ts_col="ts",
                  value_col="value", unit="hour"):
-    """count + sum + mean(value) per (key, window) — one vectorized bucket
-    column then a pre-aggregated groupby shuffle."""
-    from ray.data.aggregate import Count, Mean, Sum
+    """count + sum + mean(value) per (key, window) — one vectorized
+    bucket column, a PER-BLOCK combiner (arrow group_by inside the map
+    stage), then a groupby shuffle over the tiny partials.
 
-    bucketed = ds.map_batches(
-        functools.partial(add_tumbling_window, ts_col=ts_col, unit=unit),
-        batch_format="pyarrow",
-    )
-    return bucketed.groupby(list(key_cols) + ["window_start"]).aggregate(
-        Count(alias_name="n"), Sum(value_col, alias_name="sum_value"),
-        Mean(value_col, alias_name="avg_value"))
+    The combiner is the scale move: without it the exchange carries
+    every event row (measured 15.1 s for 10M events); with it each
+    block ships at most |keys x windows-per-block| partial rows
+    (count/sum decompose; mean = sum/count at the end)."""
+    from ray.data.aggregate import Sum
+
+    keys = list(key_cols) + ["window_start"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = add_tumbling_window(t, ts_col=ts_col, unit=unit)
+        agg = t.group_by(keys).aggregate(
+            [([], "count_all"), (value_col, "sum"),
+             (value_col, "count")])
+        # arrow returns [keys..., count_all, v_sum, v_count]
+        return agg.rename_columns(
+            keys + ["_n", "_sum", "_nv"]).replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    merged = parts.groupby(keys).aggregate(
+        Sum("_n", alias_name="n"), Sum("_sum", alias_name="sum_value"),
+        Sum("_nv", alias_name="_nv"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].cast(pa.int64())
+        nv = pc.cast(t["_nv"], pa.float64())
+        # SQL avg semantics: nulls excluded from the mean (count(v)),
+        # while n stays count(*) — avg NULL when every value is null
+        avg = pc.if_else(pc.greater(nv, 0.0),
+                         pc.divide(pc.cast(t["sum_value"],
+                                           pa.float64()), nv),
+                         pa.scalar(None, pa.float64()))
+        out = {k: t[k] for k in keys}
+        out["n"] = n
+        out["sum_value"] = t["sum_value"]
+        out["avg_value"] = avg
+        return pa.table(out)
+
+    return merged.map_batches(finish, batch_format="pyarrow")
 
 
 def session_counts(ds, *, key_col="user_id", ts_col="ts",
