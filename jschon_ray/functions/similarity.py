@@ -396,6 +396,27 @@ def _cell_assign_fn(cent_ref, id_col: str, emb_col: str):
     return assign
 
 
+def _fresh_build_dir(index_dir: str, subdir: str) -> str:
+    """Prepare index_dir/<subdir> for a (re)build. Invalidate the
+    manifest FIRST — its presence certifies a complete index, so a
+    crash at any later point must leave the directory visibly
+    incomplete (readers open manifest.json and fail loudly). Then
+    replace any parts left by a previous or crashed build: rerunning
+    into a dirty dir would append duplicate part files and silently
+    double rows. Same idempotent-rerun posture as functions/layout.py.
+    """
+    import shutil
+
+    man = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(man):
+        os.remove(man)
+    d = os.path.join(index_dir, subdir)
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def build_ivf_index(ds, index_dir: str, *, id_col="vec_id",
                     emb_col="embedding", n_centroids=16, centroids=None,
                     train_kwargs=None) -> dict:
@@ -427,15 +448,7 @@ def build_ivf_index(ds, index_dir: str, *, id_col="vec_id",
     centroids = _normalize(np.asarray(centroids, np.float64))
     cent_ref = ray.put(centroids)
 
-    cells_dir = os.path.join(index_dir, "cells")
-    # a crashed earlier build leaves cell parts WITHOUT a manifest
-    # (manifest.json is written last); rerunning into the dirty dir
-    # would append duplicate part files and silently double rows —
-    # replace, same idempotent-rerun posture as functions/layout.py
-    if os.path.isdir(cells_dir):
-        import shutil as _sh
-        _sh.rmtree(cells_dir)
-    os.makedirs(cells_dir, exist_ok=True)
+    cells_dir = _fresh_build_dir(index_dir, "cells")
     # sort by cell before the partitioned write: WITHOUT it every write
     # task splits its own rows across all C cell dirs, leaving
     # O(tasks x C) tiny part files (measured: 8,122 files for a 1M-row
@@ -946,10 +959,7 @@ def build_ivfpq_index(ds, index_dir: str, *, id_col="vec_id",
             out = out.append_column("cell_id", batch["cell_id"])
             return out.append_column("cell", batch["cell_id"])
 
-    codes_dir = os.path.join(index_dir, "codes")
-    if os.path.isdir(codes_dir):      # same crashed-build rerun guard
-        import shutil as _sh
-        _sh.rmtree(codes_dir)
+    codes_dir = _fresh_build_dir(index_dir, "codes")
     raw.map_batches(_Encode,
                     fn_constructor_kwargs=dict(books_ref=books_ref,
                                                id_col=id_col,
@@ -1312,11 +1322,7 @@ class AnnIndex:
                              **(train_kwargs or {}))
             books = np.asarray(books)
             codes = pq_encode(ds, books, id_col=id_col, emb_col=emb_col)
-            codes_dir = os.path.join(index_dir, "codes")
-            if os.path.isdir(codes_dir):   # crashed-build rerun guard
-                import shutil as _sh
-                _sh.rmtree(codes_dir)
-            os.makedirs(codes_dir, exist_ok=True)
+            codes_dir = _fresh_build_dir(index_dir, "codes")
             codes.write_parquet(codes_dir)
             mm, kk, sub = books.shape
             pqt.write_table(

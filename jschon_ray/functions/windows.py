@@ -46,7 +46,10 @@ def tumbling_agg(ds, *, key_cols=("event_type",), ts_col="ts",
         agg = t.group_by(keys).aggregate(
             [([], "count_all"), (value_col, "sum"),
              (value_col, "count")])
-        # arrow returns [keys..., count_all, v_sum, v_count]
+        # select/rename by NAME, not position — arrow's key/aggregate
+        # column ordering has changed across pyarrow majors
+        agg = agg.select(keys + ["count_all", f"{value_col}_sum",
+                                 f"{value_col}_count"])
         return agg.rename_columns(
             keys + ["_n", "_sum", "_nv"]).replace_schema_metadata(None)
 

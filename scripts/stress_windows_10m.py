@@ -136,23 +136,23 @@ FROM d""").fetchone()[0]
 SELECT event_type, date_trunc('hour', ts) AS w,
        CAST(count(*) AS BIGINT) AS n
 FROM read_parquet('{data_dir}/*.parquet') GROUP BY 1, 2""").df()
-    a = tumb.rename(columns={c: c for c in tumb.columns})
-    acols = sorted(a.columns)
     tumb_match = None
     try:
         import pandas as pd
-        key = [c for c in a.columns if c in ("event_type",)][0]
-        wcol = "window_start"
-        ncol = "n"
-        aa = a[[key, wcol, ncol]].copy()
+        aa = tumb[["event_type", "window_start", "n"]].copy()
         aa.columns = ["event_type", "w", "n"]
         aa = aa.sort_values(["event_type", "w"]).reset_index(drop=True)
         bb = dt.sort_values(["event_type", "w"]).reset_index(drop=True)
         aa["w"] = pd.to_datetime(aa["w"])
         bb["w"] = pd.to_datetime(bb["w"])
-        tumb_match = bool(len(aa) == len(bb)
-                          and (aa["n"].to_numpy()
-                               == bb["n"].to_numpy()).all())
+        # keys AND counts must align — count-only equality could mask a
+        # shifted-window bug
+        tumb_match = bool(
+            len(aa) == len(bb)
+            and (aa["event_type"].to_numpy()
+                 == bb["event_type"].to_numpy()).all()
+            and (aa["w"].to_numpy() == bb["w"].to_numpy()).all()
+            and (aa["n"].to_numpy() == bb["n"].to_numpy()).all())
     except Exception as ex:
         tumb_match = f"compare-error: {ex}"
 

@@ -439,6 +439,18 @@ def test_ivf_build_rerun_over_crashed_build_is_exact(ray_session,
         counts = _json.load(f)["cell_counts"]
     assert sum(counts.values()) == t.num_rows
 
+    # rebuild-over-complete-index crash safety: preparing a new build
+    # invalidates the manifest FIRST, so a crash mid-rebuild leaves the
+    # dir visibly incomplete (readers fail loudly on the missing
+    # manifest) instead of serving the OLD manifest over NEW/empty
+    # cells
+    from jschon_ray.functions.similarity import _fresh_build_dir
+    _fresh_build_dir(idx, "cells")     # simulate build #2 up to the
+    assert not os.path.exists(         # crash point
+        os.path.join(idx, "manifest.json"))
+    with pytest.raises(Exception):
+        ann_topk_ivf_from_index(idx, q, k=5, nprobe=8)
+
 
 def test_ivf_persisted_index_pruned_recall_and_read(ray_session, tmp_path):
     """Pruned probing from the saved index keeps recall AND provably
